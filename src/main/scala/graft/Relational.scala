@@ -1,0 +1,512 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 group C — the relational reporting surface the reference's
+  * replica exists for (reference: main.tf:188-195 "Reporting data from the
+  * CloudSQL menagerie DB"; query shapes are the public MySQL-tutorial corpus,
+  * menagerie-db/README.txt:1-3, run here on the driver's TPC-H-ish fixtures).
+  *
+  * Determinism contract with the DuckDB oracle (SURVEY §7.4):
+  *  - money aggregates go through DECIMAL(18,2) (exact) and are cast to
+  *    DOUBLE only at the very end — both engines then produce bit-identical
+  *    doubles;
+  *  - timestamps are cast to DATE (or epoch longs) before leaving a query;
+  *  - every query ends with a total ORDER BY.
+  *
+  * Scale notes are inline per query; the common one: every aggregation here
+  * is a partial-agg (map-side combine) + final agg — Spark does this
+  * automatically for all `groupBy.agg` — so shuffle volume is |groups|, not
+  * |rows|, and survives a 1000-executor / 100 TB scale-up.
+  */
+object Relational {
+  import Tables.load
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1 projection — column pruning reaches the scan (ReadSchema shows 3 cols).
+    "c01_projection" -> { (s, d) =>
+      load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+    // C2 filter — predicate pushdown (PushedFilters on l_returnflag/l_quantity).
+    "c02_filter" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+          col("l_quantity") >= 10 && col("l_quantity") < 25)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // C3 distinct — shuffles only the 2 projected columns.
+    "c03_distinct" -> { (s, d) =>
+      load(s, d, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+    // C4 multi-key mixed-direction sort (range-partitioned exchange at scale).
+    "c04_sort" -> { (s, d) =>
+      load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderdate").cast(DateType).as("o_date"))
+        .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc,
+          col("o_orderkey").asc)
+    },
+    // C5 top-k — Spark plans TakeOrderedAndProject: per-partition heap + driver
+    // merge of k rows, no full sort even at 100 TB.
+    "c05_topk" -> { (s, d) =>
+      load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+    // C6 inner equi-join lineitem⋈orders + revenue agg. At scale: both sides
+    // large → sort-merge join on l_orderkey/o_orderkey; AQE handles skew.
+    "c06_join_inner" -> { (s, d) =>
+      val li = load(s, d, "lineitem")
+      val o = load(s, d, "orders").filter(col("o_orderstatus") === "F")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderkey")
+    },
+    // C7 left outer join — customers with zero orders preserved.
+    "c07_join_left" -> { (s, d) =>
+      val c = load(s, d, "customer")
+      val o = load(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("spend"))
+        .orderBy("c_custkey")
+    },
+    // C8 left-semi (EXISTS) — join emits only left columns, no row multiplication.
+    "c08_join_semi" -> { (s, d) =>
+      val c = load(s, d, "customer")
+      val o = load(s, d, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    // C8b left-anti (NOT EXISTS).
+    "c08b_join_anti" -> { (s, d) =>
+      val c = load(s, d, "customer")
+      val o = load(s, d, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    // C9 self-join with theta conjunct (pairs of suppliers in one nation).
+    // Supplier is the small table by design — at 100 TB this stays a
+    // broadcast-hash join on the equi part, theta as post-filter.
+    "c09_self_join" -> { (s, d) =>
+      val a = load(s, d, "supplier").select(
+        col("s_suppkey").as("k1"), col("s_nationkey").as("nk"))
+      val b = load(s, d, "supplier").select(
+        col("s_suppkey").as("k2"), col("s_nationkey").as("nk2"))
+      a.join(b, a("nk") === b("nk2") && a("k1") < b("k2"))
+        .select("k1", "k2", "nk")
+        .orderBy("k1", "k2")
+    },
+    // C10 multi-way join chain region⋈nation⋈customer⋈orders. region/nation/
+    // customer-dim are broadcast (tiny); only orders shuffles — at 100 TB the
+    // same plan holds because the dims stay small.
+    "c10_multiway_join" -> { (s, d) =>
+      val r = load(s, d, "region")
+      val n = load(s, d, "nation")
+      val c = load(s, d, "customer")
+      val o = load(s, d, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+        .orderBy("r_name")
+    },
+    // C11 hash aggregation (TPC-H Q1 shape) — partial agg collapses 600K rows
+    // to ~6 groups before the shuffle.
+    "c11_group_agg" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // C12 global aggregate — single group, all partial.
+    "c12_global_agg" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+          min(col("l_shipdate").cast(DateType)).as("first_ship"),
+          max(col("l_shipdate").cast(DateType)).as("last_ship"))
+    },
+    // C13 HAVING — post-aggregation filter.
+    "c13_having" -> { (s, d) =>
+      load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("spend"))
+        .filter(col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    },
+    // C14 rollup — subtotals + grand total with grouping indicators.
+    "c14_rollup" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .select(
+          col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("g_flag", "g_status", "flag", "status")
+    },
+    // C15 distinct aggregation — Spark plans expand+two-phase agg.
+    "c15_count_distinct" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    // C16 ranking window — top-2 orders per customer; this exact shape
+    // (row_number over pk ordered by pos desc) is also the CDC merge engine (B3).
+    "c16_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 2)
+        .orderBy("o_custkey", "rn")
+    },
+    // C17 analytic window — lag + running sum (running sum in DECIMAL so both
+    // engines are exact regardless of their internal frame evaluation order).
+    "c17_window_analytic" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      load(s, d, "lineitem")
+        .filter(col("l_suppkey") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          sum(dec(col("l_quantity")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    // C18 set operations — union all / intersect / except, tagged.
+    "c18_setops" -> { (s, d) =>
+      val cn = load(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val sn = load(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      val u = cn.union(sn).groupBy(col("nk")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("union_all"))
+      val i = cn.intersect(sn).withColumn("n", lit(1L)).withColumn("op", lit("intersect"))
+      val e = cn.except(sn).withColumn("n", lit(1L)).withColumn("op", lit("except"))
+      u.select("op", "nk", "n")
+        .union(i.select("op", "nk", "n"))
+        .union(e.select("op", "nk", "n"))
+        .orderBy("op", "nk")
+    },
+    // C19 date/time functions — "today" pinned to a literal (SURVEY §7.4).
+    "c19_date_funcs" -> { (s, d) =>
+      val od = col("o_orderdate").cast(DateType)
+      load(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(od).as("y"), month(od).as("m"), dayofmonth(od).as("dom"),
+          datediff(lit(java.sql.Date.valueOf("2002-01-01")), od).as("age_days"),
+          date_add(od, 30).as("due_date"))
+        .orderBy("o_orderkey")
+    },
+    // C20 NULL handling — nulls manufactured via nullif, then isNull /
+    // coalesce / null-safe equality (MySQL <=> ≡ Spark eqNullSafe ≡ DuckDB
+    // IS NOT DISTINCT FROM).
+    "c20_nulls" -> { (s, d) =>
+      val segN = nullif(col("c_mktsegment"), lit("BUILDING"))
+      load(s, d, "customer")
+        .select(col("c_custkey"),
+          segN.isNull.as("seg_is_null"),
+          coalesce(segN, lit("(none)")).as("seg_or_none"),
+          (segN <=> lit("MACHINERY")).as("nullsafe_mach"))
+        .orderBy("c_custkey")
+    },
+    // C21 pattern matching — LIKE + regexp.
+    "c21_pattern" -> { (s, d) =>
+      load(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_type"),
+          col("p_name").like("%a%").as("has_a"),
+          col("p_type").rlike("^[A-M]").as("type_am"))
+        .filter(col("has_a") || col("type_am"))
+        .orderBy("p_partkey")
+    },
+    // C22 string scalar functions.
+    "c22_string_funcs" -> { (s, d) =>
+      load(s, d, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          lower(col("c_mktsegment")).as("seg_lower"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 5).as("name_pfx"),
+          concat_ws("#", col("c_name"), col("c_mktsegment")).as("tagged"),
+          trim(col("c_name")).as("name_trim"))
+        .orderBy("c_custkey")
+    },
+    // C23 arithmetic expressions — charge = price*(1+tax)*(1-discount), exact
+    // via DECIMAL; percents as integers.
+    "c23_math" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) + dec(col("l_tax")))
+            * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_charge"),
+          max(round(col("l_discount") * 100).cast(IntegerType)).as("max_disc_pct"),
+          min(round(col("l_tax") * 100).cast(IntegerType)).as("min_tax_pct"))
+        .orderBy("l_returnflag")
+    },
+    // C24 CASE / conditional classification.
+    "c24_case" -> { (s, d) =>
+      load(s, d, "orders")
+        .select(
+          when(col("o_orderstatus") === "F", "done")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("status_word"),
+          when(col("o_totalprice") >= 300000, "big")
+            .when(col("o_totalprice") >= 100000, "mid")
+            .otherwise("small").as("size_bucket"))
+        .groupBy("status_word", "size_bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status_word", "size_bucket")
+    },
+    // C25 JSON extraction from the events.props string column.
+    "c25_json" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("k_mod")
+    },
+    // C26 array higher-order functions over embedding: array<float> — stays in
+    // codegen (no UDF). Fold starts at 0.0 so both engines compute the same
+    // left-to-right double sum.
+    "c26_array_funcs" -> { (s, d) =>
+      load(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType)).as("vsum"),
+          array_min(col("embedding")).cast(DoubleType).as("vmin"),
+          array_max(col("embedding")).cast(DoubleType).as("vmax"))
+        .orderBy("vec_id")
+    },
+    // C27 subqueries (scalar + IN) through the SQL entry point (SURVEY §3.1).
+    "c27_subquery" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders
+          |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
+          |   OR o_custkey IN (SELECT c_custkey FROM customer
+          |                    WHERE c_mktsegment = 'FURNITURE' AND c_nationkey = 1)
+          |ORDER BY o_orderkey""".stripMargin)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "c01_projection" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders ORDER BY o_orderkey",
+    "c02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 10 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "c03_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "c04_sort" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    "c05_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "c06_join_inner" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "c07_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "c08_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "c08b_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "c09_self_join" ->
+      """SELECT a.s_suppkey AS k1, b.s_suppkey AS k2, a.s_nationkey AS nk
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        |ORDER BY k1, k2""".stripMargin,
+    "c10_multiway_join" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "c11_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "c12_global_agg" ->
+      """SELECT COUNT(*) AS n, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+        |  MAX(CAST(l_shipdate AS DATE)) AS last_ship
+        |FROM lineitem""".stripMargin,
+    "c13_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+        |ORDER BY o_custkey""".stripMargin,
+    "c14_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "c15_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "c16_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "c17_window_analytic" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  LAG(l_quantity, 1) OVER w AS prev_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "c18_setops" ->
+      """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
+        |     sn AS (SELECT s_nationkey AS nk FROM supplier)
+        |SELECT 'union_all' AS op, nk, COUNT(*) AS n
+        |  FROM (SELECT nk FROM cn UNION ALL SELECT nk FROM sn) GROUP BY nk
+        |UNION ALL
+        |SELECT 'intersect' AS op, nk, 1::BIGINT AS n
+        |  FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+        |UNION ALL
+        |SELECT 'except' AS op, nk, 1::BIGINT AS n
+        |  FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+        |ORDER BY op, nk""".stripMargin,
+    "c19_date_funcs" ->
+      """SELECT o_orderkey,
+        |  YEAR(CAST(o_orderdate AS DATE)) AS y,
+        |  MONTH(CAST(o_orderdate AS DATE)) AS m,
+        |  DAYOFMONTH(CAST(o_orderdate AS DATE)) AS dom,
+        |  DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "c20_nulls" ->
+      """SELECT c_custkey,
+        |  NULLIF(c_mktsegment, 'BUILDING') IS NULL AS seg_is_null,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(none)') AS seg_or_none,
+        |  NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'MACHINERY' AS nullsafe_mach
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "c21_pattern" ->
+      """SELECT p_partkey, p_name, p_type,
+        |  p_name LIKE '%a%' AS has_a,
+        |  regexp_matches(p_type, '^[A-M]') AS type_am
+        |FROM part
+        |WHERE p_name LIKE '%a%' OR regexp_matches(p_type, '^[A-M]')
+        |ORDER BY p_partkey""".stripMargin,
+    "c22_string_funcs" ->
+      """SELECT c_custkey, UPPER(c_name) AS name_upper, LOWER(c_mktsegment) AS seg_lower,
+        |  LENGTH(c_name) AS name_len, SUBSTRING(c_name, 1, 5) AS name_pfx,
+        |  CONCAT_WS('#', c_name, c_mktsegment) AS tagged, TRIM(c_name) AS name_trim
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "c23_math" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 + CAST(l_tax AS DECIMAL(18,2)))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(MAX(ROUND(l_discount * 100)) AS INT) AS max_disc_pct,
+        |  CAST(MIN(ROUND(l_tax * 100)) AS INT) AS min_tax_pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "c24_case" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open'
+        |    ELSE 'other' END AS status_word,
+        |  CASE WHEN o_totalprice >= 300000 THEN 'big'
+        |       WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'small' END AS size_bucket,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY status_word, size_bucket""".stripMargin,
+    "c25_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "c26_array_funcs" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS INT) AS dim,
+        |  list_reduce(list_prepend(0.0::DOUBLE, embedding::DOUBLE[]), (a, x) -> a + x) AS vsum,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "c27_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
+        |   OR o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'FURNITURE' AND c_nationkey = 1)
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev smoke: runs SparkEntry.entry exactly as the driver would. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    println(s"entry rows=${df.count()}")
+    df.show(10, truncate = false)
+    spark.stop()
+  }
+}
