@@ -1,0 +1,340 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.AvroChangeFiles
+
+/** SURVEY §2 groups A (scans/sources/sinks) and B (DML/changelog — the CDC
+  * core). The reference assembles MySQL binlog → Datastream → GCS (Avro/JSON)
+  * → Pub/Sub → Dataflow merge → BigQuery replica (reference: README.md:126-208,
+  * main.tf:103-215); this module re-expresses each stage Spark-first.
+  *
+  * The `events` fixture plays the ordered changelog (FIXTURES.md:70): pos =
+  * event_id (binlog position analog, reference README.md:116 replication
+  * grants exist to read the ordered log), primary key = user_id, op derived
+  * from event_type. The same derivation is inlined in every DuckDB oracle so
+  * both engines see the identical changelog.
+  *
+  * Scale design: the merge (B3) is a window/agg over the pk — one shuffle by
+  * key, partial-aggregatable in the max_by form (B4), AQE-skew-safe. At
+  * 100 TB the replica would be bucketed by pk so repeated merges reuse the
+  * partitioning instead of reshuffling.
+  */
+object Cdc {
+  import Tables.load
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** The changelog derived from the events fixture — op mapping documented in
+    * the module doc; flat envelope (op, tbl, pos, ts_ns, user_id, value,
+    * event_type). */
+  def changelog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      when(col("event_type") === "signup", "INSERT")
+        .when(col("event_type") === "error", "DELETE")
+        .otherwise("UPDATE").as("op"),
+      lit("users").as("tbl"),
+      col("event_id").as("pos"),
+      col("ts_ns"),
+      col("user_id"),
+      col("value"),
+      col("event_type"))
+
+  /** SQL twin of [[changelog]] for the DuckDB oracles. */
+  val changelogSql: String =
+    """SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+      |            WHEN event_type = 'error' THEN 'DELETE'
+      |            ELSE 'UPDATE' END AS op,
+      |       'users' AS tbl, event_id AS pos, epoch_ns(ts) AS ts_ns,
+      |       user_id, value, event_type
+      |FROM events""".stripMargin
+
+  /** B3 — CDC apply / latest-wins upsert (the Cloud_Datastream_to_BigQuery
+    * merge the reference's own pipeline failed to run, README.md:8):
+    * latest event per primary key by binlog position wins; DELETE tombstones
+    * drop the row (unless keepTombstones, for B5 soft-delete replicas). */
+  def merge(changes: DataFrame, pkCols: Seq[String], posCol: String = "pos",
+            opCol: String = "op", keepTombstones: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(col): _*).orderBy(col(posCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (keepTombstones) latest.withColumn("is_deleted", col(opCol) === "DELETE")
+    else latest.filter(col(opCol) =!= "DELETE")
+  }
+
+  /** Deterministic per-query scratch dir (A3/A6/A7 write-then-read). */
+  private def scratch(name: String, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_$tag/$name"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 snapshot scan — full read of a source table (offline stand-in for the
+    // JDBC backfill; reference README.md:136). Pushdown: only 3 columns read.
+    "a1_snapshot_scan" -> { (s, d) =>
+      load(s, d, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+    // A2 TSV bulk load — LOAD DATA LOCAL INFILE semantics: tab-separated,
+    // \N = NULL (reference load_pet_tbl.sql:5, pet.txt) + the puffball insert
+    // (ins_puff_rec.sql:1).
+    "a2_tsv_load" -> { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("name", StringType), StructField("owner", StringType),
+        StructField("species", StringType), StructField("sex", StringType),
+        StructField("birth", DateType), StructField("death", DateType)))
+      val pets = s.read.schema(schema)
+        .option("sep", "\t").option("nullValue", "\\N").option("mode", "PERMISSIVE")
+        .csv("/root/repo/fixtures/menagerie/pet.txt")
+      val puffball = s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          "Puffball", "Diane", "hamster", "f",
+          java.sql.Date.valueOf("1999-03-30"), null: java.sql.Date)), schema)
+      pets.union(puffball).orderBy("name")
+    },
+    // A2b ragged TSV rows — MySQL LOAD DATA accepts rows with missing trailing
+    // columns (reference event.txt kennel rows); PERMISSIVE mode yields NULL.
+    "a2b_tsv_ragged" -> { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("name", StringType), StructField("date", DateType),
+        StructField("type", StringType), StructField("remark", StringType)))
+      s.read.schema(schema)
+        .option("sep", "\t").option("nullValue", "\\N").option("mode", "PERMISSIVE")
+        .csv("/root/repo/fixtures/menagerie/event.txt")
+        .orderBy("name", "date", "type")
+    },
+    // A3 Avro change-file roundtrip — changelog → Avro container files →
+    // distributed decode → summary (format choice: reference README.md:168).
+    "a3_avro_roundtrip" -> { (s, d) =>
+      val path = scratch("a3_avro", d)
+      AvroChangeFiles.write(changelog(s, d), path)
+      AvroChangeFiles.read(s, path)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("op")
+    },
+    // A4 JSON change events — serialize envelope to JSON strings, parse back
+    // with an explicit schema (reference README.md:202 inputFileFormat=json).
+    "a4_json_roundtrip" -> { (s, d) =>
+      val env = StructType(Seq(
+        StructField("op", StringType), StructField("pos", LongType),
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      changelog(s, d)
+        .select(to_json(struct(col("op"), col("pos"), col("user_id"), col("value"))).as("j"))
+        .select(from_json(col("j"), env).as("e"))
+        .select(col("e.op").as("op"), col("e.pos").as("pos"),
+          col("e.user_id").as("user_id"), col("e.value").as("value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("user_id")
+    },
+    // A6 warehouse sink roundtrip — replica written with a declared schema and
+    // read back (reference main.tf:197-215, pets.schema.json).
+    "a6_sink_roundtrip" -> { (s, d) =>
+      val path = scratch("a6_sink", d)
+      merge(changelog(s, d), Seq("user_id"))
+        .select("user_id", "pos", "value", "event_type")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy("user_id")
+    },
+    // A7 staging sink — append-only changelog (outputStagingDatasetTemplate,
+    // reference README.md:204): two batches appended, then read as one log.
+    "a7_staging_append" -> { (s, d) =>
+      val path = scratch("a7_staging", d)
+      val ch = changelog(s, d)
+      val cut = 500L
+      ch.filter(col("pos") < cut).write.mode("overwrite").parquet(path)
+      ch.filter(col("pos") >= cut).write.mode("append").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"))
+        .orderBy("op")
+    },
+    // A8 dead-letter split — unparseable events are routed aside, not failed
+    // (deadLetterQueueDirectory, reference README.md:206). Corruption is
+    // synthesized deterministically (every 10th event loses its JSON brace).
+    "a8_dlq_split" -> { (s, d) =>
+      val env = StructType(Seq(StructField("op", StringType), StructField("pos", LongType)))
+      val raw = changelog(s, d).select(col("pos"),
+        when(col("pos") % 10 === 0, concat(lit("corrupt::"),
+          to_json(struct(col("op"), col("pos")))))
+          .otherwise(to_json(struct(col("op"), col("pos")))).as("j"))
+      val parsed = raw.select(col("pos"), from_json(col("j"), env).as("e"))
+      // from_json yields a null struct (or null fields) on corrupt input →
+      // route rows with null op to the DLQ side.
+      val tagged = parsed.select(col("pos"),
+        when(col("e.op").isNull, "dlq").otherwise("ok").as("route"))
+      tagged.groupBy(col("route"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"))
+        .orderBy("route")
+    },
+    // A9 DDL / catalog registration — CREATE OR REPLACE TEMP VIEW + SQL over
+    // the registered name (reference cr_pet_tbl.sql:3, main.tf:122-125).
+    "a9_catalog_ddl" -> { (s, d) =>
+      s.sql(s"CREATE OR REPLACE TEMP VIEW cat_orders USING parquet OPTIONS (path '$d/orders.parquet')")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n
+          |FROM cat_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+    // B1 insert/append — the INSERT workload (reference README.md:99-110,
+    // ins_puff_rec.sql): appended inserts per key.
+    "b1_insert_append" -> { (s, d) =>
+      changelog(s, d).filter(col("op") === "INSERT")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_inserts"),
+          sum(dec(col("value"))).cast(DoubleType).as("inserted_value"))
+        .orderBy("user_id")
+    },
+    // B2 delete — DELETE FROM semantics over the changelog (reference
+    // load_pet_tbl.sql:2): keys whose latest op is a tombstone.
+    "b2_delete_applied" -> { (s, d) =>
+      merge(changelog(s, d), Seq("user_id"), keepTombstones = true)
+        .filter(col("is_deleted"))
+        .select(col("user_id"), col("pos").as("deleted_at_pos"))
+        .orderBy("user_id")
+    },
+    // B3 CDC apply / upsert MERGE — the flagship: latest-wins fold of the
+    // ordered changelog into a current-state replica (reference README.md:195-206).
+    "b3_cdc_merge" -> { (s, d) =>
+      merge(changelog(s, d), Seq("user_id"))
+        .select(col("user_id"), col("pos").as("last_pos"),
+          col("value").as("last_value"), col("event_type").as("last_event"))
+        .orderBy("user_id")
+    },
+    // B4 ordered-log semantics, agg form — same replica via max_by(pos):
+    // partial-aggregatable (map-side combine), shuffles |keys| rows instead of
+    // windowing all rows; the plan of choice under heavy key skew at 100 TB.
+    "b4_merge_aggform" -> { (s, d) =>
+      changelog(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(col("pos")).as("last_pos"),
+          max_by(col("value"), col("pos")).as("last_value"),
+          max_by(col("op"), col("pos")).as("last_op"))
+        .filter(col("last_op") =!= "DELETE")
+        .drop("last_op")
+        .orderBy("user_id")
+    },
+    // B5 soft-delete projection — tombstones retained as is_deleted (the
+    // menagerie models this in-domain with the nullable death date,
+    // reference cr_pet_tbl.sql:12, pets.schema.json:32-37).
+    "b5_soft_delete" -> { (s, d) =>
+      merge(changelog(s, d), Seq("user_id"), keepTombstones = true)
+        .select(col("user_id"), col("pos").as("last_pos"), col("is_deleted"))
+        .orderBy("user_id")
+    },
+    // B6 snapshot + incremental unification — backfill rows (op=INSERT,
+    // pos=-1, reference README.md:157-160) unioned with the binlog tail, then
+    // one merge produces the consistent replica.
+    "b6_snapshot_union" -> { (s, d) =>
+      val snapshot = load(s, d, "customer")
+        .filter(col("c_custkey") < 15)
+        .select(lit("INSERT").as("op"), lit("users").as("tbl"),
+          lit(-1L).as("pos"), lit(0L).as("ts_ns"),
+          col("c_custkey").as("user_id"), col("c_acctbal").as("value"),
+          lit("snapshot").as("event_type"))
+      merge(snapshot.union(changelog(s, d)), Seq("user_id"))
+        .select(col("user_id"), col("pos").as("last_pos"),
+          col("value").as("last_value"), col("event_type").as("last_event"))
+        .orderBy("user_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "a1_snapshot_scan" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "a2_tsv_load" ->
+      """SELECT * FROM (VALUES
+        |  ('Bowser','Diane','dog','m',DATE '1979-08-31',DATE '1995-07-29'),
+        |  ('Buffy','Harold','dog','f',DATE '1989-05-13',NULL),
+        |  ('Chirpy','Gwen','bird','f',DATE '1998-09-11',NULL),
+        |  ('Claws','Gwen','cat','m',DATE '1994-03-17',NULL),
+        |  ('Fang','Benny','dog','m',DATE '1990-08-27',NULL),
+        |  ('Fluffy','Harold','cat','f',DATE '1993-02-04',NULL),
+        |  ('Puffball','Diane','hamster','f',DATE '1999-03-30',NULL),
+        |  ('Slim','Benny','snake','m',DATE '1996-04-29',NULL),
+        |  ('Whistler','Gwen','bird',NULL,DATE '1997-12-09',NULL)
+        |) AS t(name, owner, species, sex, birth, death) ORDER BY name""".stripMargin,
+    "a2b_tsv_ragged" ->
+      """SELECT * FROM (VALUES
+        |  ('Bowser',DATE '1991-10-12','kennel',NULL),
+        |  ('Buffy',DATE '1993-06-23','litter','5 puppies, 2 female'),
+        |  ('Buffy',DATE '1994-06-19','litter','3 puppies, 3 female'),
+        |  ('Chirpy',DATE '1999-03-21','vet','needed beak straightened'),
+        |  ('Claws',DATE '1998-03-17','birthday','Gave him a new flea collar'),
+        |  ('Fang',DATE '1991-10-12','kennel',NULL),
+        |  ('Fang',DATE '1998-08-28','birthday','Gave him a new chew toy'),
+        |  ('Fluffy',DATE '1995-05-15','litter','4 kittens, 3 female'),
+        |  ('Slim',DATE '1997-08-03','vet','broken rib'),
+        |  ('Whistler',DATE '1998-12-09','birthday','First birthday')
+        |) AS t(name, "date", "type", remark) ORDER BY name, "date", "type"""".stripMargin,
+    "a3_avro_roundtrip" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT op, COUNT(*) AS n, MAX(pos) AS max_pos,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+    "a4_json_roundtrip" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT user_id, COUNT(*) AS n, MAX(pos) AS max_pos,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ch GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a6_sink_roundtrip" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos, value, event_type FROM r
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "a7_staging_append" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT op, COUNT(*) AS n, MIN(pos) AS min_pos, MAX(pos) AS max_pos
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+    "a8_dlq_split" ->
+      """SELECT CASE WHEN event_id % 10 = 0 THEN 'dlq' ELSE 'ok' END AS route,
+        |  COUNT(*) AS n, MAX(event_id) AS max_pos
+        |FROM events GROUP BY 1 ORDER BY route""".stripMargin,
+    "a9_catalog_ddl" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "b1_insert_append" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT user_id, COUNT(*) AS n_inserts,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS inserted_value
+         |FROM ch WHERE op = 'INSERT' GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "b2_delete_applied" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS deleted_at_pos FROM r
+         |WHERE rn = 1 AND op = 'DELETE' ORDER BY user_id""".stripMargin,
+    "b3_cdc_merge" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "b4_merge_aggform" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "b5_soft_delete" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, (op = 'DELETE') AS is_deleted
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "b6_snapshot_union" ->
+      s"""WITH snap AS (
+         |  SELECT 'INSERT' AS op, 'users' AS tbl, -1::BIGINT AS pos, 0::BIGINT AS ts_ns,
+         |         c_custkey AS user_id, c_acctbal AS value, 'snapshot' AS event_type
+         |  FROM customer WHERE c_custkey < 15),
+         |ch AS ($changelogSql),
+         |allch AS (SELECT * FROM snap UNION ALL SELECT * FROM ch),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM allch)
+         |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin
+  )
+}
