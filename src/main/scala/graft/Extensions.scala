@@ -1,0 +1,296 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 group E — LLM-training-data pipeline operators over the
+  * documents fixture: the dedup family (exact, MinHash signatures, LSH
+  * banding, n-gram Jaccard, SimHash) and text analysis (language-ID
+  * heuristic, quality scoring, token counting, fingerprinting), plus the
+  * multimodal binary-column surface.
+  *
+  * Cross-engine determinism trick used throughout: the shared token hash
+  * H(t) = first 8 hex chars of md5(t) as an integer — Spark
+  * `conv(substring(md5(t),1,8),16,10)` ≡ DuckDB
+  * `cast('0x'||substring(md5(t),1,8) as bigint)` — so every MinHash/SimHash/
+  * fingerprint value is exact integer math identical on both engines.
+  *
+  * Scale design: everything here is explode → groupBy(doc) — shuffle keyed by
+  * doc_id, embarrassingly parallel over documents; the LSH banding (e03)
+  * exists precisely so the 100 TB near-dup join is bucket-local instead of
+  * all-pairs. No UDFs — all lambdas are Catalyst higher-order functions.
+  */
+object Extensions {
+  import Tables.load
+
+  private val P = 2147483647L // 2^31 - 1
+  private val A = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private val B = Seq(3L, 5L, 59L, 61L, 67L, 71L, 73L, 79L)
+
+  /** Shared cross-engine token hash (see module doc). */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+
+  private val tokenHashSql: String =
+    "CAST(concat('0x', substring(md5(%s), 1, 8)) AS BIGINT)"
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1 exact dedup — hash-groupBy on a normalized fingerprint (first 10
+    // tokens), keep the smallest doc_id. Map-side combine makes the shuffle
+    // |distinct keys|, not |docs|.
+    "e01_exact_dedup" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(array_join(slice(toks(lower(trim(col("text")))), 1, 10), " ")).as("k"))
+        .groupBy(col("k"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .select("keep_doc_id", "n_copies")
+        .orderBy("keep_doc_id")
+    },
+    // E1/E2 MinHash signatures — k=8 permutation hashes over the distinct
+    // unigram token set (shingle=1 documented simplification; the 31-token
+    // vocabulary makes larger shingles degenerate).
+    "e02_minhash_sig" -> { (s, d) =>
+      val tok = load(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+        .withColumn("h", tokenHash(col("t")))
+      val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * a + b) % P).as(s"sig$i")
+      }
+      tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*).orderBy("doc_id")
+    },
+    // E1 LSH banding — 4 bands × 2 rows over the MinHash signature; report
+    // per-band bucket stats + candidate-pair counts (k·(k−1)/2 per bucket).
+    // This is the structure that makes near-dup detection bucket-local at scale.
+    "e03_lsh_buckets" -> { (s, d) =>
+      val tok = load(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+        .withColumn("h", tokenHash(col("t")))
+      val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * a + b) % P).as(s"sig$i")
+      }
+      val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
+      )).as("bb")).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      bands.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("k"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("k") >= 2, 1L).otherwise(0L)).as("n_collision_buckets"),
+          sum(expr("k * (k - 1) div 2")).as("n_candidate_pairs"))
+        .orderBy("band")
+    },
+    // E1 n-gram (bigram-shingle) Jaccard similarity join, language-blocked,
+    // over a doc_id%5 sample. |∩|/|∪| of distinct shingle sets — exact
+    // small-integer division, bit-identical on both engines.
+    "e04_ngram_jaccard" -> { (s, d) =>
+      val base = load(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => concat(element_at(col("tk"), i + 1), lit(" "),
+              element_at(col("tk"), i + 2)))).as("bg"))
+      val a = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
+      val b = base.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("bg").as("bg2"))
+      a.join(b, col("lang") === col("lang2") && col("d1") < col("d2"))
+        .select(col("lang"), col("d1"), col("d2"),
+          (size(array_intersect(col("bg1"), col("bg2"))).cast(DoubleType)
+            / size(array_union(col("bg1"), col("bg2")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("lang", "d1", "d2")
+    },
+    // E1 SimHash — 32-bit signature from term-frequency-weighted token-hash
+    // bits, plus Hamming distance to doc 0 as the near-dup measure.
+    "e05_simhash" -> { (s, d) =>
+      val tc = load(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", tokenHash(col("t")))
+      val bitSums = (0 until 32).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"s$j")
+      }
+      val s32 = tc.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until 32).map { j =>
+        when(col(s"s$j") > 0, 1L << j).otherwise(0L)
+      }.reduce(_ + _).as("simhash")
+      val sh = s32.select(col("doc_id"), simhash)
+      val ref = sh.filter(col("doc_id") === 0).select(col("simhash").as("ref_sh"))
+      sh.crossJoin(broadcast(ref))
+        .select(col("doc_id"), col("simhash"),
+          bit_count(col("simhash").bitwiseXOR(col("ref_sh"))).cast(IntegerType)
+            .as("hamming_to_doc0"))
+        .orderBy("doc_id")
+    },
+    // E4 language-ID heuristic — stopword-ratio classifier + confusion matrix
+    // against the labeled lang column.
+    "e10_lang_id" -> { (s, d) =>
+      val tk = toks(col("text"))
+      val ratio = size(filter(tk, t => t === "the" || t === "a")).cast(DoubleType) / size(tk)
+      load(s, d, "documents")
+        .select(col("lang"), when(ratio > 0.08, "en").otherwise("other").as("guess"))
+        .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")
+    },
+    // E4 quality scoring — length/type-token-ratio/stopword-ratio composite.
+    "e11_quality_score" -> { (s, d) =>
+      val tk = toks(col("text"))
+      val n = size(tk)
+      val ttr = size(array_distinct(tk)).cast(DoubleType) / n
+      val sumLen = aggregate(transform(tk, t => length(t)), lit(0), (a, x) => a + x)
+      val stopRatio = size(filter(tk, t => t === "the" || t === "a")).cast(DoubleType) / n
+      load(s, d, "documents")
+        .select(col("doc_id"), n.as("n_toks"), ttr.as("ttr"),
+          (sumLen.cast(DoubleType) / n).as("avg_tok_len"),
+          (ttr * 0.5 + least(n.cast(DoubleType) / 100.0, lit(1.0)) * 0.3
+            + stopRatio * 0.2).as("quality_score"))
+        .orderBy("doc_id")
+    },
+    // E4 token counting — whitespace tokens + a BPE-ish sub-token regex
+    // ([a-z]{1,4} chunks), aggregated per language.
+    "e12_token_count" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(col("lang"), size(toks(col("text"))).as("ws"),
+          size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("re"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("re")).as("bpe_tokens"),
+          (sum(col("re")).cast(DoubleType) / count(lit(1))).as("bpe_per_doc"))
+        .orderBy("lang")
+    },
+    // E4 document fingerprint — order-sensitive rolling polynomial hash over
+    // the token-hash sequence (exact modular integer math on both engines).
+    "e13_fingerprint" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          aggregate(transform(toks(col("text")), t => tokenHash(t)),
+            lit(0L), (acc, x) => (acc * 31 + x) % P).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    // E5/multimodal — text treated as an opaque binary payload with typed
+    // metadata; byte-level features computed on the binary column. (The
+    // decode/resize stub pipeline over mapPartitions lives in MultimodalSpec —
+    // the decode itself is a deterministic fake, the plumbing is real.)
+    "e14_multimodal_bytes" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("text").cast(BinaryType).as("payload"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("content_md5"),
+          expr("length(payload) div 4").as("chunk_len"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val minhashCte: String = {
+    val hs = String.format(tokenHashSql, "t")
+    val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $P) AS sig$i"
+    }.mkString(", ")
+    s"""tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+       |hh AS (SELECT doc_id, $hs AS h FROM tk),
+       |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "e01_exact_dedup" ->
+      """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(array_to_string(string_split(lower(trim(text)), ' ')[1:10], ' '))
+        |ORDER BY keep_doc_id""".stripMargin,
+    "e02_minhash_sig" ->
+      s"""WITH $minhashCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "e03_lsh_buckets" ->
+      s"""WITH $minhashCte,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |bk AS (SELECT band, bucket, COUNT(*) AS k FROM bands GROUP BY band, bucket)
+         |SELECT band, COUNT(*) AS n_buckets,
+         |  SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_collision_buckets,
+         |  SUM(k * (k - 1) // 2)::BIGINT AS n_candidate_pairs
+         |FROM bk GROUP BY band ORDER BY band""".stripMargin,
+    "e04_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bg
+        |  FROM documents
+        |  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 2)
+        |SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
+        |  len(list_intersect(a.bg, b.bg))::DOUBLE
+        |    / len(list_distinct(list_concat(a.bg, b.bg))) AS jaccard
+        |FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.bg, b.bg))::DOUBLE
+        |    / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.5
+        |ORDER BY lang, d1, d2""".stripMargin,
+    "e05_simhash" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sums = (0 until 32).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS s$j").mkString(", ")
+      val bits = (0 until 32).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tc AS (
+         |  SELECT doc_id, t, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+         |  GROUP BY doc_id, t),
+         |hh AS (SELECT doc_id, $hs AS h, cnt FROM tc),
+         |s AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s),
+         |ref AS (SELECT simhash AS ref_sh FROM sh WHERE doc_id = 0)
+         |SELECT doc_id, simhash,
+         |  CAST(bit_count(xor(simhash, ref_sh)) AS INT) AS hamming_to_doc0
+         |FROM sh, ref ORDER BY doc_id""".stripMargin
+    },
+    "e10_lang_id" ->
+      """SELECT lang,
+        |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))::DOUBLE
+        |            / len(string_split(text, ' ')) > 0.08
+        |       THEN 'en' ELSE 'other' END AS guess,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
+    "e11_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS INT) AS n_toks,
+        |  len(list_distinct(tk))::DOUBLE / len(tk) AS ttr,
+        |  list_reduce(list_prepend(0, list_transform(tk, t -> CAST(length(t) AS INT))), (a, x) -> a + x)::DOUBLE
+        |    / len(tk) AS avg_tok_len,
+        |  (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.5
+        |    + least(len(tk)::DOUBLE / 100.0, 1.0) * 0.3
+        |    + (len(list_filter(tk, t -> t = 'the' OR t = 'a'))::DOUBLE / len(tk)) * 0.2
+        |    AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "e12_token_count" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+        |  SUM(len(regexp_extract_all(text, '[a-z]{1,4}')))::BIGINT AS bpe_tokens,
+        |  SUM(len(regexp_extract_all(text, '[a-z]{1,4}')))::DOUBLE / COUNT(*) AS bpe_per_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e13_fingerprint" -> {
+      val hs = String.format(tokenHashSql, "t")
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(text, ' '), t -> $hs)),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "e14_multimodal_bytes" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  CAST(strlen(text) // 4 AS INT) AS chunk_len
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 E2/E3 — similarity search over the embedding column
+  * (embeddings fixture: 64-dim list<float>, TESTDATA.md).
+  *
+  * All vector math is pure Catalyst higher-order functions (`zip_with` +
+  * `aggregate`) — no UDF, so the dot products stay inside whole-stage codegen
+  * and the DuckDB oracle can mirror the exact same left-fold arithmetic
+  * (identical IEEE operation order ⇒ bit-identical doubles, no rounding
+  * fudge needed).
+  *
+  * Scale path (100 TB): brute-force top-k is O(N) per probe with a
+  * TakeOrderedAndProject (no shuffle of the corpus); the IVF variant (e9)
+  * bounds each probe to one cluster — centroids broadcast, cluster
+  * assignment is a map-side argmax, and the corpus would be written
+  * partitioned by cluster id so a probe prunes to one partition.
+  */
+object Similarity {
+  import Tables.load
+
+  /** Left-fold double dot product of two float vectors (codegen-friendly). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB twin of [[dot]] — identical fold order. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E2 brute-force cosine top-k: probe = vec 0, scan the corpus, keep 10.
+    // Plan: broadcast 1-row probe → map-side cosine → TakeOrderedAndProject.
+    "e06_cosine_topk" -> { (s, d) =>
+      val emb = load(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"),
+          cosine(col("embedding"), col("probe_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    // E3 similarity self-join: all pairs above threshold, label-blocked to
+    // bound the pair count (at 100 TB: LSH/IVF buckets replace the label).
+    "e07_cosine_selfjoin" -> { (s, d) =>
+      val sm = load(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+      val a = sm.select(col("vec_id").as("v1"), col("label"),
+        col("embedding").as("e1"))
+      val b = sm.select(col("vec_id").as("v2"), col("label").as("label2"),
+        col("embedding").as("e2"))
+      a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+        .select(col("label"), col("v1"), col("v2"),
+          cosine(col("e1"), col("e2")).as("cos_sim"))
+        .filter(col("cos_sim") > 0.2)
+        .orderBy("label", "v1", "v2")
+    },
+    // E2/E1 embedding near-dup report: per-label pair stats at the near-dup
+    // threshold (this corpus has no >0.9 dups; 0.25 keeps the report real).
+    "e08_embedding_neardup" -> { (s, d) =>
+      val sm = load(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+      val a = sm.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
+      val b = sm.select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
+      a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+        .select(col("label"), cosine(col("e1"), col("e2")).as("cs"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cs") > 0.25, 1L).otherwise(0L)).as("n_neardup"),
+          max(col("cs")).as("max_cos"))
+        .orderBy("label")
+    },
+    // E2 scale path — IVF: 8 seed centroids (vec 0..7, broadcast), map-side
+    // argmax assignment, probe (vec 42) searches only its own cluster.
+    "e09_ann_ivf" -> { (s, d) =>
+      val emb = load(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
+          cosine(col("embedding"), col("cemb")).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+      val probe = assigned.filter(col("vec_id") === 42)
+        .select(col("cid").as("probe_cid"), col("embedding").as("probe_emb"))
+      assigned.join(broadcast(probe), col("cid") === col("probe_cid"))
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"), col("cid"),
+          cosine(col("embedding"), col("probe_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e06_cosine_topk" ->
+      s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosSql("embedding", "p")} AS cos_sim
+         |FROM embeddings, probe WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "e07_cosine_selfjoin" ->
+      s"""WITH sm AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+         |FROM sm a JOIN sm b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} > 0.2
+         |ORDER BY label, v1, v2""".stripMargin,
+    "e08_embedding_neardup" ->
+      s"""WITH sm AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |p AS (SELECT a.label AS label, ${cosSql("a.embedding", "b.embedding")} AS cs
+         |      FROM sm a JOIN sm b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, COUNT(*) AS n_pairs,
+         |  SUM(CASE WHEN cs > 0.25 THEN 1 ELSE 0 END)::BIGINT AS n_neardup,
+         |  MAX(cs) AS max_cos
+         |FROM p GROUP BY label ORDER BY label""".stripMargin,
+    "e09_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |sims AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cemb")} AS csim
+         |  FROM embeddings e, cents c),
+         |assigned AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |probe AS (SELECT cid AS probe_cid, embedding AS probe_emb FROM assigned WHERE vec_id = 42)
+         |SELECT a.vec_id, a.cid, ${cosSql("a.embedding", "probe_emb")} AS cos_sim
+         |FROM assigned a JOIN probe ON a.cid = probe_cid
+         |WHERE a.vec_id <> 42
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+  )
+}

@@ -26,10 +26,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Cdc.queries
+    Relational.queries ++ Cdc.queries ++ StreamingOps.queries ++
+      Extensions.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Cdc.oracleSql
+    Relational.oracleSql ++ Cdc.oracleSql ++ StreamingOps.oracleSql ++
+      Extensions.oracleSql ++ Similarity.oracleSql
 }

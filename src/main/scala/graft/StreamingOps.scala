@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 group D — streaming/CDC-specific operators, batch twins.
+  *
+  * The reference's merge job runs as a continuously-incremental pipeline
+  * (reference: README.md:195-206, --enable-streaming-engine at :198). Spark
+  * expresses the same operators once and runs them in either mode; the
+  * DuckDB-oracle gate runs the batch form, and StreamingSpec drives the
+  * identical logic through MemoryStream/Trigger.AvailableNow (D1/D2/D8/D9,
+  * SURVEY §5.4 stream-batch equivalence).
+  *
+  * Event time comes from the nanosecond changelog (`ts_ns`); bucket math is
+  * integer division on epoch-nanos, which both engines compute exactly.
+  * Scale: every window/session groupBy shuffles once on (key, bucket); at
+  * 100 TB the watermark bounds state, and buckets are monotonically closed.
+  */
+object StreamingOps {
+  import Tables.load
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private val HOUR_NS = 3600L * 1000 * 1000 * 1000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D3 tumbling window — change volume per hour (ops reporting over the
+    // changelog; the staging dataset exists for this, reference README.md:204).
+    // Uses Spark's native window() operator on the microsecond timestamp.
+    "d3_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").cast(LongType).as("wstart_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("wstart_s", "event_type")
+    },
+    // D4 sliding window — 1h window sliding 30min: each event lands in 2
+    // windows (Spark expands via the same window() operator).
+    "d4_sliding_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").cast(LongType).as("wstart_s"),
+          col("n"), col("sum_value"))
+        .orderBy("wstart_s")
+    },
+    // D5 session window — burst-of-changes sessionization per user with a
+    // 30-minute gap (events fixture carries user_id/ts, SURVEY D5).
+    "d5_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast(LongType).as("session_start_s"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start_s")
+    },
+    // D6 dedup under at-least-once delivery — Pub/Sub redelivery semantics
+    // (reference main.tf:169-175): a re-delivered batch (every 7th event)
+    // collapses back to exactly-once by event_id.
+    "d6_dedup" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val redelivered = ev.filter(col("event_id") % 7 === 0)
+      ev.union(redelivered)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+    // D7 stream–static join — enrich the change stream with a dimension
+    // table; the static side broadcasts (no stream state), the plan that
+    // holds at any stream scale.
+    "d7_stream_static_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val c = load(s, d, "customer")
+      ev.join(broadcast(c), ev("user_id") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d3_tumbling_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600 AS wstart_s, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY wstart_s, event_type""".stripMargin,
+    "d4_sliding_window" ->
+      """WITH b AS (SELECT epoch_ns(ts) // 1800000000000 * 1800 AS b0, value FROM events),
+        |w AS (SELECT b0 AS ws, value FROM b UNION ALL SELECT b0 - 1800 AS ws, value FROM b)
+        |SELECT ws AS wstart_s, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY ws ORDER BY ws""".stripMargin,
+    "d5_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+        |l AS (SELECT *, LAG(tu) OVER (PARTITION BY user_id ORDER BY tu) AS ptu FROM e),
+        |f AS (SELECT *, CASE WHEN ptu IS NULL OR tu - ptu >= 1800000000 THEN 1 ELSE 0 END AS news FROM l),
+        |g AS (SELECT *, SUM(news) OVER (PARTITION BY user_id ORDER BY tu
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, MIN(tu) // 1000000 AS session_start_s, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin,
+    "d6_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d7_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
