@@ -85,7 +85,10 @@ object Extensions {
         .orderBy("band")
     },
     // E1 n-gram (bigram-shingle) Jaccard similarity join, language-blocked,
-    // over a doc_id%5 sample. |∩|/|∪| of distinct shingle sets — exact
+    // over a doc_id%5 sample. Shingles are hashed to longs BEFORE the pair
+    // join: the per-pair set intersection compares 8-byte ints instead of
+    // strings, and the shuffled build side carries long arrays, not text —
+    // the difference between feasible and not at 100 TB. |∩|/|∪| stays exact
     // small-integer division, bit-identical on both engines.
     "e04_ngram_jaccard" -> { (s, d) =>
       val base = load(s, d, "documents")
@@ -94,15 +97,16 @@ object Extensions {
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), col("lang"),
           array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
-            i => concat(element_at(col("tk"), i + 1), lit(" "),
-              element_at(col("tk"), i + 2)))).as("bg"))
+            i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
+              element_at(col("tk"), i + 2))))).as("bg"))
       val a = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
       val b = base.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("bg").as("bg2"))
       a.join(b, col("lang") === col("lang2") && col("d1") < col("d2"))
-        .select(col("lang"), col("d1"), col("d2"),
-          (size(array_intersect(col("bg1"), col("bg2"))).cast(DoubleType)
-            / size(array_union(col("bg1"), col("bg2")))).as("jaccard"))
+        .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
+        .withColumn("jaccard", col("n_common").cast(DoubleType)
+          / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
         .filter(col("jaccard") >= 0.5)
+        .select("lang", "d1", "d2", "jaccard")
         .orderBy("lang", "d1", "d2")
     },
     // E1 SimHash — 32-bit signature from term-frequency-weighted token-hash
@@ -225,15 +229,18 @@ object Extensions {
       """WITH base AS (
         |  SELECT doc_id, lang,
         |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bg
+        |      i -> CAST(concat('0x', substring(md5(string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]), 1, 8)) AS BIGINT))) AS bg
         |  FROM documents
-        |  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 2)
-        |SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
-        |  len(list_intersect(a.bg, b.bg))::DOUBLE
-        |    / len(list_distinct(list_concat(a.bg, b.bg))) AS jaccard
-        |FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.bg, b.bg))::DOUBLE
-        |    / len(list_distinct(list_concat(a.bg, b.bg))) >= 0.5
+        |  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 2),
+        |pairs AS (
+        |  SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_intersect(a.bg, b.bg)) AS n_common,
+        |    len(a.bg) AS n1, len(b.bg) AS n2
+        |  FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT lang, d1, d2,
+        |  n_common::DOUBLE / (n1 + n2 - n_common) AS jaccard
+        |FROM pairs
+        |WHERE n_common::DOUBLE / (n1 + n2 - n_common) >= 0.5
         |ORDER BY lang, d1, d2""".stripMargin,
     "e05_simhash" -> {
       val hs = String.format(tokenHashSql, "t")
