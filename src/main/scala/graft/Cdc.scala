@@ -229,6 +229,24 @@ object Cdc {
         .select(col("user_id"), col("pos").as("last_pos"), col("is_deleted"))
         .orderBy("user_id")
     },
+    // B7 salted two-phase merge — same replica as B3/B4 via salt-partial →
+    // final reduce: under a pathologically hot key at 100 TB, the first
+    // aggregation spreads one key over 8 reducers and the second combines 8
+    // partials; output is provably identical to the unsalted merge.
+    "b7_merge_salted" -> { (s, d) =>
+      val partial = changelog(s, d)
+        .groupBy(col("user_id"), pmod(col("pos"), lit(8)).as("salt"))
+        .agg(max(col("pos")).as("p_pos"),
+          max_by(col("value"), col("pos")).as("p_value"),
+          max_by(col("op"), col("pos")).as("p_op"))
+      partial.groupBy(col("user_id"))
+        .agg(max(col("p_pos")).as("last_pos"),
+          max_by(col("p_value"), col("p_pos")).as("last_value"),
+          max_by(col("p_op"), col("p_pos")).as("last_op"))
+        .filter(col("last_op") =!= "DELETE")
+        .drop("last_op")
+        .orderBy("user_id")
+    },
     // B6 snapshot + incremental unification — backfill rows (op=INSERT,
     // pos=-1, reference README.md:157-160) unioned with the binlog tail, then
     // one merge produces the consistent replica.
@@ -326,6 +344,11 @@ object Cdc {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
          |SELECT user_id, pos AS last_pos, (op = 'DELETE') AS is_deleted
          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "b7_merge_salted" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "b6_snapshot_union" ->
       s"""WITH snap AS (
          |  SELECT 'INSERT' AS op, 'users' AS tbl, -1::BIGINT AS pos, 0::BIGINT AS ts_ns,

@@ -105,7 +105,7 @@ object Extensions {
         .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
         .withColumn("jaccard", col("n_common").cast(DoubleType)
           / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
-        .filter(col("jaccard") >= 0.5)
+        .filter(col("jaccard") >= 0.1)
         .select("lang", "d1", "d2", "jaccard")
         .orderBy("lang", "d1", "d2")
     },
@@ -240,7 +240,7 @@ object Extensions {
         |SELECT lang, d1, d2,
         |  n_common::DOUBLE / (n1 + n2 - n_common) AS jaccard
         |FROM pairs
-        |WHERE n_common::DOUBLE / (n1 + n2 - n_common) >= 0.5
+        |WHERE n_common::DOUBLE / (n1 + n2 - n_common) >= 0.1
         |ORDER BY lang, d1, d2""".stripMargin,
     "e05_simhash" -> {
       val hs = String.format(tokenHashSql, "t")

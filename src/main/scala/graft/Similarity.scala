@@ -23,14 +23,24 @@ import org.apache.spark.sql.types._
 object Similarity {
   import Tables.load
 
-  /** Left-fold double dot product of two float vectors (codegen-friendly). */
+  /** Left-fold double dot product of two float vectors (codegen-friendly
+    * higher-order-function composition — kept as the reference semantics the
+    * native expression must match bit-for-bit, see VectorExpressionSpec). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composed-operator cosine (option (a) of the custom-op preference order). */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Hot-path cosine: the fused native Catalyst expression (same IEEE
+    * operation order as [[cosineComposed]], single pass, zero allocation).
+    * Requires VectorExpressions.register(spark) — done at the top of each
+    * query below. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** DuckDB twin of [[dot]] — identical fold order. */
   private def dotSql(a: String, b: String): String =
@@ -43,6 +53,7 @@ object Similarity {
     // E2 brute-force cosine top-k: probe = vec 0, scan the corpus, keep 10.
     // Plan: broadcast 1-row probe → map-side cosine → TakeOrderedAndProject.
     "e06_cosine_topk" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
       val emb = load(s, d, "embeddings")
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe_emb"))
@@ -56,6 +67,7 @@ object Similarity {
     // E3 similarity self-join: all pairs above threshold, label-blocked to
     // bound the pair count (at 100 TB: LSH/IVF buckets replace the label).
     "e07_cosine_selfjoin" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
       val sm = load(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
       val a = sm.select(col("vec_id").as("v1"), col("label"),
         col("embedding").as("e1"))
@@ -70,6 +82,7 @@ object Similarity {
     // E2/E1 embedding near-dup report: per-label pair stats at the near-dup
     // threshold (this corpus has no >0.9 dups; 0.25 keeps the report real).
     "e08_embedding_neardup" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
       val sm = load(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
       val a = sm.select(col("vec_id").as("v1"), col("label"), col("embedding").as("e1"))
       val b = sm.select(col("vec_id").as("v2"), col("label").as("label2"), col("embedding").as("e2"))
@@ -84,6 +97,7 @@ object Similarity {
     // E2 scale path — IVF: 8 seed centroids (vec 0..7, broadcast), map-side
     // argmax assignment, probe (vec 42) searches only its own cluster.
     "e09_ann_ivf" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
       val emb = load(s, d, "embeddings")
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))

@@ -73,6 +73,27 @@ object StreamingOps {
           sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
         .orderBy("event_type")
     },
+    // D10 as-of join — for every error event, the latest preceding purchase
+    // by the same user. Implemented as the union-scan pattern (one window
+    // pass carrying the last purchase forward), NOT a band join: no pair
+    // explosion, one shuffle by user — the as-of plan that scales. The
+    // oracle is DuckDB's native ASOF JOIN, so our composition is checked
+    // against a first-class as-of implementation.
+    "d10_asof_join" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("last_purchase_pos",
+          last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("last_purchase_value",
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error" && col("last_purchase_pos").isNotNull)
+        .select(col("user_id"), col("event_id").as("error_pos"),
+          col("last_purchase_pos"), col("last_purchase_value"))
+        .orderBy("user_id", "error_pos")
+    },
     // D7 stream–static join — enrich the change stream with a dimension
     // table; the static side broadcasts (no stream state), the plan that
     // holds at any stream scale.
@@ -111,6 +132,13 @@ object StreamingOps {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "d10_asof_join" ->
+      """SELECT e.user_id AS user_id, e.event_id AS error_pos,
+        |  p.event_id AS last_purchase_pos, p.value AS last_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY user_id, error_pos""".stripMargin,
     "d7_stream_static_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
