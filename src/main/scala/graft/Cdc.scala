@@ -175,6 +175,31 @@ object Cdc {
         .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"))
         .orderBy("route")
     },
+    // A10 ORC roundtrip — second columnar format through the same sink/scan
+    // path (Spark-native ORC reader/writer).
+    "a10_orc_roundtrip" -> { (s, d) =>
+      val path = scratch("a10_orc", d)
+      changelog(s, d).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), min(col("pos")).as("min_pos"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("op")
+    },
+    // A11 partitioned sink + partition pruning — replica written
+    // partitionBy(op); the read filters one partition and the scan's
+    // PartitionFilters prune the other directories without touching them
+    // (at 100 TB this is the difference between reading 1/k and k/k of the
+    // table).
+    "a11_partitioned_sink" -> { (s, d) =>
+      val path = scratch("a11_part", d)
+      changelog(s, d).write.mode("overwrite").partitionBy("op").parquet(path)
+      s.read.parquet(path)
+        .filter(col("op") === "UPDATE") // prunes to the op=UPDATE directory
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"))
+        .orderBy("user_id")
+    },
     // A9 DDL / catalog registration — CREATE OR REPLACE TEMP VIEW + SQL over
     // the registered name (reference cr_pet_tbl.sql:3, main.tf:122-125).
     "a9_catalog_ddl" -> { (s, d) =>
@@ -316,6 +341,15 @@ object Cdc {
       """SELECT CASE WHEN event_id % 10 = 0 THEN 'dlq' ELSE 'ok' END AS route,
         |  COUNT(*) AS n, MAX(event_id) AS max_pos
         |FROM events GROUP BY 1 ORDER BY route""".stripMargin,
+    "a10_orc_roundtrip" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT op, COUNT(*) AS n, MIN(pos) AS min_pos,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+    "a11_partitioned_sink" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT user_id, COUNT(*) AS n, MAX(pos) AS max_pos
+         |FROM ch WHERE op = 'UPDATE' GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a9_catalog_ddl" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

@@ -325,6 +325,64 @@ object Relational {
           array_max(col("embedding")).cast(DoubleType).as("vmax"))
         .orderBy("vec_id")
     },
+    // C28 pivot — wide report: order counts per status × priority.
+    // (Explicit pivot values keep the plan single-pass at any scale; the
+    // oracle spells the same thing as FILTERed aggregates.)
+    "c28_pivot" -> { (s, d) =>
+      load(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy("o_orderstatus")
+    },
+    // C29 generator / UDTF surface — posexplode with ordinal positions.
+    "c29_posexplode" -> { (s, d) =>
+      load(s, d, "embeddings")
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast(IntegerType).as("idx"),
+          col("col").cast(DoubleType).as("v"))
+        .orderBy("vec_id", "idx")
+    },
+    // C30 exact percentiles — median/p90 via Spark's exact `percentile`
+    // (linear interpolation, same contract as DuckDB quantile_cont).
+    "c30_percentile" -> { (s, d) =>
+      load(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+    // C31 moment statistics at scale — variance/correlation assembled from
+    // EXACT decimal power sums (Σx, Σx², Σxy are 2- and 4-decimal exact), so
+    // the one-pass distributed computation is order-insensitive AND
+    // bit-reproducible — unlike naive floating sums, which drift per
+    // partitioning. This is how the 100 TB engine reports stats.
+    "c31_stats_exact_sums" -> { (s, d) =>
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(y * y).cast(DoubleType).as("syy"),
+          sum(x * y).cast(DoubleType).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 9)
+            .as("var_qty"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 12)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
     // C27 subqueries (scalar + IN) through the SQL entry point (SURVEY §3.1).
     "c27_subquery" -> { (s, d) =>
       Tables.registerAll(s, d)
@@ -501,6 +559,39 @@ object Relational {
         |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
         |  CAST(list_max(embedding) AS DOUBLE) AS vmax
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "c28_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "c29_posexplode" ->
+      """SELECT vec_id, CAST(i - 1 AS INT) AS idx, embedding[i]::DOUBLE AS v
+        |FROM (SELECT vec_id, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM embeddings WHERE vec_id < 3)
+        |ORDER BY vec_id, idx""".stripMargin,
+    "c30_percentile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "c31_stats_exact_sums" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
+        |  ROUND((sxy - sx * sy / n)
+        |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "c27_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
