@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape guards — the properties that make these queries scale are
+  * asserted, not assumed: broadcast joins stay broadcast, pushdown reaches
+  * the scan, top-k never full-sorts, the merge shuffles once. A regression
+  * that flips one of these still returns correct rows; these tests are what
+  * catch it. */
+class PlanSpec extends SparkSpecBase {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    val s = df.queryExecution.executedPlan.toString
+    // the adaptive plan prints "== Final Plan == ... == Initial Plan == ...";
+    // assertions must only see the final one
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("c10 multiway join: all three dims broadcast, no sort-merge join") {
+    val p = finalPlan(q("c10_multiway_join"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("c01 projection: column pruning reaches the parquet scan") {
+    val p = finalPlan(q("c01_projection"))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string>"))
+  }
+
+  test("c02 filter: predicates pushed to the scan") {
+    val p = finalPlan(q("c02_filter"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity), EqualTo(l_returnflag,R)"))
+  }
+
+  test("c05 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan(q("c05_topk"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("b3 merge shuffles exactly once on the primary key") {
+    val p = finalPlan(q("b3_cdc_merge"))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1)
+    // one hash exchange for the window; the only other exchange is the
+    // output ORDER BY's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+  }
+
+  test("e06 cosine top-k: probe broadcast + TakeOrderedAndProject over the scan") {
+    val p = finalPlan(q("e06_cosine_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("graft_cosine"))
+  }
+
+  test("c11 aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = finalPlan(q("c11_group_agg"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("a11 partitioned read prunes to one partition directory") {
+    val p = finalPlan(q("a11_partitioned_sink"))
+    assert(p.contains("PartitionFilters: [isnotnull(op"))
+  }
+}

@@ -46,6 +46,32 @@ class StreamingWindowSpec extends SparkSpecBase {
     assert(out.contains((5L * 3600, "INSERT", 1L)))
   }
 
+  test("D5: session windows close in a true stream once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String, Long, Long, Long, Double, String)]
+    val sessions = CdcStream.withEventTime(toChanges(input), "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").cast("long").as("start_s"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: two events 10 min apart (one session), then a 40-min gap event
+    // (second session); all within hour 1
+    input.addData(ev(1, H) /* user 1 */, ev(6, H + 10L * 60 * 1000000000L) /* user 1 */)
+    q.processAllAvailable()
+    input.addData(ev(11, H + 50L * 60 * 1000000000L)) // user 1, new session
+    q.processAllAvailable()
+    input.addData(ev(12, 10 * H)) // advance watermark far → all sessions close
+    q.processAllAvailable()
+    q.stop()
+
+    val u1 = spark.table("sessions").filter(col("user_id") === 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(u1.toSeq === Seq((3600L, 2L), (3600L + 3000, 1L)))
+  }
+
   test("D6: streaming dedup collapses redelivered events") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
