@@ -181,6 +181,21 @@ object Relational {
           col("n"), col("sum_qty"))
         .orderBy("g_flag", "g_status", "flag", "status")
     },
+    // C14b cube — all 4 grouping combinations (rollup's 3 + status-only).
+    "c14b_cube" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+          count(lit(1)).as("n"))
+        .select(
+          col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy("g_flag", "g_status", "flag", "status")
+    },
     // C15 distinct aggregation — Spark plans expand+two-phase agg.
     "c15_count_distinct" -> { (s, d) =>
       load(s, d, "lineitem")
@@ -218,6 +233,31 @@ object Relational {
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast(DoubleType).as("running_qty"))
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+    // C16b ntile + first/last value window functions.
+    "c16b_ntile" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      load(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          first_value(col("o_orderkey")).over(w).as("cheapest_key"))
+        .filter(col("quartile") === 4)
+        .orderBy("o_orderstatus", "o_orderkey")
+    },
+    // C17b RANGE-frame window — trailing 30-day sum keyed on an integer day
+    // column (value-based frame, not row-based).
+    "c17b_window_range" -> { (s, d) =>
+      val day = datediff(col("l_shipdate").cast(DateType),
+        lit(java.sql.Date.valueOf("1995-01-01")))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      load(s, d, "lineitem")
+        .filter(col("l_suppkey") <= 2)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          day.as("day"))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .orderBy("l_suppkey", "day", "l_orderkey", "l_linenumber")
     },
     // C18 set operations — union all / intersect / except, tagged.
     "c18_setops" -> { (s, d) =>
@@ -383,6 +423,18 @@ object Relational {
             .as("corr_qty_price"))
         .orderBy("l_returnflag")
     },
+    // C27b correlated subquery — per-customer threshold; Catalyst rewrites
+    // the correlation to an aggregate + join (no per-row re-execution).
+    "c27b_correlated_subquery" -> { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+          |FROM orders o
+          |WHERE o.o_totalprice > 1.8 * (
+          |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o.o_orderkey""".stripMargin)
+    },
     // C27 subqueries (scalar + IN) through the SQL entry point (SURVEY §3.1).
     "c27_subquery" -> { (s, d) =>
       Tables.registerAll(s, d)
@@ -476,6 +528,14 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "c14b_cube" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
     "c15_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
@@ -496,6 +556,29 @@ object Relational {
         |FROM lineitem WHERE l_suppkey <= 3
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "c16b_ntile" ->
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    NTILE(4) OVER w AS quartile,
+        |    FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |) WHERE quartile = 4 ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "c17b_window_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day,
+        |  COUNT(*) OVER (PARTITION BY l_suppkey
+        |    ORDER BY DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+        |FROM lineitem WHERE l_suppkey <= 2
+        |ORDER BY l_suppkey, day, l_orderkey, l_linenumber""".stripMargin,
+    "c27b_correlated_subquery" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.8 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
     "c18_setops" ->
       """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
         |     sn AS (SELECT s_nationkey AS nk FROM supplier)
