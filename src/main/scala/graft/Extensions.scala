@@ -297,7 +297,7 @@ object Extensions {
       """SELECT doc_id, lang, n_chars,
         |  CAST(strlen(text) AS INT) AS n_bytes,
         |  md5(text) AS content_md5,
-        |  CAST(strlen(text) // 4 AS INT) AS chunk_len
+        |  CAST(strlen(text) // 4 AS BIGINT) AS chunk_len
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -543,7 +543,8 @@ object Relational {
     "c16_window_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+        |    CAST(ROW_NUMBER() OVER w AS INT) AS rn, CAST(RANK() OVER w AS INT) AS rk,
+        |    CAST(DENSE_RANK() OVER w AS INT) AS drk
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
         |) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
@@ -559,14 +560,14 @@ object Relational {
     "c16b_ntile" ->
       """SELECT * FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
-        |    NTILE(4) OVER w AS quartile,
+        |    CAST(NTILE(4) OVER w AS INT) AS quartile,
         |    FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
         |) WHERE quartile = 4 ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "c17b_window_range" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day,
+        |  CAST(DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS INT) AS day,
         |  COUNT(*) OVER (PARTITION BY l_suppkey
         |    ORDER BY DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
@@ -593,10 +594,10 @@ object Relational {
         |ORDER BY op, nk""".stripMargin,
     "c19_date_funcs" ->
       """SELECT o_orderkey,
-        |  YEAR(CAST(o_orderdate AS DATE)) AS y,
-        |  MONTH(CAST(o_orderdate AS DATE)) AS m,
-        |  DAYOFMONTH(CAST(o_orderdate AS DATE)) AS dom,
-        |  DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days,
+        |  CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS y,
+        |  CAST(MONTH(CAST(o_orderdate AS DATE)) AS INT) AS m,
+        |  CAST(DAYOFMONTH(CAST(o_orderdate AS DATE)) AS INT) AS dom,
+        |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days,
         |  CAST(o_orderdate AS DATE) + 30 AS due_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "c20_nulls" ->
@@ -614,7 +615,7 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin,
     "c22_string_funcs" ->
       """SELECT c_custkey, UPPER(c_name) AS name_upper, LOWER(c_mktsegment) AS seg_lower,
-        |  LENGTH(c_name) AS name_len, SUBSTRING(c_name, 1, 5) AS name_pfx,
+        |  CAST(LENGTH(c_name) AS INT) AS name_len, SUBSTRING(c_name, 1, 5) AS name_pfx,
         |  CONCAT_WS('#', c_name, c_mktsegment) AS tagged, TRIM(c_name) AS name_trim
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "c23_math" ->

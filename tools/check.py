@@ -30,9 +30,11 @@ def norm(v):
 
 def fetch_rows(rel):
     cols = rel.columns
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
-    return [cols[i] for i in order], sorted(rows, key=lambda r: tuple(map(repr, r)))
+    return ([cols[i] for i in order], [types[i] for i in order],
+            sorted(rows, key=lambda r: tuple(map(repr, r))))
 
 fails, passes = [], []
 for name in sorted(oracle):
@@ -43,13 +45,17 @@ for name in sorted(oracle):
         fails.append((name, "NO SPARK OUTPUT"))
         continue
     try:
-        scols, srows = fetch_rows(con.sql(f"SELECT * FROM read_parquet('{pq}/*.parquet')"))
-        ocols, orows = fetch_rows(con.sql(oracle[name]))
+        scols, stypes, srows = fetch_rows(con.sql(f"SELECT * FROM read_parquet('{pq}/*.parquet')"))
+        ocols, otypes, orows = fetch_rows(con.sql(oracle[name]))
     except Exception as e:
         fails.append((name, f"SQL ERROR: {str(e)[:300]}"))
         continue
     if scols != ocols:
         fails.append((name, f"COLUMNS spark={scols} oracle={ocols}"))
+        continue
+    if stypes != otypes:
+        diff = [f"{c}: {a} vs {b}" for c, a, b in zip(scols, stypes, otypes) if a != b]
+        fails.append((name, f"DTYPES {'; '.join(diff)}"))
         continue
     if len(srows) != len(orows):
         fails.append((name, f"ROWCOUNT spark={len(srows)} oracle={len(orows)}"))
