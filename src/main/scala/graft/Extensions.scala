@@ -62,6 +62,20 @@ object Extensions {
       }
       tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*).orderBy("doc_id")
     },
+    // E1/E2 MinHash via the native single-buffer aggregate (one Array[Long](8)
+    // buffer + one loop per row instead of 8 independent min() aggregates) —
+    // same signatures, same oracle as e02.
+    "e02b_minhash_native" -> { (s, d) =>
+      graft.functions.MinHashAgg.register(s)
+      val tok = load(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+        .withColumn("h", tokenHash(col("t")))
+      tok.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashAgg.minhash(col("h")).as("sig"))
+        .select(col("doc_id") +: (0 until 8).map(i =>
+          element_at(col("sig"), i + 1).as(s"sig$i")): _*)
+        .orderBy("doc_id")
+    },
     // E1 LSH banding — 4 bands × 2 rows over the MinHash signature; report
     // per-band bucket stats + candidate-pair counts (k·(k−1)/2 per bucket).
     // This is the structure that makes near-dup detection bucket-local at scale.
@@ -211,6 +225,9 @@ object Extensions {
         |GROUP BY md5(array_to_string(string_split(lower(trim(text)), ' ')[1:10], ' '))
         |ORDER BY keep_doc_id""".stripMargin,
     "e02_minhash_sig" ->
+      s"""WITH $minhashCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "e02b_minhash_native" ->
       s"""WITH $minhashCte
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
     "e03_lsh_buckets" ->

@@ -18,6 +18,24 @@ class ApproxAggSpec extends SparkSpecBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("DataSketches HLL: per-group sketches union to the global estimate") {
+    // the mergeable-sketch pattern for 100 TB rollups: build sketches per
+    // group once, then combine them for any coarser grouping without
+    // rescanning the data
+    Tables.registerAll(spark, sfDir)
+    val perFlag = spark.sql(
+      """SELECT l_returnflag, hll_sketch_agg(l_partkey) AS sk
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    perFlag.createOrReplaceTempView("flag_sketches")
+    val merged = spark.sql(
+      "SELECT hll_sketch_estimate(hll_union_agg(sk)) FROM flag_sketches")
+      .head().getLong(0)
+    val exact = spark.sql("SELECT COUNT(DISTINCT l_partkey) FROM lineitem")
+      .head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
   test("HLL sketches merge across partitions consistently") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val whole = li.agg(approx_count_distinct(col("l_partkey"), 0.02)).head().getLong(0)

@@ -58,6 +58,11 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("graft_cosine"))
   }
 
+  test("c16 rank filter gets WindowGroupLimit (bounded per-key heap, no full per-key sort at the limit stage)") {
+    val p = finalPlan(q("c16_window_rank"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("c11 aggregation is two-phase (map-side partial before the shuffle)") {
     val p = finalPlan(q("c11_group_agg"))
     assert(p.contains("partial_count") || p.contains("partial_sum"))
