@@ -70,11 +70,24 @@ object CdcStream {
           case Some(cur) => cur.unionByName(good)
           case None      => good
         }
-        val merged = Cdc.merge(unioned, Seq("user_id"))
+        // Tombstones MUST be retained in the stored replica: with
+        // out-of-order arrival across micro-batches, dropping a DELETE's
+        // position would let a later batch carrying an OLDER event
+        // resurrect the key (found by StreamVolumeSpec). Production GC:
+        // tombstones older than the watermark can be compacted away once
+        // no earlier positions can still arrive.
+        val merged = Cdc.merge(unioned, Seq("user_id"), keepTombstones = true)
+          .drop("is_deleted")
         swapWrite(merged, replicaDir)
         ()
       }
       .start()
+
+  /** The analyst-facing view of the replica: tombstoned keys filtered out
+    * (the stored form keeps them — see applyToReplica). */
+  def liveReplica(spark: SparkSession, replicaDir: String): DataFrame =
+    spark.read.schema(envelopeSchema).parquet(replicaDir)
+      .filter(col("op") =!= "DELETE")
 
   private def existingReplica(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = Paths.get(dir)

@@ -33,7 +33,7 @@ class CdcStreamSpec extends SparkSpecBase {
       .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
 
   private def replicaState(replicaDir: String): Map[Long, (Long, Double)] =
-    spark.read.schema(CdcStream.envelopeSchema).parquet(replicaDir)
+    CdcStream.liveReplica(spark, replicaDir)
       .collect().map(r => r.getLong(4) -> (r.getLong(2), r.getDouble(5))).toMap
 
   test("D1/D8: incremental file stream converges to the batch merge") {
