@@ -98,6 +98,41 @@ object Extensions {
           sum(expr("k * (k - 1) div 2")).as("n_candidate_pairs"))
         .orderBy("band")
     },
+    // E1 LSH bucket-join — the pair-producing half of MinHash LSH: docs
+    // sharing any band bucket become candidate pairs (joined bucket-locally,
+    // never all-pairs), then verified with exact unigram Jaccard. Sampled
+    // doc_id%10 to bound output; at 100 TB the same join runs per bucket
+    // partition.
+    "e03b_lsh_pair_join" -> { (s, d) =>
+      val tok = load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+        .withColumn("h", tokenHash(col("t")))
+      val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * a + b) % P).as(s"sig$i")
+      }
+      val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
+      )).as("bb")).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+      val sets = load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      val t1 = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
+      val t2 = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
+      cand.join(t1, "d1").join(t2, "d2")
+        .withColumn("n_common", size(array_intersect(col("tk1"), col("tk2"))))
+        .select(col("d1"), col("d2"), col("n_shared_bands"),
+          (col("n_common").cast(DoubleType)
+            / (size(col("tk1")) + size(col("tk2")) - col("n_common"))).as("jaccard"))
+        .orderBy("d1", "d2")
+    },
     // E1 n-gram (bigram-shingle) Jaccard similarity join, language-blocked,
     // over a doc_id%5 sample. Shingles are hashed to longs BEFORE the pair
     // join: the per-pair set intersection compares 8-byte ints instead of
@@ -242,6 +277,33 @@ object Extensions {
          |  SUM(CASE WHEN k >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_collision_buckets,
          |  SUM(k * (k - 1) // 2)::BIGINT AS n_candidate_pairs
          |FROM bk GROUP BY band ORDER BY band""".stripMargin,
+    "e03b_lsh_pair_join" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_shared_bands
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+         |         FROM documents WHERE doc_id % 10 = 0)
+         |SELECT d1, d2, n_shared_bands,
+         |  len(list_intersect(a.tk, b.tk))::DOUBLE
+         |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
+         |FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
+         |ORDER BY d1, d2""".stripMargin
+    },
     "e04_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, lang,

@@ -42,9 +42,36 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** 8 deterministic random hyperplanes for cosine LSH (e09b): coefficients
+    * derived from md5 in [-1, 1] with 3 decimals, computed once here and
+    * embedded as literals in BOTH the Spark plan and the DuckDB oracle —
+    * identical doubles by construction. */
+  private[graft] val planes: Seq[Seq[Double]] = {
+    def h(sd: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(sd.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    (0 until 8).map(j => (0 until 64).map(i => ((h(s"plane${j}_$i") % 2001) - 1000) / 1000.0))
+  }
+
+  /** Signed-projection bucket id: bit j = sign(v · plane_j). */
+  private def bucketCol(v: Column): Column =
+    planes.zipWithIndex.map { case (w, j) =>
+      val warr = array(w.map(lit): _*)
+      when(dot(v, warr) > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def planeSqlArr(w: Seq[Double]): String =
+    w.map(x => f"$x%.17g").mkString("[", ", ", "]::DOUBLE[]")
+
+  private def bucketSql(v: String): String =
+    planes.zipWithIndex.map { case (w, j) =>
+      s"(CASE WHEN ${dotSql(v, planeSqlArr(w))} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
+
   /** DuckDB twin of [[dot]] — identical fold order. */
   private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE)), (acc, v) -> acc + v)"
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
@@ -94,6 +121,23 @@ object Similarity {
           max(col("cs")).as("max_cos"))
         .orderBy("label")
     },
+    // E2 scale path #2 — cosine LSH: 8 random-hyperplane sign bits bucket
+    // the corpus (256 buckets, map-side, no shuffle of vectors); the probe
+    // (vec 42) scans only its own bucket. With the corpus written
+    // partitioned by bucket this is a 1/256 read per probe.
+    "e09b_ann_lsh" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val emb = load(s, d, "embeddings")
+        .withColumn("bucket", bucketCol(col("embedding")))
+      val probe = emb.filter(col("vec_id") === 42)
+        .select(col("bucket").as("probe_bucket"), col("embedding").as("probe_emb"))
+      emb.join(broadcast(probe), col("bucket") === col("probe_bucket"))
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"), col("bucket"),
+          cosine(col("embedding"), col("probe_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
     // E2 scale path — IVF: 8 seed centroids (vec 0..7, broadcast), map-side
     // argmax assignment, probe (vec 42) searches only its own cluster.
     "e09_ann_ivf" -> { (s, d) =>
@@ -141,6 +185,13 @@ object Similarity {
          |  SUM(CASE WHEN cs > 0.25 THEN 1 ELSE 0 END)::BIGINT AS n_neardup,
          |  MAX(cs) AS max_cos
          |FROM p GROUP BY label ORDER BY label""".stripMargin,
+    "e09b_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |probe AS (SELECT bucket AS probe_bucket, embedding AS probe_emb FROM b WHERE vec_id = 42)
+         |SELECT vec_id, bucket, ${cosSql("embedding", "probe_emb")} AS cos_sim
+         |FROM b JOIN probe ON bucket = probe_bucket
+         |WHERE vec_id <> 42
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
     "e09_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
          |sims AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
