@@ -158,6 +158,37 @@ object Extensions {
         .select("lang", "d1", "d2", "jaccard")
         .orderBy("lang", "d1", "d2")
     },
+    // E1 n-gram Jaccard, sparse/inverted-index form — the same pairs as e04
+    // computed the way a 100 TB engine must: explode shingles, self-join on
+    // the shingle (pairs that share nothing are never materialized), count
+    // per pair = |∩|, then join back set sizes. Per-pair set operations
+    // disappear; everything is shuffle-keyed aggregation.
+    "e04b_jaccard_sparse" -> { (s, d) =>
+      val base = load(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
+              element_at(col("tk"), i + 2))))).as("bg"))
+      val sizes = base.select(col("doc_id"), col("lang"), size(col("bg")).as("n"))
+      val inv = base.select(col("doc_id"), col("lang"), explode(col("bg")).as("sh"))
+      val common = inv.as("x").join(inv.as("y"),
+        col("x.sh") === col("y.sh") && col("x.lang") === col("y.lang") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.lang").as("lang"), col("x.doc_id").as("d1"),
+          col("y.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .withColumn("jaccard", col("n_common").cast(DoubleType)
+          / (col("n1") + col("n2") - col("n_common")))
+        .filter(col("jaccard") >= 0.1)
+        .select("lang", "d1", "d2", "jaccard")
+        .orderBy("lang", "d1", "d2")
+    },
     // E1 SimHash — 32-bit signature from term-frequency-weighted token-hash
     // bits, plus Hamming distance to doc 0 as the near-dup measure.
     "e05_simhash" -> { (s, d) =>
@@ -304,6 +335,23 @@ object Extensions {
          |FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
          |ORDER BY d1, d2""".stripMargin
     },
+    "e04b_jaccard_sparse" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+        |      i -> CAST(concat('0x', substring(md5(string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]), 1, 8)) AS BIGINT))) AS bg
+        |  FROM documents
+        |  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 2),
+        |pairs AS (
+        |  SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_intersect(a.bg, b.bg)) AS n_common,
+        |    len(a.bg) AS n1, len(b.bg) AS n2
+        |  FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT lang, d1, d2,
+        |  n_common::DOUBLE / (n1 + n2 - n_common) AS jaccard
+        |FROM pairs
+        |WHERE n_common::DOUBLE / (n1 + n2 - n_common) >= 0.1
+        |ORDER BY lang, d1, d2""".stripMargin,
     "e04_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, lang,

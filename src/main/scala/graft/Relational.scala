@@ -379,6 +379,14 @@ object Relational {
           "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
         .orderBy("o_orderstatus")
     },
+    // C28b unpivot/melt — wide-to-long over customer attributes.
+    "c28b_unpivot" -> { (s, d) =>
+      load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_name"), col("c_mktsegment")), "attr", "val")
+        .orderBy("c_custkey", "attr")
+    },
     // C29 generator / UDTF surface — posexplode with ordinal positions.
     "c29_posexplode" -> { (s, d) =>
       load(s, d, "embeddings")
@@ -651,6 +659,11 @@ object Relational {
         |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
         |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "c28b_unpivot" ->
+      """SELECT c_custkey, 'c_name' AS attr, c_name AS val FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_mktsegment' AS attr, c_mktsegment AS val FROM customer
+        |ORDER BY c_custkey, attr""".stripMargin,
     "c29_posexplode" ->
       """SELECT vec_id, CAST(i - 1 AS INT) AS idx, embedding[i]::DOUBLE AS v
         |FROM (SELECT vec_id, embedding,
