@@ -222,6 +222,19 @@ object Extensions {
         .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
         .orderBy("lang", "guess")
     },
+    // E4 language-ID, character-n-gram form — English-profile trigram density
+    // ('th '/'he '/'ng ' class character sequences) instead of stopword
+    // lookup; same confusion-matrix output shape as e10.
+    "e10b_langid_ngram" -> { (s, d) =>
+      val density = (
+        expr("regexp_count(text, 'th')") + expr("regexp_count(text, 'he')")
+          + expr("regexp_count(text, 'ng')")).cast(DoubleType) / length(col("text"))
+      load(s, d, "documents")
+        .select(col("lang"),
+          when(density > 0.02, "en_like").otherwise("other").as("guess"))
+        .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")
+    },
     // E4 quality scoring — length/type-token-ratio/stopword-ratio composite.
     "e11_quality_score" -> { (s, d) =>
       val tk = toks(col("text"))
@@ -392,6 +405,13 @@ object Extensions {
         |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))::DOUBLE
         |            / len(string_split(text, ' ')) > 0.08
         |       THEN 'en' ELSE 'other' END AS guess,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
+    "e10b_langid_ngram" ->
+      """SELECT lang,
+        |  CASE WHEN (len(regexp_extract_all(text, 'th')) + len(regexp_extract_all(text, 'he'))
+        |             + len(regexp_extract_all(text, 'ng')))::DOUBLE / length(text) > 0.02
+        |       THEN 'en_like' ELSE 'other' END AS guess,
         |  COUNT(*) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
     "e11_quality_score" ->

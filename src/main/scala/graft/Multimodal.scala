@@ -27,7 +27,8 @@ object Multimodal {
 
   /** Decoded per-item features (what a real codec would produce). */
   case class Features(doc_id: Long, kind: String, n_bytes: Int,
-                      width: Int, height: Int, mean_byte: Double,
+                      width: Int, height: Int,
+                      resized_w: Int, resized_h: Int, mean_byte: Double,
                       frame_offsets: Seq[Int])
 
   /** Documents table lifted to a multimodal dataset: the text bytes stand in
@@ -56,6 +57,16 @@ object Multimodal {
   def frameOffsets(nBytes: Int, k: Int = 4): Seq[Int] =
     if (nBytes <= 0) Seq.empty else (0 until k).map(i => (i * nBytes) / k)
 
+  /** STUB resize — aspect-preserving fit into a target box (the geometry is
+    * real; only the pixel resampling would come from a codec). */
+  def resizeStub(w: Int, h: Int, maxSide: Int = 224): (Int, Int) =
+    if (w <= 0 || h <= 0) (0, 0)
+    else {
+      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+      (math.max(1, math.round(w * scale).toInt),
+        math.max(1, math.round(h * scale).toInt))
+    }
+
   /** Per-partition batch decode — one "codec" init per partition, rows
     * streamed through; this is the execution shape that matters (mapInPandas
     * analog), not row-at-a-time UDF calls. */
@@ -65,7 +76,8 @@ object Multimodal {
       // per-partition init happens here (a real codec would open once)
       rows.map { m =>
         val (w, h, mean) = decodeStub(m.payload)
-        Features(m.doc_id, m.kind, m.payload.length, w, h, mean,
+        val (rw, rh) = resizeStub(w, h)
+        Features(m.doc_id, m.kind, m.payload.length, w, h, rw, rh, mean,
           frameOffsets(m.payload.length))
       }
     }

@@ -29,6 +29,8 @@ class MultimodalSpec extends SparkSpecBase {
     val (w, h, mean) = Multimodal.decodeStub(payload)
     assert(f.n_bytes === payload.length)
     assert((f.width, f.height) === ((w, h)))
+    assert((f.resized_w, f.resized_h) === Multimodal.resizeStub(w, h))
+    assert(math.max(f.resized_w, f.resized_h) <= 224)
     assert(math.abs(f.mean_byte - mean) < 1e-12)
     assert(f.frame_offsets === Multimodal.frameOffsets(payload.length))
     assert(f.frame_offsets.length === 4 && f.frame_offsets.head === 0)
