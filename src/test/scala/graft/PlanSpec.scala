@@ -68,6 +68,29 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
 
+  test("runtime Bloom-filter join: selective build side injects might_contain on the probe side") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val o = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      // the selective dimension side builds a bloom filter that pre-filters
+      // the fact scan — at 100 TB this skips most of the probe-side shuffle
+      assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"))
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("a11 partitioned read prunes to one partition directory") {
     val p = finalPlan(q("a11_partitioned_sink"))
     assert(p.contains("PartitionFilters: [isnotnull(op"))
