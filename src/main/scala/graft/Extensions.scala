@@ -271,6 +271,24 @@ object Extensions {
             lit(0L), (acc, x) => (acc * 31 + x) % P).as("fingerprint"))
         .orderBy("doc_id")
     },
+    // E4/pipeline hygiene — data-quality gates: the per-table contract checks
+    // a 100 TB ingest runs before training consumes a shard (null rates,
+    // range violations, emptiness) as one aggregation pass.
+    "e15_quality_gates" -> { (s, d) =>
+      val docs = load(s, d, "documents").agg(
+        lit("documents").as("tbl"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("n_violations"),
+        countDistinct(col("lang")).as("n_domains"))
+      val ev = Tables.events(s, d).agg(
+        lit("events").as("tbl"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_violations"),
+        countDistinct(col("event_type")).as("n_domains"))
+      docs.unionByName(ev).orderBy("tbl")
+    },
     // E5/multimodal — text treated as an opaque binary payload with typed
     // metadata; byte-level features computed on the binary column. (The
     // decode/resize stub pipeline over mapPartitions lives in MultimodalSpec —
@@ -440,6 +458,19 @@ object Extensions {
          |    (acc, x) -> (acc * 31 + x) % $P) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "e15_quality_gates" ->
+      """SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+        |  SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+        |  COUNT(DISTINCT lang) AS n_domains
+        |FROM documents
+        |UNION ALL
+        |SELECT 'events', COUNT(*),
+        |  SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT,
+        |  COUNT(DISTINCT event_type)
+        |FROM events
+        |ORDER BY tbl""".stripMargin,
     "e14_multimodal_bytes" ->
       """SELECT doc_id, lang, n_chars,
         |  CAST(strlen(text) AS INT) AS n_bytes,
