@@ -271,6 +271,61 @@ object Extensions {
             lit(0L), (acc, x) => (acc * 31 + x) % P).as("fingerprint"))
         .orderBy("doc_id")
     },
+    // E4/training prep — document chunking: fixed-size token windows
+    // (32 tokens, stride 24 → 8-token overlap), the unit a training pipeline
+    // feeds to tokenization. Pure array ops — one generator per doc, no
+    // shuffle until the final sort.
+    "e16_chunking" -> { (s, d) =>
+      val tk = toks(col("text"))
+      load(s, d, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(24))).as("start"))
+        .select(col("doc_id"),
+          (expr("start div 24")).cast(IntegerType).as("chunk_idx"),
+          slice(col("tk"), col("start"), lit(32)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tok"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    // E4/training prep — shard packing: chunks hashed to 16 training shards;
+    // per-shard row/token totals + full-vs-tail chunk mix. Shard assignment
+    // is the same md5-integer hash family, so placement is reproducible
+    // across engines and runs.
+    "e17_shard_pack" -> { (s, d) =>
+      val tk = toks(col("text"))
+      load(s, d, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(24))).as("start"))
+        .select(col("doc_id"), expr("start div 24").as("chunk_idx"),
+          size(slice(col("tk"), col("start"), lit(32))).as("n_tok"))
+        .withColumn("shard",
+          (tokenHash(concat(col("doc_id"), lit(":"), col("chunk_idx"))) % 16)
+            .cast(IntegerType))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("n_tok") === 32, 1L).otherwise(0L)).as("n_full"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("shard")
+    },
+    // E4 — IDF-style rarity without float logarithms: each document's rarest
+    // term by corpus document-frequency (ties → lexicographic), exact
+    // integer/string math on both engines.
+    "e18_rarest_term" -> { (s, d) =>
+      val docTerms = load(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+      val df = docTerms.groupBy(col("t")).agg(count(lit(1)).as("term_df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("term_df").asc, col("t").asc)
+      docTerms.join(broadcast(df), "t")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("t").as("rarest_term"), col("term_df"))
+        .orderBy("doc_id")
+    },
     // E4/pipeline hygiene — data-quality gates: the per-table contract checks
     // a 100 TB ingest runs before training consumes a shard (null rates,
     // range violations, emptiness) as one aggregation pass.
@@ -458,6 +513,34 @@ object Extensions {
          |    (acc, x) -> (acc * 31 + x) % $P) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "e16_chunking" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |st AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk), 1), 24)) AS start FROM base),
+        |ch AS (SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+        |         tk[start : start + 31] AS chunk FROM st)
+        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "e17_shard_pack" -> {
+      val hs = String.format(tokenHashSql, "concat(doc_id, ':', chunk_idx)")
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |st AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk), 1), 24)) AS start FROM base),
+         |ch AS (SELECT doc_id, start // 24 AS chunk_idx,
+         |         len(tk[start : start + 31]) AS n_tok FROM st),
+         |sh AS (SELECT doc_id, n_tok, CAST($hs % 16 AS INT) AS shard FROM ch)
+         |SELECT shard, COUNT(*) AS n_chunks, SUM(n_tok)::BIGINT AS n_tokens,
+         |  SUM(CASE WHEN n_tok = 32 THEN 1 ELSE 0 END)::BIGINT AS n_full,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    "e18_rarest_term" ->
+      """WITH dt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+        |df AS (SELECT t, COUNT(*) AS term_df FROM dt GROUP BY t),
+        |r AS (SELECT dt.doc_id, dt.t, df.term_df,
+        |        ROW_NUMBER() OVER (PARTITION BY dt.doc_id ORDER BY df.term_df ASC, dt.t ASC) AS rn
+        |      FROM dt JOIN df ON dt.t = df.t)
+        |SELECT doc_id, t AS rarest_term, term_df FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "e15_quality_gates" ->
       """SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
         |  SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty,

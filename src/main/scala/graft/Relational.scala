@@ -443,6 +443,17 @@ object Relational {
           |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o.o_orderkey""".stripMargin)
     },
+    // C33 weighted average via the custom DeclarativeAggregate — quantity-
+    // weighted unit price per returnflag, exact decimal buffers.
+    "c33_weighted_avg" -> { (s, d) =>
+      graft.functions.WeightedAvg.register(s)
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.WeightedAvg.weightedAvg(
+          dec(col("l_extendedprice")), dec(col("l_quantity"))).as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
     // C27 subqueries (scalar + IN) through the SQL entry point (SURVEY §3.1).
     "c27_subquery" -> { (s, d) =>
       Tables.registerAll(s, d)
@@ -689,6 +700,12 @@ object Relational {
         |  ROUND((sxy - sx * sy / n)
         |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS corr_qty_price
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "c33_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "c27_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
