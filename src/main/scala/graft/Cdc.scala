@@ -200,6 +200,37 @@ object Cdc {
         .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"))
         .orderBy("user_id")
     },
+    // A12 JSON-lines sink/source roundtrip — the inputFileFormat=json path
+    // (reference README.md:202) as actual files, schema-first read.
+    "a12_json_sink" -> { (s, d) =>
+      val path = scratch("a12_json", d)
+      changelog(s, d).write.mode("overwrite").json(path)
+      s.read.schema(graft.streaming.CdcStream.envelopeSchema).json(path)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("op")
+    },
+    // A13 staging compaction — the many-small-change-files problem: a
+    // fragmented staging log is rewritten into few right-sized files
+    // (repartition + overwrite), contents provably unchanged. At 100 TB this
+    // runs per closed partition.
+    "a13_compaction" -> { (s, d) =>
+      val frag = scratch("a13_frag", d)
+      val compacted = scratch("a13_compact", d)
+      changelog(s, d).repartition(16).write.mode("overwrite").parquet(frag)
+      val staged = s.read.parquet(frag)
+      staged.repartition(2).write.mode("overwrite").parquet(compacted)
+      val nFiles = (dir: String) => new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".parquet")).toLong
+      require(nFiles(compacted) < nFiles(frag),
+        s"compaction must reduce file count: ${nFiles(frag)} -> ${nFiles(compacted)}")
+      s.read.parquet(compacted)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"))
+        .orderBy("op")
+    },
     // A9 DDL / catalog registration — CREATE OR REPLACE TEMP VIEW + SQL over
     // the registered name (reference cr_pet_tbl.sql:3, main.tf:122-125).
     "a9_catalog_ddl" -> { (s, d) =>
@@ -350,6 +381,15 @@ object Cdc {
       s"""WITH ch AS ($changelogSql)
          |SELECT user_id, COUNT(*) AS n, MAX(pos) AS max_pos
          |FROM ch WHERE op = 'UPDATE' GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a12_json_sink" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT op, COUNT(*) AS n, MAX(pos) AS max_pos,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+    "a13_compaction" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT op, COUNT(*) AS n, MIN(pos) AS min_pos, MAX(pos) AS max_pos
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
     "a9_catalog_ddl" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
