@@ -326,6 +326,19 @@ object Extensions {
         .select(col("doc_id"), col("t").as("rarest_term"), col("term_df"))
         .orderBy("doc_id")
     },
+    // E4 — corpus-wide n-gram statistics: top bigrams by frequency (the
+    // language-model-ish corpus profile; explode → count → top-k, all
+    // partial-aggregated).
+    "e20_top_ngrams" -> { (s, d) =>
+      val tk = toks(col("text"))
+      load(s, d, "documents")
+        .select(explode(transform(sequence(lit(0), size(tk) - 2),
+          i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2)))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    },
     // E4/pipeline hygiene — data-quality gates: the per-table contract checks
     // a 100 TB ingest runs before training consumes a shard (null rates,
     // range violations, emptiness) as one aggregation pass.
@@ -541,6 +554,13 @@ object Extensions {
         |      FROM dt JOIN df ON dt.t = df.t)
         |SELECT doc_id, t AS rarest_term, term_df FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "e20_top_ngrams" ->
+      """WITH bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+        |  FROM documents)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
     "e15_quality_gates" ->
       """SELECT 'documents' AS tbl, COUNT(*) AS n_rows,
         |  SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty,

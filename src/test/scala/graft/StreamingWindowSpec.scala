@@ -72,6 +72,26 @@ class StreamingWindowSpec extends SparkSpecBase {
     assert(u1.toSeq === Seq((3600L, 2L), (3600L + 3000, 1L)))
   }
 
+  test("Complete output mode re-emits the full aggregate each batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String, Long, Long, Long, Double, String)]
+    val counts = toChanges(input).groupBy(col("op")).agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("complete_counts")
+      .outputMode("complete").start()
+    input.addData(ev(1, H, "INSERT"), ev(2, H, "INSERT"))
+    q.processAllAvailable()
+    assert(spark.table("complete_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === Map("INSERT" -> 2L))
+    input.addData(ev(3, H, "DELETE"))
+    q.processAllAvailable()
+    q.stop()
+    // complete mode: the table is the full current aggregate, not a delta
+    assert(spark.table("complete_counts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("INSERT" -> 2L, "DELETE" -> 1L))
+  }
+
   test("D6: streaming dedup collapses redelivered events") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
