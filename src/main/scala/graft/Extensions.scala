@@ -165,7 +165,7 @@ object Extensions {
     // disappear; everything is shuffle-keyed aggregation.
     "e04b_jaccard_sparse" -> { (s, d) =>
       val base = load(s, d, "documents")
-        .filter(col("doc_id") % 5 === 0)
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), col("lang"),
@@ -440,7 +440,7 @@ object Extensions {
         |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
         |      i -> CAST(concat('0x', substring(md5(string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]), 1, 8)) AS BIGINT))) AS bg
         |  FROM documents
-        |  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 2),
+        |  WHERE doc_id % 10 = 0 AND len(string_split(text,' ')) >= 2),
         |pairs AS (
         |  SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
         |    len(list_intersect(a.bg, b.bg)) AS n_common,
