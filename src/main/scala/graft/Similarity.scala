@@ -138,6 +138,36 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(5)
     },
+    // E2 scale path #3 — IVF with the index MATERIALIZED: cluster assignment
+    // written partitionBy(cid), probe reads exactly one partition directory
+    // (PartitionFilters prune the rest) — the end-to-end layout SCALE.md
+    // describes, executed.
+    "e09c_ann_ivf_partitioned" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_$tag/e09c_ivf_index"
+      val emb = load(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cosine(col("embedding"), col("cemb")).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(idxPath)
+      val index = s.read.parquet(idxPath)
+      val probe = index.filter(col("vec_id") === 42)
+        .select(col("cid").as("probe_cid"), col("embedding").as("probe_emb"))
+      index.join(broadcast(probe), col("cid") === col("probe_cid"))
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"), col("cid").cast(IntegerType).as("cid"),
+          cosine(col("embedding"), col("probe_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
     // E2 scale path — IVF: 8 seed centroids (vec 0..7, broadcast), map-side
     // argmax assignment, probe (vec 42) searches only its own cluster.
     "e09_ann_ivf" -> { (s, d) =>
@@ -191,6 +221,19 @@ object Similarity {
          |SELECT vec_id, bucket, ${cosSql("embedding", "probe_emb")} AS cos_sim
          |FROM b JOIN probe ON bucket = probe_bucket
          |WHERE vec_id <> 42
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "e09c_ann_ivf_partitioned" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |sims AS (SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cemb")} AS csim
+         |  FROM embeddings e, cents c),
+         |assigned AS (SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |probe AS (SELECT cid AS probe_cid, embedding AS probe_emb FROM assigned WHERE vec_id = 42)
+         |SELECT a.vec_id, CAST(a.cid AS INT) AS cid, ${cosSql("a.embedding", "probe_emb")} AS cos_sim
+         |FROM assigned a JOIN probe ON a.cid = probe_cid
+         |WHERE a.vec_id <> 42
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
     "e09_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
