@@ -66,6 +66,27 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(batchMerged === replicaState(replica))
   }
 
+  test("D1: restart with the same checkpoint processes only new files (exactly-once source)") {
+    val in = tmpDir("cdc_in3"); val replica = tmpDir("cdc_replica3") + "/r"
+    val staging = tmpDir("cdc_staging3"); val dlq = tmpDir("cdc_dlq3")
+    val ckpt = tmpDir("cdc_ckpt3")
+
+    writeBatch(in, batches(0), 0)
+    val q1 = CdcStream.applyToReplica(
+      CdcStream.fileChangelogStream(spark, in), replica, staging, dlq, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(staging).count() === 3) // first batch staged once
+
+    // new file arrives; SAME checkpoint → the file-source log skips the old file
+    writeBatch(in, batches(1), 1)
+    val q2 = CdcStream.applyToReplica(
+      CdcStream.fileChangelogStream(spark, in), replica, staging, dlq, ckpt)
+    q2.awaitTermination()
+    // staging holds each change exactly once (3 + 3, no reprocessing)
+    assert(spark.read.parquet(staging).count() === 6)
+    assert(replicaState(replica) === Map(1L -> (4L, 11.0), 2L -> (5L, 22.0), 3L -> (3L, 30.0)))
+  }
+
   test("D6: re-delivery of the whole stream is idempotent") {
     val in = tmpDir("cdc_in2"); val replica = tmpDir("cdc_replica2") + "/r"
     val staging = tmpDir("cdc_staging2"); val dlq = tmpDir("cdc_dlq2")
