@@ -72,6 +72,32 @@ class StreamingWindowSpec extends SparkSpecBase {
     assert(u1.toSeq === Seq((3600L, 2L), (3600L + 3000, 1L)))
   }
 
+  test("D6b: dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String, Long, Long, Long, Double, String)]
+    val deduped = CdcStream.withEventTime(toChanges(input), "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("pos"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+
+    input.addData(ev(1, H), ev(1, H)) // in-batch duplicate
+    q.processAllAvailable()
+    input.addData(ev(1, H + 60L * 1000000000L)) // dup within watermark → dropped
+    q.processAllAvailable()
+    // advance watermark far past pos-1's state, then redeliver pos 1:
+    // its dedup state has been evicted, so the late copy is admitted —
+    // exactly the bounded-state contract (dedup guaranteed only within
+    // the watermark horizon)
+    input.addData(ev(99, 10 * H))
+    q.processAllAvailable()
+    q.stop()
+
+    val n = spark.table("dedup_wm").filter(col("pos") === 1).count()
+    assert(n === 1) // duplicates inside the horizon collapsed
+    assert(spark.table("dedup_wm").count() === 2) // pos 1 + pos 99
+  }
+
   test("Complete output mode re-emits the full aggregate each batch") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
