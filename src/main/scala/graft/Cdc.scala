@@ -118,6 +118,18 @@ object Cdc {
           sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
         .orderBy("op")
     },
+    // A3b Avro via the DataSourceV2 connector — same files through
+    // format("graft.sources.AvroChangeSource"): one object = one
+    // InputPartition, PartitionReader decode in the executor.
+    "a3b_avro_dsv2" -> { (s, d) =>
+      val path = scratch("a3b_avro", d)
+      AvroChangeFiles.write(changelog(s, d), path)
+      s.read.format("graft.sources.AvroChangeSource").load(path)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("op")
+    },
     // A4 JSON change events — serialize envelope to JSON strings, parse back
     // with an explicit schema (reference README.md:202 inputFileFormat=json).
     "a4_json_roundtrip" -> { (s, d) =>
@@ -350,6 +362,11 @@ object Cdc {
         |  ('Whistler',DATE '1998-12-09','birthday','First birthday')
         |) AS t(name, "date", "type", remark) ORDER BY name, "date", "type"""".stripMargin,
     "a3_avro_roundtrip" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT op, COUNT(*) AS n, MAX(pos) AS max_pos,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+    "a3b_avro_dsv2" ->
       s"""WITH ch AS ($changelogSql)
          |SELECT op, COUNT(*) AS n, MAX(pos) AS max_pos,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
