@@ -1,6 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver contract): times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Measurement hygiene:
+  *  - each query is forced through the `noop` sink, which executes the FULL
+  *    physical plan (final sorts included) and discards rows — `.count()`
+  *    would let Catalyst elide ordering work and flatten totals;
+  *  - failures are recorded as -1 with an explicit failure list, never
+  *    silently timed as fast successes;
+  *  - the JSON line is also written to bench_result.json next to the repo so
+  *    a truncated/interleaved stdout capture can't lose the record.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,19 +41,32 @@ object Bench {
         if (w.isDirectory) w.toString else sfDir
       }
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${t.getClass.getName}: ${t.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val failures = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -70,6 +70,51 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
+/** Degenerate-case companion to [[CosineSimilarity]]: cosine of a vector with
+  * itself. For identical inputs the three accumulators of the binary form are
+  * bit-identical (dot = na = nb, every term is xi·xi), so
+  * na/(√na·√na) reproduces CosineSimilarity(x,x) bit-for-bit — including
+  * NaN for zero/empty vectors (0/0) and null-in→null-out — with one array
+  * read and one accumulator instead of two and three. Used by the
+  * SelfCosineToOne optimizer rule, which must not change results. */
+case class SelfCosine(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      na += xi * xi
+      i += 1
+    }
+    na / (math.sqrt(na) * math.sqrt(na))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val na = ctx.freshName("na"); val xi = ctx.freshName("xi")
+      s"""
+         |int $n = $a.numElements();
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  $na += $xi * $xi;
+         |}
+         |${ev.value} = $na / (Math.sqrt($na) * Math.sqrt($na));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_self_cosine"
+}
+
 object VectorExpressions {
   private val FN = "graft_cosine"
 

@@ -35,12 +35,20 @@ case class BroadcastRangeJoinExec(
   override def output: Seq[Attribute] = ranges.output ++ stream.output
 
   override protected def doExecute(): RDD[InternalRow] = {
-    // build side: collect + sort by lo, precompute prefix-max(hi)
+    // build side: collect + sort by lo, precompute prefix-max(hi).
+    // Rows with a NULL bound are dropped — SQL band predicates are
+    // three-valued, so `v >= NULL` never matches; unboxing null would
+    // silently turn it into 0L and fabricate matches.
     val loBound = BindReferences.bindReference(rangeLo, ranges.output)
     val hiBound = BindReferences.bindReference(rangeHi, ranges.output)
     val built = ranges.execute().map(_.copy()).collect()
-      .map(r => (loBound.eval(r).asInstanceOf[Long],
-        hiBound.eval(r).asInstanceOf[Long], r))
+      .flatMap { r =>
+        (loBound.eval(r), hiBound.eval(r)) match {
+          case (lo: java.lang.Long, hi: java.lang.Long) =>
+            Some((lo.longValue, hi.longValue, r))
+          case _ => None // null lo or hi: no stream value can fall in the band
+        }
+      }
       .sortBy(_._1)
     val prefixMaxHi = built.scanLeft(Long.MinValue) {
       case (m, (_, hi, _)) => math.max(m, hi)
@@ -89,9 +97,16 @@ case class BroadcastRangeJoinExec(
   * Injected per-session via `spark.experimental.extraStrategies`. */
 object BroadcastRangeJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    // The exec unboxes band values as Long, so only claim the join when all
+    // three band expressions are LongType; any other band type (Int, Date,
+    // Decimal, …) falls through to Spark's own planning (BNLJ) instead of
+    // failing with a ClassCastException at runtime.
     case Join(left, right, Inner, Some(And(
         GreaterThanOrEqual(v1, lo), LessThanOrEqual(v2, hi))), _)
         if v1.semanticEquals(v2) &&
+          v1.dataType == org.apache.spark.sql.types.LongType &&
+          lo.dataType == org.apache.spark.sql.types.LongType &&
+          hi.dataType == org.apache.spark.sql.types.LongType &&
           v1.references.subsetOf(right.outputSet) &&
           lo.references.subsetOf(left.outputSet) &&
           hi.references.subsetOf(left.outputSet) =>

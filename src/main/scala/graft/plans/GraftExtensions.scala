@@ -2,25 +2,24 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SelfCosine}
 
-/** Catalyst optimizer rule: `graft_cosine(x, x)` is 1.0 by definition for any
-  * non-null vector — fold the O(d)-per-row computation to a null-safe
-  * constant. Fires e.g. when a generic similarity pipeline is invoked with
-  * identical probe and corpus columns (self-join degenerate case); at 100 TB
-  * that's 64 multiplies/row × rows saved by a plan rewrite.
-  *
-  * Null semantics preserved: cosine(null, null) is null, so the rewrite is
-  * If(IsNull(x), null, 1.0), not a bare literal. */
+/** Catalyst optimizer rule: `graft_cosine(x, x)` reads the vector twice and
+  * keeps three accumulators; the degenerate self-similarity needs one read
+  * and one accumulator. Rewrite to [[SelfCosine]], which is bit-identical to
+  * the unrewritten expression for EVERY input — 1.0 for normal vectors, NaN
+  * for zero/empty vectors (0/0), null for null — so the rule can never
+  * change query results, only halve the per-row work. (Folding to a literal
+  * 1.0 would silently lose the NaN case.) Fires e.g. when a generic
+  * similarity pipeline is invoked with identical probe and corpus columns. */
 object SelfCosineToOne extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
-        If(IsNull(a), Literal(null, DoubleType), Literal(1.0))
+        SelfCosine(a)
     }
 }
 

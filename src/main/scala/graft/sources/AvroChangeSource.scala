@@ -52,8 +52,17 @@ private class AvroChangeTable(path: String) extends Table with SupportsRead {
       override def planInputPartitions(): Array[InputPartition] = {
         val dir = new java.io.File(path)
         val files =
-          if (dir.isDirectory) dir.listFiles().filter(_.getName.endsWith(".avro"))
-          else Array(dir)
+          if (dir.isDirectory) {
+            // listFiles() returns null on a concurrently-removed or
+            // unreadable directory — surface a named error, not an NPE
+            val listed = dir.listFiles()
+            if (listed == null)
+              throw new IllegalArgumentException(
+                s"cannot list Avro change directory: $path")
+            listed.filter(_.getName.endsWith(".avro"))
+          } else if (dir.isFile) Array(dir)
+          else throw new IllegalArgumentException(
+            s"Avro change path does not exist: $path")
         files.sortBy(_.getName).map(f => AvroFilePartition(f.getAbsolutePath): InputPartition)
       }
       override def createReaderFactory(): PartitionReaderFactory =

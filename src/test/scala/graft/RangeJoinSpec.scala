@@ -54,4 +54,45 @@ class RangeJoinSpec extends SparkSpecBase {
       assert(empty.collect().isEmpty)
     } finally BroadcastRangeJoinStrategy.uninstall(spark)
   }
+
+  test("null build-side bounds produce no matches (SQL three-valued semantics)") {
+    BroadcastRangeJoinStrategy.install(spark)
+    try {
+      import spark.implicits._
+      val ranges = Seq(
+        (1L, Some(0L), Some(10L)),   // normal band
+        (2L, None, Some(100L)),      // null lo: v >= NULL is never true
+        (3L, Some(0L), None)         // null hi: v <= NULL is never true
+      ).toDF("win_id", "lo", "hi")
+      val pts = Seq(5L, 50L).toDF("v")
+      val j = ranges.join(pts, col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(j.queryExecution.executedPlan.toString.contains("BroadcastRangeJoin"))
+      // only the fully-bounded window matches; the null-bound windows must
+      // NOT match anything (an unboxed-null 0L would have matched v=5/v=50)
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+      assert(got === Seq((1L, 5L)))
+    } finally BroadcastRangeJoinStrategy.uninstall(spark)
+  }
+
+  test("non-Long band types fall back to Spark's own plan, results correct") {
+    BroadcastRangeJoinStrategy.install(spark)
+    try {
+      import spark.implicits._
+      // Int band — the strategy must decline (exec would ClassCastException)
+      val rInt = Seq((1, 0, 10)).toDF("win_id", "lo", "hi")
+      val pInt = Seq(5, 20).toDF("v")
+      val jInt = rInt.join(pInt, col("v") >= col("lo") && col("v") <= col("hi"))
+      val planInt = jInt.queryExecution.executedPlan.toString
+      assert(!planInt.contains("BroadcastRangeJoin"), planInt.take(800))
+      assert(jInt.collect().map(_.getInt(3)).toSeq === Seq(5))
+      // Date band — same: decline and stay correct
+      val rDate = Seq(("w1", "2024-01-01", "2024-01-31")).toDF("win_id", "lo", "hi")
+        .select(col("win_id"), col("lo").cast("date"), col("hi").cast("date"))
+      val pDate = Seq("2024-01-15", "2024-03-01").toDF("v")
+        .select(col("v").cast("date"))
+      val jDate = rDate.join(pDate, col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(!jDate.queryExecution.executedPlan.toString.contains("BroadcastRangeJoin"))
+      assert(jDate.collect().map(_.getDate(3).toString).toSeq === Seq("2024-01-15"))
+    } finally BroadcastRangeJoinStrategy.uninstall(spark)
+  }
 }
