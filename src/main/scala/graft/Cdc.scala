@@ -315,6 +315,23 @@ object Cdc {
         .drop("last_op")
         .orderBy("user_id")
     },
+    // B8 incremental bucketed merge — the same replica as B3 built the way
+    // the streaming path builds it: two change batches committed through the
+    // BucketedReplica (hash-bucketed by pk, touched-bucket-only rewrite,
+    // atomic pointer commit). Proves the incremental storage path and the
+    // one-shot merge agree on the same changelog.
+    "b8_incremental_merge" -> { (s, d) =>
+      val root = scratch("b8_replica", d)
+      val rep = new graft.streaming.BucketedReplica(root)
+      rep.destroy() // fresh replica per run (scratch persists across runs)
+      val ch = changelog(s, d)
+      rep.commit(ch.filter(col("pos") % 2 === 0)) // out-of-order halves:
+      rep.commit(ch.filter(col("pos") % 2 === 1)) // tombstone retention matters
+      rep.live(s)
+        .select(col("user_id"), col("pos").as("last_pos"),
+          col("value").as("last_value"), col("event_type").as("last_event"))
+        .orderBy("user_id")
+    },
     // B6 snapshot + incremental unification — backfill rows (op=INSERT,
     // pos=-1, reference README.md:157-160) unioned with the binlog tail, then
     // one merge produces the consistent replica.
@@ -439,6 +456,11 @@ object Cdc {
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
          |SELECT user_id, pos AS last_pos, value AS last_value
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "b8_incremental_merge" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
          |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "b6_snapshot_union" ->
       s"""WITH snap AS (

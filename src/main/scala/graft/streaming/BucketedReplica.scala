@@ -1,0 +1,203 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Incremental keyed replica with bucket-granular rewrites and atomic
+  * pointer commits — the storage half of the reference's streaming MERGE
+  * (reference README.md:195-206: staging → periodic MERGE into the replica;
+  * the Dataflow template performs a bounded keyed merge per cycle, never a
+  * full-table rewrite).
+  *
+  * Layout (all paths under `root`):
+  * {{{
+  *   _CURRENT                  // text: current version number, committed by
+  *                             // same-directory atomic rename
+  *   manifest-<v>.tsv          // bucket \t relative-data-dir, one per bucket
+  *   data/v<v>/bucket=<k>/part-….parquet
+  * }}}
+  *
+  * Scale design (the 100 TB story):
+  *  - rows are hash-bucketed by primary key (`pmod(xxhash64(pk), n)`), so a
+  *    micro-batch touches only the buckets its keys fall in: per-batch I/O is
+  *    O(touched buckets) ≈ O(batch keys · replica/nBuckets), NOT O(replica).
+  *    Untouched buckets keep their existing files — the new manifest simply
+  *    re-references them.
+  *  - readers resolve `_CURRENT` → manifest → bucket dirs; the pointer
+  *    rename is atomic, so a concurrent reader sees the old or the new
+  *    version in full, never a partial or empty replica. Version dirs
+  *    referenced by the current OR previous manifest are retained, so a
+  *    reader holding a just-replaced manifest still finds its files
+  *    (bounded-staleness retention, the VACUUM model of transactional table
+  *    formats).
+  *  - tombstones (op = DELETE) are retained in the stored form so
+  *    out-of-order micro-batches cannot resurrect deleted keys, and are
+  *    garbage-collected once their event time falls behind an explicit
+  *    horizon (the stream's watermark): no earlier position can still
+  *    arrive, so the tombstone has no one left to win against.
+  *
+  * The bucket column is derived from the pk (pure function), never stored —
+  * bucket files carry exactly `schema`.
+  */
+final class BucketedReplica(
+    val root: String,
+    pk: String = "user_id",
+    nBuckets: Int = 32,
+    schema: StructType = CdcStream.envelopeSchema,
+    posCol: String = "pos",
+    opCol: String = "op",
+    tsCol: String = "ts_ns") {
+
+  private def bucketExpr: Column = pmod(xxhash64(col(pk)), lit(nBuckets.toLong))
+
+  private def currentFile = Paths.get(root, "_CURRENT")
+
+  /** Version the pointer currently names, if the replica exists. */
+  def currentVersion: Option[Long] =
+    if (Files.isRegularFile(currentFile))
+      Some(new String(Files.readAllBytes(currentFile), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  private def manifestPath(v: Long) = Paths.get(root, s"manifest-$v.tsv")
+
+  private def readManifest(v: Long): Map[Int, String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(manifestPath(v)).asScala.filter(_.nonEmpty).map { line =>
+      val Array(b, rel) = line.split("\t", 2)
+      b.toInt -> rel
+    }.toMap
+  }
+
+  /** The stored replica (tombstones included) as of the current pointer. */
+  def read(spark: SparkSession): DataFrame = {
+    val paths = currentVersion.map(readManifest).getOrElse(Map.empty)
+      .values.map(rel => s"$root/$rel").toSeq.sorted
+    if (paths.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** The analyst-facing view: tombstoned keys filtered out. */
+  def live(spark: SparkSession): DataFrame =
+    read(spark).filter(col(opCol) =!= "DELETE")
+
+  /** Fold one change batch into the replica. Only buckets containing batch
+    * keys are re-merged and rewritten; the commit becomes visible with one
+    * atomic pointer rename. `tombstoneGcHorizon` (same unit as `tsCol`)
+    * lazily drops stored tombstones strictly older than the horizon from the
+    * buckets this commit touches — pass the stream's watermark; pass None to
+    * retain all tombstones (required while arbitrarily old positions can
+    * still arrive). Untouched buckets GC when next written, or via
+    * [[compactTombstones]]. */
+  def commit(batch: DataFrame, tombstoneGcHorizon: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val cols = schema.fieldNames.map(col).toSeq
+    val batchRows = batch.select(cols: _*)
+    val touched: Seq[Int] = batchRows
+      .select(bucketExpr.as("__b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSeq.sorted
+    if (touched.isEmpty) return // empty batch: nothing to commit
+
+    val man = currentVersion.map(readManifest).getOrElse(Map.empty)
+    val merged = graft.Cdc.merge(
+      readBuckets(spark, man, touched).unionByName(batchRows), Seq(pk),
+      posCol, opCol, keepTombstones = true)
+    val gcd = tombstoneGcHorizon match {
+      case Some(h) => merged.filter(!(col("is_deleted") && col(tsCol) < h))
+      case None    => merged
+    }
+    publish(touched, gcd.drop("is_deleted"))
+  }
+
+  /** Maintenance pass (the VACUUM analog of transactional table formats):
+    * rewrite exactly the buckets still holding tombstones older than
+    * `horizon`, dropping those tombstones. Safe once the stream's watermark
+    * has passed the horizon — no earlier position can arrive to lose against
+    * them. Runs as its own atomic version commit. */
+  def compactTombstones(spark: SparkSession, horizon: Long): Unit = {
+    val man = currentVersion.map(readManifest).getOrElse(Map.empty)
+    if (man.isEmpty) return
+    val isOldTombstone = col(opCol) === "DELETE" && col(tsCol) < horizon
+    val touched = read(spark).filter(isOldTombstone)
+      .select(bucketExpr.as("__b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSeq.sorted
+    if (touched.isEmpty) return
+    publish(touched, readBuckets(spark, man, touched).filter(!isOldTombstone))
+  }
+
+  private def readBuckets(spark: SparkSession, man: Map[Int, String],
+                          buckets: Seq[Int]): DataFrame = {
+    val paths = buckets.flatMap(man.get).map(rel => s"$root/$rel")
+    if (paths.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** Write `rows` (covering exactly `touched` buckets) as the next version,
+    * re-point the manifest, and flip the pointer atomically. */
+  private def publish(touched: Seq[Int], rows: DataFrame): Unit = {
+    val curV = currentVersion
+    val newV = curV.getOrElse(0L) + 1
+    val man = curV.map(readManifest).getOrElse(Map.empty)
+    val versionDir = s"$root/data/v$newV"
+    // one task per bucket → exactly one right-sized file per bucket dir
+    rows.withColumn("bucket", bucketExpr)
+      .repartition(math.min(nBuckets, touched.size.max(1)), col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(pk))
+      .write.partitionBy("bucket").parquet(versionDir)
+
+    // buckets whose rewrite produced zero rows (fully GC'd) write no dir and
+    // leave the manifest; everything else re-points at the new version
+    val written = Option(new File(versionDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(f => f.getName.stripPrefix("bucket=").toInt -> s"data/v$newV/${f.getName}")
+      .toMap
+    val newMan = (man -- touched) ++ written
+
+    Files.write(manifestPath(newV),
+      newMan.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    commitPointer(newV)
+    gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet)
+    curV.foreach(v => Files.deleteIfExists(manifestPath(v - 1))) // keep cur+prev
+  }
+
+  /** Atomic same-directory rename makes the new version visible all-at-once. */
+  private def commitPointer(v: Long): Unit = {
+    val tmp = Paths.get(root, s"_CURRENT.tmp$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete bucket dirs referenced by neither the new nor the previous
+    * manifest (readers may still hold the previous one — bounded staleness). */
+  private def gcUnreferenced(keep: Set[String]): Unit = {
+    val dataDir = new File(root, "data")
+    for {
+      vDir <- Option(dataDir.listFiles()).getOrElse(Array.empty)
+      if vDir.isDirectory
+      bDir <- Option(vDir.listFiles()).getOrElse(Array.empty)
+      if bDir.isDirectory && bDir.getName.startsWith("bucket=")
+      rel = s"data/${vDir.getName}/${bDir.getName}"
+      if !keep.contains(rel)
+    } deleteRecursively(bDir)
+    // drop version dirs left empty (only non-dir bookkeeping files remain)
+    Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(v => v.isDirectory &&
+        Option(v.listFiles()).getOrElse(Array.empty).forall(!_.isDirectory))
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Remove the replica entirely (test/scratch hygiene). */
+  def destroy(): Unit = deleteRecursively(new File(root))
+}

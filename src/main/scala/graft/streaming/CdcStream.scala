@@ -4,9 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
-import graft.Cdc
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** SURVEY §2 group D — the true streaming half of the CDC chain.
   *
@@ -19,10 +16,11 @@ import scala.jdk.CollectionConverters._
   * by construction.
   *
   * Scale notes: file-source discovery is O(new files) per micro-batch with
-  * `maxFilesPerTrigger` bounding batch size; the replica swap below is a
-  * filesystem rename (test-scale stand-in for a transactional table format —
-  * at 100 TB the replica would live in a format with atomic commit and the
-  * merge would be a keyed MERGE INTO, still driven from foreachBatch).
+  * `maxFilesPerTrigger` bounding batch size; the replica is a
+  * [[BucketedReplica]] — hash-bucketed by primary key, so each micro-batch
+  * re-merges and rewrites ONLY the buckets its keys touch (per-batch cost
+  * scales with batch size, not replica size) and commits with one atomic
+  * pointer rename (readers never observe a partial replica).
   */
 object CdcStream {
 
@@ -49,68 +47,46 @@ object CdcStream {
       .withWatermark("ts", watermark)
 
   /** D8 — stateful upsert per micro-batch: staging-append + latest-wins merge
-    * into the running replica (the Cloud_Datastream_to_BigQuery two-phase
-    * write, reference README.md:204-205), with D9's dead-letter split for
-    * rows that cannot merge (null primary key / position). */
+    * into the running [[BucketedReplica]] (the Cloud_Datastream_to_BigQuery
+    * two-phase write, reference README.md:204-205), with D9's dead-letter
+    * split for rows that cannot merge (null primary key / position).
+    *
+    * Only buckets containing batch keys are re-merged and rewritten — the
+    * per-batch work is bounded by the batch, not the replica (the property
+    * the reference's bounded staging→MERGE cycle exists for).
+    *
+    * `tombstoneRetentionNs`: when set, each commit garbage-collects stored
+    * DELETE tombstones older than (batch max event time − retention) — the
+    * watermark contract: a tombstone can be dropped only once no earlier
+    * position can still arrive for its key. Default None retains all
+    * tombstones (required when the source delivers unboundedly out of
+    * order, as in the redelivery specs). */
   def applyToReplica(changes: DataFrame, replicaDir: String, stagingDir: String,
-                     dlqDir: String, checkpointDir: String): StreamingQuery =
+                     dlqDir: String, checkpointDir: String,
+                     tombstoneRetentionNs: Option[Long] = None): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         // two-phase: append the raw batch to the staging changelog first
         batch.write.mode("append").parquet(stagingDir)
         // D9/A8: unmergeable rows aside, never fail the stream
         val bad = batch.filter(col("user_id").isNull || col("pos").isNull)
         if (!bad.isEmpty) bad.write.mode("append").parquet(dlqDir)
         val good = batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
-        val current = existingReplica(spark, replicaDir)
-        val unioned = current match {
-          case Some(cur) => cur.unionByName(good)
-          case None      => good
+        val horizon = tombstoneRetentionNs.flatMap { ret =>
+          Option(good.agg(max(col("ts_ns"))).head().get(0))
+            .map(_.asInstanceOf[Long] - ret)
         }
-        // Tombstones MUST be retained in the stored replica: with
-        // out-of-order arrival across micro-batches, dropping a DELETE's
-        // position would let a later batch carrying an OLDER event
-        // resurrect the key (found by StreamVolumeSpec). Production GC:
-        // tombstones older than the watermark can be compacted away once
-        // no earlier positions can still arrive.
-        val merged = Cdc.merge(unioned, Seq("user_id"), keepTombstones = true)
-          .drop("is_deleted")
-        swapWrite(merged, replicaDir)
+        new BucketedReplica(replicaDir).commit(good, horizon)
         ()
       }
       .start()
 
   /** The analyst-facing view of the replica: tombstoned keys filtered out
-    * (the stored form keeps them — see applyToReplica). */
+    * (the stored form keeps them — see [[BucketedReplica]]). */
   def liveReplica(spark: SparkSession, replicaDir: String): DataFrame =
-    spark.read.schema(envelopeSchema).parquet(replicaDir)
-      .filter(col("op") =!= "DELETE")
-
-  private def existingReplica(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = Paths.get(dir)
-    if (Files.isDirectory(p) &&
-      Files.list(p).iterator().asScala.exists(_.toString.endsWith(".parquet")))
-      Some(spark.read.schema(envelopeSchema).parquet(dir))
-    else None
-  }
-
-  /** Write-then-rename replica swap (atomic-commit stand-in; see module doc). */
-  private def swapWrite(df: DataFrame, dir: String): Unit = {
-    val tmp = dir + "__staged"
-    df.write.mode("overwrite").parquet(tmp)
-    val target = Paths.get(dir)
-    deleteRecursively(target)
-    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
+    new BucketedReplica(replicaDir).live(spark)
 
   /** D3 streaming form — tumbling change-volume counts with watermarking;
     * identical logic to the batch twin, run over a stream in tests. */
