@@ -158,23 +158,42 @@ object Extensions {
         .select("lang", "d1", "d2", "jaccard")
         .orderBy("lang", "d1", "d2")
     },
-    // E1 n-gram Jaccard, sparse/inverted-index form — the same pairs as e04
-    // computed the way a 100 TB engine must: explode shingles, self-join on
+    // E1 n-gram Jaccard, sparse/inverted-index form — computed the way a
+    // 100 TB engine must: explode shingles into a posting list, self-join on
     // the shingle (pairs that share nothing are never materialized), count
     // per pair = |∩|, then join back set sizes. Per-pair set operations
     // disappear; everything is shuffle-keyed aggregation.
+    //
+    // Document-frequency cut (the quadratic-blowup guard): a shingle with
+    // df = k generates k·(k−1)/2 candidate pairs, and the highest-df
+    // shingles ("of the"-class) are exactly the ones with the least
+    // discriminating power — so shingles with df > 8 on this fixture are
+    // dropped BEFORE the pair join, and Jaccard is taken over the filtered
+    // shingle sets. (Production rule: cap postings per shingle at a small
+    // constant or df ≤ ~0.1% of the corpus; the cut must be applied to the
+    // set sizes too, as here, to keep the measure a true Jaccard.) The hot
+    // list is tiny by construction → broadcast anti-join, so the posting
+    // list itself never shuffles df values around. The posting list is
+    // persisted: three plan branches (hot list, both join sides) read the
+    // shingle transform once instead of recomputing md5 per branch.
     "e04b_jaccard_sparse" -> { (s, d) =>
-      val base = load(s, d, "documents")
-        .filter(col("doc_id") % 10 === 0)
+      val maxDf = 8
+      val inv = load(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), col("lang"),
-          array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
+          explode(array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
             i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
-              element_at(col("tk"), i + 2))))).as("bg"))
-      val sizes = base.select(col("doc_id"), col("lang"), size(col("bg")).as("n"))
-      val inv = base.select(col("doc_id"), col("lang"), explode(col("bg")).as("sh"))
-      val common = inv.as("x").join(inv.as("y"),
+              element_at(col("tk"), i + 2)))))).as("sh"))
+        .persist()
+      val hot = inv.groupBy(col("lang"), col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+        .select(col("lang"), col("sh"))
+      val kept = inv.join(broadcast(hot), Seq("lang", "sh"), "left_anti")
+      val sizes = kept.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val common = kept.as("x").join(kept.as("y"),
         col("x.sh") === col("y.sh") && col("x.lang") === col("y.lang") &&
           col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.lang").as("lang"), col("x.doc_id").as("d1"),
@@ -440,17 +459,25 @@ object Extensions {
         |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
         |      i -> CAST(concat('0x', substring(md5(string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]), 1, 8)) AS BIGINT))) AS bg
         |  FROM documents
-        |  WHERE doc_id % 10 = 0 AND len(string_split(text,' ')) >= 2),
-        |pairs AS (
-        |  SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
-        |    len(list_intersect(a.bg, b.bg)) AS n_common,
-        |    len(a.bg) AS n1, len(b.bg) AS n2
-        |  FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |SELECT lang, d1, d2,
-        |  n_common::DOUBLE / (n1 + n2 - n_common) AS jaccard
-        |FROM pairs
-        |WHERE n_common::DOUBLE / (n1 + n2 - n_common) >= 0.1
-        |ORDER BY lang, d1, d2""".stripMargin,
+        |  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 2),
+        |inv AS (SELECT doc_id, lang, unnest(bg) AS sh FROM base),
+        |dfreq AS (SELECT lang, sh, COUNT(*) AS df FROM inv GROUP BY 1, 2),
+        |kept AS (SELECT i.doc_id, i.lang, i.sh
+        |         FROM inv i JOIN dfreq f ON i.lang = f.lang AND i.sh = f.sh
+        |         WHERE f.df <= 8),
+        |sizes AS (SELECT doc_id, lang, COUNT(*) AS n FROM kept GROUP BY 1, 2),
+        |common AS (
+        |  SELECT x.lang AS lang, x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS nc
+        |  FROM kept x JOIN kept y
+        |    ON x.sh = y.sh AND x.lang = y.lang AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT c.lang AS lang, d1, d2,
+        |  nc::DOUBLE / (s1.n + s2.n - nc) AS jaccard
+        |FROM common c
+        |JOIN sizes s1 ON c.d1 = s1.doc_id
+        |JOIN sizes s2 ON c.d2 = s2.doc_id
+        |WHERE nc::DOUBLE / (s1.n + s2.n - nc) >= 0.1
+        |ORDER BY c.lang, d1, d2""".stripMargin,
     "e04_ngram_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, lang,
