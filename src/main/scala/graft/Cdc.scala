@@ -42,6 +42,21 @@ object Cdc {
       col("value"),
       col("event_type"))
 
+  /** Datastream wire-shape form of [[changelog]] (SURVEY §1.2): nested
+    * `payload` + `source_metadata{op, tbl, source_ts_ns, log_file, pos}`
+    * structs, the envelope the real Datastream Avro/JSON objects carry.
+    * `log_file` models binlog file rotation (one file per 1000 positions). */
+  def nestedChangelog(spark: SparkSession, dir: String): DataFrame =
+    changelog(spark, dir).select(
+      struct(col("user_id"), col("value"), col("event_type")).as("payload"),
+      struct(col("op"), col("tbl"), col("ts_ns").as("source_ts_ns"),
+        concat(lit("binlog."), lpad(expr("pos div 1000").cast(StringType),
+          6, "0")).as("log_file"),
+        col("pos")).as("source_metadata"))
+
+  /** DuckDB twin of the nested envelope's log_file derivation. */
+  val logFileSql: String = "'binlog.' || lpad((pos // 1000)::VARCHAR, 6, '0')"
+
   /** SQL twin of [[changelog]] for the DuckDB oracles. */
   val changelogSql: String =
     """SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
@@ -129,6 +144,37 @@ object Cdc {
         .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"),
           sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
         .orderBy("op")
+    },
+    // A3c nested Datastream envelope over Avro — the wire shape the real
+    // Datastream objects carry (payload record + source_metadata record,
+    // SURVEY §1.2): write nested Avro, distributed decode with structs
+    // preserved, then extract from the nested form (binlog-file rotation
+    // stats per op).
+    "a3c_nested_avro" -> { (s, d) =>
+      val path = scratch("a3c_avro", d)
+      AvroChangeFiles.writeNested(nestedChangelog(s, d), path)
+      AvroChangeFiles.readNested(s, path)
+        .groupBy(col("source_metadata.op").as("op"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("source_metadata.log_file")).as("n_log_files"),
+          max(col("source_metadata.pos")).as("max_pos"),
+          sum(dec(col("payload.value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("op")
+    },
+    // A4b nested Datastream envelope over JSON — same wire shape through the
+    // inputFileFormat=json path (reference README.md:202): serialize the
+    // nested envelope to JSON, parse back with the nested schema, extract
+    // payload and metadata fields; per-binlog-file change profile.
+    "a4b_nested_json" -> { (s, d) =>
+      nestedChangelog(s, d)
+        .select(to_json(struct(col("payload"), col("source_metadata"))).as("j"))
+        .select(from_json(col("j"), AvroChangeFiles.nestedSparkSchema).as("e"))
+        .groupBy(col("e.source_metadata.log_file").as("log_file"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("e.payload.user_id")).as("n_users"),
+          max(col("e.source_metadata.pos")).as("max_pos"),
+          sum(dec(col("e.payload.value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("log_file")
     },
     // A4 JSON change events — serialize envelope to JSON strings, parse back
     // with an explicit schema (reference README.md:202 inputFileFormat=json).
@@ -388,6 +434,19 @@ object Cdc {
          |SELECT op, COUNT(*) AS n, MAX(pos) AS max_pos,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+    "a3c_nested_avro" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT op, COUNT(*) AS n,
+         |  COUNT(DISTINCT $logFileSql) AS n_log_files,
+         |  MAX(pos) AS max_pos,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+    "a4b_nested_json" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT $logFileSql AS log_file, COUNT(*) AS n,
+         |  COUNT(DISTINCT user_id) AS n_users, MAX(pos) AS max_pos,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ch GROUP BY 1 ORDER BY log_file""".stripMargin,
     "a4_json_roundtrip" ->
       s"""WITH ch AS ($changelogSql)
          |SELECT user_id, COUNT(*) AS n, MAX(pos) AS max_pos,

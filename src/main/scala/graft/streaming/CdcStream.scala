@@ -40,6 +40,30 @@ object CdcStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Normalize the nested Datastream wire envelope (payload +
+    * source_metadata — graft.sources.AvroChangeFiles.nestedSparkSchema,
+    * SURVEY §1.2) to the flat merge envelope, so D8 ingests either shape.
+    * Pure column extraction: works identically on batch and streaming
+    * DataFrames and stays inside whole-stage codegen. */
+  def flattenNested(nested: DataFrame): DataFrame =
+    nested.select(
+      col("source_metadata.op").as("op"),
+      col("source_metadata.tbl").as("tbl"),
+      col("source_metadata.pos").as("pos"),
+      col("source_metadata.source_ts_ns").as("ts_ns"),
+      col("payload.user_id").as("user_id"),
+      col("payload.value").as("value"),
+      col("payload.event_type").as("event_type"))
+
+  /** A5 variant for the nested wire shape: stream the change files with the
+    * nested schema, flattened for the merge. */
+  def nestedFileChangelogStream(spark: SparkSession, dir: String,
+                                maxFilesPerTrigger: Int = 1): DataFrame =
+    flattenNested(spark.readStream
+      .schema(graft.sources.AvroChangeFiles.nestedSparkSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir))
+
   /** D2 — event-time watermark over the change stream (ts_ns → micros ts). */
   def withEventTime(changes: DataFrame, watermark: String = "10 minutes"): DataFrame =
     changes

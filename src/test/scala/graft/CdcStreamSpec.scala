@@ -87,6 +87,31 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(replicaState(replica) === Map(1L -> (4L, 11.0), 2L -> (5L, 22.0), 3L -> (3L, 30.0)))
   }
 
+  test("D8 ingests the nested Datastream envelope (payload + source_metadata)") {
+    val in = tmpDir("cdc_nested_in"); val replica = tmpDir("cdc_nested_rep") + "/r"
+    val staging = tmpDir("cdc_nested_stg"); val dlq = tmpDir("cdc_nested_dlq")
+
+    // the same 3-batch changelog, re-wrapped in the nested wire shape
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val flat = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), CdcStream.envelopeSchema)
+      flat.select(
+        struct(col("user_id"), col("value"), col("event_type")).as("payload"),
+        struct(col("op"), col("tbl"), col("ts_ns").as("source_ts_ns"),
+          lit(f"binlog.$i%06d").as("log_file"), col("pos")).as("source_metadata"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    }
+    val q = CdcStream.applyToReplica(
+      CdcStream.nestedFileChangelogStream(spark, in, maxFilesPerTrigger = 1),
+      replica, staging, dlq, tmpDir("cdc_nested_ckpt"))
+    q.awaitTermination()
+
+    // identical final state to the flat-envelope run
+    assert(replicaState(replica) === Map(1L -> (7L, 12.0), 2L -> (5L, 22.0)))
+    // the null-key poison row still dead-letters after flattening
+    assert(spark.read.parquet(dlq).count() === 1)
+  }
+
   test("D6: re-delivery of the whole stream is idempotent") {
     val in = tmpDir("cdc_in2"); val replica = tmpDir("cdc_replica2") + "/r"
     val staging = tmpDir("cdc_staging2"); val dlq = tmpDir("cdc_dlq2")
