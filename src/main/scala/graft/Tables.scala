@@ -21,6 +21,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** A1 real-source branch: the same catalog interface over a live JDBC
+    * source (the reference's snapshot reads MySQL — README.md:64-67,136).
+    * Offline fixtures use [[load]]; a deployment passes the source URL here
+    * and every downstream operator is unchanged. See
+    * graft.sources.JdbcSnapshot for the partitioned backfill form. */
+  def loadJdbc(spark: SparkSession, url: String, name: String,
+               options: Map[String, String] = Map.empty): DataFrame =
+    graft.sources.JdbcSnapshot.read(spark, url, name, options)
+
   /** The events fixture carries parquet TIMESTAMP(NANOS), which Spark cannot
     * represent (TimestampType is microseconds). With
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every entry point)
