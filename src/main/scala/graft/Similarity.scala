@@ -76,6 +76,62 @@ object Similarity {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** Deterministic sampled seeds for IVF training: the k corpus vectors with
+    * the smallest md5-derived key of vec_id — an unbiased-but-reproducible
+    * sample (no RNG state, identical on every run and engine). */
+  def sampledSeeds(emb: DataFrame, k: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      md5(col("vec_id").cast(StringType)).as("__key"))
+      .orderBy(col("__key"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("embedding"))
+
+  /** Lloyd's k-means over cosine assignment, pure DataFrame ops: assign each
+    * vector to its argmax-cosine centroid (broadcast centroids, map-side),
+    * recompute each centroid as the element-wise mean of its members
+    * (posexplode → groupBy(cid, dim) → reassemble). Centroids are tiny
+    * (k × dim), so every iteration is one corpus pass + one k·dim-sized
+    * aggregate — the standard shape at any scale; k-means|| seeding would
+    * replace sampledSeeds on a real 100 TB corpus. Returns (cid, cemb). */
+  def kmeansCentroids(spark: SparkSession, emb: DataFrame, k: Int,
+                      iters: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    var cents = sampledSeeds(emb, k)
+      .select(row_number().over(Window.orderBy(col("vec_id"))).cast(LongType).as("cid"),
+        col("embedding").as("cemb"))
+    (0 until iters).foreach { _ =>
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cosine(col("embedding"), col("cemb")).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"),
+          transform(col("dm"), e => e.getField("m").cast(FloatType)).as("cemb"))
+    }
+    cents
+  }
+
+  /** Assign every corpus vector to its nearest centroid (argmax cosine). */
+  def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cemb")).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E2 brute-force cosine top-k: probe = vec 0, scan the corpus, keep 10.
     // Plan: broadcast 1-row probe → map-side cosine → TakeOrderedAndProject.
