@@ -140,6 +140,8 @@ object Extensions {
     // the difference between feasible and not at 100 TB. |∩|/|∪| stays exact
     // small-integer division, bit-identical on both engines.
     "e04_ngram_jaccard" -> { (s, d) =>
+      // persisted: both join sides read the md5-shingle transform from cache
+      // instead of recomputing it per branch
       val base = load(s, d, "documents")
         .filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
@@ -148,6 +150,7 @@ object Extensions {
           array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
             i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
               element_at(col("tk"), i + 2))))).as("bg"))
+        .persist()
       val a = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
       val b = base.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("bg").as("bg2"))
       a.join(b, col("lang") === col("lang2") && col("d1") < col("d2"))
@@ -343,6 +346,27 @@ object Extensions {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("t").as("rarest_term"), col("term_df"))
+        .orderBy("doc_id")
+    },
+    // E4/training prep — repetition filter: the max-bigram-repetition quality
+    // gate LLM data pipelines run before training (boilerplate / degenerate-
+    // generation detector). Per doc: most-repeated bigram count over total
+    // bigram count; per-doc generator + two keyed aggregations, no data ever
+    // leaves its doc_id partition until the final sort.
+    "e19_repetition_filter" -> { (s, d) =>
+      val tk = toks(col("text"))
+      load(s, d, "documents")
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(tk) - 2),
+            i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2))))
+            .as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"))
+        .withColumn("rep_ratio",
+          col("max_rep").cast(DoubleType) / col("n_bigrams"))
+        .withColumn("is_repetitive", col("rep_ratio") > 0.05)
         .orderBy("doc_id")
     },
     // E4 — corpus-wide n-gram statistics: top bigrams by frequency (the
@@ -581,6 +605,16 @@ object Extensions {
         |      FROM dt JOIN df ON dt.t = df.t)
         |SELECT doc_id, t AS rarest_term, term_df FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "e19_repetition_filter" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |pc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, SUM(c)::BIGINT AS n_bigrams, MAX(c) AS max_rep,
+        |  MAX(c)::DOUBLE / SUM(c) AS rep_ratio,
+        |  (MAX(c)::DOUBLE / SUM(c)) > 0.05 AS is_repetitive
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e20_top_ngrams" ->
       """WITH bg AS (
         |  SELECT unnest(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
