@@ -443,6 +443,20 @@ object Relational {
           |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o.o_orderkey""".stripMargin)
     },
+    // C32 distribution windows — percent_rank / cume_dist over supplier
+    // order value (exact rank arithmetic: (rank-1)/(n-1) and count≤/n on
+    // integers, so the doubles are identical on both engines).
+    "c32_percent_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      load(s, d, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
     // C33 weighted average via the custom DeclarativeAggregate — quantity-
     // weighted unit price per returnflag, exact decimal buffers.
     "c33_weighted_avg" -> { (s, d) =>
@@ -700,6 +714,14 @@ object Relational {
         |  ROUND((sxy - sx * sy / n)
         |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS corr_qty_price
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "c32_percent_rank" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "c33_weighted_avg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -144,11 +144,14 @@ final class BucketedReplica(
     val newV = curV.getOrElse(0L) + 1
     val man = curV.map(readManifest).getOrElse(Map.empty)
     val versionDir = s"$root/data/v$newV"
-    // one task per bucket → exactly one right-sized file per bucket dir
+    // one task per bucket → exactly one right-sized file per bucket dir.
+    // mode=overwrite: a writer that crashed after writing this version dir
+    // but before flipping the pointer leaves an orphan with this same
+    // version number — clobber it, never fail the recovery commit.
     rows.withColumn("bucket", bucketExpr)
       .repartition(math.min(nBuckets, touched.size.max(1)), col("bucket"))
       .sortWithinPartitions(col("bucket"), col(pk))
-      .write.partitionBy("bucket").parquet(versionDir)
+      .write.mode("overwrite").partitionBy("bucket").parquet(versionDir)
 
     // buckets whose rewrite produced zero rows (fully GC'd) write no dir and
     // leave the manifest; everything else re-points at the new version

@@ -83,6 +83,32 @@ class BucketedReplicaSpec extends SparkSpecBase {
     assert(versions.length <= 4, s"stale versions not GC'd: ${versions.mkString(",")}")
   }
 
+  test("a crash between data write and pointer flip leaves the replica consistent") {
+    val root = tmpDir("bkr_crash") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.commit(mkBatch((1L to 20L).map(k => row("INSERT", k, k * 10, k, k * 1.0))))
+    val before = rep.live(spark).collect().map(r => (r.getLong(4), r.getLong(2))).toSet
+
+    // simulate a writer that died mid-commit: the NEXT version dir (v2) is
+    // fully written — poison update included — but the pointer never flipped
+    val orphan = new File(root, "data/v2/bucket=0")
+    orphan.mkdirs()
+    mkBatch(Seq(row("UPDATE", 777L, 1L, 1L, 9.9)))
+      .coalesce(1).write.mode("overwrite").parquet(orphan.getAbsolutePath)
+
+    // readers resolve the pointer: the orphan is invisible
+    val after = rep.live(spark).collect().map(r => (r.getLong(4), r.getLong(2))).toSet
+    assert(after === before, "orphan version dir leaked into reads")
+
+    // the recovery commit reuses version 2: it must clobber the orphan (not
+    // fail on the existing dir) and publish only its own data
+    rep.commit(mkBatch(Seq(row("UPDATE", 1000L, 500L, 5L, 50.0))))
+    val end = rep.live(spark).collect().map(r => (r.getLong(4), r.getLong(2))).toMap
+    assert(end(5L) === 1000L)
+    assert(end(1L) === 1L, "the never-committed poison update must not apply")
+    assert(end.size === 20)
+  }
+
   test("tombstone GC drops deletes behind the watermark, keeps recent ones, no resurrection") {
     val root = tmpDir("bkr_gc") + "/rep"
     val rep = new BucketedReplica(root, nBuckets = 4)

@@ -91,6 +91,21 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("e04b sparse jaccard: hot-shingle cut is a broadcast anti-join over the cached posting list") {
+    // sf0.1: the only fixture where shingles exceed the df cut — at smaller
+    // SFs the hot list is empty and Catalyst (correctly) eliminates the anti
+    // join via empty-relation propagation, so there would be nothing to pin
+    val p = finalPlan(SparkEntry.queries("e04b_jaccard_sparse")(spark, "/root/testdata/sf0.1"))
+    // the df-cut must not shuffle the posting list against the hot list
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("SortMergeJoin(leftanti"), "anti join must broadcast, not shuffle")
+    // the posting list is persisted: consuming branches read the cache
+    // instead of recomputing the md5-shingle transform per branch
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    // and nothing in the pair pipeline degenerates to a nested-loop join
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("a11 partitioned read prunes to one partition directory") {
     val p = finalPlan(q("a11_partitioned_sink"))
     assert(p.contains("PartitionFilters: [isnotnull(op"))
