@@ -95,8 +95,16 @@ final class BucketedReplica(
     * [[compactTombstones]]. */
   def commit(batch: DataFrame, tombstoneGcHorizon: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    val cols = schema.fieldNames.map(col).toSeq
-    val batchRows = batch.select(cols: _*)
+    // Schema-drift tolerance (the reference's sink schemas are all-NULLABLE
+    // for the same reason — main.tf:197-215): a batch missing an envelope
+    // column lands it as NULL, out-of-contract extra columns are dropped,
+    // and drifted-but-castable types coerce. The stored schema is the
+    // declared contract, always.
+    val have = batch.columns.toSet
+    val batchRows = batch.select(schema.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     val touched: Seq[Int] = batchRows
       .select(bucketExpr.as("__b")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq.sorted

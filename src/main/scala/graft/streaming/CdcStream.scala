@@ -92,20 +92,38 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // two-phase: append the raw batch to the staging changelog first
-        batch.write.mode("append").parquet(stagingDir)
-        // D9/A8: unmergeable rows aside, never fail the stream
-        val bad = batch.filter(col("user_id").isNull || col("pos").isNull)
-        if (!bad.isEmpty) bad.write.mode("append").parquet(dlqDir)
-        val good = batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
-        val horizon = tombstoneRetentionNs.flatMap { ret =>
-          Option(good.agg(max(col("ts_ns"))).head().get(0))
-            .map(_.asInstanceOf[Long] - ret)
-        }
-        new BucketedReplica(replicaDir).commit(good, horizon)
-        ()
+        applyBatch(batch, batchId, replicaDir, stagingDir, dlqDir,
+          tombstoneRetentionNs)
       }
       .start()
+
+  /** One micro-batch of the D8 merge, idempotent under foreachBatch retries
+    * (Structured Streaming redelivers a batch with the SAME batchId after a
+    * mid-batch crash):
+    *  - staging and DLQ write to a batch_id=<id> partition dir with
+    *    overwrite, so a retry replaces its own output instead of appending a
+    *    duplicate (exactly-once staging; readers see batch_id as a partition
+    *    column);
+    *  - the replica commit is latest-wins over retained positions, so
+    *    re-committing the same batch is a semantic no-op (a new version with
+    *    identical live content). */
+  def applyBatch(batch: DataFrame, batchId: Long, replicaDir: String,
+                 stagingDir: String, dlqDir: String,
+                 tombstoneRetentionNs: Option[Long] = None): Unit = {
+    // two-phase: land the raw batch in the staging changelog first
+    batch.write.mode("overwrite").parquet(s"$stagingDir/batch_id=$batchId")
+    // D9/A8: unmergeable rows aside, never fail the stream
+    val bad = batch.filter(col("user_id").isNull || col("pos").isNull)
+    if (!bad.isEmpty)
+      bad.write.mode("overwrite").parquet(s"$dlqDir/batch_id=$batchId")
+    val good = batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
+    val horizon = tombstoneRetentionNs.flatMap { ret =>
+      Option(good.agg(max(col("ts_ns"))).head().get(0))
+        .map(_.asInstanceOf[Long] - ret)
+    }
+    new BucketedReplica(replicaDir).commit(good, horizon)
+    ()
+  }
 
   /** The analyst-facing view of the replica: tombstoned keys filtered out
     * (the stored form keeps them — see [[BucketedReplica]]). */

@@ -109,6 +109,24 @@ class BucketedReplicaSpec extends SparkSpecBase {
     assert(end.size === 20)
   }
 
+  test("schema drift: missing envelope columns land NULL, extra columns drop, types coerce") {
+    val root = tmpDir("bkr_drift") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.commit(mkBatch(Seq(row("INSERT", 1L, 100L, 1L, 1.0))))
+    // drifted producer: no event_type, extra column, int pos instead of long
+    val drifted = spark.range(1).select(
+      lit("UPDATE").as("op"), lit("users").as("tbl"),
+      lit(7).cast("int").as("pos"),            // drifted type: int, not long
+      lit(200L).as("ts_ns"), lit(1L).as("user_id"), lit(2.5).as("value"),
+      lit("surprise").as("not_in_contract"))   // out-of-contract column
+    rep.commit(drifted)
+    val got = rep.live(spark)
+    assert(got.schema === CdcStream.envelopeSchema, got.schema.treeString)
+    val r0 = got.head()
+    assert(r0.getLong(2) === 7L && r0.getDouble(5) === 2.5)
+    assert(r0.isNullAt(6), "missing event_type must land as NULL")
+  }
+
   test("tombstone GC drops deletes behind the watermark, keeps recent ones, no resurrection") {
     val root = tmpDir("bkr_gc") + "/rep"
     val rep = new BucketedReplica(root, nBuckets = 4)

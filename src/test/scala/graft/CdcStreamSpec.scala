@@ -112,6 +112,28 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(spark.read.parquet(dlq).count() === 1)
   }
 
+  test("foreachBatch retry with the same batchId is exactly-once for staging and DLQ") {
+    val replica = tmpDir("cdc_retry_rep") + "/r"
+    val staging = tmpDir("cdc_retry_stg"); val dlq = tmpDir("cdc_retry_dlq")
+    def df(i: Int) = spark.createDataFrame(
+      java.util.Arrays.asList(batches(i): _*), CdcStream.envelopeSchema)
+
+    CdcStream.applyBatch(df(0), 0L, replica, staging, dlq)
+    val once = spark.read.parquet(staging).count()
+    // a mid-batch crash redelivers the SAME batchId: staging must not grow
+    CdcStream.applyBatch(df(0), 0L, replica, staging, dlq)
+    assert(spark.read.parquet(staging).count() === once)
+    assert(replicaState(replica) ===
+      Map(1L -> (1L, 10.0), 2L -> (2L, 20.0), 3L -> (3L, 30.0)))
+    // the retried batch's DLQ partition is also replace-not-append
+    CdcStream.applyBatch(df(1), 1L, replica, staging, dlq)
+    CdcStream.applyBatch(df(1), 1L, replica, staging, dlq)
+    assert(spark.read.parquet(dlq).count() === 1)
+    assert(spark.read.parquet(staging).count() === 6)
+    // batch_id is exposed as a partition column for changelog audits
+    assert(spark.read.parquet(staging).select("batch_id").distinct().count() === 2)
+  }
+
   test("D6: re-delivery of the whole stream is idempotent") {
     val in = tmpDir("cdc_in2"); val replica = tmpDir("cdc_replica2") + "/r"
     val staging = tmpDir("cdc_staging2"); val dlq = tmpDir("cdc_dlq2")
