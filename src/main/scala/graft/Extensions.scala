@@ -161,6 +161,50 @@ object Extensions {
         .select("lang", "d1", "d2", "jaccard")
         .orderBy("lang", "d1", "d2")
     },
+    // E1 n-gram Jaccard, block-parallel form — same output as e04, different
+    // parallelism class. e04's only join key is the language, so its pair
+    // work lands on #langs reducers no matter how many cores exist. Here
+    // each language is sub-divided into a B×B grid of doc-hash blocks: the
+    // a-side owns its row block and is replicated across the B column
+    // blocks, the b-side vice versa, so every (a, b) pair meets in exactly
+    // one of lang×B² independent blocks. Replication factor B on the
+    // sampled projections buys parallelism lang×B² — the standard
+    // cross-block self-join decomposition (same family as b7's salted
+    // merge). Output provably identical: the oracle is e04's, verbatim.
+    // (Measured at fixture scale the wall-clock matches e04 — the pair
+    // shuffle is ~10 MB, so AQE correctly coalesces the B² blocks back to a
+    // few partitions; the decomposition pays exactly when shuffle sizes are
+    // too large to coalesce, which is the 100 TB regime it exists for.)
+    "e04c_jaccard_blocked" -> { (s, d) =>
+      val B = 4
+      val base = load(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
+              element_at(col("tk"), i + 2))))).as("bg"))
+        .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(B.toLong)))
+        .persist() // replicas read the shingle transform from cache, not 2B×
+      val grid = explode(sequence(lit(0L), lit(B - 1L))).as("other")
+      val a = base.select(col("doc_id").as("d1"), col("lang"),
+        col("bg").as("bg1"), col("blk").as("a_row"), grid)
+        .withColumnRenamed("other", "a_col")
+      val b = base.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+        col("bg").as("bg2"), col("blk").as("b_col"), grid)
+        .withColumnRenamed("other", "b_row")
+      a.join(b,
+        col("lang") === col("lang2") &&
+          col("a_row") === col("b_row") && col("a_col") === col("b_col") &&
+          col("d1") < col("d2"))
+        .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
+        .withColumn("jaccard", col("n_common").cast(DoubleType)
+          / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
+        .filter(col("jaccard") >= 0.1)
+        .select("lang", "d1", "d2", "jaccard")
+        .orderBy("lang", "d1", "d2")
+    },
     // E1 n-gram Jaccard, sparse/inverted-index form — computed the way a
     // 100 TB engine must: explode shingles into a posting list, self-join on
     // the shingle (pairs that share nothing are never materialized), count
@@ -426,6 +470,24 @@ object Extensions {
        |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id)""".stripMargin
   }
 
+  private val denseJaccardSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
+      |      i -> CAST(concat('0x', substring(md5(string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]), 1, 8)) AS BIGINT))) AS bg
+      |  FROM documents
+      |  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 2),
+      |pairs AS (
+      |  SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
+      |    len(list_intersect(a.bg, b.bg)) AS n_common,
+      |    len(a.bg) AS n1, len(b.bg) AS n2
+      |  FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT lang, d1, d2,
+      |  n_common::DOUBLE / (n1 + n2 - n_common) AS jaccard
+      |FROM pairs
+      |WHERE n_common::DOUBLE / (n1 + n2 - n_common) >= 0.1
+      |ORDER BY lang, d1, d2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "e01_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -502,23 +564,10 @@ object Extensions {
         |JOIN sizes s2 ON c.d2 = s2.doc_id
         |WHERE nc::DOUBLE / (s1.n + s2.n - nc) >= 0.1
         |ORDER BY c.lang, d1, d2""".stripMargin,
-    "e04_ngram_jaccard" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 1),
-        |      i -> CAST(concat('0x', substring(md5(string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]), 1, 8)) AS BIGINT))) AS bg
-        |  FROM documents
-        |  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= 2),
-        |pairs AS (
-        |  SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
-        |    len(list_intersect(a.bg, b.bg)) AS n_common,
-        |    len(a.bg) AS n1, len(b.bg) AS n2
-        |  FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |SELECT lang, d1, d2,
-        |  n_common::DOUBLE / (n1 + n2 - n_common) AS jaccard
-        |FROM pairs
-        |WHERE n_common::DOUBLE / (n1 + n2 - n_common) >= 0.1
-        |ORDER BY lang, d1, d2""".stripMargin,
+    "e04_ngram_jaccard" -> denseJaccardSql,
+    // identical semantics by construction — the B×B blocking never changes
+    // which pairs exist, only where they are computed
+    "e04c_jaccard_blocked" -> denseJaccardSql,
     "e05_simhash" -> {
       val hs = String.format(tokenHashSql, "t")
       val sums = (0 until 32).map(j =>
