@@ -110,20 +110,61 @@ object CdcStream {
   def applyBatch(batch: DataFrame, batchId: Long, replicaDir: String,
                  stagingDir: String, dlqDir: String,
                  tombstoneRetentionNs: Option[Long] = None): Unit = {
+    val good = stageAndSplit(batch, batchId, stagingDir, dlqDir)
+    new BucketedReplica(replicaDir)
+      .commit(good, horizonOf(good, tombstoneRetentionNs))
+    ()
+  }
+
+  /** D8, multi-table form — the shape the reference's merge job actually
+    * has: the Cloud_Datastream_to_BigQuery template folds EVERY source
+    * table from one change stream into its own replica (README.md:195-206;
+    * merge targets are both `pets` and `events`, main.tf:197-215). Events
+    * fan out on the envelope's `tbl` column to per-table BucketedReplicas
+    * under `replicaRoot/<tbl>`; staging and DLQ stay unified (one changelog,
+    * batch_id-partitioned). The per-table loop is control-plane only
+    * (#tables entries), exactly like the template's per-target merges. */
+  def applyToReplicasByTable(changes: DataFrame, replicaRoot: String,
+                             stagingDir: String, dlqDir: String,
+                             checkpointDir: String,
+                             tombstoneRetentionNs: Option[Long] = None): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val good = stageAndSplit(batch, batchId, stagingDir, dlqDir)
+        val tbls = good.select("tbl").distinct()
+          .collect().map(_.getString(0)).sorted
+        tbls.foreach { t =>
+          val sub = good.filter(col("tbl") === t)
+          new BucketedReplica(s"$replicaRoot/$t")
+            .commit(sub, horizonOf(sub, tombstoneRetentionNs))
+        }
+      }
+      .start()
+
+  /** Read one table's replica from a multi-table root. */
+  def liveReplicaFor(spark: SparkSession, replicaRoot: String,
+                     tbl: String): DataFrame =
+    new BucketedReplica(s"$replicaRoot/$tbl").live(spark)
+
+  private def stageAndSplit(batch: DataFrame, batchId: Long,
+                            stagingDir: String, dlqDir: String): DataFrame = {
     // two-phase: land the raw batch in the staging changelog first
     batch.write.mode("overwrite").parquet(s"$stagingDir/batch_id=$batchId")
     // D9/A8: unmergeable rows aside, never fail the stream
     val bad = batch.filter(col("user_id").isNull || col("pos").isNull)
     if (!bad.isEmpty)
       bad.write.mode("overwrite").parquet(s"$dlqDir/batch_id=$batchId")
-    val good = batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
-    val horizon = tombstoneRetentionNs.flatMap { ret =>
+    batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
+  }
+
+  private def horizonOf(good: DataFrame,
+                        retentionNs: Option[Long]): Option[Long] =
+    retentionNs.flatMap { ret =>
       Option(good.agg(max(col("ts_ns"))).head().get(0))
         .map(_.asInstanceOf[Long] - ret)
     }
-    new BucketedReplica(replicaDir).commit(good, horizon)
-    ()
-  }
 
   /** The analyst-facing view of the replica: tombstoned keys filtered out
     * (the stored form keeps them — see [[BucketedReplica]]). */

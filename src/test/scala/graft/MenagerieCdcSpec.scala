@@ -72,4 +72,35 @@ class MenagerieCdcSpec extends SparkSpecBase {
     assert(live.contains("Alfred") && !live.contains("Bowser"))
     assert(live.size === 9)
   }
+
+  test("one stream fans out to per-table replicas (pets AND events, like the reference's merge job)") {
+    val in = tmpDir("mt_in"); val root = tmpDir("mt_rep") + "/r"
+    // one changelog carrying BOTH menagerie tables' changes, interleaved —
+    // the event_type column carries the row key name for assertion
+    def ev(op: String, tbl: String, pos: Long, key: Long, name: String) =
+      Row(op, tbl, pos, pos * 1000, key, 0.0, name)
+    spark.createDataFrame(java.util.Arrays.asList(
+      ev("INSERT", "pets", 1L, 1L, "Fluffy"),
+      ev("INSERT", "events", 2L, 1L, "litter"),
+      ev("INSERT", "pets", 3L, 2L, "Bowser"),
+      ev("INSERT", "events", 4L, 2L, "kennel")), CdcStream.envelopeSchema)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    spark.createDataFrame(java.util.Arrays.asList(
+      ev("DELETE", "pets", 5L, 2L, "Bowser"),        // pet dies...
+      ev("UPDATE", "events", 6L, 2L, "vet")), CdcStream.envelopeSchema)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+
+    val q = CdcStream.applyToReplicasByTable(
+      CdcStream.fileChangelogStream(spark, in), root,
+      tmpDir("mt_st"), tmpDir("mt_dlq"), tmpDir("mt_ck"))
+    q.awaitTermination()
+
+    val pets = CdcStream.liveReplicaFor(spark, root, "pets")
+      .collect().map(r => r.getLong(4) -> r.getString(6)).toMap
+    val events = CdcStream.liveReplicaFor(spark, root, "events")
+      .collect().map(r => r.getLong(4) -> r.getString(6)).toMap
+    // the pets delete removed key 2 from pets ONLY; events key 2 updated
+    assert(pets === Map(1L -> "Fluffy"))
+    assert(events === Map(1L -> "litter", 2L -> "vet"))
+  }
 }
