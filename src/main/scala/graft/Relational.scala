@@ -86,6 +86,20 @@ object Relational {
           sum(dec(col("o_totalprice"))).cast(DoubleType).as("spend"))
         .orderBy("c_custkey")
     },
+    // C7b full outer join — both unmatched sides preserved (customers with
+    // no orders AND orders whose customer is outside the slice); grouped on
+    // the coalesced key so the null-extension rows are visible in the
+    // output deterministically.
+    "c07b_join_full" -> { (s, d) =>
+      val c = load(s, d, "customer").filter(col("c_custkey") <= 50)
+      val o = load(s, d, "orders").filter(col("o_custkey") > 30)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("k"))
+        .agg(max(col("c_custkey").isNotNull).as("has_customer"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("spend"))
+        .orderBy("k")
+    },
     // C8 left-semi (EXISTS) — join emits only left columns, no row multiplication.
     "c08_join_semi" -> { (s, d) =>
       val c = load(s, d, "customer")
@@ -510,6 +524,15 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "c07b_join_full" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS k,
+        |  MAX(c_custkey IS NOT NULL) AS has_customer,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM (SELECT * FROM customer WHERE c_custkey <= 50) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey > 30) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY k""".stripMargin,
     "c08_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)

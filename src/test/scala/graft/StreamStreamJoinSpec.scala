@@ -56,4 +56,44 @@ class StreamStreamJoinSpec extends SparkSpecBase {
     // user 99's self-pairing (601-600=1min, in window) is expected
     assert(rows.size === 3)
   }
+
+  test("stream-stream LEFT OUTER join emits null-extended signups once the watermark closes the window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val signups = MemoryStream[(Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Double)]
+
+    val sdf = signups.toDF().toDF("s_user", "s_ts_ns")
+      .withColumn("s_ts", timestamp_micros(expr("s_ts_ns div 1000")))
+      .withWatermark("s_ts", "10 minutes")
+    val pdf = purchases.toDF().toDF("p_user", "p_ts_ns", "value")
+      .withColumn("p_ts", timestamp_micros(expr("p_ts_ns div 1000")))
+      .withWatermark("p_ts", "10 minutes")
+
+    val joined = sdf.join(pdf,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("s_user").as("user"), col("value"))
+
+    val q = joined.writeStream.format("memory").queryName("attributed_lo")
+      .outputMode("append").start()
+
+    signups.addData((1L, T0), (2L, T0))
+    purchases.addData((1L, T0 + 30 * M, 9.99)) // user 1 converts, user 2 never
+    q.processAllAvailable()
+    // the null-extended row for user 2 can only be emitted once the
+    // watermark proves no matching purchase can still arrive
+    signups.addData((99L, T0 + 600 * M))
+    purchases.addData((99L, T0 + 601 * M, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attributed_lo")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(rows.contains((1L, Some(9.99))), rows.toString)
+    assert(rows.contains((2L, None)),
+      s"non-converting signup must appear null-extended after watermark: $rows")
+  }
 }
