@@ -94,6 +94,24 @@ object StreamingOps {
           col("last_purchase_pos"), col("last_purchase_value"))
         .orderBy("user_id", "error_pos")
     },
+    // D10b — the same as-of semantics through the custom operator
+    // (AsofJoinPlan logical node → BroadcastAsofJoinStrategy →
+    // BroadcastAsofJoinExec): broadcast the purchase timeline per user,
+    // binary-search per error row. The regime complement of d10's
+    // union-scan (big probe × dimension-sized versioned reference, probe
+    // never shuffles); identical answers, same DuckDB ASOF oracle.
+    "d10b_asof_custom" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("user_id", "event_id", "ts_ns", "event_type", "value")
+      val errors = ev.filter(col("event_type") === "error")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.plans.AsofJoin
+        .broadcastAsof(errors, purchases, "user_id", "ts_ns", "event_id")
+        .select(col("user_id"), col("event_id").as("error_pos"),
+          col("ref_event_id").as("last_purchase_pos"),
+          col("ref_value").as("last_purchase_value"))
+        .orderBy("user_id", "error_pos")
+    },
     // D7 stream–static join — enrich the change stream with a dimension
     // table; the static side broadcasts (no stream state), the plan that
     // holds at any stream scale.
@@ -133,6 +151,13 @@ object StreamingOps {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d10_asof_join" ->
+      """SELECT e.user_id AS user_id, e.event_id AS error_pos,
+        |  p.event_id AS last_purchase_pos, p.value AS last_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY user_id, error_pos""".stripMargin,
+    "d10b_asof_custom" ->
       """SELECT e.user_id AS user_id, e.event_id AS error_pos,
         |  p.event_id AS last_purchase_pos, p.value AS last_purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
