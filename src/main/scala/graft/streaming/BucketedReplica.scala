@@ -52,7 +52,40 @@ final class BucketedReplica(
     opCol: String = "op",
     tsCol: String = "ts_ns") {
 
-  private def bucketExpr: Column = pmod(xxhash64(col(pk)), lit(nBuckets.toLong))
+  /** The bucket count is part of the stored layout: rows were placed by
+    * `pmod(xxhash64(pk), n)` at write time, so re-deriving buckets with a
+    * different n would make touched-bucket reads miss existing rows and
+    * duplicate keys. The first commit pins n (and the pk) in `_META`; every
+    * later open of the same replica must agree or fails loudly. */
+  private lazy val effectiveBuckets: Int = {
+    val meta = Paths.get(root, "_META")
+    if (Files.isRegularFile(meta)) {
+      val kv = new String(Files.readAllBytes(meta), StandardCharsets.UTF_8)
+        .linesIterator.filter(_.contains("=")).map { l =>
+          val Array(k, v) = l.split("=", 2); k -> v
+        }.toMap
+      require(kv("pk") == pk,
+        s"replica at $root is keyed by ${kv("pk")}, not $pk")
+      val stored = kv("nBuckets").toInt
+      require(stored == nBuckets,
+        s"replica at $root was laid out with nBuckets=$stored; " +
+          s"reopening with $nBuckets would mis-place keys")
+      stored
+    } else nBuckets
+  }
+
+  private def writeMetaIfAbsent(): Unit = {
+    val meta = Paths.get(root, "_META")
+    if (!Files.isRegularFile(meta)) {
+      Files.createDirectories(Paths.get(root))
+      Files.write(meta,
+        s"nBuckets=$effectiveBuckets\npk=$pk\n".getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
+  private def bucketExpr: Column =
+    pmod(xxhash64(col(pk)), lit(effectiveBuckets.toLong))
 
   private def currentFile = Paths.get(root, "_CURRENT")
 
@@ -148,6 +181,7 @@ final class BucketedReplica(
   /** Write `rows` (covering exactly `touched` buckets) as the next version,
     * re-point the manifest, and flip the pointer atomically. */
   private def publish(touched: Seq[Int], rows: DataFrame): Unit = {
+    writeMetaIfAbsent()
     val curV = currentVersion
     val newV = curV.getOrElse(0L) + 1
     val man = curV.map(readManifest).getOrElse(Map.empty)
@@ -157,7 +191,7 @@ final class BucketedReplica(
     // but before flipping the pointer leaves an orphan with this same
     // version number — clobber it, never fail the recovery commit.
     rows.withColumn("bucket", bucketExpr)
-      .repartition(math.min(nBuckets, touched.size.max(1)), col("bucket"))
+      .repartition(math.min(effectiveBuckets, touched.size.max(1)), col("bucket"))
       .sortWithinPartitions(col("bucket"), col(pk))
       .write.mode("overwrite").partitionBy("bucket").parquet(versionDir)
 

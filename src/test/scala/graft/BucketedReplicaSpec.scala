@@ -109,6 +109,28 @@ class BucketedReplicaSpec extends SparkSpecBase {
     assert(end.size === 20)
   }
 
+  test("layout pinning: a replica refuses writers configured with a different bucket count or key") {
+    val root = tmpDir("bkr_meta") + "/rep"
+    new BucketedReplica(root, nBuckets = 4)
+      .commit(mkBatch(Seq(row("INSERT", 1L, 10L, 1L, 1.0))))
+    // wrong bucket count: rows were PLACED with n=4; n=8 would mis-derive
+    val wrongN = intercept[IllegalArgumentException] {
+      new BucketedReplica(root, nBuckets = 8)
+        .commit(mkBatch(Seq(row("INSERT", 2L, 20L, 2L, 2.0))))
+    }
+    assert(wrongN.getMessage.contains("nBuckets=4"), wrongN.getMessage)
+    // wrong primary key
+    val wrongPk = intercept[IllegalArgumentException] {
+      new BucketedReplica(root, pk = "pos", nBuckets = 4)
+        .commit(mkBatch(Seq(row("INSERT", 3L, 30L, 3L, 3.0))))
+    }
+    assert(wrongPk.getMessage.contains("keyed by"), wrongPk.getMessage)
+    // matching configuration keeps working; reads never need the layout
+    new BucketedReplica(root, nBuckets = 4)
+      .commit(mkBatch(Seq(row("INSERT", 4L, 40L, 4L, 4.0))))
+    assert(new BucketedReplica(root).live(spark).count() === 2) // default open reads fine
+  }
+
   test("schema drift: missing envelope columns land NULL, extra columns drop, types coerce") {
     val root = tmpDir("bkr_drift") + "/rep"
     val rep = new BucketedReplica(root, nBuckets = 4)
