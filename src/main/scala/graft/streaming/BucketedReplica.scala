@@ -134,10 +134,14 @@ final class BucketedReplica(
     // and drifted-but-castable types coerce. The stored schema is the
     // declared contract, always.
     val have = batch.columns.toSet
+    // Null primary keys are unmergeable at the storage layer (xxhash64(null)
+    // has no bucket): skip them deterministically rather than NPE. The
+    // streaming path pre-filters these into the DLQ; direct callers (b8,
+    // library use) get the same drop-don't-crash contract here.
     val batchRows = batch.select(schema.fields.toSeq.map { f =>
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
+    }: _*).filter(col(pk).isNotNull)
     val touched: Seq[Int] = batchRows
       .select(bucketExpr.as("__b")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq.sorted
@@ -147,8 +151,14 @@ final class BucketedReplica(
     val merged = graft.Cdc.merge(
       readBuckets(spark, man, touched).unionByName(batchRows), Seq(pk),
       posCol, opCol, keepTombstones = true)
+    // GC only tombstones PROVABLY behind the horizon: a null event time
+    // (possible via the schema-drift NULL landing above) must be retained,
+    // not dropped — dropping it re-opens the key-resurrection hazard the
+    // tombstone exists to prevent. The isNotNull conjunct also keeps the
+    // predicate two-valued, so `!` never swallows rows via SQL NULL.
     val gcd = tombstoneGcHorizon match {
-      case Some(h) => merged.filter(!(col("is_deleted") && col(tsCol) < h))
+      case Some(h) => merged.filter(
+        !((col("is_deleted") <=> true) && col(tsCol).isNotNull && col(tsCol) < h))
       case None    => merged
     }
     publish(touched, gcd.drop("is_deleted"))
@@ -162,7 +172,11 @@ final class BucketedReplica(
   def compactTombstones(spark: SparkSession, horizon: Long): Unit = {
     val man = currentVersion.map(readManifest).getOrElse(Map.empty)
     if (man.isEmpty) return
-    val isOldTombstone = col(opCol) === "DELETE" && col(tsCol) < horizon
+    // <=> and isNotNull keep this two-valued: a null-op or null-ts row is
+    // never "provably old", so filter(!isOldTombstone) retains it instead of
+    // dropping it through three-valued NULL.
+    val isOldTombstone =
+      (col(opCol) <=> "DELETE") && col(tsCol).isNotNull && col(tsCol) < horizon
     val touched = read(spark).filter(isOldTombstone)
       .select(bucketExpr.as("__b")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq.sorted

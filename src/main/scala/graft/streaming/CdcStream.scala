@@ -132,7 +132,8 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val good = stageAndSplit(batch, batchId, stagingDir, dlqDir)
+        val good = stageAndSplit(batch, batchId, stagingDir, dlqDir,
+          requireTbl = true)
         val tbls = good.select("tbl").distinct()
           .collect().map(_.getString(0)).sorted
         tbls.foreach { t =>
@@ -149,14 +150,21 @@ object CdcStream {
     new BucketedReplica(s"$replicaRoot/$tbl").live(spark)
 
   private def stageAndSplit(batch: DataFrame, batchId: Long,
-                            stagingDir: String, dlqDir: String): DataFrame = {
+                            stagingDir: String, dlqDir: String,
+                            requireTbl: Boolean = false): DataFrame = {
     // two-phase: land the raw batch in the staging changelog first
     batch.write.mode("overwrite").parquet(s"$stagingDir/batch_id=$batchId")
-    // D9/A8: unmergeable rows aside, never fail the stream
-    val bad = batch.filter(col("user_id").isNull || col("pos").isNull)
+    // D9/A8: unmergeable rows aside, never fail the stream. In the
+    // multi-table fan-out a null table name is unmergeable too — there is no
+    // replica it could belong to — so it dead-letters with the null-key rows
+    // instead of NPE-ing the per-table loop or silently vanishing.
+    val unroutable =
+      if (requireTbl) col("user_id").isNull || col("pos").isNull || col("tbl").isNull
+      else col("user_id").isNull || col("pos").isNull
+    val bad = batch.filter(unroutable)
     if (!bad.isEmpty)
       bad.write.mode("overwrite").parquet(s"$dlqDir/batch_id=$batchId")
-    batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
+    batch.filter(!unroutable)
   }
 
   private def horizonOf(good: DataFrame,

@@ -173,4 +173,38 @@ class BucketedReplicaSpec extends SparkSpecBase {
     rep.commit(mkBatch(Seq(row("INSERT", 20L, 9900L, 1L, 7.0))))
     assert(rep.live(spark).filter(col("user_id") === 1L).count() === 1)
   }
+
+  test("a tombstone with NULL event time is never GC'd (not provably behind any horizon)") {
+    val root = tmpDir("bkr_nullts") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    // schema-drift path: a producer without ts_ns lands the column as NULL
+    val noTs = spark.range(1).select(
+      lit("DELETE").as("op"), lit("users").as("tbl"), lit(5L).as("pos"),
+      lit(9L).as("user_id"), lit(0.0).as("value"), lit("evt").as("event_type"))
+    rep.commit(noTs)
+    // in-commit GC with a horizon: the null-ts tombstone must survive
+    rep.commit(mkBatch(Seq(row("INSERT", 6L, 8000L, 10L, 1.0))),
+      tombstoneGcHorizon = Some(7000L))
+    // maintenance compaction must not drop it either
+    rep.compactTombstones(spark, horizon = Long.MaxValue)
+    val stored = rep.read(spark).collect()
+      .map(r => (r.getLong(4), r.getString(0))).toSet
+    assert(stored.contains((9L, "DELETE")),
+      s"null-ts tombstone was GC'd — resurrection hazard re-opened: $stored")
+    // and it still wins: a late lower-position update for key 9 stays dead
+    rep.commit(mkBatch(Seq(row("UPDATE", 3L, 100L, 9L, 42.0))))
+    assert(rep.live(spark).filter(col("user_id") === 9L).count() === 0)
+  }
+
+  test("direct commit skips null-pk rows deterministically instead of NPE-ing") {
+    val root = tmpDir("bkr_nullpk") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    val mixed = mkBatch(Seq(
+      row("INSERT", 1L, 100L, 1L, 1.0),
+      Row("INSERT", "users", 2L, 200L, null, 2.0, "evt"), // null pk: no bucket
+      row("INSERT", 3L, 300L, 3L, 3.0)))
+    rep.commit(mixed) // must not throw
+    val keys = rep.live(spark).collect().map(_.getLong(4)).toSet
+    assert(keys === Set(1L, 3L), s"expected null-pk row skipped, got $keys")
+  }
 }

@@ -103,4 +103,28 @@ class MenagerieCdcSpec extends SparkSpecBase {
     assert(pets === Map(1L -> "Fluffy"))
     assert(events === Map(1L -> "litter", 2L -> "vet"))
   }
+
+  test("a null table name dead-letters instead of crashing the multi-table stream") {
+    val in = tmpDir("nt_in"); val root = tmpDir("nt_rep") + "/r"
+    val dlq = tmpDir("nt_dlq")
+    def ev(op: String, tbl: String, pos: Long, key: Long, name: String) =
+      Row(op, tbl, pos, pos * 1000, key, 0.0, name)
+    spark.createDataFrame(java.util.Arrays.asList(
+      ev("INSERT", "pets", 1L, 1L, "Fluffy"),
+      ev("INSERT", null, 2L, 2L, "orphaned"),   // no replica can own this row
+      ev("INSERT", "events", 3L, 3L, "litter")), CdcStream.envelopeSchema)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(in)
+
+    val q = CdcStream.applyToReplicasByTable(
+      CdcStream.fileChangelogStream(spark, in), root,
+      tmpDir("nt_st"), dlq, tmpDir("nt_ck"))
+    q.awaitTermination() // D9 contract: the stream must complete, not NPE
+
+    val pets = CdcStream.liveReplicaFor(spark, root, "pets").count()
+    val events = CdcStream.liveReplicaFor(spark, root, "events").count()
+    assert(pets === 1 && events === 1)
+    val dead = spark.read.parquet(dlq).collect()
+    assert(dead.length === 1 && dead.head.getString(6) === "orphaned",
+      "the null-tbl row must land in the DLQ, not vanish")
+  }
 }
