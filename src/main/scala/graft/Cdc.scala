@@ -79,6 +79,22 @@ object Cdc {
     else latest.filter(col(opCol) =!= "DELETE")
   }
 
+  /** B9 — SCD Type 2 historization of a changelog: instead of latest-wins
+    * (the replica the reference's merge job maintains, SCD1), keep EVERY
+    * change as a validity interval [valid_from_pos, valid_to_pos), closed by
+    * the key's next change; the open interval (valid_to_pos NULL, op not
+    * DELETE) is the current row. One window pass per key — the same single
+    * pk-shuffle cost class as [[merge]], AQE-skew-safe. */
+  def scd2(changes: DataFrame, pkCols: Seq[String],
+           posCol: String = "pos"): DataFrame = {
+    val w = Window.partitionBy(pkCols.map(col): _*).orderBy(col(posCol))
+    changes
+      .withColumn("valid_from_pos", col(posCol))
+      .withColumn("valid_to_pos", lead(col(posCol), 1).over(w))
+      .withColumn("is_current",
+        col("valid_to_pos").isNull && col("op") =!= "DELETE")
+  }
+
   /** Deterministic per-query scratch dir (A3/A6/A7 write-then-read). */
   private def scratch(name: String, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -392,6 +408,32 @@ object Cdc {
         .select(col("user_id"), col("pos").as("last_pos"),
           col("value").as("last_value"), col("event_type").as("last_event"))
         .orderBy("user_id")
+    },
+    // B9 SCD Type 2 — the history-table alternative to the latest-wins
+    // replica: every change becomes a validity interval, the open interval is
+    // the current row. See [[scd2]].
+    "b9_scd2_history" -> { (s, d) =>
+      scd2(changelog(s, d), Seq("user_id"))
+        .select(col("user_id"), col("valid_from_pos"), col("op"), col("value"),
+          col("valid_to_pos"), col("is_current"))
+        .orderBy("user_id", "valid_from_pos")
+    },
+    // B10 change feed — CDC read back OUT of the replica: commit the
+    // changelog's first half (by position) as version 1 and the rest as
+    // version 2, then diff the two retained versions into the INSERT/UPDATE/
+    // DELETE set a downstream consumer would apply. Exercises the
+    // BucketedReplica's time travel (readAt) + full-outer keyed diff.
+    "b10_change_feed" -> { (s, d) =>
+      val root = scratch("b10_replica", d)
+      val rep = new graft.streaming.BucketedReplica(root)
+      rep.destroy() // fresh replica per run (scratch persists across runs)
+      val ch = changelog(s, d)
+      val cut = ch.agg(max(col("pos"))).head().getLong(0) / 2
+      rep.commit(ch.filter(col("pos") <= cut)) // version 1
+      rep.commit(ch.filter(col("pos") > cut))  // version 2
+      rep.changeFeed(s, 1L, 2L)
+        .select(col("user_id"), col("change"), col("pos"))
+        .orderBy("user_id")
     }
   )
 
@@ -521,6 +563,30 @@ object Cdc {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
          |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
          |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "b9_scd2_history" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT user_id, pos AS valid_from_pos, op, value,
+         |  lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS valid_to_pos,
+         |  (lead(pos) OVER (PARTITION BY user_id ORDER BY pos) IS NULL
+         |     AND op <> 'DELETE') AS is_current
+         |FROM ch ORDER BY user_id, valid_from_pos""".stripMargin,
+    "b10_change_feed" ->
+      s"""WITH ch AS ($changelogSql),
+         |m1 AS (SELECT user_id, pos FROM (SELECT user_id, pos, op,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn
+         |        FROM ch WHERE pos <= (SELECT max(pos) // 2 FROM ch))
+         |       WHERE rn = 1 AND op <> 'DELETE'),
+         |m2 AS (SELECT user_id, pos FROM (SELECT user_id, pos, op,
+         |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn
+         |        FROM ch)
+         |       WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT COALESCE(m2.user_id, m1.user_id) AS user_id,
+         |  CASE WHEN m1.user_id IS NULL THEN 'INSERT'
+         |       WHEN m2.user_id IS NULL THEN 'DELETE' ELSE 'UPDATE' END AS change,
+         |  COALESCE(m2.pos, m1.pos) AS pos
+         |FROM m1 FULL OUTER JOIN m2 ON m1.user_id = m2.user_id
+         |WHERE m1.user_id IS NULL OR m2.user_id IS NULL OR m1.pos <> m2.pos
+         |ORDER BY user_id""".stripMargin,
     "b6_snapshot_union" ->
       s"""WITH snap AS (
          |  SELECT 'INSERT' AS op, 'users' AS tbl, -1::BIGINT AS pos, 0::BIGINT AS ts_ns,

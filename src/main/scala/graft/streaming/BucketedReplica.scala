@@ -118,6 +118,60 @@ final class BucketedReplica(
   def live(spark: SparkSession): DataFrame =
     read(spark).filter(col(opCol) =!= "DELETE")
 
+  /** Time travel: the stored replica as of version `v`. Retention is
+    * bounded — the current and previous manifests are kept (and their bucket
+    * dirs protected from GC), so `v` must be one of those two; older
+    * versions raise. This is the bounded-staleness read model of
+    * transactional table formats, not an unbounded history log. */
+  def readAt(spark: SparkSession, v: Long): DataFrame = {
+    require(Files.isRegularFile(manifestPath(v)),
+      s"version $v of replica at $root is not retained " +
+        s"(current=${currentVersion.getOrElse(-1L)}; current+previous kept)")
+    val paths = readManifest(v).values.map(rel => s"$root/$rel").toSeq.sorted
+    if (paths.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** [[readAt]] with tombstones filtered — the live view as of version `v`. */
+  def liveAt(spark: SparkSession, v: Long): DataFrame =
+    readAt(spark, v).filter(col(opCol) =!= "DELETE")
+
+  /** Change feed between two retained versions (the CDC-on-the-replica
+    * read path: what a downstream consumer must apply to move from
+    * `fromV` to `toV`). Emitted per changed key: INSERT (new only),
+    * DELETE (old only), UPDATE (position moved); `posCol` carries the new
+    * position (old position for DELETEs). One full-outer hash join keyed by
+    * pk — both sides share the replica's bucket layout, so at scale this
+    * joins bucket-by-bucket with no wide shuffle. */
+  def changeFeed(spark: SparkSession, fromV: Long, toV: Long): DataFrame = {
+    val o = liveAt(spark, fromV)
+      .select(col(pk).as("__old_k"), col(posCol).as("__old_pos"))
+    val n = liveAt(spark, toV)
+      .select(col(pk).as("__new_k"), col(posCol).as("__new_pos"))
+    o.join(n, col("__old_k") === col("__new_k"), "full_outer")
+      .filter(col("__old_k").isNull || col("__new_k").isNull ||
+        col("__old_pos") =!= col("__new_pos"))
+      .select(
+        coalesce(col("__new_k"), col("__old_k")).as(pk),
+        when(col("__old_k").isNull, "INSERT")
+          .when(col("__new_k").isNull, "DELETE")
+          .otherwise("UPDATE").as("change"),
+        coalesce(col("__new_pos"), col("__old_pos")).as(posCol))
+  }
+
+  /** Full compaction (small-file maintenance): rewrite every live bucket
+    * into one fresh version, collapsing the file scatter a long commit
+    * history accumulates (each bucket's current file lives in whichever
+    * version last touched it). Content is unchanged; runs as its own atomic
+    * version commit. At scale this is the periodic OPTIMIZE pass — one
+    * task per bucket, embarrassingly parallel. */
+  def compact(spark: SparkSession): Unit = {
+    val man = currentVersion.map(readManifest).getOrElse(Map.empty)
+    if (man.isEmpty) return
+    publish(man.keys.toSeq.sorted, read(spark))
+  }
+
   /** Fold one change batch into the replica. Only buckets containing batch
     * keys are re-merged and rewritten; the commit becomes visible with one
     * atomic pointer rename. `tombstoneGcHorizon` (same unit as `tsCol`)

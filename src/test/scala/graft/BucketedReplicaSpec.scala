@@ -196,6 +196,61 @@ class BucketedReplicaSpec extends SparkSpecBase {
     assert(rep.live(spark).filter(col("user_id") === 9L).count() === 0)
   }
 
+  test("time travel + change feed: retained versions read back; diff emits INSERT/UPDATE/DELETE") {
+    val root = tmpDir("bkr_tt") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.commit(mkBatch(Seq(
+      row("INSERT", 1L, 100L, 1L, 1.0),
+      row("INSERT", 2L, 200L, 2L, 2.0),
+      row("INSERT", 3L, 300L, 3L, 3.0))))          // v1
+    rep.commit(mkBatch(Seq(
+      row("UPDATE", 10L, 400L, 2L, 2.5),           // key 2 updated
+      row("DELETE", 11L, 500L, 3L, 0.0),           // key 3 deleted
+      row("INSERT", 12L, 600L, 4L, 4.0))))         // key 4 new
+    // v1 is still readable as of its manifest (bounded retention: cur+prev)
+    assert(rep.liveAt(spark, 1L).collect().map(_.getLong(4)).toSet === Set(1L, 2L, 3L))
+    assert(rep.liveAt(spark, 2L).collect().map(_.getLong(4)).toSet === Set(1L, 2L, 4L))
+    val feed = rep.changeFeed(spark, 1L, 2L).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(feed === Map(
+      2L -> ("UPDATE", 10L),   // new position
+      3L -> ("DELETE", 3L),    // old position (the row it removes)
+      4L -> ("INSERT", 12L)))  // key 1 unchanged: absent from the feed
+    // beyond retention: a version whose manifest was dropped refuses loudly
+    rep.commit(mkBatch(Seq(row("UPDATE", 20L, 700L, 1L, 1.5)))) // v3 drops manifest-1
+    val gone = intercept[IllegalArgumentException] { rep.readAt(spark, 1L) }
+    assert(gone.getMessage.contains("not retained"), gone.getMessage)
+  }
+
+  test("compact() collapses the multi-version file scatter without changing content") {
+    val root = tmpDir("bkr_compact") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    // 6 commits scatter each bucket's current file across many version dirs
+    (1 to 6).foreach { i =>
+      rep.commit(mkBatch((1L to 8L).map(k =>
+        row(if (i == 4 && k == 5) "DELETE" else "UPDATE", i * 100L + k, i * 10L, k, i * 1.0))))
+    }
+    val before = rep.live(spark).collect()
+      .map(r => (r.getLong(4), r.getLong(2), r.getDouble(5))).toSet
+    val versionsBefore = Option(new File(root, "data").listFiles()).get
+      .count(_.isDirectory)
+    rep.compact(spark)
+    val after = rep.live(spark).collect()
+      .map(r => (r.getLong(4), r.getLong(2), r.getDouble(5))).toSet
+    assert(after === before, "compaction must not change the live content")
+    // every live bucket now lives in the compacted version; only it and the
+    // pre-compaction version (reader retention) keep data dirs
+    val versions = Option(new File(root, "data").listFiles()).get
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(versions.length <= versionsBefore.min(2),
+      s"compaction left stale version dirs: ${versions.mkString(",")}")
+    val cur = rep.currentVersion.get
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, s"manifest-$cur.tsv")), "UTF-8")
+    assert(manifest.linesIterator.forall(_.contains(s"data/v$cur/")),
+      s"manifest still references pre-compaction versions:\n$manifest")
+  }
+
   test("direct commit skips null-pk rows deterministically instead of NPE-ing") {
     val root = tmpDir("bkr_nullpk") + "/rep"
     val rep = new BucketedReplica(root, nBuckets = 4)
