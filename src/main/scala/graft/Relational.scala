@@ -210,6 +210,28 @@ object Relational {
           col("n"))
         .orderBy("g_flag", "g_status", "flag", "status")
     },
+    // C14 explicit GROUPING SETS — a set list neither ROLLUP nor CUBE can
+    // express ((flag,status), (status), ()): per-pair detail, a status-only
+    // margin WITHOUT the flag-only margin, and the grand total. One Expand +
+    // one aggregation, same physical shape as rollup/cube.
+    "c14c_grouping_sets" -> { (s, d) =>
+      load(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .select(
+          col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("g_flag", "g_status", "flag", "status")
+    },
     // C15 distinct aggregation — Spark plans expand+two-phase agg.
     "c15_count_distinct" -> { (s, d) =>
       load(s, d, "lineitem")
@@ -583,6 +605,16 @@ object Relational {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+    "c14c_grouping_sets" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
     "c14b_cube" ->
       """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_flag,

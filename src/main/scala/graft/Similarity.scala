@@ -248,6 +248,42 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(5)
     },
+    // E2 scale path — multi-probe IVF: recall's standard lever. The probe
+    // searches its top-2 centroids' clusters instead of only the nearest
+    // (IVF's recall loss concentrates on vectors near cluster boundaries);
+    // cost is nprobe/k of the corpus, still pruned, centroid ranking still
+    // a broadcast-only map-side computation.
+    "e09d_ann_multiprobe" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val emb = load(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cosine(col("embedding"), col("cemb")).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val probeVec = emb.filter(col("vec_id") === 42)
+        .select(col("embedding").as("probe_emb"))
+      // rank ALL centroids against the probe vector; keep nprobe=2 (the
+      // 8-row window is a broadcast-side computation, not a corpus shuffle)
+      val probeCids = probeVec.crossJoin(broadcast(cents))
+        .select(col("probe_emb"), col("cid"),
+          cosine(col("probe_emb"), col("cemb")).as("csim"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("csim").desc, col("cid").asc)))
+        .filter(col("rn") <= 2)
+        .select(col("cid").as("probe_cid"), col("probe_emb"))
+      assigned.join(broadcast(probeCids), col("cid") === col("probe_cid"))
+        .filter(col("vec_id") =!= 42)
+        .select(col("vec_id"), col("cid"),
+          cosine(col("embedding"), col("probe_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
     // E2 scale path — int8 symmetric quantization of the embedding column
     // (per-vector max-abs scale, the standard PTQ recipe): 4× less scan
     // bytes and an INTEGER dot product in the hot loop; the float scales
@@ -326,6 +362,23 @@ object Similarity {
          |probe AS (SELECT cid AS probe_cid, embedding AS probe_emb FROM assigned WHERE vec_id = 42)
          |SELECT a.vec_id, a.cid, ${cosSql("a.embedding", "probe_emb")} AS cos_sim
          |FROM assigned a JOIN probe ON a.cid = probe_cid
+         |WHERE a.vec_id <> 42
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "e09d_ann_multiprobe" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |sims AS (SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cemb")} AS csim
+         |  FROM embeddings e, cents c),
+         |assigned AS (SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |pv AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 42),
+         |pc AS (SELECT cid, probe_emb FROM (
+         |    SELECT c.cid, p.probe_emb,
+         |      ROW_NUMBER() OVER (ORDER BY ${cosSql("p.probe_emb", "c.cemb")} DESC, c.cid ASC) AS rn
+         |    FROM cents c, pv p) WHERE rn <= 2)
+         |SELECT a.vec_id, a.cid, ${cosSql("a.embedding", "probe_emb")} AS cos_sim
+         |FROM assigned a JOIN pc ON a.cid = pc.cid
          |WHERE a.vec_id <> 42
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
     "e23_vector_quantize" -> {
