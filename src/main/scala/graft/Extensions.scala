@@ -508,6 +508,22 @@ object Extensions {
           (col("node") === col("label")).as("is_canonical"))
         .orderBy("doc_id")
     },
+    // E4/training prep — lexicon scrub (the bad-words/PII deny-list pass a
+    // pipeline runs before training): tokens in the deny list are removed,
+    // per-doc scrub counts + a content hash of the scrubbed text prove the
+    // rewrite. Map-side only — at 100 TB the lexicon (even millions of
+    // terms) broadcasts once per executor and the scan never shuffles; here
+    // the 3-term list inlines as a literal in the codegen'd lambda.
+    "e24_lexicon_scrub" -> { (s, d) =>
+      val deny = Seq("slow", "error", "batch")
+      val tk = toks(col("text"))
+      val kept = filter(tk, t => !t.isin(deny: _*))
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          (size(tk) - size(kept)).cast(LongType).as("n_scrubbed"),
+          md5(array_join(kept, " ")).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
     // E4/training prep — deterministic train/val/test split assignment: the
     // md5-integer hash of the doc id buckets each document 80/10/10. Pure
     // map-side derivation (no RNG state, reproducible on any engine / any
@@ -780,6 +796,13 @@ object Extensions {
          |  (node = MIN(label)) AS is_canonical
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     },
+    "e24_lexicon_scrub" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |k AS (SELECT doc_id, lang, tk,
+        |  list_filter(tk, x -> x NOT IN ('slow', 'error', 'batch')) AS kept FROM t)
+        |SELECT doc_id, lang, len(tk) - len(kept) AS n_scrubbed,
+        |  md5(array_to_string(kept, ' ')) AS scrubbed_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
     "e22_split_assign" ->
       s"""WITH s AS (SELECT lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} % 100 AS b

@@ -110,4 +110,20 @@ class PlanSpec extends SparkSpecBase {
     val p = finalPlan(q("a11_partitioned_sink"))
     assert(p.contains("PartitionFilters: [isnotnull(op"))
   }
+
+  test("b9 SCD2 history shuffles exactly once on the primary key") {
+    val p = finalPlan(q("b9_scd2_history"))
+    // one hash exchange feeds the interval-closing window; the only other
+    // exchange is the output ORDER BY's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(2000))
+    assert(p.contains("lead(pos"), p.take(2000))
+  }
+
+  test("e23 quantization never shuffles the corpus: probe broadcast + top-k heap") {
+    val p = finalPlan(q("e23_vector_quantize"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "quantized scan must stay map-side — no corpus shuffle")
+  }
 }
