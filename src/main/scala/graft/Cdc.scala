@@ -434,6 +434,31 @@ object Cdc {
       rep.changeFeed(s, 1L, 2L)
         .select(col("user_id"), col("change"), col("pos"))
         .orderBy("user_id")
+    },
+    // B11 incremental SCD2 — b9's history built the way the STREAM builds
+    // it: the changelog delivered as two in-order batches through
+    // CdcStream.scd2Batch (closed intervals append per batch; open rows
+    // live in the BucketedReplica), then the combined view must equal the
+    // one-shot historization — same oracle as b9.
+    "b11_incremental_scd2" -> { (s, d) =>
+      val root = scratch("b11_scd2", d)
+      val rep = new graft.streaming.BucketedReplica(s"$root/replica")
+      rep.destroy()
+      val hist = s"$root/history"
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rmrf); f.delete(); ()
+      }
+      rmrf(new java.io.File(hist)) // fresh history per run
+      val ch = changelog(s, d)
+      val cut = ch.agg(max(col("pos"))).head().getLong(0) / 2
+      graft.streaming.CdcStream.scd2Batch(
+        ch.filter(col("pos") <= cut), 0L, s"$root/replica", hist)
+      graft.streaming.CdcStream.scd2Batch(
+        ch.filter(col("pos") > cut), 1L, s"$root/replica", hist)
+      graft.streaming.CdcStream.historyWithOpen(s, s"$root/replica", hist)
+        .select(col("user_id"), col("valid_from_pos"), col("op"), col("value"),
+          col("valid_to_pos"), col("is_current"))
+        .orderBy("user_id", "valid_from_pos")
     }
   )
 
@@ -587,6 +612,13 @@ object Cdc {
          |FROM m1 FULL OUTER JOIN m2 ON m1.user_id = m2.user_id
          |WHERE m1.user_id IS NULL OR m2.user_id IS NULL OR m1.pos <> m2.pos
          |ORDER BY user_id""".stripMargin,
+    "b11_incremental_scd2" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT user_id, pos AS valid_from_pos, op, value,
+         |  lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS valid_to_pos,
+         |  (lead(pos) OVER (PARTITION BY user_id ORDER BY pos) IS NULL
+         |     AND op <> 'DELETE') AS is_current
+         |FROM ch ORDER BY user_id, valid_from_pos""".stripMargin,
     "b6_snapshot_union" ->
       s"""WITH snap AS (
          |  SELECT 'INSERT' AS op, 'users' AS tbl, -1::BIGINT AS pos, 0::BIGINT AS ts_ns,

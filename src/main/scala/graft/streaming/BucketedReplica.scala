@@ -218,6 +218,20 @@ final class BucketedReplica(
     publish(touched, gcd.drop("is_deleted"))
   }
 
+  /** The stored rows sharing a bucket with any key in `batch` — the bounded
+    * read for merge-style consumers (same touched-bucket arithmetic as
+    * [[commit]]): I/O is O(touched buckets), never O(replica). Rows of
+    * OTHER keys co-resident in a touched bucket are included; callers'
+    * keyed windows/joins ignore them naturally. */
+  def readTouched(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val touched = batch.filter(col(pk).isNotNull)
+      .select(bucketExpr.as("__b")).distinct()
+      .collect().map(_.getLong(0).toInt).toSeq.sorted
+    readBuckets(spark, currentVersion.map(readManifest).getOrElse(Map.empty),
+      touched)
+  }
+
   /** Maintenance pass (the VACUUM analog of transactional table formats):
     * rewrite exactly the buckets still holding tombstones older than
     * `horizon`, dropping those tombstones. Safe once the stream's watermark

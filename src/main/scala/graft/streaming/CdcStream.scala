@@ -149,6 +149,97 @@ object CdcStream {
                      tbl: String): DataFrame =
     new BucketedReplica(s"$replicaRoot/$tbl").live(spark)
 
+  /** B9/D8 — STREAMING SCD Type 2: maintain the history table
+    * incrementally. Per micro-batch, intervals closed by the batch's
+    * changes append to the history log (batch_id-partitioned, overwrite ⇒
+    * idempotent under foreachBatch retries) and each key's still-open
+    * latest change lives in the [[BucketedReplica]] (touched-bucket
+    * commits). Per-batch work is the batch + the stored rows of TOUCHED
+    * buckets only (readTouched) — bounded by the batch, never by replica
+    * or history size: closed intervals are immutable and append-only,
+    * exactly why SCD2 streams well.
+    *
+    * Delivery contract: positions must be non-decreasing PER KEY across
+    * batches (the binlog/Datastream per-key ordering guarantee; any order
+    * within a batch is fine — the window sorts). A closed interval is
+    * immutable only under that contract: a cross-batch late event would
+    * retroactively split one, which no append-only historization can
+    * express. (The latest-wins replica D8 tolerates full disorder; that is
+    * precisely the semantic difference between SCD1 and SCD2 streaming.)
+    *
+    * Invariant (spec'd, and oracle-checked via b11): after any prefix of
+    * batches, historyWithOpen(...) equals Cdc.scd2 over all changes
+    * delivered so far. */
+  def applyScd2History(changes: DataFrame, replicaDir: String,
+                       historyDir: String, checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scd2Batch(batch, batchId, replicaDir, historyDir)
+      }
+      .start()
+
+  /** One SCD2 micro-batch: window the batch together with each touched
+    * key's stored open row; newly-closed intervals append, open rows
+    * commit back. Rows with a null key or position are unmergeable and
+    * skipped (the streaming wrapper dead-letters them via stageAndSplit).
+    *
+    * Retry safety (foreachBatch redelivers a batch after a crash): history
+    * writes APPEND (under the ordered-delivery contract a redelivered batch
+    * regenerates a SUBSET of its first attempt's closed rows — the subset
+    * not yet folded into the replica — as identical rows, which
+    * [[historyWithOpen]] deduplicates on read), and the replica commit is
+    * latest-wins, a semantic no-op under replay. An overwrite would be
+    * WRONG here: a retry after the replica commit landed would clobber
+    * closed intervals the first attempt derived from pre-commit state. */
+  def scd2Batch(batch: DataFrame, batchId: Long, replicaDir: String,
+                historyDir: String): Unit = {
+    val rep = new BucketedReplica(replicaDir)
+    val good = batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
+      .select(envelopeSchema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      .dropDuplicates("user_id", "pos") // source-level redelivery collapse
+    // the currently-open changes of touched buckets only (tombstones
+    // included: a DELETE is an interval too, it just isn't current).
+    // Untouched keys co-resident in a touched bucket pass through the
+    // window as single open rows and close nothing.
+    val open = rep.readTouched(good)
+    val closed = graft.Cdc.scd2(
+      open.unionByName(good).dropDuplicates("user_id", "pos"), Seq("user_id"))
+      .filter(col("valid_to_pos").isNotNull)
+      .drop("is_current") // recomputed on read; meaningless for closed rows
+    closed.withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(historyDir)
+    rep.commit(good) // latest-wins ⇒ exactly the still-open change per key
+    ()
+  }
+
+  /** Schema of a stored closed interval: the envelope plus its validity
+    * bounds. */
+  val intervalSchema: StructType = StructType(envelopeSchema.fields.toSeq ++ Seq(
+    StructField("valid_from_pos", LongType), StructField("valid_to_pos", LongType)))
+
+  /** The full SCD2 view: closed intervals from the history log plus the
+    * open interval per key from the replica — identical to Cdc.scd2 over
+    * the complete changelog (spec'd + oracle-checked). */
+  def historyWithOpen(spark: SparkSession, replicaDir: String,
+                      historyDir: String): DataFrame = {
+    val closed = spark.read
+      .schema(intervalSchema)
+      .parquet(historyDir)
+      .drop("batch_id")
+      // retried batches re-append identical closed rows; an interval is
+      // unique per (key, start) under ordered delivery
+      .dropDuplicates("user_id", "valid_from_pos")
+    val open = new BucketedReplica(replicaDir).read(spark)
+      .withColumn("valid_from_pos", col("pos"))
+      .withColumn("valid_to_pos", lit(null).cast(LongType))
+    closed.unionByName(open)
+      .withColumn("is_current",
+        col("valid_to_pos").isNull && col("op") =!= "DELETE")
+  }
+
   private def stageAndSplit(batch: DataFrame, batchId: Long,
                             stagingDir: String, dlqDir: String,
                             requireTbl: Boolean = false): DataFrame = {
