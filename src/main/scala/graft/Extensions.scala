@@ -458,6 +458,22 @@ object Extensions {
           expr("length(payload) div 4").as("chunk_len"))
         .orderBy("doc_id")
     },
+    // E5/multimodal — frame sampling over the opaque binary payload: fixed
+    // 16-byte "frames" at stride 64 (the video-keyframe access pattern:
+    // seek, slice, fingerprint — never decode-all). Pure binary substring
+    // math per row, map-side only. The oracle mirrors via VARCHAR
+    // substring, byte-identical because the fixture text is ASCII.
+    "e14b_frame_sample" -> { (s, d) =>
+      load(s, d, "documents")
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .withColumn("n_frames",
+          expr("cast((length(payload) - 16) div 64 + 1 as bigint)"))
+        .select(col("doc_id"), col("n_frames"),
+          md5(expr("substring(payload, 1, 16)")).as("frame0_md5"),
+          md5(expr("substring(payload, (n_frames - 1) * 64 + 1, 16)")).as("last_md5"))
+        .orderBy("doc_id")
+    },
     // E1 near-dup canonicalization — connected components over the LSH
     // candidate graph (docs sharing any MinHash band bucket are edges), so
     // each near-dup CLUSTER keeps exactly one canonical doc (min doc_id).
@@ -796,6 +812,13 @@ object Extensions {
          |  (node = MIN(label)) AS is_canonical
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     },
+    "e14b_frame_sample" ->
+      """WITH f AS (SELECT doc_id, (strlen(text) - 16) // 64 + 1 AS n_frames, text
+        |           FROM documents WHERE strlen(text) >= 16)
+        |SELECT doc_id, n_frames,
+        |  md5(substring(text, 1, 16)) AS frame0_md5,
+        |  md5(substring(text, (n_frames - 1) * 64 + 1, 16)) AS last_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "e24_lexicon_scrub" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |k AS (SELECT doc_id, lang, tk,

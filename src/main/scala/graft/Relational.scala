@@ -76,6 +76,27 @@ object Relational {
           count(lit(1)).as("n_lines"))
         .orderBy("o_orderkey")
     },
+    // C6 null-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL keys
+    // match each other instead of silently dropping, the semantics ETL
+    // needs when the join key is itself nullable. Both sides pre-aggregate
+    // BEFORE the join (counts multiply across a within-key cross product),
+    // so the join touches |distinct keys| rows, never the quadratic pair
+    // set — the mandatory shape for low-cardinality many-to-many keys, and
+    // it also defuses the NULL bucket, which is otherwise a self-amplifying
+    // hot key (every null lands on one reducer).
+    "c06b_join_nullsafe" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def k(c: org.apache.spark.sql.Column) =
+        when(c % 7 === 6, lit(null)).otherwise(c % 7)
+      val ac = ev.filter(col("event_id") % 3 === 0)
+        .groupBy(k(col("user_id")).as("k")).agg(count(lit(1)).as("na"))
+      val bc = ev.filter(col("event_id") % 3 === 1)
+        .groupBy(k(col("user_id")).as("k2")).agg(count(lit(1)).as("nb"))
+      ac.join(bc, col("k") <=> col("k2"))
+        .select(coalesce(col("k").cast(StringType), lit("NULL")).as("k"),
+          (col("na") * col("nb")).as("n"))
+        .orderBy("k")
+    },
     // C7 left outer join — customers with zero orders preserved.
     "c07_join_left" -> { (s, d) =>
       val c = load(s, d, "customer")
@@ -514,6 +535,30 @@ object Relational {
           |   OR o_custkey IN (SELECT c_custkey FROM customer
           |                    WHERE c_mktsegment = 'FURNITURE' AND c_nationkey = 1)
           |ORDER BY o_orderkey""".stripMargin)
+    },
+    // C34 time-series gap fill + carry-forward: per-key hourly grid
+    // (sequence generator between each key's bounds), last observation
+    // carried forward over the gaps — the resample/ffill operator every
+    // metrics pipeline needs. Work is one window per key over the grid;
+    // the grid explodes map-side (no shuffle to generate it), and the
+    // carry-forward is the same single pk-shuffle class as the merge.
+    "c34_gapfill" -> { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("user_id") < 10)
+        .select(col("user_id"), expr("ts_ns div 3600000000000").as("h"),
+          col("value"), col("event_id"))
+      val wLast = Window.partitionBy(col("user_id"), col("h"))
+        .orderBy(col("event_id").desc)
+      val lastPerHour = ev.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1).select("user_id", "h", "value")
+      val grid = lastPerHour.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(lastPerHour, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"), col("value").isNotNull.as("observed"),
+          last(col("value"), ignoreNulls = true).over(wFill).as("filled"))
+        .orderBy("user_id", "h")
     }
   )
 
@@ -789,6 +834,28 @@ object Relational {
         |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
         |   OR o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'FURNITURE' AND c_nationkey = 1)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "c06b_join_nullsafe" ->
+      """WITH ac AS (SELECT nullif(user_id % 7, 6) AS k, COUNT(*) AS na
+        |            FROM events WHERE event_id % 3 = 0 GROUP BY 1),
+        |bc AS (SELECT nullif(user_id % 7, 6) AS k, COUNT(*) AS nb
+        |       FROM events WHERE event_id % 3 = 1 GROUP BY 1)
+        |SELECT COALESCE(CAST(ac.k AS VARCHAR), 'NULL') AS k, na * nb AS n
+        |FROM ac JOIN bc ON ac.k IS NOT DISTINCT FROM bc.k
+        |ORDER BY k""".stripMargin,
+    "c34_gapfill" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE user_id < 10),
+        |last_per_hour AS (SELECT user_id, h, value FROM e WHERE rn = 1),
+        |bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM last_per_hour GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM bounds),
+        |j AS (SELECT g.user_id, g.h, l.value, (l.value IS NOT NULL) AS observed
+        |      FROM grid g LEFT JOIN last_per_hour l ON g.user_id = l.user_id AND g.h = l.h)
+        |SELECT user_id, h, observed,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM j ORDER BY user_id, h""".stripMargin
   )
 }
