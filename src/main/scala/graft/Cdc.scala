@@ -459,6 +459,21 @@ object Cdc {
         .select(col("user_id"), col("valid_from_pos"), col("op"), col("value"),
           col("valid_to_pos"), col("is_current"))
         .orderBy("user_id", "valid_from_pos")
+    },
+    // B12 binlog gap detection — the operational monitor a CDC pipeline
+    // runs continuously: positions are a dense per-table sequence at the
+    // source, so a hole in the applied stream (here: the rows A8's split
+    // dead-lettered) is data loss in flight. One lag window per table —
+    // same single-shuffle class as the merge.
+    "b12_gap_detection" -> { (s, d) =>
+      val applied = changelog(s, d).filter(col("pos") % 10 =!= 0)
+      val w = Window.partitionBy(col("tbl")).orderBy(col("pos"))
+      applied.select(col("tbl"), col("pos"))
+        .withColumn("prev", lag(col("pos"), 1).over(w))
+        .filter(col("prev").isNotNull && col("pos") - col("prev") > 1)
+        .select(col("tbl"), col("prev").as("after_pos"), col("pos").as("next_pos"),
+          (col("pos") - col("prev") - 1).as("n_missing"))
+        .orderBy("tbl", "after_pos")
     }
   )
 
@@ -619,6 +634,16 @@ object Cdc {
          |  (lead(pos) OVER (PARTITION BY user_id ORDER BY pos) IS NULL
          |     AND op <> 'DELETE') AS is_current
          |FROM ch ORDER BY user_id, valid_from_pos""".stripMargin,
+    "b12_gap_detection" ->
+      s"""WITH ch AS ($changelogSql),
+         |applied AS (SELECT tbl, pos FROM ch WHERE pos % 10 <> 0),
+         |l AS (SELECT tbl, pos,
+         |        lag(pos) OVER (PARTITION BY tbl ORDER BY pos) AS prev
+         |      FROM applied)
+         |SELECT tbl, prev AS after_pos, pos AS next_pos,
+         |  pos - prev - 1 AS n_missing
+         |FROM l WHERE prev IS NOT NULL AND pos - prev > 1
+         |ORDER BY tbl, after_pos""".stripMargin,
     "b6_snapshot_union" ->
       s"""WITH snap AS (
          |  SELECT 'INSERT' AS op, 'users' AS tbl, -1::BIGINT AS pos, 0::BIGINT AS ts_ns,

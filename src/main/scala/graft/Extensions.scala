@@ -37,6 +37,49 @@ object Extensions {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Shared by e21/e25: min-label components of the LSH candidate graph
+    * over the doc_id%10 sample — returns (node, label) with label = the
+    * component's minimum doc_id. Driver loop is control-plane only (one
+    * keyed join + min-agg per round; sum(label) strictly decreases, so one
+    * scalar action per round detects the fixpoint). The O(log n) large-star/
+    * small-star variant lives in operators/ConnectedComponents. */
+  private def lshComponents(s: SparkSession, d: String): DataFrame = {
+    val tok = load(s, d, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+      .withColumn("h", tokenHash(col("t")))
+    val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"sig$i")
+    }
+    val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("band"),
+        (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
+    )).as("bb")).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val edges = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val und = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = sig.select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .persist()
+    var checksum = labels.agg(sum(col("label"))).head().getLong(0)
+    var done = false
+    while (!done) {
+      val next = und.join(labels, col("a") === col("node"))
+        .select(col("b").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist()
+      val c2 = next.agg(sum(col("label"))).head().getLong(0)
+      labels.unpersist(); labels = next
+      if (c2 == checksum) done = true else checksum = c2
+    }
+    und.unpersist()
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1 exact dedup — hash-groupBy on a normalized fingerprint (first 10
     // tokens), keep the smallest doc_id. Map-side combine makes the shuffle
@@ -485,44 +528,31 @@ object Extensions {
     // runs with the alternating large-star/small-star optimization; the
     // per-round dataflow here is already that shape.
     "e21_dedup_components" -> { (s, d) =>
-      val tok = load(s, d, "documents")
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
-        .withColumn("h", tokenHash(col("t")))
-      val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-        min((col("h") * a + b) % P).as(s"sig$i")
-      }
-      val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(j => struct(lit(j).as("band"),
-          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
-      )).as("bb")).select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val edges = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val und = edges
-        .unionByName(edges.select(col("b").as("a"), col("a").as("b"))).persist()
-      var labels = sig.select(col("doc_id").as("node"), col("doc_id").as("label"))
-        .persist()
-      // labels only ever decrease; sum(label) is a strictly-decreasing
-      // convergence measure, so one scalar action per round detects fixpoint
-      var checksum = labels.agg(sum(col("label"))).head().getLong(0)
-      var done = false
-      while (!done) {
-        val next = und.join(labels, col("a") === col("node"))
-          .select(col("b").as("node"), col("label"))
-          .unionByName(labels)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .persist()
-        val c2 = next.agg(sum(col("label"))).head().getLong(0)
-        labels.unpersist(); labels = next
-        if (c2 == checksum) done = true else checksum = c2
-      }
-      und.unpersist()
-      labels.select(col("node").as("doc_id"), col("label").as("comp_id"),
+      lshComponents(s, d)
+        .select(col("node").as("doc_id"), col("label").as("comp_id"),
           (col("node") === col("label")).as("is_canonical"))
         .orderBy("doc_id")
+    },
+    // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
+    // LSH candidate graph → components → keep ONE canonical doc per
+    // cluster → corpus before/after audit per language. Everything upstream
+    // is the e03/e21 machinery; the removal itself is one semi-join against
+    // the canonical set.
+    "e25_dedup_corpus" -> { (s, d) =>
+      val canon = lshComponents(s, d)
+        .filter(col("node") === col("label"))
+        .select(col("node").as("doc_id"))
+      val docs = load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"), size(toks(col("text"))).as("n_tok"))
+      val before = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_before"), sum(col("n_tok")).as("n_tokens_before"))
+      val after = docs.join(canon, "doc_id").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_after"), sum(col("n_tok")).as("n_tokens_after"))
+      before.join(after, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs_before"), col("n_docs_after"),
+          col("n_tokens_before"), col("n_tokens_after"))
+        .orderBy("lang")
     },
     // E4/training prep — lexicon scrub (the bad-words/PII deny-list pass a
     // pipeline runs before training): tokens in the deny list are removed,
@@ -811,6 +841,45 @@ object Extensions {
          |SELECT node AS doc_id, MIN(label) AS comp_id,
          |  (node = MIN(label)) AS is_canonical
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    },
+    "e25_dedup_corpus" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM sig
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |comp AS (SELECT node, MIN(label) AS comp_id FROM reach GROUP BY node),
+         |docs AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+         |         FROM documents WHERE doc_id % 10 = 0),
+         |before_a AS (SELECT lang, COUNT(*) AS n_docs_before,
+         |               SUM(n_tok)::BIGINT AS n_tokens_before
+         |             FROM docs GROUP BY lang),
+         |after_a AS (SELECT lang, COUNT(*) AS n_docs_after,
+         |              SUM(n_tok)::BIGINT AS n_tokens_after
+         |            FROM docs JOIN comp ON docs.doc_id = comp.node
+         |            WHERE comp.node = comp.comp_id GROUP BY lang)
+         |SELECT b.lang AS lang, n_docs_before, n_docs_after,
+         |  n_tokens_before, n_tokens_after
+         |FROM before_a b LEFT JOIN after_a a ON b.lang = a.lang
+         |ORDER BY lang""".stripMargin
     },
     "e14b_frame_sample" ->
       """WITH f AS (SELECT doc_id, (strlen(text) - 16) // 64 + 1 AS n_frames, text
