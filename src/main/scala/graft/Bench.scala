@@ -34,7 +34,8 @@ object Bench {
     "c16_window_rank", "d3_tumbling_window", "d10_asof_join", "e01_exact_dedup",
     "e02_minhash_sig", "e03b_lsh_pair_join", "e04_ngram_jaccard",
     "e04b_jaccard_sparse", "e06_cosine_topk", "e09c_ann_ivf_partitioned",
-    "e10_lang_id", "e20_top_ngrams")
+    "e10_lang_id", "e20_top_ngrams", "b11_incremental_scd2",
+    "e21_dedup_components", "e25_dedup_corpus")
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 

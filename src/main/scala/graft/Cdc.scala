@@ -305,6 +305,28 @@ object Cdc {
           max(col("pos")).as("max_pos"))
         .orderBy("op")
     },
+    // A14 schema evolution on read — a long-lived change-file bucket holds
+    // generations of producer schemas side by side (the reference's sink
+    // declares every column NULLABLE for exactly this reason,
+    // main.tf:197-215): older files lacking `value` read as NULL under
+    // mergeSchema, one unified scan. The oracle recomputes the same
+    // union-by-name semantics from the source changelog.
+    "a14_schema_evolution" -> { (s, d) =>
+      val dir = scratch("a14_evo", d)
+      val ch = changelog(s, d).select("op", "tbl", "pos", "value")
+      // generation 1: producer without the value column
+      ch.filter(col("pos") % 2 === 0).drop("value")
+        .write.mode("overwrite").parquet(dir)
+      // generation 2: current producer, appended to the same bucket
+      ch.filter(col("pos") % 2 === 1)
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("op")
+    },
     // A9 DDL / catalog registration — CREATE OR REPLACE TEMP VIEW + SQL over
     // the registered name (reference cr_pet_tbl.sql:3, main.tf:122-125).
     "a9_catalog_ddl" -> { (s, d) =>
@@ -384,7 +406,9 @@ object Cdc {
     // one-shot merge agree on the same changelog.
     "b8_incremental_merge" -> { (s, d) =>
       val root = scratch("b8_replica", d)
-      val rep = new graft.streaming.BucketedReplica(root)
+      // 8 buckets: sized so each bucket file is right-sized at fixture SF
+      // (the layout knob the 100 TB story turns the other way)
+      val rep = new graft.streaming.BucketedReplica(root, nBuckets = 8)
       rep.destroy() // fresh replica per run (scratch persists across runs)
       val ch = changelog(s, d)
       rep.commit(ch.filter(col("pos") % 2 === 0)) // out-of-order halves:
@@ -425,7 +449,7 @@ object Cdc {
     // BucketedReplica's time travel (readAt) + full-outer keyed diff.
     "b10_change_feed" -> { (s, d) =>
       val root = scratch("b10_replica", d)
-      val rep = new graft.streaming.BucketedReplica(root)
+      val rep = new graft.streaming.BucketedReplica(root, nBuckets = 8)
       rep.destroy() // fresh replica per run (scratch persists across runs)
       val ch = changelog(s, d)
       val cut = ch.agg(max(col("pos"))).head().getLong(0) / 2
@@ -452,9 +476,9 @@ object Cdc {
       val ch = changelog(s, d)
       val cut = ch.agg(max(col("pos"))).head().getLong(0) / 2
       graft.streaming.CdcStream.scd2Batch(
-        ch.filter(col("pos") <= cut), 0L, s"$root/replica", hist)
+        ch.filter(col("pos") <= cut), 0L, s"$root/replica", hist, nBuckets = 8)
       graft.streaming.CdcStream.scd2Batch(
-        ch.filter(col("pos") > cut), 1L, s"$root/replica", hist)
+        ch.filter(col("pos") > cut), 1L, s"$root/replica", hist, nBuckets = 8)
       graft.streaming.CdcStream.historyWithOpen(s, s"$root/replica", hist)
         .select(col("user_id"), col("valid_from_pos"), col("op"), col("value"),
           col("valid_to_pos"), col("is_current"))
@@ -634,6 +658,15 @@ object Cdc {
          |  (lead(pos) OVER (PARTITION BY user_id ORDER BY pos) IS NULL
          |     AND op <> 'DELETE') AS is_current
          |FROM ch ORDER BY user_id, valid_from_pos""".stripMargin,
+    "a14_schema_evolution" ->
+      s"""WITH ch AS ($changelogSql),
+         |v1 AS (SELECT op, NULL::DOUBLE AS value FROM ch WHERE pos % 2 = 0),
+         |v2 AS (SELECT op, value FROM ch WHERE pos % 2 = 1),
+         |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         |SELECT op, COUNT(*) AS n,
+         |  SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_value,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM u GROUP BY op ORDER BY op""".stripMargin,
     "b12_gap_detection" ->
       s"""WITH ch AS ($changelogSql),
          |applied AS (SELECT tbl, pos FROM ch WHERE pos % 10 <> 0),

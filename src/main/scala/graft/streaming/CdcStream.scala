@@ -194,8 +194,8 @@ object CdcStream {
     * WRONG here: a retry after the replica commit landed would clobber
     * closed intervals the first attempt derived from pre-commit state. */
   def scd2Batch(batch: DataFrame, batchId: Long, replicaDir: String,
-                historyDir: String): Unit = {
-    val rep = new BucketedReplica(replicaDir)
+                historyDir: String, nBuckets: Int = 32): Unit = {
+    val rep = new BucketedReplica(replicaDir, nBuckets = nBuckets)
     val good = batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
       .select(envelopeSchema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
