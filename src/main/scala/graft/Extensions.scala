@@ -549,7 +549,7 @@ object Extensions {
         .agg(count(lit(1)).as("n_docs_before"), sum(col("n_tok")).as("n_tokens_before"))
       val after = docs.join(canon, "doc_id").groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs_after"), sum(col("n_tok")).as("n_tokens_after"))
-      before.join(after, Seq("lang"), "left")
+      before.join(broadcast(after), Seq("lang"), "left") // #langs rows
         .select(col("lang"), col("n_docs_before"), col("n_docs_after"),
           col("n_tokens_before"), col("n_tokens_after"))
         .orderBy("lang")

@@ -536,6 +536,19 @@ object Relational {
           |                    WHERE c_mktsegment = 'FURNITURE' AND c_nationkey = 1)
           |ORDER BY o_orderkey""".stripMargin)
     },
+    // C35 running count-distinct per key — Spark has no COUNT(DISTINCT)
+    // OVER; the composition is size(collect_set() OVER). State per key is
+    // the distinct set (bounded by the domain, here event types), not the
+    // row count — fine when the domain is small, a sketch (HLL) when not.
+    "c35_window_distinct" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).cast(LongType)
+            .as("n_types_so_far"))
+        .orderBy("user_id", "event_id")
+    },
     // C34 time-series gap fill + carry-forward: per-key hourly grid
     // (sequence generator between each key's bounds), last observation
     // carried forward over the gaps — the resample/ffill operator every
@@ -843,6 +856,11 @@ object Relational {
         |SELECT COALESCE(CAST(ac.k AS VARCHAR), 'NULL') AS k, na * nb AS n
         |FROM ac JOIN bc ON ac.k IS NOT DISTINCT FROM bc.k
         |ORDER BY k""".stripMargin,
+    "c35_window_distinct" ->
+      """SELECT user_id, event_id,
+        |  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_so_far
+        |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
     "c34_gapfill" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000

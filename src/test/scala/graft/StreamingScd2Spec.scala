@@ -78,4 +78,33 @@ class StreamingScd2Spec extends SparkSpecBase {
     q.awaitTermination()
     assert(intervals(CdcStream.historyWithOpen(spark, rep, hist)) === expected(ch))
   }
+
+  test("restart with the same checkpoint processes only new files (exactly-once source)") {
+    val root = tmpDir("scd2_restart")
+    val in = s"$root/in"; val rep = s"$root/replica"; val hist = s"$root/history"
+    val ck = s"$root/ck"
+    val ch = Cdc.changelog(spark, sfDir).filter(col("user_id") < 20)
+    val ps = ch.agg(max(col("pos"))).head().getLong(0)
+    def land(lo: Long, hi: Long, i: Int): Unit = {
+      val dir = s"$root/chunk$i"
+      ch.filter(col("pos") > lo && col("pos") <= hi)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+      val part = new File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+      new File(in).mkdirs()
+      java.nio.file.Files.copy(part.toPath, new File(in, f"chunk-$i%05d.parquet").toPath)
+      ()
+    }
+    land(-1L, ps / 2, 0)
+    CdcStream.applyScd2History(
+      CdcStream.fileChangelogStream(spark, in), rep, hist, ck).awaitTermination()
+    assert(intervals(CdcStream.historyWithOpen(spark, rep, hist))
+      === expected(ch.filter(col("pos") <= ps / 2)))
+    // second run, SAME checkpoint: only the new file may be processed —
+    // re-processing chunk 0 against the committed replica would fabricate
+    // degenerate intervals
+    land(ps / 2, ps, 1)
+    CdcStream.applyScd2History(
+      CdcStream.fileChangelogStream(spark, in), rep, hist, ck).awaitTermination()
+    assert(intervals(CdcStream.historyWithOpen(spark, rep, hist)) === expected(ch))
+  }
 }
