@@ -581,8 +581,63 @@ object Extensions {
           when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
         .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")
+    },
+    // E-series cardinality sketch — KMV (k smallest distinct hash values)
+    // estimating per-type daily-active-user counts. Unlike HLL the sketch
+    // state is plain longs, so the estimate is bit-reproducible by the
+    // DuckDB oracle from the same md5 hash. This composed form materializes
+    // every distinct hash through the shuffle; e26b is the scale path.
+    "e26_kmv_cardinality" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val dist = Tables.events(s, d)
+        .select(col("event_type"), kmvHash.as("h")).distinct()
+      dist.select(col("event_type"), col("h"),
+          row_number().over(w.partitionBy("event_type").orderBy("h")).as("rn"),
+          count(lit(1)).over(w.partitionBy("event_type")).as("nd"))
+        .filter(col("rn") <= graft.functions.KmvAgg.K)
+        .groupBy("event_type")
+        .agg(max("nd").as("n_exact"), count(lit(1)).as("n_sketch"),
+          max("h").as("kth_hash"))
+        .select(col("event_type"), col("n_exact"), col("n_sketch"),
+          col("kth_hash"),
+          kmvEstimate(col("n_sketch"), col("kth_hash")).as("est_distinct"))
+        .orderBy("event_type")
+    },
+    // The 100 TB form of e26: a single bounded TypedImperativeAggregate
+    // buffer (≤ 64 longs/group) maintained map-side and merged across
+    // executors — the shuffle carries n_groups × 512 B instead of every
+    // distinct hash. Same output, same oracle as e26.
+    "e26b_kmv_native" -> { (s, d) =>
+      graft.functions.KmvAgg.register(s)
+      Tables.events(s, d).select(col("event_type"), kmvHash.as("h"))
+        .groupBy("event_type")
+        .agg(count_distinct(col("h")).as("n_exact"),
+          graft.functions.KmvAgg.kmv(col("h")).as("sk"))
+        .select(col("event_type"), col("n_exact"),
+          size(col("sk")).cast(LongType).as("n_sketch"),
+          element_at(col("sk"), size(col("sk"))).as("kth_hash"))
+        .withColumn("est_distinct",
+          kmvEstimate(col("n_sketch"), col("kth_hash")))
+        .orderBy("event_type")
     }
   )
+
+  /** 60-bit uniform hash of the user-day key (`user_id|epoch-day`): md5
+    * prefix as integer, exact in both engines; day bucket is integer
+    * nanosecond division (no timezone in the key). */
+  private def kmvHash: Column =
+    conv(substring(md5(concat(col("user_id").cast(StringType), lit("|"),
+      expr("ts_ns div 86400000000000").cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** KMV estimator: (k−1)·M/h_(k) once the sketch is full (M = 2^60 hash
+    * range), exact count while it isn't. Rounded so both engines agree past
+    * any FMA contraction. */
+  private def kmvEstimate(nSketch: Column, kth: Column): Column = {
+    val num = (graft.functions.KmvAgg.K - 1) * 1152921504606846976.0 // 2^60
+    when(nSketch < graft.functions.KmvAgg.K, nSketch.cast(DoubleType))
+      .otherwise(round(lit(num) / kth.cast(DoubleType), 3))
+  }
 
   private val minhashCte: String = {
     val hs = String.format(tokenHashSql, "t")
@@ -902,6 +957,28 @@ object Extensions {
          |SELECT lang,
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n
-         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "e26_kmv_cardinality" -> kmvSql,
+    "e26b_kmv_native" -> kmvSql
   )
+
+  /** Shared oracle for the KMV sketch twins: the k smallest distinct hashes
+    * via DISTINCT + row_number, estimator identical to [[kmvEstimate]]. */
+  private lazy val kmvSql: String = {
+    val k = graft.functions.KmvAgg.K
+    val num = (k - 1) * 1152921504606846976.0
+    s"""WITH dk AS (SELECT DISTINCT event_type,
+       |    CAST('0x' || substring(md5(user_id::VARCHAR || '|' ||
+       |      (epoch_ns(ts) // 86400000000000)::VARCHAR), 1, 15) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+       |  FROM dk)
+       |SELECT event_type, MAX(nd) AS n_exact, COUNT(*) AS n_sketch,
+       |  MAX(h) AS kth_hash,
+       |  CASE WHEN COUNT(*) < $k THEN COUNT(*)::DOUBLE
+       |       ELSE round($num / MAX(h)::DOUBLE, 3) END AS est_distinct
+       |FROM r WHERE rn <= $k GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
 }
