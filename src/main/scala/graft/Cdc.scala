@@ -498,6 +498,25 @@ object Cdc {
         .select(col("tbl"), col("prev").as("after_pos"), col("pos").as("next_pos"),
           (col("pos") - col("prev") - 1).as("n_missing"))
         .orderBy("tbl", "after_pos")
+    },
+    // B13 incremental aggregate-view maintenance — the reference's
+    // reporting query (count/sum per type over the replica,
+    // main.tf:188-195) kept fresh per micro-batch by state-diffing only the
+    // batch's keys around the replica commit, never rescanning the replica.
+    // Three interleaved out-of-order batches (pos mod 3) must converge to
+    // the from-scratch aggregate — same final answer as a full recompute.
+    "b13_incremental_agg" -> { (s, d) =>
+      val root = scratch("b13_agg", d)
+      val rep = new graft.streaming.BucketedReplica(s"$root/replica", nBuckets = 8)
+      rep.destroy()
+      val agg = new graft.streaming.IncrementalAgg(rep, s"$root/agg")
+      agg.destroy()
+      val ch = changelog(s, d)
+      (0 until 3).foreach(i => agg.applyBatch(ch.filter(col("pos") % 3 === i)))
+      agg.read(s)
+        .select(col("event_type"), col("n_live"),
+          col("sum_value").cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
     }
   )
 
@@ -677,6 +696,13 @@ object Cdc {
          |  pos - prev - 1 AS n_missing
          |FROM l WHERE prev IS NOT NULL AND pos - prev > 1
          |ORDER BY tbl, after_pos""".stripMargin,
+    "b13_incremental_agg" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),
+         |live AS (SELECT * FROM r WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT event_type, COUNT(*) AS n_live,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin,
     "b6_snapshot_union" ->
       s"""WITH snap AS (
          |  SELECT 'INSERT' AS op, 'users' AS tbl, -1::BIGINT AS pos, 0::BIGINT AS ts_ns,

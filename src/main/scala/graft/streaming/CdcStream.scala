@@ -116,6 +116,27 @@ object CdcStream {
     ()
   }
 
+  /** D8 + reporting: the replica merge with the aggregate reporting view
+    * ([[IncrementalAgg]]) maintained in the SAME micro-batch — the
+    * reference's analyst query (main.tf:188-195) served fresh from a tiny
+    * pre-aggregated table instead of re-scanned from the replica. Retry
+    * safety composes from the parts: staging overwrites its batch_id
+    * partition, the replica commit is latest-wins, and the view update is a
+    * state diff around that commit, so a redelivered batch produces a zero
+    * delta (IncrementalAggSpec). */
+  def applyToReplicaWithAggView(changes: DataFrame, replicaDir: String,
+                                aggDir: String, stagingDir: String,
+                                dlqDir: String, checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val good = stageAndSplit(batch, batchId, stagingDir, dlqDir)
+        val rep = new BucketedReplica(replicaDir)
+        new IncrementalAgg(rep, aggDir).applyBatch(good) // commits the replica
+      }
+      .start()
+
   /** D8, multi-table form — the shape the reference's merge job actually
     * has: the Cloud_Datastream_to_BigQuery template folds EVERY source
     * table from one change stream into its own replica (README.md:195-206;

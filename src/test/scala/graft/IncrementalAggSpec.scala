@@ -1,0 +1,112 @@
+package graft
+
+import graft.streaming.{BucketedReplica, IncrementalAgg}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental aggregate-view maintenance (b13): after every batch the
+  * maintained view must equal a from-scratch aggregate of the replica's
+  * live state, under in-order, out-of-order, and redelivered batches. */
+class IncrementalAggSpec extends SparkSpecBase {
+
+  private def mk(prefix: String): (BucketedReplica, IncrementalAgg) = {
+    val root = tmpDir(prefix)
+    val rep = new BucketedReplica(s"$root/replica", nBuckets = 8)
+    (rep, new IncrementalAgg(rep, s"$root/agg"))
+  }
+
+  private def recompute(rep: BucketedReplica): Seq[Row] =
+    rep.live(spark)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+
+  private def view(agg: IncrementalAgg): Seq[Row] =
+    agg.read(spark).orderBy("event_type").collect().toSeq
+
+  test("view equals from-scratch recompute after every in-order batch") {
+    val (rep, agg) = mk("ia_inorder")
+    val ch = Cdc.changelog(spark, sfDir)
+    val cut = ch.agg(max(col("pos"))).head().getLong(0) / 3
+    val batches = Seq(
+      ch.filter(col("pos") <= cut),
+      ch.filter(col("pos") > cut && col("pos") <= 2 * cut),
+      ch.filter(col("pos") > 2 * cut))
+    batches.foreach { b =>
+      agg.applyBatch(b)
+      assert(view(agg) === recompute(rep))
+    }
+  }
+
+  test("out-of-order interleaved batches converge to the same view") {
+    val (rep, agg) = mk("ia_ooo")
+    val ch = Cdc.changelog(spark, sfDir)
+    Seq(2, 0, 1).foreach(i => agg.applyBatch(ch.filter(col("pos") % 3 === i)))
+    assert(view(agg) === recompute(rep))
+  }
+
+  test("redelivering an already-applied batch is a no-op") {
+    val (rep, agg) = mk("ia_redeliver")
+    val ch = Cdc.changelog(spark, sfDir)
+    val b0 = ch.filter(col("pos") % 2 === 0)
+    agg.applyBatch(b0)
+    val once = view(agg)
+    agg.applyBatch(b0) // state diff around an idempotent commit → zero delta
+    assert(view(agg) === once)
+    assert(view(agg) === recompute(rep))
+  }
+
+  test("streaming: the view is maintained inside the replica-merge stream") {
+    val root = tmpDir("ia_stream")
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    val ch = Cdc.changelog(spark, sfDir).filter(col("user_id") < 40)
+    val cut = ch.agg(max(col("pos"))).head().getLong(0) / 2
+    def land(df: DataFrame, i: Int): Unit = {
+      val stage = s"$root/chunk$i"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, f"chunk-$i%05d.parquet").toPath)
+      ()
+    }
+    land(ch.filter(col("pos") <= cut), 0)
+    def run(): Unit = streaming.CdcStream.applyToReplicaWithAggView(
+      streaming.CdcStream.fileChangelogStream(spark, in),
+      s"$root/replica", s"$root/agg", s"$root/staging", s"$root/dlq",
+      s"$root/ck").awaitTermination()
+    run()
+    val rep = new BucketedReplica(s"$root/replica")
+    val agg = new IncrementalAgg(rep, s"$root/agg")
+    assert(view(agg) === recompute(rep))
+    // second delivery through the same checkpoint: only the new file applies
+    land(ch.filter(col("pos") > cut), 1)
+    run()
+    assert(view(agg) === recompute(rep))
+    assert(view(agg).nonEmpty)
+  }
+
+  test("a group whose last live row is deleted disappears from the view") {
+    import spark.implicits._
+    val (rep, agg) = mk("ia_drop")
+    def batch(rows: Seq[(String, Long, Long, Long, Double, String)]): DataFrame =
+      rows.toDF("op", "pos", "ts_ns", "user_id", "value", "event_type")
+        .withColumn("tbl", lit("users"))
+    agg.applyBatch(batch(Seq(
+      ("INSERT", 1L, 1L, 1L, 10.0, "solo"),
+      ("INSERT", 2L, 2L, 2L, 5.0, "pair"),
+      ("INSERT", 3L, 3L, 3L, 7.0, "pair"))))
+    assert(view(agg).map(_.getString(0)) === Seq("pair", "solo"))
+    agg.applyBatch(batch(Seq(("DELETE", 4L, 4L, 1L, 0.0, "solo"))))
+    assert(view(agg).map(_.getString(0)) === Seq("pair"))
+    assert(view(agg) === recompute(rep))
+    // and an update that MOVES a key across groups shifts both sides
+    agg.applyBatch(batch(Seq(("UPDATE", 5L, 5L, 3L, 2.0, "moved"))))
+    assert(view(agg).map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("moved", 1L), ("pair", 1L)))
+    assert(view(agg) === recompute(rep))
+  }
+}
