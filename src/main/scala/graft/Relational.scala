@@ -549,6 +549,27 @@ object Relational {
             .as("n_types_so_far"))
         .orderBy("user_id", "event_id")
     },
+    // C36 recursive CTE (Spark 4.1 WITH RECURSIVE) — the hierarchy walk
+    // (org chart / BOM explosion) of the warehouse SQL surface: each
+    // customer's ancestor chain k → k/2 → … → 1 with depth and an
+    // ancestor-balance rollup. Recursion is bounded by construction (the
+    // key strictly decreases → log₂ n levels). Cyclic-graph closure stays
+    // with the iterative e21 operator — Spark's recursive CTE only supports
+    // UNION ALL, which diverges on cycles, and the O(log n) large/small-star
+    // operator is the scale-correct shape for that anyway.
+    "c36_recursive_hierarchy" -> { (s, d) =>
+      Tables.load(s, d, "customer").createOrReplaceTempView("cust_h")
+      s.sql("""
+        WITH RECURSIVE up(custkey, anc, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM cust_h
+          UNION ALL
+            SELECT custkey, anc DIV 2, depth + 1 FROM up WHERE anc > 1)
+        SELECT custkey AS c_custkey, MAX(depth) AS depth_to_root,
+               COUNT(cc.c_custkey) AS n_ancestors,
+               CAST(SUM(CAST(cc.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS anc_bal
+        FROM up LEFT JOIN cust_h cc ON cc.c_custkey = up.anc AND up.depth > 0
+        GROUP BY custkey ORDER BY custkey""")
+    },
     // C34 time-series gap fill + carry-forward: per-key hourly grid
     // (sequence generator between each key's bounds), last observation
     // carried forward over the gaps — the resample/ffill operator every
@@ -861,6 +882,16 @@ object Relational {
         |  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_so_far
         |FROM events WHERE user_id < 50 ORDER BY user_id, event_id""".stripMargin,
+    "c36_recursive_hierarchy" ->
+      """WITH RECURSIVE up(custkey, anc, depth) AS (
+        |    SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |    SELECT custkey, anc // 2, depth + 1 FROM up WHERE anc > 1)
+        |SELECT custkey AS c_custkey, MAX(depth) AS depth_to_root,
+        |       COUNT(cc.c_custkey) AS n_ancestors,
+        |       CAST(SUM(CAST(cc.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS anc_bal
+        |FROM up LEFT JOIN customer cc ON cc.c_custkey = up.anc AND up.depth > 0
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
     "c34_gapfill" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000
