@@ -619,8 +619,51 @@ object Extensions {
         .withColumn("est_distinct",
           kmvEstimate(col("n_sketch"), col("kth_hash")))
         .orderBy("event_type")
-    }
+    },
+    // E-series time-series similarity search (see [[tsSimilarity]]): the
+    // probe user's 10 nearest event-value series in 8-segment PAA space.
+    "e27_ts_similarity" -> { (s, d) => tsSimilarity(s, d) }
   )
+
+  /** E-series time-series similarity — PAA (piecewise aggregate
+    * approximation) search: each user's event-value series collapses to an
+    * 8-segment mean vector over the global time span, and the probe user's
+    * nearest neighbors are the smallest squared Euclidean distances between
+    * vectors. The sketch is the scale move: a billion-event series becomes
+    * 8 doubles per user (one groupBy, map-side combinable), and all
+    * pairwise work happens in sketch space — the classic first stage of
+    * distributed time-series search, with the full-resolution series only
+    * re-read to re-rank survivors.
+    *
+    * Determinism: segment ids are integer math on epoch nanos; segment
+    * means are exact DECIMAL sums divided once as DOUBLE; the distance is a
+    * fixed left-to-right fold rounded to 6 decimals (FMA guard). */
+  def tsSimilarity(s: SparkSession, d: String, probeUser: Long = 1L,
+                   k: Int = 10): DataFrame = {
+    val ev = Tables.events(s, d)
+    val r = ev.agg(min(col("ts_ns")), max(col("ts_ns"))).head()
+    val tmin = r.getLong(0); val span = r.getLong(1) - tmin + 1
+    // integer division (Column./ would be float): seg ∈ [0, 8)
+    val seg = expr(s"((ts_ns - ${tmin}L) * 8) div ${span}L")
+    val segmented = ev.select(col("user_id"), seg.as("seg"),
+      col("value").cast(DecimalType(18, 2)).as("v"))
+    val sums = (0 until 8).flatMap(i => Seq(
+      sum(when(col("seg") === i, col("v"))).as(s"s$i"),
+      count(when(col("seg") === i, lit(1))).as(s"c$i")))
+    val paa = segmented.groupBy(col("user_id")).agg(sums.head, sums.tail: _*)
+      .select(col("user_id") +: (0 until 8).map(i =>
+        when(col(s"c$i") > 0, col(s"s$i").cast(DoubleType) / col(s"c$i"))
+          .otherwise(lit(0.0)).as(s"paa$i")): _*)
+    val probe = paa.filter(col("user_id") === probeUser)
+      .select((0 until 8).map(i => col(s"paa$i").as(s"p$i")): _*)
+    val dist2 = (0 until 8).map { i =>
+      val diff = col(s"paa$i") - col(s"p$i"); diff * diff
+    }.reduceLeft(_ + _) // fixed left fold, both engines
+    paa.crossJoin(broadcast(probe)) // 1-row probe
+      .select(col("user_id"), round(dist2, 6).as("dist2"))
+      .orderBy(col("dist2"), col("user_id"))
+      .limit(k)
+  }
 
   /** 60-bit uniform hash of the user-day key (`user_id|epoch-day`): md5
     * prefix as integer, exact in both engines; day bucket is integer
@@ -959,8 +1002,32 @@ object Extensions {
          |  COUNT(*) AS n
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "e26_kmv_cardinality" -> kmvSql,
-    "e26b_kmv_native" -> kmvSql
+    "e26b_kmv_native" -> kmvSql,
+    "e27_ts_similarity" -> tsSimSql
   )
+
+  /** DuckDB twin of [[tsSimilarity]] — same integer segment math, same
+    * exact-decimal means, same left-to-right distance fold. */
+  private lazy val tsSimSql: String = {
+    val paaCols = (0 until 8).map(i =>
+      s"""CASE WHEN COUNT(CASE WHEN seg = $i THEN 1 END) > 0
+         |  THEN CAST(SUM(CASE WHEN seg = $i THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+         |       / COUNT(CASE WHEN seg = $i THEN 1 END)
+         |  ELSE 0.0 END AS paa$i""".stripMargin).mkString(",\n")
+    val dist = (0 until 8)
+      .map(i => s"(p.paa$i - pr.paa$i) * (p.paa$i - pr.paa$i)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT MIN(epoch_ns(ts)) AS tmin, MAX(epoch_ns(ts)) AS tmax FROM events),
+       |e AS (SELECT user_id, ((epoch_ns(ts) - tmin) * 8) // (tmax - tmin + 1) AS seg, value
+       |      FROM events, b),
+       |p AS (SELECT user_id,
+       |$paaCols
+       |FROM e GROUP BY user_id),
+       |pr AS (SELECT * FROM p WHERE user_id = 1)
+       |SELECT p.user_id, round($dist, 6) AS dist2
+       |FROM p, pr
+       |ORDER BY dist2, p.user_id LIMIT 10""".stripMargin
+  }
 
   /** Shared oracle for the KMV sketch twins: the k smallest distinct hashes
     * via DISTINCT + row_number, estimator identical to [[kmvEstimate]]. */

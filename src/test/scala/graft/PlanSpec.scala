@@ -91,6 +91,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("e27 PAA similarity: one series shuffle, probe broadcast, top-k heap") {
+    val p = finalPlan(q("e27_ts_similarity"))
+    // the corpus of PAA vectors is built with ONE keyed shuffle (partial
+    // aggregation map-side); the 1-row probe broadcasts; the final k is a
+    // bounded heap, never a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("e04b sparse jaccard: hot-shingle cut is a broadcast anti-join over the cached posting list") {
     // sf0.1: the only fixture where shingles exceed the df cut — at smaller
     // SFs the hot list is empty and Catalyst (correctly) eliminates the anti
