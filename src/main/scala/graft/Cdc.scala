@@ -79,6 +79,28 @@ object Cdc {
     else latest.filter(col(opCol) =!= "DELETE")
   }
 
+  /** B14 — primary-key-change (re-key) normalization. A pk UPDATE cannot be
+    * applied as an in-place upsert: the replica would keep the old key as a
+    * ghost row forever. CDC readers therefore emit a pk change as two
+    * events — DELETE(old pk) then INSERT(new pk) — and this operator
+    * performs that expansion for sources that deliver pk changes as single
+    * UPDATEs. Position space doubles (pos → 2·pos) so the synthetic INSERT
+    * can totally order strictly after its DELETE (2·pos + 1) without
+    * colliding with any real position; downstream latest-wins merge then
+    * needs no special case. Pure row-local map + union — no shuffle added
+    * beyond the merge that follows anyway. */
+  def rekeySplit(changes: DataFrame, isRekey: Column, newKey: Column,
+                 pk: String = "user_id", posCol: String = "pos"): DataFrame = {
+    // evaluate the flag and target key against the ORIGINAL row, then scale
+    val flagged = changes.withColumn("__rk", isRekey).withColumn("__nk", newKey)
+      .withColumn(posCol, col(posCol) * 2)
+    val normal = flagged.filter(!col("__rk"))
+    val del = flagged.filter(col("__rk")).withColumn("op", lit("DELETE"))
+    val ins = flagged.filter(col("__rk")).withColumn("op", lit("INSERT"))
+      .withColumn(pk, col("__nk")).withColumn(posCol, col(posCol) + 1)
+    normal.unionByName(del).unionByName(ins).drop("__rk", "__nk")
+  }
+
   /** B9 — SCD Type 2 historization of a changelog: instead of latest-wins
     * (the replica the reference's merge job maintains, SCD1), keep EVERY
     * change as a validity interval [valid_from_pos, valid_to_pos), closed by
@@ -517,6 +539,20 @@ object Cdc {
         .select(col("event_type"), col("n_live"),
           col("sum_value").cast(DoubleType).as("sum_value"))
         .orderBy("event_type")
+    },
+    // B14 re-key apply — pk-change UPDATEs (synthesized: every 97th
+    // position) expand to DELETE(old)+INSERT(new) before the merge, so the
+    // replica carries the moved key and no ghost. (Fixture keys are reused
+    // by later events, so an old pk can legitimately reappear as a fresh
+    // row afterward — exactly what a real stream shows on key reuse.)
+    "b14_rekey_apply" -> { (s, d) =>
+      val split = rekeySplit(changelog(s, d),
+        col("op") === "UPDATE" && col("pos") % 97 === 0,
+        col("user_id") + 100000L)
+      merge(split, Seq("user_id"))
+        .select(col("user_id"), col("pos").as("last_pos"),
+          col("value").as("last_value"), col("event_type").as("last_event"))
+        .orderBy("user_id")
     }
   )
 
@@ -696,6 +732,22 @@ object Cdc {
          |  pos - prev - 1 AS n_missing
          |FROM l WHERE prev IS NOT NULL AND pos - prev > 1
          |ORDER BY tbl, after_pos""".stripMargin,
+    "b14_rekey_apply" ->
+      s"""WITH ch AS ($changelogSql),
+         |flagged AS (SELECT *, (op = 'UPDATE' AND pos % 97 = 0) AS rk FROM ch),
+         |split AS (
+         |  SELECT op, tbl, pos * 2 AS pos, ts_ns, user_id, value, event_type
+         |  FROM flagged WHERE NOT rk
+         |  UNION ALL
+         |  SELECT 'DELETE', tbl, pos * 2, ts_ns, user_id, value, event_type
+         |  FROM flagged WHERE rk
+         |  UNION ALL
+         |  SELECT 'INSERT', tbl, pos * 2 + 1, ts_ns, user_id + 100000, value, event_type
+         |  FROM flagged WHERE rk),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn
+         |      FROM split)
+         |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "b13_incremental_agg" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),

@@ -570,6 +570,20 @@ object Relational {
         FROM up LEFT JOIN cust_h cc ON cc.c_custkey = up.anc AND up.depth > 0
         GROUP BY custkey ORDER BY custkey""")
     },
+    // C37 LATERAL correlated derived table — per-nation top-2 customers via
+    // a correlated ORDER BY ... LIMIT subquery in the FROM clause (the
+    // "top-n per outer row" SQL idiom; the DataFrame twin is the c05/c16
+    // rank-filter, which Spark plans as WindowGroupLimit).
+    "c37_lateral_topn" -> { (s, d) =>
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_l")
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer_l")
+      s.sql("""SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+               FROM nation_l n,
+               LATERAL (SELECT c_custkey, c_acctbal FROM customer_l c
+                        WHERE c.c_nationkey = n.n_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+               ORDER BY n.n_nationkey, t.c_acctbal DESC, t.c_custkey""")
+    },
     // C34 time-series gap fill + carry-forward: per-key hourly grid
     // (sequence generator between each key's bounds), last observation
     // carried forward over the gaps — the resample/ffill operator every
@@ -892,6 +906,13 @@ object Relational {
         |       CAST(SUM(CAST(cc.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS anc_bal
         |FROM up LEFT JOIN customer cc ON cc.c_custkey = up.anc AND up.depth > 0
         |GROUP BY custkey ORDER BY custkey""".stripMargin,
+    "c37_lateral_topn" ->
+      """SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_nationkey, t.c_acctbal DESC, t.c_custkey""".stripMargin,
     "c34_gapfill" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000
