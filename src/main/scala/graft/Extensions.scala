@@ -622,7 +622,25 @@ object Extensions {
     },
     // E-series time-series similarity search (see [[tsSimilarity]]): the
     // probe user's 10 nearest event-value series in 8-segment PAA space.
-    "e27_ts_similarity" -> { (s, d) => tsSimilarity(s, d) }
+    "e27_ts_similarity" -> { (s, d) => tsSimilarity(s, d) },
+    // E-series stratified sampling — a balanced per-language subsample
+    // (min(n, 25) docs per lang) selected by md5-hash order: no RNG state,
+    // reproducible under any partitioning or run count, and every stratum
+    // is capped so no language dominates the sample. The per-stratum
+    // rank-filter plans as WindowGroupLimit (bounded heap per lang), so at
+    // 100 TB the pass reads the corpus once and shuffles only by lang.
+    "e28_stratified_sample" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("__h"), col("doc_id"))
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokenHash(col("doc_id").cast(StringType)).as("__h"))
+        .withColumn("sample_rank", row_number().over(w).cast(LongType))
+        .filter(col("sample_rank") <= 25)
+        .select(col("lang"), col("sample_rank"), col("doc_id"))
+        .orderBy("lang", "sample_rank")
+    }
   )
 
   /** E-series time-series similarity — PAA (piecewise aggregate
@@ -1003,7 +1021,16 @@ object Extensions {
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "e26_kmv_cardinality" -> kmvSql,
     "e26b_kmv_native" -> kmvSql,
-    "e27_ts_similarity" -> tsSimSql
+    "e27_ts_similarity" -> tsSimSql,
+    "e28_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS sample_rank
+         |  FROM h)
+         |SELECT lang, sample_rank, doc_id FROM r
+         |WHERE sample_rank <= 25 ORDER BY lang, sample_rank""".stripMargin
   )
 
   /** DuckDB twin of [[tsSimilarity]] — same integer segment math, same

@@ -584,6 +584,19 @@ object Relational {
                         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
                ORDER BY n.n_nationkey, t.c_acctbal DESC, t.c_custkey""")
     },
+    // C38 NOT IN subquery — planned as the null-aware anti join (the
+    // LeftAnti BroadcastHashJoin with the isNullAware flag): NOT IN is NOT
+    // an anti join when the inner side can hold NULL (one NULL makes every
+    // non-match UNKNOWN → empty result); NullSemanticsSpec pins that
+    // poisoned case, this query gates the non-degenerate one.
+    "c38_not_in" -> { (s, d) =>
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_n")
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer_n")
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders_n
+               WHERE o_custkey NOT IN
+                 (SELECT c_custkey FROM customer_n WHERE c_mktsegment = 'BUILDING')
+               ORDER BY o_orderkey""")
+    },
     // C34 time-series gap fill + carry-forward: per-key hourly grid
     // (sequence generator between each key's bounds), last observation
     // carried forward over the gaps — the resample/ffill operator every
@@ -913,6 +926,11 @@ object Relational {
         |         WHERE c.c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n.n_nationkey, t.c_acctbal DESC, t.c_custkey""".stripMargin,
+    "c38_not_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     "c34_gapfill" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000
