@@ -89,6 +89,25 @@ class IncrementalAggSpec extends SparkSpecBase {
     assert(view(agg).nonEmpty)
   }
 
+  test("recovery: an orphan version dir and stale pointer tmp from a crashed writer are clobbered") {
+    val (rep, agg) = mk("ia_crash")
+    val ch = Cdc.changelog(spark, sfDir).filter(col("user_id") < 30)
+    agg.applyBatch(ch.filter(col("pos") % 2 === 0))
+    val good = view(agg)
+    // simulate a writer that died after writing the NEXT version dir and a
+    // pointer tmp file, but before the atomic rename
+    val root = new java.io.File(agg.read(spark).inputFiles.head).getParentFile.getParent
+    val orphan = new java.io.File(root, "v2")
+    orphan.mkdirs()
+    java.nio.file.Files.write(new java.io.File(orphan, "garbage").toPath,
+      "not parquet".getBytes)
+    java.nio.file.Files.write(new java.io.File(root, "_CURRENT.tmp2").toPath,
+      "2".getBytes)
+    assert(view(agg) === good) // reader still resolves the committed version
+    agg.applyBatch(ch.filter(col("pos") % 2 === 1)) // recovery commit: v2 clobbered
+    assert(view(agg) === recompute(rep))
+  }
+
   test("a group whose last live row is deleted disappears from the view") {
     import spark.implicits._
     val (rep, agg) = mk("ia_drop")

@@ -68,6 +68,39 @@ class KmvSketchSpec extends SparkSpecBase {
     assert(run(ev.repartition(17)) === run(ev.coalesce(1)))
   }
 
+  test("the sketch aggregates incrementally as streaming state (complete mode)") {
+    // distinct-user sketch per event type over an unbounded stream: the
+    // TypedImperativeAggregate buffer IS the streaming state (≤ 64 longs
+    // per group), updated per micro-batch — the shape of a live
+    // distinct-count dashboard at 100 TB/day ingest
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    KmvAgg.register(spark)
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("etype", "uid")
+      .select(col("etype"),
+        conv(substring(md5(col("uid").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("etype").agg(KmvAgg.kmv(col("h")).as("sk"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    val rnd = new Random(11)
+    val all = Seq.fill(300)(("t" + rnd.nextInt(3), rnd.nextInt(150).toLong))
+    all.grouped(75).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    // final complete-mode state == the one-shot batch sketch
+    val streamed = spark.table("kmv_stream")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val batch = all.toDF("etype", "uid")
+      .select(col("etype"),
+        conv(substring(md5(col("uid").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("etype").agg(KmvAgg.kmv(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed === batch)
+  }
+
   test("estimator is within 4 standard errors of the exact count") {
     // stderr of KMV ≈ 1/sqrt(k-2); fixture groups are ~160 distinct at k=64
     val rows = SparkEntry.queries("e26_kmv_cardinality")(spark, sfDir).collect()
