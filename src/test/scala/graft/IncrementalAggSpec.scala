@@ -96,7 +96,10 @@ class IncrementalAggSpec extends SparkSpecBase {
     val good = view(agg)
     // simulate a writer that died after writing the NEXT version dir and a
     // pointer tmp file, but before the atomic rename
-    val root = new java.io.File(agg.read(spark).inputFiles.head).getParentFile.getParent
+    // inputFiles are file: URIs — resolve through URI or File treats them
+    // as relative paths and plants the orphan in the working directory
+    val root = new java.io.File(new java.net.URI(agg.read(spark).inputFiles.head))
+      .getParentFile.getParent
     val orphan = new java.io.File(root, "v2")
     orphan.mkdirs()
     java.nio.file.Files.write(new java.io.File(orphan, "garbage").toPath,
