@@ -3,9 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.Path
 
 /** Incremental keyed replica with bucket-granular rewrites and atomic
   * pointer commits — the storage half of the reference's streaming MERGE
@@ -52,15 +50,20 @@ final class BucketedReplica(
     opCol: String = "op",
     tsCol: String = "ts_ns") {
 
+  /** All control-plane I/O (pointer, manifests, meta, GC listing) goes
+    * through the filesystem-agnostic [[StoreIO]]: the replica root may be a
+    * local dir in tests or an `hdfs://` URI on a cluster, same code. */
+  private val io = new StoreIO(root, StoreIO.sessionConf())
+
   /** The bucket count is part of the stored layout: rows were placed by
     * `pmod(xxhash64(pk), n)` at write time, so re-deriving buckets with a
     * different n would make touched-bucket reads miss existing rows and
     * duplicate keys. The first commit pins n (and the pk) in `_META`; every
     * later open of the same replica must agree or fails loudly. */
   private lazy val effectiveBuckets: Int = {
-    val meta = Paths.get(root, "_META")
-    if (Files.isRegularFile(meta)) {
-      val kv = new String(Files.readAllBytes(meta), StandardCharsets.UTF_8)
+    val meta = io.path("_META")
+    if (io.exists(meta)) {
+      val kv = io.readString(meta)
         .linesIterator.filter(_.contains("=")).map { l =>
           val Array(k, v) = l.split("=", 2); k -> v
         }.toMap
@@ -75,35 +78,28 @@ final class BucketedReplica(
   }
 
   private def writeMetaIfAbsent(): Unit = {
-    val meta = Paths.get(root, "_META")
-    if (!Files.isRegularFile(meta)) {
-      Files.createDirectories(Paths.get(root))
-      Files.write(meta,
-        s"nBuckets=$effectiveBuckets\npk=$pk\n".getBytes(StandardCharsets.UTF_8))
-      ()
-    }
+    val meta = io.path("_META")
+    if (!io.exists(meta))
+      io.writeString(meta, s"nBuckets=$effectiveBuckets\npk=$pk\n")
   }
 
   private def bucketExpr: Column =
     pmod(xxhash64(col(pk)), lit(effectiveBuckets.toLong))
 
-  private def currentFile = Paths.get(root, "_CURRENT")
+  private def currentFile = io.path("_CURRENT")
 
   /** Version the pointer currently names, if the replica exists. */
   def currentVersion: Option[Long] =
-    if (Files.isRegularFile(currentFile))
-      Some(new String(Files.readAllBytes(currentFile), StandardCharsets.UTF_8).trim.toLong)
+    if (io.exists(currentFile)) Some(io.readString(currentFile).trim.toLong)
     else None
 
-  private def manifestPath(v: Long) = Paths.get(root, s"manifest-$v.tsv")
+  private def manifestPath(v: Long) = io.path(s"manifest-$v.tsv")
 
-  private def readManifest(v: Long): Map[Int, String] = {
-    import scala.jdk.CollectionConverters._
-    Files.readAllLines(manifestPath(v)).asScala.filter(_.nonEmpty).map { line =>
+  private def readManifest(v: Long): Map[Int, String] =
+    io.readString(manifestPath(v)).linesIterator.filter(_.nonEmpty).map { line =>
       val Array(b, rel) = line.split("\t", 2)
       b.toInt -> rel
     }.toMap
-  }
 
   /** The stored replica (tombstones included) as of the current pointer. */
   def read(spark: SparkSession): DataFrame = {
@@ -124,7 +120,7 @@ final class BucketedReplica(
     * versions raise. This is the bounded-staleness read model of
     * transactional table formats, not an unbounded history log. */
   def readAt(spark: SparkSession, v: Long): DataFrame = {
-    require(Files.isRegularFile(manifestPath(v)),
+    require(io.exists(manifestPath(v)),
       s"version $v of replica at $root is not retained " +
         s"(current=${currentVersion.getOrElse(-1L)}; current+previous kept)")
     val paths = readManifest(v).values.map(rel => s"$root/$rel").toSeq.sorted
@@ -279,52 +275,44 @@ final class BucketedReplica(
 
     // buckets whose rewrite produced zero rows (fully GC'd) write no dir and
     // leave the manifest; everything else re-points at the new version
-    val written = Option(new File(versionDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-      .map(f => f.getName.stripPrefix("bucket=").toInt -> s"data/v$newV/${f.getName}")
+    val written = io.listDirs(new Path(versionDir))
+      .filter(_.getName.startsWith("bucket="))
+      .map(p => p.getName.stripPrefix("bucket=").toInt -> s"data/v$newV/${p.getName}")
       .toMap
     val newMan = (man -- touched) ++ written
 
-    Files.write(manifestPath(newV),
+    io.writeString(manifestPath(newV),
       newMan.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
-        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+        .mkString("", "\n", "\n"))
     commitPointer(newV)
     gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet)
-    curV.foreach(v => Files.deleteIfExists(manifestPath(v - 1))) // keep cur+prev
+    curV.foreach(v => io.delete(manifestPath(v - 1))) // keep cur+prev
   }
 
   /** Atomic same-directory rename makes the new version visible all-at-once. */
   private def commitPointer(v: Long): Unit = {
-    val tmp = Paths.get(root, s"_CURRENT.tmp$v")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = io.path(s"_CURRENT.tmp$v")
+    io.writeString(tmp, v.toString)
+    io.renameOverwrite(tmp, currentFile)
   }
 
   /** Delete bucket dirs referenced by neither the new nor the previous
     * manifest (readers may still hold the previous one — bounded staleness). */
   private def gcUnreferenced(keep: Set[String]): Unit = {
-    val dataDir = new File(root, "data")
+    val dataDir = io.path("data")
     for {
-      vDir <- Option(dataDir.listFiles()).getOrElse(Array.empty)
-      if vDir.isDirectory
-      bDir <- Option(vDir.listFiles()).getOrElse(Array.empty)
-      if bDir.isDirectory && bDir.getName.startsWith("bucket=")
+      vDir <- io.listDirs(dataDir)
+      bDir <- io.listDirs(vDir)
+      if bDir.getName.startsWith("bucket=")
       rel = s"data/${vDir.getName}/${bDir.getName}"
       if !keep.contains(rel)
-    } deleteRecursively(bDir)
+    } io.delete(bDir)
     // drop version dirs left empty (only non-dir bookkeeping files remain)
-    Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(v => v.isDirectory &&
-        Option(v.listFiles()).getOrElse(Array.empty).forall(!_.isDirectory))
-      .foreach(deleteRecursively)
-  }
-
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
+    io.listDirs(dataDir)
+      .filter(v => io.listDirs(v).isEmpty)
+      .foreach(io.delete)
   }
 
   /** Remove the replica entirely (test/scratch hygiene). */
-  def destroy(): Unit = deleteRecursively(new File(root))
+  def destroy(): Unit = io.delete(io.root)
 }

@@ -3,9 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Incremental maintenance of a grouped aggregate view over the live
   * replica — the reference's reporting layer (main.tf:188-195, "Reporting
@@ -53,11 +50,14 @@ final class IncrementalAgg(
     StructField("n_live", LongType),
     StructField("sum_value", DecimalType(18, 2))))
 
-  private def currentFile = Paths.get(root, "_CURRENT")
+  /** Same filesystem-agnostic control plane as the replica (see
+    * [[StoreIO]]): the view store works on any Hadoop-reachable URI. */
+  private val io = new StoreIO(root, StoreIO.sessionConf())
+
+  private def currentFile = io.path("_CURRENT")
 
   private def currentVersion: Option[Long] =
-    if (Files.isRegularFile(currentFile))
-      Some(new String(Files.readAllBytes(currentFile), StandardCharsets.UTF_8).trim.toLong)
+    if (io.exists(currentFile)) Some(io.readString(currentFile).trim.toLong)
     else None
 
   /** The maintained aggregate view. */
@@ -96,22 +96,15 @@ final class IncrementalAgg(
   }
 
   private def write(next: DataFrame): Unit = {
-    Files.createDirectories(Paths.get(root))
     val newV = currentVersion.getOrElse(0L) + 1
     // the view is one row per group — a single right-sized file
     next.coalesce(1).write.mode("overwrite").parquet(s"$root/v$newV")
-    val tmp = Paths.get(root, s"_CURRENT.tmp$newV")
-    Files.write(tmp, newV.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = io.path(s"_CURRENT.tmp$newV")
+    io.writeString(tmp, newV.toString)
+    io.renameOverwrite(tmp, currentFile)
     // keep current + previous (readers may hold the old pointer)
-    deleteRecursively(new File(root, s"v${newV - 2}"))
+    io.delete(io.path(s"v${newV - 2}"))
   }
 
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
-
-  def destroy(): Unit = deleteRecursively(new File(root))
+  def destroy(): Unit = io.delete(io.root)
 }
