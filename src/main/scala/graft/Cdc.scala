@@ -553,6 +553,18 @@ object Cdc {
         .select(col("user_id"), col("pos").as("last_pos"),
           col("value").as("last_value"), col("event_type").as("last_event"))
         .orderBy("user_id")
+    },
+    // B3 composite-key form — MERGE keyed by (user_id, event_type): the
+    // multi-column primary key every real warehouse table eventually has.
+    // Same single hash shuffle as b3, now on both key columns (the shuffle
+    // key is the tuple, so co-hashing holds and skew spreads across the
+    // composite domain); latest position per composite key wins, DELETEs
+    // drop that key's row only.
+    "b15_composite_merge" -> { (s, d) =>
+      merge(changelog(s, d), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("pos").as("last_pos"), col("value").as("last_value"))
+        .orderBy("user_id", "event_type")
     }
   )
 
@@ -748,6 +760,13 @@ object Cdc {
          |      FROM split)
          |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
          |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "b15_composite_merge" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+         |                                   ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, event_type, pos AS last_pos, value AS last_value
+         |FROM r WHERE rn = 1 AND op <> 'DELETE'
+         |ORDER BY user_id, event_type""".stripMargin,
     "b13_incremental_agg" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),

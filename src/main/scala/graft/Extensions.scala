@@ -640,6 +640,36 @@ object Extensions {
         .filter(col("sample_rank") <= 25)
         .select(col("lang"), col("sample_rank"), col("doc_id"))
         .orderBy("lang", "sample_rank")
+    },
+    // E1/E4 decontamination — benchmark-overlap detection, the release gate
+    // of every training-data pipeline: a training document sharing any
+    // 3-gram shingle with the held-out eval set is flagged with its overlap
+    // count (eval membership = doc_id % 97, the fixture stand-in for a real
+    // benchmark corpus). Shingles are md5-hashed to longs and the eval-side
+    // distinct shingle set — small by definition of an eval set — is
+    // BROADCAST: the training corpus never shuffles, so at 100 TB this is
+    // one map-side join pass over the corpus (the same economics as e04b's
+    // inverted index, but with the tiny side known in advance).
+    "e29_decontamination" -> { (s, d) =>
+      val grams = load(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(0), size(col("tk")) - 3),
+            i => tokenHash(concat_ws(" ",
+              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
+              element_at(col("tk"), i + 3)))))).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .join(sizes, "doc_id")
+        .select(col("doc_id"), col("n_hits"), col("n_grams"),
+          (col("n_hits").cast(DoubleType) / col("n_grams")).as("contamination"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1022,6 +1052,20 @@ object Extensions {
     "e26_kmv_cardinality" -> kmvSql,
     "e26b_kmv_native" -> kmvSql,
     "e27_ts_similarity" -> tsSimSql,
+    "e29_decontamination" ->
+      """WITH tg AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> CAST(concat('0x', substring(md5(string_split(text,' ')[i] || ' ' ||
+        |             string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]), 1, 8)) AS BIGINT))) AS gs
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM tg WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, unnest(gs) AS g FROM tg WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT doc_id, COUNT(*)::BIGINT AS n_hits
+        |         FROM tr JOIN ev USING (g) GROUP BY doc_id),
+        |sz AS (SELECT doc_id, len(gs)::BIGINT AS n_grams FROM tg)
+        |SELECT h.doc_id, n_hits, n_grams, n_hits::DOUBLE / n_grams AS contamination
+        |FROM hits h JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh

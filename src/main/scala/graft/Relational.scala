@@ -597,6 +597,53 @@ object Relational {
                  (SELECT c_custkey FROM customer_n WHERE c_mktsegment = 'BUILDING')
                ORDER BY o_orderkey""")
     },
+    // C39 bitwise aggregates — flag-mask combining reducers (fully
+    // partial-aggregatable: AND/OR/XOR are associative+commutative, so the
+    // map side collapses each partition to one long before the shuffle).
+    "c39_bit_agg" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bit_and(CAST(l_linenumber AS BIGINT))").as("lines_and"),
+          expr("bit_or(CAST(l_linenumber AS BIGINT))").as("lines_or"),
+          expr("bit_xor(l_orderkey)").as("keys_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    // C40 regex group extraction — parse-and-group on an extracted capture
+    // (first word of the part name); the scan-side extraction stays in
+    // whole-stage codegen and the aggregate shuffles only |distinct words|.
+    "c40_regexp_extract" -> { (s, d) =>
+      Tables.load(s, d, "part")
+        .select(regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          col("p_partkey"))
+        .groupBy(col("first_word"))
+        .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_part"))
+        .orderBy("first_word")
+    },
+    // C41 ordered string aggregation (LISTAGG/STRING_AGG) — deterministic
+    // by sorting members before concatenation, so the result is
+    // partitioning-invariant (collect_list alone is not: its order is
+    // arrival order).
+    "c41_string_agg" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .filter(col("c_custkey") % 100 === 0)
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+    // C42 conditional aggregates — COUNT_IF/BOOL_OR/BOOL_AND + exact
+    // median, the predicate-summary reducers of quality dashboards.
+    "c42_conditional_agg" -> { (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(expr("count_if(l_discount > 0.05)").as("n_discounted"),
+          expr("bool_or(l_quantity >= 50)").as("any_bulk"),
+          expr("bool_and(l_quantity >= 1)").as("all_nonzero"),
+          expr("median(l_quantity)").as("med_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    },
     // C34 time-series gap fill + carry-forward: per-key hourly grid
     // (sequence generator between each key's bounds), last observation
     // carried forward over the gaps — the resample/ffill operator every
@@ -931,6 +978,30 @@ object Relational {
         |WHERE o_custkey NOT IN
         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+    "c39_bit_agg" ->
+      """SELECT l_returnflag,
+        |  bit_and(CAST(l_linenumber AS BIGINT)) AS lines_and,
+        |  bit_or(CAST(l_linenumber AS BIGINT)) AS lines_or,
+        |  bit_xor(l_orderkey) AS keys_xor,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "c40_regexp_extract" ->
+      """SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  COUNT(*) AS n_parts, MIN(p_partkey) AS min_part
+        |FROM part GROUP BY 1 ORDER BY first_word""".stripMargin,
+    "c41_string_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names, COUNT(*) AS n
+        |FROM customer WHERE c_custkey % 100 = 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "c42_conditional_agg" ->
+      """SELECT l_linestatus,
+        |  count_if(l_discount > 0.05)::BIGINT AS n_discounted,
+        |  bool_or(l_quantity >= 50) AS any_bulk,
+        |  bool_and(l_quantity >= 1) AS all_nonzero,
+        |  median(l_quantity) AS med_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "c34_gapfill" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000

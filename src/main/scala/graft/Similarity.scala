@@ -284,6 +284,92 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(5)
     },
+    // E2 k-means (Lloyd) — the IVF centroid trainer, oracle-gated end to
+    // end: init = vecs 0..7, one exact integer assignment, one mean update,
+    // one reassignment against the updated means. Integer quantization
+    // (round(x·100)) makes round 1 pure integer math; the mean is one IEEE
+    // division per dim of an exact integer sum (order-free), and round-2
+    // distances are left-fold doubles with a FIXED fold order — so both
+    // engines compute bit-identical values with no rounding fudge. Each
+    // iteration is one corpus pass with broadcast centroids (k×64) plus a
+    // k×64-sized aggregate: the canonical distributed k-means shape, and
+    // exactly what [[kmeansCentroids]] runs in float space for AnnRecallSpec.
+    "e30_kmeans" -> { (s, d) =>
+      val qv = load(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 100).cast(LongType)).as("q"))
+      val cents0 = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val d2Int = aggregate(
+        zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      val a1 = qv.crossJoin(broadcast(cents0))
+        .select(col("vec_id"), col("q"), col("cid"), d2Int.as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("q"), col("cid"))
+      val cents1 = a1
+        .select(col("cid"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("m", col("sx").cast(DoubleType) / col("n"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), e => e.getField("m")).as("cm"))
+      val d2Dbl = aggregate(
+        zip_with(col("q"), col("cm"),
+          (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
+        lit(0.0), (acc, v) => acc + v)
+      qv.crossJoin(broadcast(cents1))
+        .select(col("vec_id"), col("cid"), d2Dbl.as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_vec_id"),
+          min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"))
+        .orderBy("cid")
+    },
+    // E2 product quantization — the memory-side ANN compression: each
+    // vector splits into 4×16-dim subvectors, each coded as its nearest of
+    // 4 codewords (codebook = vecs 0..3, integer-quantized), and the probe
+    // searches in ADC form: distance tables from the probe's EXACT
+    // subvectors to every codeword (4×4 ints, broadcast), candidate
+    // distance = sum of 4 table lookups. 64 floats become 4 small codes per
+    // vector — the 16× scan-byte compression that makes billion-scale ANN
+    // serveable; all distances exact integer math, bit-identical on both
+    // engines.
+    "e31_pq_ann" -> { (s, d) =>
+      val qv = load(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 100).cast(LongType)).as("q"))
+      val chunks = qv.select(col("vec_id"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("chunk"),
+          slice(col("q"), j * 16 + 1, 16).as("sub"))): _*)).as("cs"))
+        .select(col("vec_id"), col("cs.chunk").as("chunk"), col("cs.sub").as("sub"))
+      val codebook = chunks.filter(col("vec_id") < 4)
+        .select(col("chunk"), col("vec_id").as("code"), col("sub").as("cw"))
+      val d2 = aggregate(
+        zip_with(col("sub"), col("cw"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      val w = Window.partitionBy(col("vec_id"), col("chunk"))
+        .orderBy(col("d2").asc, col("code").asc)
+      val codes = chunks.join(broadcast(codebook), "chunk")
+        .select(col("vec_id"), col("chunk"), col("code"), d2.as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("chunk"), col("code"))
+      val ptab = chunks.filter(col("vec_id") === 42)
+        .select(col("chunk"), col("sub").as("psub"))
+        .join(codebook, "chunk")
+        .select(col("chunk"), col("code"),
+          aggregate(zip_with(col("psub"), col("cw"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, v) => acc + v).as("pd2"))
+      codes.join(broadcast(ptab), Seq("chunk", "code"))
+        .filter(col("vec_id") =!= 42)
+        .groupBy(col("vec_id"))
+        .agg(sum(col("pd2")).as("adc_d2"))
+        .orderBy(col("adc_d2").asc, col("vec_id").asc)
+        .limit(10)
+    },
     // E2 scale path — int8 symmetric quantization of the embedding column
     // (per-vector max-abs scale, the standard PTQ recipe): 4× less scan
     // bytes and an INTEGER dot product in the hot loop; the float scales
@@ -381,6 +467,49 @@ object Similarity {
          |FROM assigned a JOIN pc ON a.cid = pc.cid
          |WHERE a.vec_id <> 42
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin,
+    "e30_kmeans" -> {
+      val di = "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))), (acc, x) -> acc + x)"
+      val dd = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, 64), i -> (v.q[i]::DOUBLE - c.cm[i]) * (v.q[i]::DOUBLE - c.cm[i]))), (acc, x) -> acc + x)"
+      s"""WITH qv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 100) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8),
+         |a1 AS (SELECT vec_id, q, cid FROM (
+         |    SELECT v.vec_id, v.q, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY $di ASC, c.cid ASC) AS rn
+         |    FROM qv v, c0 c) WHERE rn = 1),
+         |cm AS (SELECT cid, list(m ORDER BY dim) AS cm FROM (
+         |    SELECT cid, dim, SUM(x)::DOUBLE / COUNT(*) AS m FROM (
+         |      SELECT cid, unnest(generate_series(1, len(q))) AS dim, unnest(q) AS x FROM a1)
+         |    GROUP BY cid, dim) GROUP BY cid),
+         |a2 AS (SELECT vec_id, cid, d2 FROM (
+         |    SELECT v.vec_id, c.cid, $dd AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY $dd ASC, c.cid ASC) AS rn
+         |    FROM qv v, cm c) WHERE rn = 1)
+         |SELECT cid, COUNT(*)::BIGINT AS n_members, SUM(vec_id)::BIGINT AS sum_vec_id,
+         |  MIN(d2) AS min_d2, MAX(d2) AS max_d2
+         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
+    },
+    "e31_pq_ann" -> {
+      val dc = "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 16), i -> (c.sub[i] - b.cw[i]) * (c.sub[i] - b.cw[i]))), (acc, x) -> acc + x)"
+      val dp = "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 16), i -> (p.sub[i] - b.cw[i]) * (p.sub[i] - b.cw[i]))), (acc, x) -> acc + x)"
+      s"""WITH qv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 100) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |ch AS (SELECT vec_id, chunk, q[chunk * 16 + 1 : chunk * 16 + 16] AS sub
+         |  FROM qv, (SELECT unnest(generate_series(0, 3)) AS chunk)),
+         |cb AS (SELECT chunk, vec_id AS code, sub AS cw FROM ch WHERE vec_id < 4),
+         |codes AS (SELECT vec_id, chunk, code FROM (
+         |    SELECT c.vec_id, c.chunk, b.code,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.chunk ORDER BY $dc ASC, b.code ASC) AS rn
+         |    FROM ch c JOIN cb b USING (chunk)) WHERE rn = 1),
+         |ptab AS (SELECT b.chunk, b.code, $dp AS pd2
+         |  FROM (SELECT chunk, sub FROM ch WHERE vec_id = 42) p JOIN cb b USING (chunk))
+         |SELECT vec_id, SUM(pd2)::BIGINT AS adc_d2
+         |FROM codes JOIN ptab USING (chunk, code)
+         |WHERE vec_id <> 42
+         |GROUP BY vec_id ORDER BY adc_d2 ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
     "e23_vector_quantize" -> {
       val qdotSql =
         "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), i -> q[i] * pq[i])), (acc, v) -> acc + v)"
