@@ -42,6 +42,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev loop: SPARK_GRAFT_ONLY=b10,b11 times just the named prefixes
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -62,13 +66,14 @@ object Bench {
         val w = new java.io.File(p, "sf0.001")
         if (w.isDirectory) w.toString else sfDir
       }
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (selected(name))
+          try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
     spark.catalog.clearCache() // timed runs must compute, not read warm cache
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }

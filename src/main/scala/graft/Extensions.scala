@@ -441,12 +441,13 @@ object Extensions {
     // bigram count; per-doc generator + two keyed aggregations, no data ever
     // leaves its doc_id partition until the final sort.
     "e19_repetition_filter" -> { (s, d) =>
-      val tk = toks(col("text"))
       load(s, d, "documents")
         .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), toks(col("text")).as("tk")) // tokenize once
         .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(tk) - 2),
-            i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2))))
+          explode(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => concat(element_at(col("tk"), i + 1), lit(" "),
+              element_at(col("tk"), i + 2))))
             .as("bigram"))
         .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -460,10 +461,14 @@ object Extensions {
     // language-model-ish corpus profile; explode → count → top-k, all
     // partial-aggregated).
     "e20_top_ngrams" -> { (s, d) =>
-      val tk = toks(col("text"))
+      // tokenize ONCE into a materialized column before the per-bigram
+      // lambda: element_at over an inline split would re-split the whole
+      // text per element access — O(tokens²) per document
       load(s, d, "documents")
-        .select(explode(transform(sequence(lit(0), size(tk) - 2),
-          i => concat(element_at(tk, i + 1), lit(" "), element_at(tk, i + 2)))).as("bigram"))
+        .select(toks(col("text")).as("tk"))
+        .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+          i => concat(element_at(col("tk"), i + 1), lit(" "),
+            element_at(col("tk"), i + 2)))).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)

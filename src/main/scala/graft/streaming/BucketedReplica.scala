@@ -13,8 +13,8 @@ import org.apache.hadoop.fs.Path
   *
   * Layout (all paths under `root`):
   * {{{
-  *   _CURRENT                  // text: current version number, committed by
-  *                             // same-directory atomic rename
+  *   _PTR-<v>                  // write-once pointer file: version v is
+  *                             // committed; readers resolve max(v)
   *   manifest-<v>.tsv          // bucket \t relative-data-dir, one per bucket
   *   data/v<v>/bucket=<k>/part-….parquet
   * }}}
@@ -25,8 +25,9 @@ import org.apache.hadoop.fs.Path
   *    O(touched buckets) ≈ O(batch keys · replica/nBuckets), NOT O(replica).
   *    Untouched buckets keep their existing files — the new manifest simply
   *    re-references them.
-  *  - readers resolve `_CURRENT` → manifest → bucket dirs; the pointer
-  *    rename is atomic, so a concurrent reader sees the old or the new
+  *  - readers resolve max(`_PTR-<v>`) → manifest → bucket dirs; pointer
+  *    files are write-once (creation is atomic on POSIX, HDFS, and object
+  *    stores alike), so a concurrent reader sees the old or the new
   *    version in full, never a partial or empty replica. Version dirs
   *    referenced by the current OR previous manifest are retained, so a
   *    reader holding a just-replaced manifest still finds its files
@@ -86,12 +87,13 @@ final class BucketedReplica(
   private def bucketExpr: Column =
     pmod(xxhash64(col(pk)), lit(effectiveBuckets.toLong))
 
-  private def currentFile = io.path("_CURRENT")
+  /** Committed versions, by their write-once `_PTR-<v>` pointer files. */
+  private def pointerVersions: Seq[Long] =
+    io.listFiles(io.root).map(_.getName)
+      .filter(_.startsWith("_PTR-")).map(_.stripPrefix("_PTR-").toLong)
 
-  /** Version the pointer currently names, if the replica exists. */
-  def currentVersion: Option[Long] =
-    if (io.exists(currentFile)) Some(io.readString(currentFile).trim.toLong)
-    else None
+  /** Highest committed version, if the replica exists. */
+  def currentVersion: Option[Long] = pointerVersions.sorted.lastOption
 
   private def manifestPath(v: Long) = io.path(s"manifest-$v.tsv")
 
@@ -188,30 +190,35 @@ final class BucketedReplica(
     // has no bucket): skip them deterministically rather than NPE. The
     // streaming path pre-filters these into the DLQ; direct callers (b8,
     // library use) get the same drop-don't-crash contract here.
+    // persisted: the commit is two actions (bucket-id probe, version write)
+    // — the cache stops the second from recomputing the caller's upstream
+    // (for the streaming paths that is a filter/cast/dedup over the source)
     val batchRows = batch.select(schema.fields.toSeq.map { f =>
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }: _*).filter(col(pk).isNotNull)
-    val touched: Seq[Int] = batchRows
-      .select(bucketExpr.as("__b")).distinct()
-      .collect().map(_.getLong(0).toInt).toSeq.sorted
-    if (touched.isEmpty) return // empty batch: nothing to commit
+    }: _*).filter(col(pk).isNotNull).persist()
+    try {
+      val touched: Seq[Int] = batchRows
+        .select(bucketExpr.as("__b")).distinct()
+        .collect().map(_.getLong(0).toInt).toSeq.sorted
+      if (touched.isEmpty) return // empty batch: nothing to commit
 
-    val man = currentVersion.map(readManifest).getOrElse(Map.empty)
-    val merged = graft.Cdc.merge(
-      readBuckets(spark, man, touched).unionByName(batchRows), Seq(pk),
-      posCol, opCol, keepTombstones = true)
-    // GC only tombstones PROVABLY behind the horizon: a null event time
-    // (possible via the schema-drift NULL landing above) must be retained,
-    // not dropped — dropping it re-opens the key-resurrection hazard the
-    // tombstone exists to prevent. The isNotNull conjunct also keeps the
-    // predicate two-valued, so `!` never swallows rows via SQL NULL.
-    val gcd = tombstoneGcHorizon match {
-      case Some(h) => merged.filter(
-        !((col("is_deleted") <=> true) && col(tsCol).isNotNull && col(tsCol) < h))
-      case None    => merged
-    }
-    publish(touched, gcd.drop("is_deleted"))
+      val man = currentVersion.map(readManifest).getOrElse(Map.empty)
+      val merged = graft.Cdc.merge(
+        readBuckets(spark, man, touched).unionByName(batchRows), Seq(pk),
+        posCol, opCol, keepTombstones = true)
+      // GC only tombstones PROVABLY behind the horizon: a null event time
+      // (possible via the schema-drift NULL landing above) must be retained,
+      // not dropped — dropping it re-opens the key-resurrection hazard the
+      // tombstone exists to prevent. The isNotNull conjunct also keeps the
+      // predicate two-valued, so `!` never swallows rows via SQL NULL.
+      val gcd = tombstoneGcHorizon match {
+        case Some(h) => merged.filter(
+          !((col("is_deleted") <=> true) && col(tsCol).isNotNull && col(tsCol) < h))
+        case None    => merged
+      }
+      publish(touched, gcd.drop("is_deleted"))
+    } finally { batchRows.unpersist(); () }
   }
 
   /** The stored rows sharing a bucket with any key in `batch` — the bounded
@@ -289,11 +296,13 @@ final class BucketedReplica(
     curV.foreach(v => io.delete(manifestPath(v - 1))) // keep cur+prev
   }
 
-  /** Atomic same-directory rename makes the new version visible all-at-once. */
+  /** Write-once pointer creation makes the new version visible
+    * all-at-once (no rename anywhere — see [[StoreIO]]); older pointers
+    * are then GC'd (readers that already listed are protected by the
+    * cur+prev MANIFEST retention, not by pointer retention). */
   private def commitPointer(v: Long): Unit = {
-    val tmp = io.path(s"_CURRENT.tmp$v")
-    io.writeString(tmp, v.toString)
-    io.renameOverwrite(tmp, currentFile)
+    io.createExclusive(io.path(s"_PTR-$v"), v.toString)
+    pointerVersions.filter(_ < v).foreach(o => io.delete(io.path(s"_PTR-$o")))
   }
 
   /** Delete bucket dirs referenced by neither the new nor the previous

@@ -217,23 +217,29 @@ object CdcStream {
   def scd2Batch(batch: DataFrame, batchId: Long, replicaDir: String,
                 historyDir: String, nBuckets: Int = 32): Unit = {
     val rep = new BucketedReplica(replicaDir, nBuckets = nBuckets)
+    // persisted: the batch feeds FOUR actions (touched-bucket probe, the
+    // history write, the commit's bucket probe, the commit write) — without
+    // the cache each one would redo the filter/cast/dropDuplicates shuffle
+    // from the source
     val good = batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
       .select(envelopeSchema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
       .dropDuplicates("user_id", "pos") // source-level redelivery collapse
-    // the currently-open changes of touched buckets only (tombstones
-    // included: a DELETE is an interval too, it just isn't current).
-    // Untouched keys co-resident in a touched bucket pass through the
-    // window as single open rows and close nothing.
-    val open = rep.readTouched(good)
-    val closed = graft.Cdc.scd2(
-      open.unionByName(good).dropDuplicates("user_id", "pos"), Seq("user_id"))
-      .filter(col("valid_to_pos").isNotNull)
-      .drop("is_current") // recomputed on read; meaningless for closed rows
-    closed.withColumn("batch_id", lit(batchId))
-      .write.mode("append").partitionBy("batch_id").parquet(historyDir)
-    rep.commit(good) // latest-wins ⇒ exactly the still-open change per key
-    ()
+      .persist()
+    try {
+      // the currently-open changes of touched buckets only (tombstones
+      // included: a DELETE is an interval too, it just isn't current).
+      // Untouched keys co-resident in a touched bucket pass through the
+      // window as single open rows and close nothing.
+      val open = rep.readTouched(good)
+      val closed = graft.Cdc.scd2(
+        open.unionByName(good).dropDuplicates("user_id", "pos"), Seq("user_id"))
+        .filter(col("valid_to_pos").isNotNull)
+        .drop("is_current") // recomputed on read; meaningless for closed rows
+      closed.withColumn("batch_id", lit(batchId))
+        .write.mode("append").partitionBy("batch_id").parquet(historyDir)
+      rep.commit(good) // latest-wins ⇒ exactly the still-open change per key
+    } finally { good.unpersist(); () }
   }
 
   /** Schema of a stored closed interval: the envelope plus its validity

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types._
   * decimal to its value domain (ANSI mode fails loudly on overflow).
   *
   * The store itself follows the replica's pointer-commit pattern: versioned
-  * directory + atomic `_CURRENT` rename, readers never see a partial view.
+  * directory + write-once `_PTR-<v>` pointer file (creation is atomic;
+  * readers resolve the max), so readers never see a partial view.
   */
 final class IncrementalAgg(
     rep: BucketedReplica,
@@ -54,11 +55,11 @@ final class IncrementalAgg(
     * [[StoreIO]]): the view store works on any Hadoop-reachable URI. */
   private val io = new StoreIO(root, StoreIO.sessionConf())
 
-  private def currentFile = io.path("_CURRENT")
+  private def pointerVersions: Seq[Long] =
+    io.listFiles(io.root).map(_.getName)
+      .filter(_.startsWith("_PTR-")).map(_.stripPrefix("_PTR-").toLong)
 
-  private def currentVersion: Option[Long] =
-    if (io.exists(currentFile)) Some(io.readString(currentFile).trim.toLong)
-    else None
+  private def currentVersion: Option[Long] = pointerVersions.sorted.lastOption
 
   /** The maintained aggregate view. */
   def read(spark: SparkSession): DataFrame = currentVersion match {
@@ -99,10 +100,10 @@ final class IncrementalAgg(
     val newV = currentVersion.getOrElse(0L) + 1
     // the view is one row per group — a single right-sized file
     next.coalesce(1).write.mode("overwrite").parquet(s"$root/v$newV")
-    val tmp = io.path(s"_CURRENT.tmp$newV")
-    io.writeString(tmp, newV.toString)
-    io.renameOverwrite(tmp, currentFile)
-    // keep current + previous (readers may hold the old pointer)
+    io.createExclusive(io.path(s"_PTR-$newV"), newV.toString)
+    pointerVersions.filter(_ < newV)
+      .foreach(o => io.delete(io.path(s"_PTR-$o")))
+    // keep current + previous version DIRS (readers may hold the old version)
     io.delete(io.path(s"v${newV - 2}"))
   }
 

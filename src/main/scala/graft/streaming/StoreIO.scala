@@ -13,16 +13,19 @@ import java.util.EnumSet
   * `FileContext` API instead of `java.nio` so the SAME code runs against
   * local disk in tests and against HDFS-compatible storage on a cluster —
   * the store root is just a URI (`file:/...`, `hdfs://...`,
-  * `viewfs://...`). `rename(OVERWRITE)` — the pointer-commit primitive —
-  * is atomic on POSIX local filesystems and on HDFS, which is exactly the
-  * guarantee the stores' readers rely on. Object stores without atomic
-  * rename (S3) would swap this one call for a conditional PUT of the
-  * pointer object; every other operation here is already plain
-  * read/write/list/delete (see SCALE.md).
+  * `viewfs://...`).
+  *
+  * The commit primitive is [[createExclusive]] — write-once creation of a
+  * version-named pointer file. Creation makes the NAME visible atomically
+  * on POSIX, HDFS, and object stores (a PUT of a new key), which is what
+  * the stores' readers rely on; rename is deliberately NOT used anywhere,
+  * because overwrite-rename is only atomic on some filesystems
+  * (FileContext emulates it as delete-then-rename on the local FS — a
+  * reader-visible gap).
   *
   * Deliberately NOT `FileSystem`: on local disk `FileSystem` is the
   * checksummed `LocalFileSystem`, whose `.crc` sidecars would desync under
-  * out-of-band renames; `FileContext`'s local implementation is raw.
+  * out-of-band writes; `FileContext`'s local implementation is raw.
   */
 final class StoreIO(rootStr: String, conf: Configuration) {
 
@@ -52,9 +55,20 @@ final class StoreIO(rootStr: String, conf: Configuration) {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Atomic replace of `dst` by `src` — the pointer-commit primitive. */
-  def renameOverwrite(src: Path, dst: Path): Unit =
-    fc.rename(src, dst, Options.Rename.OVERWRITE)
+  /** Write-once create (fails if `p` exists) — the pointer-commit
+    * primitive: the new name becomes visible all-at-once, and a second
+    * writer racing on the same version fails loudly instead of silently
+    * clobbering (single-writer contract). */
+  def createExclusive(p: Path, s: String): Unit = {
+    val out = fc.create(p, EnumSet.of(CreateFlag.CREATE),
+      Options.CreateOpts.createParent())
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Immediate child FILES of `p` (empty if `p` doesn't exist). */
+  def listFiles(p: Path): Seq[Path] =
+    if (!exists(p)) Seq.empty
+    else fc.util.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
 
   /** Recursive delete; silently ignores a missing path. */
   def delete(p: Path): Unit =

@@ -94,8 +94,8 @@ class IncrementalAggSpec extends SparkSpecBase {
     val ch = Cdc.changelog(spark, sfDir).filter(col("user_id") < 30)
     agg.applyBatch(ch.filter(col("pos") % 2 === 0))
     val good = view(agg)
-    // simulate a writer that died after writing the NEXT version dir and a
-    // pointer tmp file, but before the atomic rename
+    // simulate a writer that died after writing the NEXT version dir but
+    // before creating its _PTR-2 pointer file (the commit step)
     // inputFiles are file: URIs — resolve through URI or File treats them
     // as relative paths and plants the orphan in the working directory
     val root = new java.io.File(new java.net.URI(agg.read(spark).inputFiles.head))
@@ -104,8 +104,6 @@ class IncrementalAggSpec extends SparkSpecBase {
     orphan.mkdirs()
     java.nio.file.Files.write(new java.io.File(orphan, "garbage").toPath,
       "not parquet".getBytes)
-    java.nio.file.Files.write(new java.io.File(root, "_CURRENT.tmp2").toPath,
-      "2".getBytes)
     assert(view(agg) === good) // reader still resolves the committed version
     agg.applyBatch(ch.filter(col("pos") % 2 === 1)) // recovery commit: v2 clobbered
     assert(view(agg) === recompute(rep))

@@ -136,4 +136,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange hashpartitioning"),
       "quantized scan must stay map-side — no corpus shuffle")
   }
+
+  test("e29 decontamination: the eval-set side is broadcast — the corpus join is map-side") {
+    val p = finalPlan(q("e29_decontamination"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("b15 composite-key merge shuffles once on the (user_id, event_type) tuple") {
+    val p = finalPlan(q("b15_composite_merge"))
+    assert("hashpartitioning\\(user_id[#0-9L]*, event_type".r.findAllIn(p).nonEmpty,
+      p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(2000))
+  }
+
+  test("e31 PQ search: codebook and distance tables broadcast, ADC sum shuffles only codes") {
+    val p = finalPlan(q("e31_pq_ann"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }
