@@ -32,6 +32,26 @@ object Extensions {
   def tokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
 
+  /** MinHash-LSH banding of a (doc_id, text) corpus: k=8 permutation
+    * hashes over the distinct unigram set, banded 4×2 → one (doc_id,
+    * band, bucket) row per band. The shared signature pipeline of the
+    * e02/e03 queries and the incremental [[graft.streaming.LshIndex]] —
+    * docs sharing any (band, bucket) are near-dup candidates. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+      .withColumn("h", tokenHash(col("t")))
+    val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"sig$i")
+    }
+    val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+    sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("band"),
+        (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
+    )).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   private val tokenHashSql: String =
     "CAST(concat('0x', substring(md5(%s), 1, 8)) AS BIGINT)"
 

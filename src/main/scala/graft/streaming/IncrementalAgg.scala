@@ -69,7 +69,14 @@ final class IncrementalAgg(
   }
 
   /** Commit `batch` to the replica and fold its effect into the aggregate. */
-  def applyBatch(batch: DataFrame): Unit = {
+  def applyBatch(batch0: DataFrame): Unit = {
+    // the batch feeds five actions (key probe, two keyedLive reads, the
+    // replica commit's probe+write, the view write) — cache it once
+    val batch = batch0.persist()
+    try applyBatchCached(batch) finally { batch.unpersist(); () }
+  }
+
+  private def applyBatchCached(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val keys = batch.filter(col(pk).isNotNull).select(col(pk)).distinct()
     // live state of the batch's keys; keys ≤ batch size, bounded per

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.streaming.LshIndex
+
+/** Incremental LSH near-dup index: batched maintenance must emit exactly
+  * the pairs a one-shot banding of the full corpus finds — each exactly
+  * once — and the per-batch probe must read only co-bucketed postings. */
+class LshIndexSpec extends SparkSpecBase {
+
+  private def docs: DataFrame =
+    Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+
+  /** One-shot twin: candidate pairs from banding the whole corpus. */
+  private def oneShot(d: DataFrame): Set[(Long, Long, Long)] = {
+    val bands = Extensions.minhashBands(d)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def emitted(idx: LshIndex): Seq[(Long, Long, Long)] =
+    idx.pairs(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("three incremental batches emit the one-shot pair set, each pair exactly once") {
+    val idx = new LshIndex(tmpDir("lsh_idx") + "/idx")
+    idx.destroy()
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 0), 0L)
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 1), 1L)
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 2), 2L)
+    val got = emitted(idx)
+    assert(got.size === got.toSet.size, "a pair was emitted twice")
+    assert(got.toSet === oneShot(docs))
+  }
+
+  test("a replayed batch (foreachBatch retry) changes nothing") {
+    val idx = new LshIndex(tmpDir("lsh_retry") + "/idx")
+    idx.destroy()
+    idx.addBatch(docs.filter(col("doc_id") < 25), 0L)
+    idx.addBatch(docs.filter(col("doc_id") >= 25), 1L)
+    val before = emitted(idx).sorted
+    idx.addBatch(docs.filter(col("doc_id") >= 25), 1L) // same batchId replay
+    assert(emitted(idx).sorted === before)
+    assert(oneShot(docs) === before.toSet)
+  }
+
+  test("the probe reads only bp partitions the batch touches") {
+    val idx = new LshIndex(tmpDir("lsh_prune") + "/idx")
+    idx.destroy()
+    idx.addBatch(docs.filter(col("doc_id") < 40), 0L)
+    // a single doc touches ≤ 4 buckets → ≤ 4 of the 16 bp partitions
+    val one = docs.filter(col("doc_id") === 45)
+    val touched = Extensions.minhashBands(one)
+      .select(pmod(xxhash64(col("bucket")), lit(16L)).cast("int").as("bp"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val pruned = idx.postings(spark)
+      .filter(col("batch_id") =!= 1L && col("bp").isin(touched.toSeq: _*))
+    pruned.collect() // execute so the scan metric is real, not estimated
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val prunedFiles = scan.metrics("numFiles").value
+    val allFiles = idx.postings(spark).inputFiles.length
+    assert(prunedFiles < allFiles,
+      s"pruned probe read $prunedFiles of $allFiles posting files — no pruning")
+    // and the pruning is by partition directory, visible in the plan
+    assert(scan.toString.contains("PartitionFilters"))
+  }
+
+  test("streaming wrapper: the index maintained from a document file stream converges") {
+    val root = tmpDir("lsh_stream")
+    val idx = new LshIndex(s"$root/idx")
+    idx.destroy()
+    val in = s"$root/in"
+    new java.io.File(in).mkdirs()
+    // land the corpus as three files → three micro-batches
+    Seq(0, 1, 2).foreach { i =>
+      val stage = s"$root/stage$i"
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, f"chunk-$i%05d.parquet").toPath)
+    }
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) => idx.addBatch(b, id) }
+      .start()
+    q.awaitTermination()
+    val got = emitted(idx)
+    assert(got.size === got.toSet.size)
+    assert(got.toSet === oneShot(docs))
+  }
+}
