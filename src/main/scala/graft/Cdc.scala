@@ -349,6 +349,23 @@ object Cdc {
           sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
         .orderBy("op")
     },
+    // A15 quoted/multiline CSV roundtrip — the delimiter-collision corner
+    // of A2's text-load path: a field carrying the delimiter, a quote, AND
+    // a newline must survive write→read intact (RFC-4180 quoting). The
+    // read uses multiLine, which makes a CSV file unsplittable — the scale
+    // note is that quoted-newline CSV parallelizes per FILE, so a 100 TB
+    // feed must arrive as many files (it does: one object per change
+    // batch), never one giant one.
+    "a15_csv_quoted" -> { (s, d) =>
+      val path = scratch("a15_csv", d)
+      val df = changelog(s, d).select(col("op"), col("pos"), col("user_id"),
+        col("value"),
+        concat(col("event_type"), lit(",\"q\"\n"), col("op")).as("tricky"))
+      df.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(df.schema).option("header", "true")
+        .option("multiLine", "true").csv(path)
+        .orderBy("pos")
+    },
     // A9 DDL / catalog registration — CREATE OR REPLACE TEMP VIEW + SQL over
     // the registered name (reference cr_pet_tbl.sql:3, main.tf:122-125).
     "a9_catalog_ddl" -> { (s, d) =>
@@ -760,6 +777,11 @@ object Cdc {
          |      FROM split)
          |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
          |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    "a15_csv_quoted" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT op, pos, user_id, value,
+         |  event_type || ',"q"' || chr(10) || op AS tricky
+         |FROM ch ORDER BY pos""".stripMargin,
     "b15_composite_merge" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type

@@ -60,6 +60,24 @@ object StreamingOps {
           col("n"), col("sum_value"))
         .orderBy("user_id", "session_start_s")
     },
+    // D5 dynamic-gap session window — the gap depends on the event itself
+    // (a purchase keeps the session alive 1h, anything else 15min): each
+    // event extends its session to [ts, ts+gap(event)) and overlapping
+    // windows merge. Oracle: island detection with a RUNNING MAX of prior
+    // session ends (a fixed gap degenerates to the d5 lag check; a dynamic
+    // one does not — a long-gap event can bridge past a short-gap one).
+    "d5b_session_dynamic" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "purchase", lit("1 hour"))
+            .otherwise(lit("15 minutes"))), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast(LongType).as("session_start_s"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start_s")
+    },
     // D6 dedup under at-least-once delivery — Pub/Sub redelivery semantics
     // (reference main.tf:169-175): a re-delivered batch (every 7th event)
     // collapses back to exactly-once by event_id.
@@ -146,6 +164,18 @@ object StreamingOps {
         |SELECT user_id, MIN(tu) // 1000000 AS session_start_s, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin,
+    "d5b_session_dynamic" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu, value,
+        |    CASE WHEN event_type = 'purchase' THEN 3600000000 ELSE 900000000 END AS g
+        |  FROM events),
+        |l AS (SELECT *, MAX(tu + g) OVER (PARTITION BY user_id ORDER BY tu
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend FROM e),
+        |f AS (SELECT *, CASE WHEN pend IS NULL OR tu >= pend THEN 1 ELSE 0 END AS news FROM l),
+        |s AS (SELECT *, SUM(news) OVER (PARTITION BY user_id ORDER BY tu
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, MIN(tu) // 1000000 AS session_start_s, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin,
     "d6_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
