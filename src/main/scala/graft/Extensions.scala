@@ -695,6 +695,34 @@ object Extensions {
         .select(col("doc_id"), col("n_hits"), col("n_grams"),
           (col("n_hits").cast(DoubleType) / col("n_grams")).as("contamination"))
         .orderBy("doc_id")
+    },
+    // E1/E4 decontamination EXECUTED — e29 flags, this removes: training
+    // docs sharing any eval 3-gram are dropped (broadcast anti-join, same
+    // map-side economics) and the per-language before/after audit is the
+    // release artifact — the corpus-level twin of e25's dedup audit.
+    "e32_decontam_scrub" -> { (s, d) =>
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      val grams = docs.filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(0), size(col("tk")) - 3),
+            i => tokenHash(concat_ws(" ",
+              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
+              element_at(col("tk"), i + 3)))))).as("g"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalGrams), Seq("g"))
+        .select(col("doc_id")).distinct()
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val kept = train.join(contaminated, Seq("doc_id"), "left_anti")
+      train.groupBy(col("lang")).agg(count(lit(1)).as("n_train"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_train"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_train") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        .orderBy("lang")
     }
   )
 
@@ -1091,6 +1119,25 @@ object Extensions {
         |sz AS (SELECT doc_id, len(gs)::BIGINT AS n_grams FROM tg)
         |SELECT h.doc_id, n_hits, n_grams, n_hits::DOUBLE / n_grams AS contamination
         |FROM hits h JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "e32_decontam_scrub" ->
+      """WITH tg AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> CAST(concat('0x', substring(md5(string_split(text,' ')[i] || ' ' ||
+        |             string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]), 1, 8)) AS BIGINT))) AS gs
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM tg WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM
+        |          (SELECT doc_id, unnest(gs) AS g FROM tg WHERE doc_id % 97 <> 0) t
+        |        JOIN ev USING (g)),
+        |train AS (SELECT doc_id, lang FROM documents WHERE doc_id % 97 <> 0),
+        |kept AS (SELECT lang, COUNT(*)::BIGINT AS n_kept FROM train
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM bad) GROUP BY lang)
+        |SELECT t.lang, COUNT(*)::BIGINT AS n_train,
+        |  COALESCE(ANY_VALUE(k.n_kept), 0)::BIGINT AS n_kept,
+        |  (COUNT(*) - COALESCE(ANY_VALUE(k.n_kept), 0))::BIGINT AS n_removed
+        |FROM train t LEFT JOIN kept k ON t.lang = k.lang
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh

@@ -632,6 +632,16 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("c_nationkey")
     },
+    // C43 explicit null ordering — Spark sorts NULLS FIRST ascending by
+    // default, DuckDB NULLS LAST: portable sorts must pin it. Pinned
+    // NULLS LAST here on both engines, nulls synthesized via NULLIF.
+    "c43_sort_nulls" -> { (s, d) =>
+      Tables.load(s, d, "customer")
+        .filter(col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        .orderBy(col("seg").asc_nulls_last, col("c_custkey").asc)
+    },
     // C42 conditional aggregates — COUNT_IF/BOOL_OR/BOOL_AND + exact
     // median, the predicate-summary reducers of quality dashboards.
     "c42_conditional_agg" -> { (s, d) =>
@@ -994,6 +1004,10 @@ object Relational {
         |  string_agg(c_name, ',' ORDER BY c_name) AS names, COUNT(*) AS n
         |FROM customer WHERE c_custkey % 100 = 0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "c43_sort_nulls" ->
+      """SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+        |FROM customer WHERE c_custkey % 50 = 0
+        |ORDER BY seg ASC NULLS LAST, c_custkey ASC""".stripMargin,
     "c42_conditional_agg" ->
       """SELECT l_linestatus,
         |  count_if(l_discount > 0.05)::BIGINT AS n_discounted,
