@@ -723,6 +723,49 @@ object Extensions {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           (col("n_train") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
         .orderBy("lang")
+    },
+    // E4/training prep — model-based quality filtering as a pipeline stage:
+    // a fixed-weight linear scorer (the shipped-classifier pattern — weights
+    // trained offline, applied as broadcast constants) over the e11 feature
+    // set. Pure per-row scalar math in one codegen'd projection, identical
+    // expression tree on both engines; the decision threshold on the raw
+    // logit (monotone in the sigmoid, so the probability never needs
+    // computing — and libm exp is exactly what ISN'T bit-portable).
+    "e33_quality_classifier" -> { (s, d) =>
+      val tk = toks(col("text"))
+      val n = size(tk)
+      val ttr = size(array_distinct(tk)).cast(DoubleType) / n
+      val stopRatio = size(filter(tk, t => t === "the" || t === "a"))
+        .cast(DoubleType) / n
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          (lit(-1.5) + lit(2.0) * ttr
+            + lit(0.01) * least(n.cast(DoubleType), lit(100.0))
+            + lit(3.0) * stopRatio).as("logit"))
+        .withColumn("keep", col("logit") > 0.5)
+        .orderBy("doc_id")
+    },
+    // E4/training prep — token-budgeted corpus mixing: fill a fixed
+    // per-language token budget (2000 here) in deterministic hash order —
+    // the "data mixture" op that composes a training corpus to target
+    // proportions. Greedy prefix fill: a doc is kept while the budget
+    // isn't exhausted BEFORE it (so each language overshoots by at most
+    // one doc). One window shuffle keyed by lang; at 100 TB the same op
+    // first estimates each language's cutoff hash from a sample, then
+    // filters map-side — the window form is the exact-semantics anchor.
+    "e34_token_budget_mix" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast(LongType).as("n_tok"),
+          tokenHash(col("doc_id").cast(StringType)).as("__h"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") - col("n_tok") < 2000)
+        .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"))
+        .orderBy("lang", "cum_tok", "doc_id")
     }
   )
 
@@ -1138,6 +1181,26 @@ object Extensions {
         |  (COUNT(*) - COALESCE(ANY_VALUE(k.n_kept), 0))::BIGINT AS n_removed
         |FROM train t LEFT JOIN kept k ON t.lang = k.lang
         |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+    "e33_quality_classifier" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |    len(string_split(text,' ')) AS n,
+        |    len(list_distinct(string_split(text,' ')))::DOUBLE / len(string_split(text,' ')) AS ttr,
+        |    len(list_filter(string_split(text,' '), t -> t = 'the' OR t = 'a'))::DOUBLE
+        |      / len(string_split(text,' ')) AS stop_ratio
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  -1.5 + 2.0 * ttr + 0.01 * least(n::DOUBLE, 100.0) + 3.0 * stop_ratio AS logit,
+        |  (-1.5 + 2.0 * ttr + 0.01 * least(n::DOUBLE, 100.0) + 3.0 * stop_ratio) > 0.5 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "e34_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(string_split(text,' '))::BIGINT AS n_tok,
+        |    CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT *, (SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tok FROM t)
+        |SELECT lang, doc_id, n_tok, cum_tok FROM c
+        |WHERE cum_tok - n_tok < 2000 ORDER BY lang, cum_tok, doc_id""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh
