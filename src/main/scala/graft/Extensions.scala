@@ -766,6 +766,44 @@ object Extensions {
         .filter(col("cum_tok") - col("n_tok") < 2000)
         .select(col("lang"), col("doc_id"), col("n_tok"), col("cum_tok"))
         .orderBy("lang", "cum_tok", "doc_id")
+    },
+    // E4/training prep — vocabulary coverage / OOV rate: build the top-100
+    // corpus vocabulary (by document frequency, ties by token) and score
+    // each doc's out-of-vocabulary token ratio — the tokenizer-fit metric
+    // run before training. The vocab is top-K so it is broadcastable at ANY
+    // corpus size (TakeOrdered of 100 rows → broadcast hash join on the
+    // token stream); the doc-side pass is one explode + map-side-combined
+    // groupBy(doc_id). Integer counts + one final division = bit-exact.
+    "e35_oov_rate" -> { (s, d) =>
+      val tok = load(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      val vocab = tok.groupBy(col("t"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("t").asc).limit(100)
+        .select(col("t").as("vt"))
+      tok.join(broadcast(vocab), col("t") === col("vt"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("vt").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast(DoubleType) / col("n_tok"))
+        .orderBy("doc_id")
+    },
+    // E4/training prep — deterministic weighted sampling: priority
+    // h(doc_id)/weight with weight = n_chars, keep the k smallest — longer
+    // docs are proportionally likelier to win, yet the draw is a pure
+    // function of the key (reproducible under any partitioning, and
+    // mergeable: per-partition top-k then global top-k, which is exactly
+    // Spark's TakeOrderedAndProject — no shuffle of the corpus). The
+    // exact-arithmetic stand-in for Efraimidis–Spirakis A-res (u^(1/w)
+    // needs libm pow; h/w keeps one IEEE division, identical on both
+    // engines).
+    "e36_weighted_sample" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (tokenHash(col("doc_id").cast(StringType)).cast(DoubleType) /
+            col("n_chars")).as("priority"))
+        .orderBy(col("priority").asc, col("doc_id").asc)
+        .limit(25)
     }
   )
 
@@ -1201,6 +1239,21 @@ object Extensions {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_tok FROM t)
         |SELECT lang, doc_id, n_tok, cum_tok FROM c
         |WHERE cum_tok - n_tok < 2000 ORDER BY lang, cum_tok, doc_id""".stripMargin,
+    "e35_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |vocab AS (SELECT t AS vt FROM (
+        |    SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t)
+        |  ORDER BY df DESC, t ASC LIMIT 100)
+        |SELECT doc_id, count(*)::BIGINT AS n_tok,
+        |  (count(*) FILTER (WHERE vt IS NULL))::BIGINT AS n_oov,
+        |  (count(*) FILTER (WHERE vt IS NULL))::DOUBLE / count(*) AS oov_rate
+        |FROM tok LEFT JOIN vocab ON t = vt
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e36_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE
+        |    / n_chars AS priority
+        |FROM documents ORDER BY priority ASC, doc_id ASC LIMIT 25""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh

@@ -642,6 +642,45 @@ object Relational {
           nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
         .orderBy(col("seg").asc_nulls_last, col("c_custkey").asc)
     },
+    // C44 equi-width histogram — the profiling/binning primitive: global
+    // min/max in one pass (1-row broadcast), then bucket assignment is
+    // map-side arithmetic and the count is a 10-group aggregate. Two scans
+    // total, no shuffle wider than 10 rows — the shape that survives any
+    // scale. Bucket ids are integer floor math on identical IEEE doubles.
+    "c44_histogram" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+      val mm = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      li.crossJoin(broadcast(mm))
+        .select(least(floor((col("l_extendedprice") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(10))), lit(9L)).as("bucket"),
+          col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("bucket_min"),
+          max(col("l_extendedprice")).as("bucket_max"))
+        .orderBy("bucket")
+    },
+    // C45 positional window navigation — FIRST_VALUE / NTH_VALUE /
+    // LAST_VALUE over the full partition frame. Keyed at microsecond
+    // precision (ties broken by event_id): DuckDB truncates the parquet
+    // TIMESTAMP(NANOS) to micros on read, so micros is the shared exact
+    // domain — Spark derives it from the raw nano long.
+    "c45_nth_value" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("user_id") % 50 === 0)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          first(col("value")).over(w).as("first_v"),
+          nth_value(col("value"), 3).over(w).as("third_v"),
+          last(col("value")).over(w).as("last_v"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // C42 conditional aggregates — COUNT_IF/BOOL_OR/BOOL_AND + exact
     // median, the predicate-summary reducers of quality dashboards.
     "c42_conditional_agg" -> { (s, d) =>
@@ -1008,6 +1047,23 @@ object Relational {
       """SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
         |FROM customer WHERE c_custkey % 50 = 0
         |ORDER BY seg ASC NULLS LAST, c_custkey ASC""".stripMargin,
+    "c44_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 10)), 9) AS BIGINT)
+        |    AS bucket,
+        |  COUNT(*) AS n, min(l_extendedprice) AS bucket_min,
+        |  max(l_extendedprice) AS bucket_max
+        |FROM lineitem, mm GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "c45_nth_value" ->
+      """SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,
+        |  first_value(value) OVER w AS first_v,
+        |  nth_value(value, 3) OVER w AS third_v,
+        |  last_value(value) OVER w AS last_v
+        |FROM events WHERE user_id % 50 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "c42_conditional_agg" ->
       """SELECT l_linestatus,
         |  count_if(l_discount > 0.05)::BIGINT AS n_discounted,

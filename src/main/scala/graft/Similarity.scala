@@ -162,6 +162,24 @@ object Similarity {
         .filter(col("cos_sim") > 0.2)
         .orderBy("label", "v1", "v2")
     },
+    // E2/training prep — hard-negative mining: for the probe, the top-k most
+    // similar vectors whose LABEL DIFFERS — the contrastive-training sampler
+    // (the highest-scoring wrong answers are the most informative negatives).
+    // Same 100 TB shape as e06: broadcast 1-row probe, label filter fused
+    // into the scan, TakeOrderedAndProject — no corpus shuffle; with an IVF
+    // layout the scan prunes to the probe's top clusters first (e09d).
+    "e37_hard_negatives" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"), col("label").as("probe_label"))
+      emb.crossJoin(broadcast(probe))
+        .filter(col("label") =!= col("probe_label"))
+        .select(col("vec_id"), col("label"),
+          cosine(col("embedding"), col("probe_emb")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
     // E2/E1 embedding near-dup report: per-label pair stats at the near-dup
     // threshold (this corpus has no >0.9 dups; 0.25 keeps the report real).
     "e08_embedding_neardup" -> { (s, d) =>
@@ -401,6 +419,11 @@ object Similarity {
       s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${cosSql("embedding", "p")} AS cos_sim
          |FROM embeddings, probe WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "e37_hard_negatives" ->
+      s"""WITH probe AS (SELECT embedding AS p, label AS pl FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosSql("embedding", "p")} AS cos_sim
+         |FROM embeddings, probe WHERE label <> pl
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "e07_cosine_selfjoin" ->
       s"""WITH sm AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 = 0)
