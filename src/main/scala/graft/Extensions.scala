@@ -804,6 +804,23 @@ object Extensions {
             col("n_chars")).as("priority"))
         .orderBy(col("priority").asc, col("doc_id").asc)
         .limit(25)
+    },
+    // E4/training prep — corpus-mixture report: token counts and global
+    // share per (source × language) — what the data-mixture dashboard reads
+    // before e34 composes to target proportions. One map-side-combined
+    // aggregate; the global total is a 1-row broadcast, so share is computed
+    // without a second corpus pass or a global window.
+    "e38_domain_mix" -> { (s, d) =>
+      val agg = load(s, d, "documents")
+        .select(col("source"), col("lang"),
+          size(toks(col("text"))).cast(LongType).as("n_tok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      val tot = agg.agg(sum(col("n_tok")).as("tot"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tok"),
+          (col("n_tok").cast(DoubleType) / col("tot")).as("share"))
+        .orderBy("source", "lang")
     }
   )
 
@@ -1254,6 +1271,14 @@ object Extensions {
         |  CAST(concat('0x', substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE
         |    / n_chars AS priority
         |FROM documents ORDER BY priority ASC, doc_id ASC LIMIT 25""".stripMargin,
+    "e38_domain_mix" ->
+      """WITH t AS (SELECT source, lang,
+        |    len(string_split(text,' '))::BIGINT AS n_tok FROM documents),
+        |a AS (SELECT source, lang, COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tok
+        |  FROM t GROUP BY source, lang),
+        |tot AS (SELECT SUM(n_tok)::BIGINT AS tot FROM a)
+        |SELECT source, lang, n_docs, n_tok, n_tok::DOUBLE / tot AS share
+        |FROM a, tot ORDER BY source, lang""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh

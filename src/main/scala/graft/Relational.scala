@@ -661,6 +661,37 @@ object Relational {
           max(col("l_extendedprice")).as("bucket_max"))
         .orderBy("bucket")
     },
+    // C46 Z-order clustering — the multi-dimensional file-skipping layout:
+    // interleave the bits of two filter dimensions into one sort key, bin
+    // the sorted order into 16 "files", report each bin's per-dimension
+    // min/max (the parquet footer stats a scan would prune on). The point
+    // the report proves: along a Z-order BOTH dimensions' ranges stay
+    // narrow per file, so predicates on EITHER column skip most files —
+    // a linear sort gets this for its first key only. Pure integer bit
+    // math, identical on both engines; at 100 TB this is the sort key for
+    // the write job, and the report is the layout-quality audit.
+    // NOTE the global ntile window here is the exact-semantics anchor for
+    // the oracle; the production layout job is `repartitionByRange(z)` +
+    // sortWithinPartitions (sampled range boundaries = the file bins), which
+    // never materializes a single-partition window.
+    "c46_zorder" -> { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("z", z)
+        .withColumn("file_bin", ntile(16).over(w))
+        .groupBy(col("file_bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy("file_bin")
+    },
     // C45 positional window navigation — FIRST_VALUE / NTH_VALUE /
     // LAST_VALUE over the full partition frame. Keyed at microsecond
     // precision (ties broken by event_id): DuckDB truncates the parquet
@@ -1055,6 +1086,24 @@ object Relational {
         |  COUNT(*) AS n, min(l_extendedprice) AS bucket_min,
         |  max(l_extendedprice) AS bucket_max
         |FROM lineitem, mm GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "c46_zorder" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |    l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+        |z AS (SELECT *,
+        |    (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+        |  + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+        |  + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+        |  + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7)
+        |  + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9)
+        |  + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11)
+        |  + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13)
+        |  + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) AS zv FROM b),
+        |f AS (SELECT x, y, ntile(16) OVER (ORDER BY zv, l_orderkey, l_linenumber)
+        |    AS file_bin FROM z)
+        |SELECT file_bin::INT AS file_bin, COUNT(*) AS n,
+        |  min(x) AS x_min, max(x) AS x_max,
+        |  min(y) AS y_min, max(y) AS y_max
+        |FROM f GROUP BY file_bin ORDER BY file_bin""".stripMargin,
     "c45_nth_value" ->
       """SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,
         |  first_value(value) OVER w AS first_v,

@@ -154,4 +154,31 @@ class PlanSpec extends SparkSpecBase {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("e35 OOV rate: the top-K vocabulary is broadcast — the token stream never shuffles for the join") {
+    val p = finalPlan(q("e35_oov_rate"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only hash exchanges are the vocab build (group by token) and the
+    // per-doc aggregate — the vocab JOIN itself must not add one
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000)) // vocab top-100
+  }
+
+  test("e36 weighted sample: per-partition top-k heap, no global sort of the corpus") {
+    val p = finalPlan(q("e36_weighted_sample"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
+  test("e37 hard negatives: probe broadcast, label filter on the scan side, top-k heap") {
+    val p = finalPlan(q("e37_hard_negatives"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("graft_cosine"), p.take(2000))
+  }
+
+  test("c44 histogram: the 1-row min/max side is broadcast; binning is map-side before a 10-group aggregate") {
+    val p = finalPlan(q("c44_histogram"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_min"), p.take(2000))
+  }
 }
