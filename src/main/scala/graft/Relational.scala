@@ -677,11 +677,8 @@ object Relational {
     "c46_zorder" -> { (s, d) =>
       val li = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
-      val z = (0 until 8).map { i =>
-        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
-          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-      }.reduce(_ + _)
+          (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"))
+      val z = graft.operators.ZorderLayout.zvalue(col("x"), col("y"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
       li.withColumn("z", z)
@@ -1088,7 +1085,7 @@ object Relational {
         |FROM lineitem, mm GROUP BY bucket ORDER BY bucket""".stripMargin,
     "c46_zorder" ->
       """WITH b AS (SELECT l_orderkey, l_linenumber,
-        |    l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+        |    l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem),
         |z AS (SELECT *,
         |    (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
         |  + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
