@@ -821,6 +821,99 @@ object Extensions {
         .select(col("source"), col("lang"), col("n_docs"), col("n_tok"),
           (col("n_tok").cast(DoubleType) / col("tot")).as("share"))
         .orderBy("source", "lang")
+    },
+    // E1/dedup — exact substring-duplication scan (the first stage of
+    // suffix-array-style "dedup repeated spans" pipelines): every 8-token
+    // rolling window of every document, grouped to find spans that recur
+    // across documents. Pure string/integer ops → bit-exact. Scale shape:
+    // one explode (≈ tokens per doc rows) + one map-side-combined groupBy
+    // keyed by the span — at 100 TB you group on xxhash64(span) (8-byte
+    // shuffle key, collision-checked on the survivors) instead of the raw
+    // 8-token string; the rolling-window generation itself is per-row
+    // Catalyst higher-order functions, no UDF, no state.
+    "e39_dup_spans" -> { (s, d) =>
+      val ts = toks(col("text"))
+      load(s, d, "documents")
+        .filter(size(ts) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ts) - 7),
+            i => array_join(slice(ts, i, lit(8)), " "))).as("span"))
+        .groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occur"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_occur").desc, col("span"))
+        .limit(20)
+    },
+    // E4/retrieval — BM25 keyword search (k1=1.2, b=0.75) for a 3-term
+    // query. Determinism across engines: all arithmetic is IEEE ops on
+    // integer-derived values (bit-exact), ln() only ever evaluates on the
+    // 3 per-term idf inputs, and the per-doc score sums its ≤3 term
+    // contributions in a FIXED left-to-right order (pivoted columns, not a
+    // row-order-dependent double SUM), then rounds to 6. Scale shape: the
+    // posting lists for the query terms are the only rows kept after the
+    // explode-filter (pushdown-friendly), df and corpus stats are tiny
+    // broadcast scalars, and the per-doc combine is one map-side-combined
+    // groupBy(doc_id) — no corpus-wide shuffle beyond the postings.
+    "e40_bm25" -> { (s, d) =>
+      val docs = load(s, d, "documents")
+      val dl = docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .filter(col("t").isin("spark", "merge", "vector"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("dft"))
+      val c = tf.join(broadcast(dft), "t")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs"))
+        .withColumn("c",
+          log(lit(1.0) + (col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5)) *
+            ((col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+      c.groupBy(col("doc_id"))
+        .agg(max(when(col("t") === "spark", col("c"))).as("cs"),
+          max(when(col("t") === "merge", col("c"))).as("cm"),
+          max(when(col("t") === "vector", col("c"))).as("cv"))
+        .select(col("doc_id"),
+          round(coalesce(col("cs"), lit(0.0)) + coalesce(col("cm"), lit(0.0))
+            + coalesce(col("cv"), lit(0.0)), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    // E4/quality — bigram language-model scoring (the CCNet-style
+    // perplexity filter): train bigram MLE counts on the corpus itself,
+    // score each doc by its mean log-probability, surface the worst tail.
+    // Determinism: ln() evaluates only on |V|²-bounded DISTINCT count
+    // ratios; each per-bigram logprob is cast to DECIMAL(28,9) so the
+    // per-doc sum is EXACT and order-independent (a double SUM would vary
+    // with row order across engines/partitionings). Scale shape: the LM
+    // tables are vocabulary-bounded (broadcast here; hash-join on the
+    // bigram key at open vocab), the doc pass is one explode + one
+    // groupBy(doc_id) with map-side combine — no all-corpus shuffle.
+    "e41_bigram_lm" -> { (s, d) =>
+      val ts = toks(col("text"))
+      val bg = load(s, d, "documents")
+        .filter(size(ts) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ts) - 1),
+            i => struct(element_at(ts, i).as("w1"),
+              concat(element_at(ts, i), lit(" "),
+                element_at(ts, i + 1)).as("bg")))).as("x"))
+        .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bg.join(broadcast(c2), "bg").join(broadcast(c1), "w1")
+        .select(col("doc_id"),
+          log(col("c2").cast(DoubleType) / col("c1"))
+            .cast(DecimalType(28, 9)).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slp").cast(DoubleType) / col("n_bigrams"), 6).as("avg_lp"))
+        .orderBy(col("avg_lp").asc, col("doc_id"))
+        .limit(25)
     }
   )
 
@@ -1279,6 +1372,43 @@ object Extensions {
         |tot AS (SELECT SUM(n_tok)::BIGINT AS tot FROM a)
         |SELECT source, lang, n_docs, n_tok, n_tok::DOUBLE / tot AS share
         |FROM a, tot ORDER BY source, lang""".stripMargin,
+    "e39_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |ok AS (SELECT * FROM tok WHERE len(ts) >= 8),
+        |spans AS (SELECT doc_id, array_to_string(ts[i.i : i.i + 7], ' ') AS span
+        |          FROM ok, UNNEST(generate_series(1, len(ts) - 7)) AS i(i))
+        |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur
+        |FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occur DESC, span LIMIT 20""".stripMargin,
+    "e40_bm25" ->
+      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |tf AS (SELECT doc_id, t, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |       WHERE t IN ('spark', 'merge', 'vector') GROUP BY doc_id, t),
+        |dft AS (SELECT t, count(*) AS dft FROM tf GROUP BY t),
+        |c AS (SELECT tf.doc_id, tf.t,
+        |        ln(1.0 + (st.n_docs - dft.dft + 0.5) / (dft.dft + 0.5)) *
+        |          ((tf.tf * 2.2) /
+        |            (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (st.sum_dl::DOUBLE / st.n_docs)))) AS c
+        |      FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id,
+        |  round(coalesce(max(CASE WHEN t = 'spark' THEN c END), 0.0)
+        |      + coalesce(max(CASE WHEN t = 'merge' THEN c END), 0.0)
+        |      + coalesce(max(CASE WHEN t = 'vector' THEN c END), 0.0), 6) AS score
+        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "e41_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |ok AS (SELECT * FROM tok WHERE len(ts) >= 2),
+        |bg AS (SELECT doc_id, ts[i.i] AS w1, ts[i.i] || ' ' || ts[i.i + 1] AS bg
+        |       FROM ok, UNNEST(generate_series(1, len(ts) - 1)) AS i(i)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |lp AS (SELECT b.doc_id, CAST(ln(c2.c2::DOUBLE / c1.c1) AS DECIMAL(28,9)) AS lp
+        |       FROM bg b JOIN c2 USING (bg) JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
+        |FROM lp GROUP BY doc_id ORDER BY avg_lp ASC, doc_id LIMIT 25""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh
