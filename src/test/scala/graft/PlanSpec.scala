@@ -181,4 +181,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("partial_count") || p.contains("partial_min"), p.take(2000))
   }
+
+  test("e39 dup spans: map-side partial agg on the span key, top-k heap at the end") {
+    val p = finalPlan(q("e39_dup_spans"))
+    // the rolling-window explode is per-row; the only wide op is the span
+    // groupBy, which must partial-aggregate before its exchange, and the
+    // final order+limit must be a bounded heap, not a global sort
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("e40 BM25: df/corpus stats broadcast, no corpus-wide join shuffle, top-k heap") {
+    val p = finalPlan(q("e40_bm25"))
+    // dft (3 rows) and the global stats (1 row) join as broadcasts; the
+    // only exchanges are the tf/dl aggregates themselves
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // 1-row stats
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("e41 bigram LM: vocab-bounded count tables broadcast onto the token stream") {
+    val p = finalPlan(q("e41_bigram_lm"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
