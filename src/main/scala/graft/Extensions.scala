@@ -832,12 +832,16 @@ object Extensions {
     // 8-token string; the rolling-window generation itself is per-row
     // Catalyst higher-order functions, no UDF, no state.
     "e39_dup_spans" -> { (s, d) =>
-      val ts = toks(col("text"))
+      // bind the token array to an attribute BEFORE the lambda — an inline
+      // split(text) inside transform() re-splits the whole text per element
+      // (quadratic per doc; no common-subexpression elimination across a
+      // higher-order-function boundary)
       load(s, d, "documents")
-        .filter(size(ts) >= 8)
+        .select(col("doc_id"), toks(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 8)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(ts) - 7),
-            i => array_join(slice(ts, i, lit(8)), " "))).as("span"))
+          explode(transform(sequence(lit(1), size(col("ts")) - 7),
+            i => array_join(slice(col("ts"), i, lit(8)), " "))).as("span"))
         .groupBy(col("span"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occur"))
@@ -893,18 +897,24 @@ object Extensions {
     // bigram key at open vocab), the doc pass is one explode + one
     // groupBy(doc_id) with map-side combine — no all-corpus shuffle.
     "e41_bigram_lm" -> { (s, d) =>
-      val ts = toks(col("text"))
+      // token array bound to an attribute before the lambda (see e39: an
+      // inline split re-splits per element); the bigram stream is persisted
+      // because three plan branches read it (LM build + the scoring join),
+      // and c1 folds from c2 (vocab-sized input) instead of a third
+      // corpus pass
       val bg = load(s, d, "documents")
-        .filter(size(ts) >= 2)
+        .select(col("doc_id"), toks(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(ts) - 1),
-            i => struct(element_at(ts, i).as("w1"),
-              concat(element_at(ts, i), lit(" "),
-                element_at(ts, i + 1)).as("bg")))).as("x"))
+          explode(transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              concat(element_at(col("ts"), i), lit(" "),
+                element_at(col("ts"), i + 1)).as("bg")))).as("x"))
         .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
-      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      bg.join(broadcast(c2), "bg").join(broadcast(c1), "w1")
+        .persist()
+      val c2 = bg.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      bg.join(broadcast(c2.drop("w1")), "bg").join(broadcast(c1), "w1")
         .select(col("doc_id"),
           log(col("c2").cast(DoubleType) / col("c1"))
             .cast(DecimalType(28, 9)).as("lp"))

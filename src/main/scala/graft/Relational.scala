@@ -689,6 +689,27 @@ object Relational {
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
         .orderBy("file_bin")
     },
+    // C47 band (interval) join through the custom BroadcastRangeJoinExec:
+    // overlapping [lo, hi] character-count bands derived from the region
+    // dim, joined to documents on containment. A band-only inner join has
+    // no equi key, so stock Spark plans O(|docs|·|bands|)
+    // BroadcastNestedLoopJoin; the injected strategy instead broadcasts the
+    // sorted band list with a prefix-max and each doc binary-searches —
+    // O(|docs|·log|bands| + matches), stream side never shuffles
+    // (RangeJoinSpec proves the plan claim; PlanSpec pins it here).
+    "c47_band_join" -> { (s, d) =>
+      graft.plans.BroadcastRangeJoinStrategy.install(s)
+      val bands = Tables.load(s, d, "region")
+        .select(col("r_name").as("band"),
+          (col("r_regionkey").cast(LongType) * 100L).as("lo"),
+          (col("r_regionkey").cast(LongType) * 100L + 149L).as("hi"))
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      bands.join(docs,
+          col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .select(col("band"), col("doc_id"), col("n_chars"))
+        .orderBy("band", "doc_id")
+    },
     // C45 positional window navigation — FIRST_VALUE / NTH_VALUE /
     // LAST_VALUE over the full partition frame. Keyed at microsecond
     // precision (ties broken by event_id): DuckDB truncates the parquet
@@ -1101,6 +1122,13 @@ object Relational {
         |  min(x) AS x_min, max(x) AS x_max,
         |  min(y) AS y_min, max(y) AS y_max
         |FROM f GROUP BY file_bin ORDER BY file_bin""".stripMargin,
+    "c47_band_join" ->
+      """WITH bands AS (SELECT r_name AS band,
+        |    r_regionkey::BIGINT * 100 AS lo, r_regionkey::BIGINT * 100 + 149 AS hi
+        |  FROM region)
+        |SELECT band, doc_id, n_chars FROM bands JOIN documents
+        |ON n_chars >= lo AND n_chars <= hi
+        |ORDER BY band, doc_id""".stripMargin,
     "c45_nth_value" ->
       """SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,
         |  first_value(value) OVER w AS first_v,

@@ -182,6 +182,12 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_count") || p.contains("partial_min"), p.take(2000))
   }
 
+  test("c47 band join plans as BroadcastRangeJoin, not the O(n·m) BNLJ") {
+    val p = finalPlan(q("c47_band_join"))
+    assert(p.contains("BroadcastRangeJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("e39 dup spans: map-side partial agg on the span key, top-k heap at the end") {
     val p = finalPlan(q("e39_dup_spans"))
     // the rolling-window explode is per-row; the only wide op is the span
