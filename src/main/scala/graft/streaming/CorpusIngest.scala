@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming training-corpus ingest — the E-series pipeline (quality gate →
+  * exact dedup → MinHash-LSH near-dup indexing → shard-ready corpus store)
+  * run INCREMENTALLY over a document stream, the way a 100 TB corpus is
+  * actually assembled: documents arrive continuously (a crawl feed, the CDC
+  * document table), and each micro-batch must be folded in with work
+  * bounded by the BATCH, never by the corpus accumulated so far.
+  *
+  * This is the streaming twin of the batch e25_dedup_corpus pass, composed
+  * from the same proven parts: the quality predicate of e15, the
+  * content-hash dedup of e01, and the incremental [[LshIndex]] (whose
+  * bounded-probe economics LshIndexSpec verifies by scan metrics).
+  *
+  * Layout (under `root`):
+  * {{{
+  *   rejects/batch_id=<n>/      docs failing the quality gate (+ reason)
+  *   corpus/batch_id=<n>/       accepted docs, append-only
+  *   seen/batch_id=<n>/hp=<k>/  content-hash postings (hash, doc_id)
+  *   lsh/...                    LshIndex postings + candidate pairs
+  * }}}
+  *
+  * Exactly-once: every writer overwrites its OWN `batch_id=<n>` partition
+  * and every probe of stored state excludes the in-flight batch_id, so a
+  * foreachBatch retry recomputes byte-identical output no matter where the
+  * first attempt crashed (same discipline as the staging sink and
+  * [[LshIndex.addBatch]]).
+  *
+  * Bounded per-batch reads: the exact-dedup probe partitions the seen-hash
+  * store by `hp = pmod(xxhash64(content_hash), nHp)` and reads only the hp
+  * partitions the incoming batch touches — at a trillion stored hashes the
+  * probe cost tracks the batch, not the corpus (the same move LshIndex
+  * makes for its postings).
+  */
+final class CorpusIngest(root: String, nHp: Int = 16) {
+
+  private val io = new StoreIO(root, StoreIO.sessionConf())
+  val lsh = new LshIndex(s"$root/lsh")
+
+  private val seenReadSchema = StructType(Seq(
+    StructField("content_hash", StringType), StructField("doc_id", LongType),
+    StructField("hp", IntegerType), StructField("batch_id", LongType)))
+
+  private def dirReader(spark: SparkSession, rel: String, schema: StructType): DataFrame =
+    if (!io.exists(io.path(rel)))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).option("basePath", s"$root/$rel").parquet(s"$root/$rel")
+
+  private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType), StructField("batch_id", LongType)))
+
+  /** Accepted corpus so far (all batches). */
+  def corpus(spark: SparkSession): DataFrame = dirReader(spark, "corpus", docSchema)
+
+  /** Quality-gate rejects (audit sink, not a dead letter — these are
+    * well-formed rows the POLICY dropped, with the reason recorded). */
+  def rejects(spark: SparkSession): DataFrame = dirReader(spark, "rejects",
+    docSchema.add(StructField("reject_reason", StringType)))
+
+  /** The content-hash store backing exact dedup. */
+  def seen(spark: SparkSession): DataFrame = dirReader(spark, "seen", seenReadSchema)
+
+  /** Deterministic training-shard view of the accepted corpus: shard is a
+    * pure function of doc_id (reproducible under any partitioning; no
+    * shuffle — the assignment is map-side, like e22). */
+  def shards(spark: SparkSession, nShards: Int): DataFrame =
+    corpus(spark).withColumn("shard",
+      pmod(xxhash64(col("doc_id")), lit(nShards.toLong)).cast(IntegerType))
+
+  /** Fold one micro-batch of documents into the corpus. Idempotent under
+    * retries of the same (docs, batchId). */
+  def ingestBatch(docs: DataFrame, batchId: Long): Unit = {
+    val spark = docs.sparkSession
+    // ---- quality gate (the e15 predicate, per-row form) ----------------
+    val reason = when(col("text").isNull || length(col("text")) === 0, "empty_text")
+      .when(col("n_chars") =!= length(col("text")), "length_mismatch")
+    val gated = docs.select(docCols.map(col) :+ reason.as("reject_reason"): _*)
+      .persist() // two consumers: rejects sink + survivor pipeline
+    try {
+      gated.filter(col("reject_reason").isNotNull)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(s"$root/rejects/batch_id=$batchId")
+
+      // ---- exact dedup (content hash, first arrival wins) --------------
+      // in-batch: min doc_id per hash (deterministic, order-free);
+      // vs corpus: anti-join against ONLY the hp partitions this batch
+      // touches — the stored side is partition-pruned, cost ∝ batch
+      val hashed = gated.filter(col("reject_reason").isNull)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("hp",
+          pmod(xxhash64(col("content_hash")), lit(nHp.toLong)).cast(IntegerType))
+      val firstInBatch = hashed
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+        .persist() // consumers: hp probe, anti-join, seen write
+      try {
+        val touchedHp = firstInBatch.select(col("hp")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val stored = seen(spark)
+          .filter(col("batch_id") =!= batchId && col("hp").isin(touchedHp: _*))
+          .select(col("content_hash").as("seen_hash"))
+        val fresh = firstInBatch
+          .join(stored, col("content_hash") === col("seen_hash"), "left_anti")
+          .persist() // consumers: corpus write, seen write, lsh banding
+        try {
+          fresh.select(docCols.map(col): _*)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$root/corpus/batch_id=$batchId")
+          fresh.select(col("content_hash"), col("doc_id"), col("hp"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("hp")
+            .parquet(s"$root/seen/batch_id=$batchId")
+          // ---- near-dup candidates, incrementally -----------------------
+          lsh.addBatch(fresh.select(col("doc_id"), col("text")), batchId)
+        } finally { fresh.unpersist(); () }
+      } finally { firstInBatch.unpersist(); () }
+    } finally { gated.unpersist(); () }
+  }
+
+  /** Structured Streaming wrapper: drain `docs` (a streaming DataFrame of
+    * document rows) into the corpus via [[ingestBatch]] per micro-batch. */
+  def stream(docs: DataFrame, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId)
+      }
+      .start()
+
+  def destroy(): Unit = io.delete(io.root)
+}

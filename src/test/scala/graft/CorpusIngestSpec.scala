@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.CorpusIngest
+
+/** Streaming corpus ingest: the quality-gate → exact-dedup → LSH pipeline
+  * folded in per micro-batch must equal the one-shot batch pass over the
+  * same documents, retries must be no-ops, and the dedup probe must stay
+  * partition-pruned. */
+class CorpusIngestSpec extends SparkSpecBase {
+
+  private val inSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def fixture: DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Crafted rows: two quality failures, one exact duplicate of doc 0. */
+  private def crafted(doc0Text: String): Seq[Row] = Seq(
+    Row(1000L, "", "en", "srcX", 0L),                   // empty_text
+    Row(1001L, "hello world", "en", "srcX", 5L),        // length_mismatch
+    Row(1002L, doc0Text, "en", "srcX", doc0Text.length.toLong)) // exact dup
+
+  private def craftedDf(doc0Text: String): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(crafted(doc0Text): _*), inSchema)
+
+  /** Batch twin: quality-pass docs deduped by content hash, min doc_id
+    * wins (equals first-arrival when batches ascend by doc_id). */
+  private def batchTwin(input: DataFrame): Set[Long] = {
+    val pass = input.filter(col("text").isNotNull && length(col("text")) > 0 &&
+      col("n_chars") === length(col("text")))
+    pass.withColumn("ch", md5(col("text")))
+      .groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(_.getLong(1)).toSet
+  }
+
+  test("streamed ingest equals the one-shot batch pass; rejects carry reasons") {
+    val in = tmpDir("ci_in"); val root = tmpDir("ci_store") + "/s"
+    val ckpt = tmpDir("ci_ckpt")
+    val doc0Text = fixture.filter(col("doc_id") === 0).head().getString(1)
+    // three ascending files → three micro-batches (maxFilesPerTrigger=1)
+    fixture.filter(col("doc_id") < 20).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(in)
+    fixture.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      .unionByName(craftedDf(doc0Text)).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(in)
+    fixture.filter(col("doc_id") >= 40).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(in)
+
+    val ing = new CorpusIngest(root)
+    val q = ing.stream(
+      spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q.awaitTermination()
+
+    val input = fixture.unionByName(craftedDf(doc0Text))
+    val gotCorpus = ing.corpus(spark).collect().map(_.getLong(0)).toSet
+    assert(gotCorpus === batchTwin(input))
+    // crafted dup lost to doc 0 regardless of which batch carried each
+    assert(!gotCorpus.contains(1002L) && gotCorpus.contains(0L))
+    val rejects = ing.rejects(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(rejects === Map(1000L -> "empty_text", 1001L -> "length_mismatch"))
+    // rejects ∪ corpus ∪ duplicate-drops partition the input
+    val nInput = input.count()
+    val nDups = nInput - rejects.size - gotCorpus.size
+    assert(nDups >= 1) // at least the crafted duplicate
+    // the LSH index saw exactly the accepted docs
+    val indexed = ing.lsh.postings(spark).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed === gotCorpus)
+    // shard view: pure function of doc_id, covers the corpus, all shards hit
+    val sh = ing.shards(spark, 4)
+    assert(sh.count() === gotCorpus.size)
+    assert(sh.select("shard").distinct().count() === 4)
+    val again = ing.shards(spark, 4).collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(sh.collect().map(r => r.getLong(0) -> r.getInt(6)).toMap === again)
+  }
+
+  test("a replayed micro-batch (foreachBatch retry) is byte-identical") {
+    val root = tmpDir("ci_retry") + "/s"
+    val ing = new CorpusIngest(root)
+    ing.ingestBatch(fixture.filter(col("doc_id") < 25), 0L)
+    ing.ingestBatch(fixture.filter(col("doc_id") >= 25), 1L)
+    def state(): (Set[Long], Set[String], Long) = (
+      ing.corpus(spark).collect().map(_.getLong(0)).toSet,
+      ing.seen(spark).collect().map(_.getString(0)).toSet,
+      ing.lsh.pairs(spark).count())
+    val before = state()
+    ing.ingestBatch(fixture.filter(col("doc_id") >= 25), 1L) // replay
+    assert(state() === before)
+  }
+
+  test("incremental LSH pairs equal one-shot banding of the accepted corpus") {
+    val root = tmpDir("ci_lsh") + "/s"
+    val ing = new CorpusIngest(root)
+    ing.ingestBatch(fixture.filter(col("doc_id") < 25), 0L)
+    ing.ingestBatch(fixture.filter(col("doc_id") >= 25), 1L)
+    val accepted = ing.corpus(spark).select(col("doc_id"), col("text"))
+    val bands = Extensions.minhashBands(accepted)
+    val oneShot = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ing.lsh.pairs(spark).select("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.toSet.size, "pair emitted twice")
+    assert(got.toSet === oneShot)
+  }
+
+  test("the exact-dedup probe reads only hp partitions the batch touches") {
+    val root = tmpDir("ci_prune") + "/s"
+    val ing = new CorpusIngest(root)
+    ing.ingestBatch(fixture.filter(col("doc_id") < 40), 0L)
+    // one incoming doc touches exactly 1 of the 16 hp partitions
+    val one = fixture.filter(col("doc_id") === 45)
+      .withColumn("ch", md5(col("text")))
+      .select(pmod(xxhash64(col("ch")), lit(16L)).cast("int").as("hp"))
+    val touched = one.collect().map(_.getInt(0)).toSet
+    val pruned = ing.seen(spark)
+      .filter(col("batch_id") =!= 1L && col("hp").isin(touched.toSeq: _*))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numFiles").value < ing.seen(spark).inputFiles.length,
+      "hp probe read the whole seen store — no pruning")
+  }
+}
