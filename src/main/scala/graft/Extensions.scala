@@ -924,6 +924,41 @@ object Extensions {
           round(col("slp").cast(DoubleType) / col("n_bigrams"), 6).as("avg_lp"))
         .orderBy(col("avg_lp").asc, col("doc_id"))
         .limit(25)
+    },
+    // E1/dedup — duplicated-span coverage (e39's second stage): for each
+    // doc, the fraction of its token positions covered by any 8-token span
+    // that also occurs in another document — the removal-decision metric of
+    // substring-level dedup. Pure integer counting → bit-exact. Scale
+    // shape: the span stream is persisted once and read by both the
+    // dup-set build and the coverage pass; the dup-set join is a semi join
+    // keyed by the span (hash at 100 TB), the position expansion is ×8
+    // per surviving occurrence only, and every aggregate map-side combines.
+    "e42_dup_coverage" -> { (s, d) =>
+      val tok = load(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 8)
+      val spans = tok
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 7),
+            i => struct(i.as("p"),
+              array_join(slice(col("ts"), i, lit(8)), " ").as("span")))).as("x"))
+        .select(col("doc_id"), col("x.p").as("p"), col("x.span").as("span"))
+        .persist()
+      val dup = spans.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("span"))
+      val cov = spans.join(dup, Seq("span"), "left_semi")
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("q"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov"))
+      tok.select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tok"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_cov"), lit(0L)).as("n_cov"))
+        .withColumn("dup_frac",
+          round(col("n_cov").cast(DoubleType) / col("n_tok"), 6))
+        .orderBy(col("dup_frac").desc, col("doc_id"))
+        .limit(25)
     }
   )
 
@@ -1419,6 +1454,22 @@ object Extensions {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
         |FROM lp GROUP BY doc_id ORDER BY avg_lp ASC, doc_id LIMIT 25""".stripMargin,
+    "e42_dup_coverage" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |ok AS (SELECT * FROM tok WHERE len(ts) >= 8),
+        |spans AS (SELECT doc_id, i.i AS p, array_to_string(ts[i.i : i.i + 7], ' ') AS span
+        |          FROM ok, UNNEST(generate_series(1, len(ts) - 7)) AS i(i)),
+        |dup AS (SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT doc_id, count(*) AS n_cov FROM (
+        |          SELECT DISTINCT s.doc_id, pos.q
+        |          FROM spans s JOIN dup USING (span),
+        |               UNNEST(generate_series(s.p, s.p + 7)) AS pos(q))
+        |        GROUP BY doc_id)
+        |SELECT ok.doc_id, len(ok.ts)::BIGINT AS n_tok,
+        |  coalesce(cov.n_cov, 0)::BIGINT AS n_cov,
+        |  round(coalesce(cov.n_cov, 0)::DOUBLE / len(ok.ts), 6) AS dup_frac
+        |FROM ok LEFT JOIN cov USING (doc_id)
+        |ORDER BY dup_frac DESC, doc_id LIMIT 25""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh

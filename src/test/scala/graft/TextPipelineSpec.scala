@@ -57,6 +57,29 @@ class TextPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("e42_dup_coverage matches a straight-line coverage recomputation") {
+    val ds = docs.filter(_._2.length >= 8)
+    val spanDocs = (for {
+      (id, ts) <- ds; i <- 0 to ts.length - 8
+    } yield (ts.slice(i, i + 8).mkString(" "), id))
+    val dup = spanDocs.groupBy(_._1).collect {
+      case (s, xs) if xs.map(_._2).distinct.size >= 2 => s
+    }.toSet
+    val expect = ds.map { case (id, ts) =>
+      val cov = (for {
+        i <- 0 to ts.length - 8
+        if dup.contains(ts.slice(i, i + 8).mkString(" "))
+        q <- i to i + 7
+      } yield q).distinct.size
+      (id, ts.length.toLong, cov.toLong,
+        math.rint(cov.toDouble / ts.length * 1e6) / 1e6)
+    }.sortBy { case (id, _, _, f) => (-f, id) }.take(25)
+    val got = Extensions.queries("e42_dup_coverage")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+    assert(got.exists(_._3 > 0)) // the metric is non-vacuous on the fixture
+  }
+
   test("e41_bigram_lm matches a straight-line bigram-LM recomputation") {
     val ds = docs.filter(_._2.length >= 2)
     val bgs = ds.flatMap { case (_, ts) => ts.sliding(2).map(_.mkString(" ")) }
