@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => SelfCosineToOne)
+    // the two custom physical operators, available without per-query
+    // install() calls when the session is built with this extension
+    ext.injectPlannerStrategy(_ => BroadcastRangeJoinStrategy)
+    ext.injectPlannerStrategy(_ => BroadcastAsofJoinStrategy)
   }
 }
