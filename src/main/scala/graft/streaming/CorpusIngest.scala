@@ -127,6 +127,28 @@ final class CorpusIngest(root: String, nHp: Int = 16) {
     } finally { gated.unpersist(); () }
   }
 
+  /** Offline maintenance (stream paused): fold the seen-hash store's
+    * per-batch partitions into one consolidated negative-batch_id
+    * partition, keeping the hp layout the dedup probe prunes on — the
+    * small-file compaction a long-running ingest needs (the corpus itself
+    * is plain parquet data; the a13-style compaction pass applies there).
+    * Same idempotent distinct-write discipline as [[LshIndex.compact]];
+    * also delegates to the LSH index's own compaction. */
+  def compact(spark: SparkSession): Unit = {
+    val dir = s"$root/seen"
+    val sources = io.listDirs(io.path("seen"))
+    if (sources.size > 1) {
+      val ids = sources.map(_.getName.stripPrefix("batch_id=").toLong)
+      val nextId = math.min(ids.min, 0L) - 1L
+      seen(spark).drop("batch_id").distinct()
+        .repartition(math.max(1, nHp / 4))
+        .write.mode("overwrite").partitionBy("hp")
+        .parquet(s"$dir/batch_id=$nextId")
+      sources.foreach(io.delete)
+    }
+    lsh.compact(spark)
+  }
+
   /** Structured Streaming wrapper: drain `docs` (a streaming DataFrame of
     * document rows) into the corpus via [[ingestBatch]] per micro-batch. */
   def stream(docs: DataFrame, checkpointDir: String): StreamingQuery =

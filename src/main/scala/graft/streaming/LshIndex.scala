@@ -108,5 +108,34 @@ final class LshIndex(root: String, nBp: Int = 16) {
     } finally { bands.unpersist(); () }
   }
 
+  /** Offline maintenance (stream paused — same contract as
+    * BucketedReplica.compact): fold every posting/pair batch partition into
+    * ONE consolidated partition each, collapsing the small-file scatter a
+    * long-running ingest accumulates (one dir per micro-batch). The
+    * consolidated partition takes a fresh NEGATIVE batch_id, so it can
+    * never collide with the checkpoint-driven ids of future stream batches
+    * and the probe's `batch_id =!= current` exclusion still holds.
+    *
+    * Idempotent and crash-converging: the consolidated rows are written
+    * DISTINCT (posting and pair rows are unique by construction, so a
+    * crash that leaves both sources and the consolidation visible only
+    * duplicates rows physically — the next compact() collapses them), and
+    * sources are deleted only after the consolidated write completes. */
+  def compact(spark: SparkSession): Unit = {
+    def consolidate(dir: String, read: DataFrame, partBy: Option[String]): Unit = {
+      val sources = io.listDirs(new org.apache.hadoop.fs.Path(dir))
+      if (sources.size <= 1) return // nothing to fold
+      val ids = sources.map(_.getName.stripPrefix("batch_id=").toLong)
+      val nextId = math.min(ids.min, 0L) - 1L
+      val out = s"$dir/batch_id=$nextId"
+      val w = read.drop("batch_id").distinct()
+        .repartition(math.max(1, nBp / 4)).write.mode("overwrite")
+      partBy.fold(w)(c => w.partitionBy(c)).parquet(out)
+      sources.foreach(io.delete)
+    }
+    consolidate(postingsDir, postings(spark), Some("bp"))
+    consolidate(pairsDir, pairs(spark), None)
+  }
+
   def destroy(): Unit = io.delete(io.root)
 }

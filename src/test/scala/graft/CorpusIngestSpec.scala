@@ -114,6 +114,28 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(got.toSet === oneShot)
   }
 
+  test("compact folds the seen store, keeps dedup correct for later batches") {
+    val root = tmpDir("ci_compact") + "/s"
+    val ing = new CorpusIngest(root)
+    ing.ingestBatch(fixture.filter(col("doc_id") < 15), 0L)
+    ing.ingestBatch(fixture.filter(col("doc_id") >= 15 && col("doc_id") < 30), 1L)
+    val seenBefore = ing.seen(spark).select("content_hash", "doc_id", "hp")
+      .collect().map(_.toSeq).toSet
+    val filesBefore = ing.seen(spark).inputFiles.length
+    ing.compact(spark)
+    assert(ing.seen(spark).select("content_hash", "doc_id", "hp")
+      .collect().map(_.toSeq).toSet === seenBefore)
+    assert(ing.seen(spark).inputFiles.length < filesBefore)
+    // a duplicate of an already-seen doc arriving post-compaction still drops
+    val doc3Text = fixture.filter(col("doc_id") === 3).head().getString(1)
+    val dupRow = spark.createDataFrame(java.util.Arrays.asList(
+      Row(2000L, doc3Text, "en", "srcX", doc3Text.length.toLong)), inSchema)
+    ing.ingestBatch(fixture.filter(col("doc_id") >= 30).unionByName(dupRow), 2L)
+    val corpus = ing.corpus(spark).collect().map(_.getLong(0)).toSet
+    assert(!corpus.contains(2000L) && corpus.contains(3L))
+    assert(corpus === batchTwin(fixture.unionByName(dupRow)))
+  }
+
   test("the exact-dedup probe reads only hp partitions the batch touches") {
     val root = tmpDir("ci_prune") + "/s"
     val ing = new CorpusIngest(root)

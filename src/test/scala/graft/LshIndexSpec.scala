@@ -72,6 +72,39 @@ class LshIndexSpec extends SparkSpecBase {
     assert(scan.toString.contains("PartitionFilters"))
   }
 
+  test("compact folds batch partitions, preserves content, and keeps increments correct") {
+    val idx = new LshIndex(tmpDir("lsh_compact") + "/idx")
+    idx.destroy()
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 0), 0L)
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 1), 1L)
+    val postBefore = idx.postings(spark).drop("batch_id").collect()
+      .map(_.toSeq).toSet
+    val pairsBefore = emitted(idx).map { case (a, b, n) => (a, b, n) }.toSet
+    val filesBefore = idx.postings(spark).inputFiles.length
+
+    idx.compact(spark)
+    assert(idx.postings(spark).drop("batch_id").collect().map(_.toSeq).toSet === postBefore)
+    assert(emitted(idx).toSet === pairsBefore)
+    assert(idx.postings(spark).inputFiles.length < filesBefore,
+      "compaction did not reduce posting file count")
+    // consolidated ids are negative → can't collide with future stream batches
+    assert(idx.postings(spark).select("batch_id").distinct()
+      .collect().map(_.getLong(0)).forall(_ < 0))
+
+    // a batch arriving AFTER compaction still completes exactly the right pairs
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 2), 2L)
+    val got = emitted(idx)
+    assert(got.size === got.toSet.size)
+    assert(got.toSet === oneShot(docs))
+
+    // idempotent: a second compact converges to the same content
+    idx.compact(spark)
+    idx.compact(spark)
+    assert(emitted(idx).toSet === oneShot(docs))
+    assert(idx.postings(spark).drop("batch_id").distinct().count() ===
+      idx.postings(spark).drop("batch_id").count(), "physical duplicates survived")
+  }
+
   test("streaming wrapper: the index maintained from a document file stream converges") {
     val root = tmpDir("lsh_stream")
     val idx = new LshIndex(s"$root/idx")
