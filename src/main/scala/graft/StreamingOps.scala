@@ -133,6 +133,29 @@ object StreamingOps {
     // D7 stream–static join — enrich the change stream with a dimension
     // table; the static side broadcasts (no stream state), the plan that
     // holds at any stream scale.
+    // D10 forward variant — next-event-after as-of (time-to-recovery: the
+    // first purchase strictly after each error). No new operator needed:
+    // backward as-of under time negation IS forward as-of — probe at
+    // -(t+1) (micros domain, shared exactly with the oracle) and negate
+    // the ref's time and tie columns, so "greatest ≤, ties by greatest"
+    // becomes "smallest >, ties by smallest". Same broadcast economics as
+    // d10b: the purchase side broadcasts, the error stream never shuffles.
+    "d10c_asof_forward" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .withColumn("ts_neg", -(col("ts_us") + 1))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("ts_neg", -col("ts_us"))
+        .withColumn("eid_neg", -col("event_id"))
+      graft.plans.AsofJoin
+        .broadcastAsof(errors, purchases, "user_id", "ts_neg", "eid_neg")
+        .select(col("user_id"), col("event_id").as("error_pos"),
+          col("ref_event_id").as("next_purchase_pos"),
+          col("ref_value").as("next_purchase_value"))
+        .orderBy("user_id", "error_pos")
+    },
     "d7_stream_static_join" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val c = load(s, d, "customer")
@@ -194,6 +217,20 @@ object StreamingOps {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY user_id, error_pos""".stripMargin,
+    // window-form twin (not ASOF JOIN): deterministic tie-breaking by
+    // (ts, event_id) is explicit, in the shared microsecond domain
+    "d10c_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT e.user_id, e.event_id AS error_pos,
+        |        p.event_id AS next_purchase_pos, p.value AS next_purchase_value,
+        |        ROW_NUMBER() OVER (PARTITION BY e.user_id, e.event_id
+        |                           ORDER BY p.ts_us, p.event_id) AS rn
+        |      FROM e JOIN p ON e.user_id = p.user_id AND p.ts_us > e.ts_us)
+        |SELECT user_id, error_pos, next_purchase_pos, next_purchase_value
+        |FROM j WHERE rn = 1 ORDER BY user_id, error_pos""".stripMargin,
     "d7_stream_static_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -63,4 +63,19 @@ class AsofJoinSpec extends SparkSpecBase {
     }
     assert(bad.getMessage.contains("LongType"))
   }
+
+  test("forward as-of by negation (d10c) routes through the custom operator") {
+    val df = SparkEntry.queries("d10c_asof_forward")(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastAsofJoin"))
+    // strictness: every matched next-purchase is strictly after its error
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("event_id"), col("ts_us"))
+    val t = df.join(ev.withColumnRenamed("event_id", "error_pos")
+        .withColumnRenamed("ts_us", "err_us"), "error_pos")
+      .join(ev.withColumnRenamed("event_id", "next_purchase_pos")
+        .withColumnRenamed("ts_us", "nxt_us"), "next_purchase_pos")
+    assert(t.filter(col("nxt_us") <= col("err_us")).isEmpty)
+  }
 }
