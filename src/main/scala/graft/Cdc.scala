@@ -366,6 +366,28 @@ object Cdc {
         .option("multiLine", "true").csv(path)
         .orderBy("pos")
     },
+    // A16 XML change-file roundtrip — the third text interchange format
+    // beside JSON (a4/a12) and CSV/TSV (a2/a15), via Spark 4's built-in XML
+    // source. Rows nest as <change> elements under <changelog>; the read
+    // declares the envelope schema explicitly (no inference, per the
+    // reference's declared-schema discipline) and nulls round-trip as
+    // absent elements. Same aggregate gate as the other roundtrips, so a
+    // value corrupted in transit fails the oracle hash.
+    "a16_xml_roundtrip" -> { (s, d) =>
+      val path = scratch("a16_xml", d)
+      val df = changelog(s, d)
+        .select(col("op"), col("pos"), col("user_id"), col("value"),
+          col("event_type"))
+      df.write.mode("overwrite").format("xml")
+        .option("rootTag", "changelog").option("rowTag", "change")
+        .save(path)
+      s.read.schema(df.schema).format("xml")
+        .option("rowTag", "change").load(path)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n"), max(col("pos")).as("max_pos"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("op")
+    },
     // A9 DDL / catalog registration — CREATE OR REPLACE TEMP VIEW + SQL over
     // the registered name (reference cr_pet_tbl.sql:3, main.tf:122-125).
     "a9_catalog_ddl" -> { (s, d) =>
@@ -665,6 +687,11 @@ object Cdc {
          |SELECT user_id, COUNT(*) AS n, MAX(pos) AS max_pos
          |FROM ch WHERE op = 'UPDATE' GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a12_json_sink" ->
+      s"""WITH ch AS ($changelogSql)
+         |SELECT op, COUNT(*) AS n, MAX(pos) AS max_pos,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+    "a16_xml_roundtrip" ->
       s"""WITH ch AS ($changelogSql)
          |SELECT op, COUNT(*) AS n, MAX(pos) AS max_pos,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
