@@ -55,6 +55,17 @@ object Extensions {
   private val tokenHashSql: String =
     "CAST(concat('0x', substring(md5(%s), 1, 8)) AS BIGINT)"
 
+  /** Distinct LSH candidate pairs over the doc_id%10 sample — the shared
+    * candidate source of e03b (scored with Jaccard) and e43 (containment). */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBands(load(s, d, "documents")
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+  }
+
   private def toks(c: Column): Column = split(c, " ")
 
   /** Shared by e21/e25: min-label components of the LSH candidate graph
@@ -195,6 +206,31 @@ object Extensions {
           (col("n_common").cast(DoubleType)
             / (size(col("tk1")) + size(col("tk2")) - col("n_common"))).as("jaccard"))
         .orderBy("d1", "d2")
+    },
+    // E1 containment (|A∩B| / |A|) over the e03b LSH candidates — the
+    // asymmetric near-dup metric: a document swallowed by a bigger one
+    // (quote, boilerplate wrapper, superset rewrite) scores ~1 on the
+    // smaller side while Jaccard stays low. Same bucket-local candidate
+    // economics as e03b (containment is only ever computed on pairs LSH
+    // already surfaced, never all-pairs); exact small-integer division.
+    // Emitted per ORDERED pair (both directions), worst containment first.
+    "e43_containment" -> { (s, d) =>
+      val cand = lshCandidates(s, d)
+      val sets = load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      val t1 = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
+      val t2 = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
+      val joined = cand.join(t1, "d1").join(t2, "d2")
+        .withColumn("n_common", size(array_intersect(col("tk1"), col("tk2"))))
+      val fwd = joined.select(col("d1").as("a"), col("d2").as("b"),
+        (col("n_common").cast(DoubleType) / size(col("tk1"))).as("containment"))
+      val rev = joined.select(col("d2").as("a"), col("d1").as("b"),
+        (col("n_common").cast(DoubleType) / size(col("tk2"))).as("containment"))
+      fwd.unionByName(rev)
+        .filter(col("containment") >= 0.5)
+        .orderBy(col("containment").desc, col("a"), col("b"))
+        .limit(25)
     },
     // E1 n-gram (bigram-shingle) Jaccard similarity join, language-blocked,
     // over a doc_id%5 sample. Shingles are hashed to longs BEFORE the pair
@@ -1097,6 +1133,36 @@ object Extensions {
          |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
          |FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
          |ORDER BY d1, d2""".stripMargin
+    },
+    "e43_containment" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+         |         FROM documents WHERE doc_id % 10 = 0),
+         |j AS (SELECT d1, d2, len(list_intersect(a.tk, b.tk)) AS n_common,
+         |        len(a.tk) AS n1, len(b.tk) AS n2
+         |      FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id),
+         |dirs AS (
+         |  SELECT d1 AS a, d2 AS b, n_common::DOUBLE / n1 AS containment FROM j
+         |  UNION ALL
+         |  SELECT d2 AS a, d1 AS b, n_common::DOUBLE / n2 AS containment FROM j)
+         |SELECT a, b, containment FROM dirs WHERE containment >= 0.5
+         |ORDER BY containment DESC, a, b LIMIT 25""".stripMargin
     },
     "e04b_jaccard_sparse" ->
       """WITH base AS (
