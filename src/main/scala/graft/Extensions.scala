@@ -995,6 +995,30 @@ object Extensions {
           round(col("n_cov").cast(DoubleType) / col("n_tok"), 6))
         .orderBy(col("dup_frac").desc, col("doc_id"))
         .limit(25)
+    },
+    // E4/analysis — TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df), the classic salient-term summary fed to tagging and
+    // retrieval indexes. ln() evaluates only on |V|-bounded distinct df
+    // values; scores round to 6 BEFORE ranking so the rank tie-break
+    // (term asc) is on identical values in both engines. df and N are
+    // broadcast (vocab-bounded / scalar); the only corpus-wide work is the
+    // tf aggregate and the per-doc top-3 window (WindowGroupLimit keeps it
+    // a bounded per-key heap, not a full per-doc sort).
+    "e44_keywords" -> { (s, d) =>
+      val tf = load(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val n = load(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("t").asc)
+      tf.join(broadcast(dfc), "t").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("t").as("term"), col("score"))
+        .orderBy("doc_id", "rank")
     }
   )
 
@@ -1536,6 +1560,22 @@ object Extensions {
         |  round(coalesce(cov.n_cov, 0)::DOUBLE / len(ok.ts), 6) AS dup_frac
         |FROM ok LEFT JOIN cov USING (doc_id)
         |ORDER BY dup_frac DESC, doc_id LIMIT 25""".stripMargin,
+    "e44_keywords" ->
+      """WITH tf AS (SELECT doc_id, t, count(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |                  FROM documents)
+        |            GROUP BY doc_id, t),
+        |dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.t,
+        |         round(tf.tf * ln(n.n_docs::DOUBLE / dfc.df), 6) AS score
+        |       FROM tf JOIN dfc USING (t) CROSS JOIN n),
+        |r AS (SELECT doc_id, t, score,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, t ASC) AS rank
+        |      FROM sc)
+        |SELECT doc_id, rank::INT AS rank, t AS term, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh

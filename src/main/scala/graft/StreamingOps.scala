@@ -156,6 +156,35 @@ object StreamingOps {
           col("ref_value").as("next_purchase_value"))
         .orderBy("user_id", "error_pos")
     },
+    // D11 batch twin of the stream-stream attribution join
+    // (StreamStreamJoinSpec): purchases credited to a signup of the same
+    // user within 1 hour after it. The time band lives in the shared exact
+    // microsecond domain; left join keeps unconverted signups with NULL
+    // sums. In the streaming form both sides are watermarked and the band
+    // bounds the join state — here the same condition is one equi+band
+    // sort-merge join (user equi key carries the shuffle; the band is a
+    // post-join predicate on co-partitioned rows, no extra exchange).
+    "d11_interval_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"),
+          col("event_id").as("signup_pos"), col("ts_us").as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_us"),
+          col("value"))
+      sg.join(pu,
+          col("s_user") === col("p_user") &&
+            col("p_us") >= col("s_us") &&
+            col("p_us") <= col("s_us") + lit(3600000000L), "left")
+        .groupBy(col("s_user"), col("signup_pos"))
+        .agg(count(col("p_us")).as("n_purchases_1h"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_value"))
+        .select(col("s_user").as("user_id"), col("signup_pos"),
+          col("n_purchases_1h"), col("sum_value"))
+        .orderBy("user_id", "signup_pos")
+    },
     "d7_stream_static_join" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val c = load(s, d, "customer")
@@ -231,6 +260,17 @@ object StreamingOps {
         |      FROM e JOIN p ON e.user_id = p.user_id AND p.ts_us > e.ts_us)
         |SELECT user_id, error_pos, next_purchase_pos, next_purchase_value
         |FROM j WHERE rn = 1 ORDER BY user_id, error_pos""".stripMargin,
+    "d11_interval_join" ->
+      """WITH s AS (SELECT user_id, event_id AS signup_pos, epoch_us(ts) AS s_us
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.signup_pos, count(p.p_us) AS n_purchases_1h,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |  AND p.p_us >= s.s_us AND p.p_us <= s.s_us + 3600000000
+        |GROUP BY s.user_id, s.signup_pos
+        |ORDER BY s.user_id, s.signup_pos""".stripMargin,
     "d7_stream_static_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -188,6 +188,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("e44 keywords: df and N broadcast; per-doc top-3 is a WindowGroupLimit heap") {
+    val p = finalPlan(q("e44_keywords"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // 1-row N
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("e39 dup spans: map-side partial agg on the span key, top-k heap at the end") {
     val p = finalPlan(q("e39_dup_spans"))
     // the rolling-window explode is per-row; the only wide op is the span
