@@ -35,7 +35,8 @@ object Bench {
     "e02_minhash_sig", "e03b_lsh_pair_join", "e04_ngram_jaccard",
     "e04b_jaccard_sparse", "e06_cosine_topk", "e09c_ann_ivf_partitioned",
     "e10_lang_id", "e20_top_ngrams", "b11_incremental_scd2",
-    "e21_dedup_components", "e25_dedup_corpus")
+    "e21_dedup_components", "e25_dedup_corpus", "e39_dup_spans",
+    "e41_bigram_lm", "e42_dup_coverage", "c47_band_join")
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
