@@ -967,8 +967,10 @@ object Extensions {
     // substring-level dedup. Pure integer counting → bit-exact. Scale
     // shape: the span stream is persisted once and read by both the
     // dup-set build and the coverage pass; the dup-set join is a semi join
-    // keyed by the span (hash at 100 TB), the position expansion is ×8
-    // per surviving occurrence only, and every aggregate map-side combines.
+    // keyed by the span (hash at 100 TB); covered positions are counted as
+    // an INTERVAL UNION (surviving spans sorted by start, new coverage =
+    // min(8, p − running-max prev start) per row) — no ×8 position
+    // explosion, no distinct over exploded rows, one window per doc.
     "e42_dup_coverage" -> { (s, d) =>
       val tok = load(s, d, "documents")
         .select(col("doc_id"), toks(col("text")).as("ts"))
@@ -978,15 +980,20 @@ object Extensions {
           explode(transform(sequence(lit(1), size(col("ts")) - 7),
             i => struct(i.as("p"),
               array_join(slice(col("ts"), i, lit(8)), " ").as("span")))).as("x"))
-        .select(col("doc_id"), col("x.p").as("p"), col("x.span").as("span"))
+        .select(col("doc_id"), col("x.p").cast(LongType).as("p"), col("x.span").as("span"))
         .persist()
       val dup = spans.groupBy(col("span"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("span"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       val cov = spans.join(dup, Seq("span"), "left_semi")
-        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("q"))
-        .distinct()
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov"))
+        .select(col("doc_id"), col("p"))
+        .withColumn("prev_p", max(col("p")).over(w))
+        .withColumn("contrib", when(col("prev_p").isNull, lit(8L))
+          .otherwise(least(lit(8L), col("p") - col("prev_p"))))
+        .groupBy(col("doc_id")).agg(sum(col("contrib")).as("n_cov"))
       tok.select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tok"))
         .join(cov, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tok"),
@@ -1550,11 +1557,15 @@ object Extensions {
         |spans AS (SELECT doc_id, i.i AS p, array_to_string(ts[i.i : i.i + 7], ' ') AS span
         |          FROM ok, UNNEST(generate_series(1, len(ts) - 7)) AS i(i)),
         |dup AS (SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
-        |cov AS (SELECT doc_id, count(*) AS n_cov FROM (
-        |          SELECT DISTINCT s.doc_id, pos.q
-        |          FROM spans s JOIN dup USING (span),
-        |               UNNEST(generate_series(s.p, s.p + 7)) AS pos(q))
-        |        GROUP BY doc_id)
+        |surv AS (SELECT doc_id, p FROM spans JOIN dup USING (span)),
+        |iv AS (SELECT doc_id, p,
+        |         max(p) OVER (PARTITION BY doc_id ORDER BY p
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_p
+        |       FROM surv),
+        |cov AS (SELECT doc_id,
+        |         SUM(CASE WHEN prev_p IS NULL THEN 8
+        |                  ELSE least(8, p - prev_p) END)::BIGINT AS n_cov
+        |       FROM iv GROUP BY doc_id)
         |SELECT ok.doc_id, len(ok.ts)::BIGINT AS n_tok,
         |  coalesce(cov.n_cov, 0)::BIGINT AS n_cov,
         |  round(coalesce(cov.n_cov, 0)::DOUBLE / len(ok.ts), 6) AS dup_frac
