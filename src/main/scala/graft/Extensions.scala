@@ -1003,6 +1003,36 @@ object Extensions {
         .orderBy(col("dup_frac").desc, col("doc_id"))
         .limit(25)
     },
+    // E1+E4 — split-leakage audit: near-duplicate pairs (LSH candidates,
+    // the e03b set) that straddle train/val/test splits (the e22
+    // assignment) — the contamination a random doc-level split ALWAYS
+    // produces when near-dups exist, and the audit a release gate runs
+    // before shipping a split. Verified with exact unigram Jaccard ≥ 0.5
+    // so the report counts real near-dups, not bucket collisions; the
+    // split is a pure function of doc_id, so labeling the pairs is
+    // map-side — no join against a corpus-sized split table. Cross-split
+    // rows (leaks=true) are the leakage.
+    "e45_split_leakage" -> { (s, d) =>
+      def splitOf(c: Column) = {
+        val b = tokenHash(c.cast(StringType)) % 100
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      }
+      val sets = load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      lshCandidates(s, d)
+        .join(sets.select(col("doc_id").as("d1"), col("tk").as("tk1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("tk").as("tk2")), "d2")
+        .withColumn("n_common", size(array_intersect(col("tk1"), col("tk2"))))
+        .filter(col("n_common").cast(DoubleType)
+          / (size(col("tk1")) + size(col("tk2")) - col("n_common")) >= 0.5)
+        .select(least(splitOf(col("d1")), splitOf(col("d2"))).as("split_a"),
+          greatest(splitOf(col("d1")), splitOf(col("d2"))).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_neardup_pairs"))
+        .withColumn("leaks", col("split_a") =!= col("split_b"))
+        .orderBy("split_a", "split_b")
+    },
     // E4/analysis — TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df), the classic salient-term summary fed to tagging and
     // retrieval indexes. ln() evaluates only on |V|-bounded distinct df
@@ -1571,6 +1601,41 @@ object Extensions {
         |  round(coalesce(cov.n_cov, 0)::DOUBLE / len(ok.ts), 6) AS dup_frac
         |FROM ok LEFT JOIN cov USING (doc_id)
         |ORDER BY dup_frac DESC, doc_id LIMIT 25""".stripMargin,
+    "e45_split_leakage" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      def splitOf(c: String) =
+        s"""CASE WHEN ${String.format(tokenHashSql, s"CAST($c AS VARCHAR)")} % 100 < 80 THEN 'train'
+           |     WHEN ${String.format(tokenHashSql, s"CAST($c AS VARCHAR)")} % 100 < 90 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+         |         FROM documents WHERE doc_id % 10 = 0),
+         |nd AS (SELECT d1, d2 FROM cand
+         |       JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
+         |       WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+         |         / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.5),
+         |lab AS (SELECT least(${splitOf("d1")}, ${splitOf("d2")}) AS split_a,
+         |               greatest(${splitOf("d1")}, ${splitOf("d2")}) AS split_b
+         |        FROM nd)
+         |SELECT split_a, split_b, COUNT(*) AS n_neardup_pairs,
+         |  split_a <> split_b AS leaks
+         |FROM lab GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
+    },
     "e44_keywords" ->
       """WITH tf AS (SELECT doc_id, t, count(*) AS tf
         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
