@@ -604,6 +604,38 @@ object Cdc {
         .select(col("user_id"), col("event_type"),
           col("pos").as("last_pos"), col("value").as("last_value"))
         .orderBy("user_id", "event_type")
+    },
+    // B16 cross-table consistent cut — the transactional-consistency read
+    // the per-table appliers (D8 fan-out) cannot give on their own: each
+    // table's writer finalizes binlog-derived files independently (the
+    // reference's Datastream writes per-table file streams, README.md:163-168),
+    // so a table's trustworthy watermark is the max position in its COMPLETE
+    // files (the newest file is still open). The consistent cut is
+    // min(watermark) across tables; merging each table's log only up to the
+    // cut yields replicas that all reflect the same source instant — the
+    // snapshot a cross-table join must read to avoid torn transactions.
+    // Scale shape: watermarks are table-count-sized aggregates (broadcast);
+    // the merge is the ordinary single pk shuffle per table, with the cut
+    // filter pushed below it.
+    "b16_consistent_cut" -> { (s, d) =>
+      val log = changelog(s, d)
+        .withColumn("tbl", when(col("user_id") % 2 === 0, "users_even")
+          .otherwise("users_odd"))
+        .withColumn("file", expr("pos div 1000"))
+      val maxf = log.groupBy(col("tbl")).agg(max(col("file")).as("maxf"))
+      val wm = log.join(broadcast(maxf), "tbl")
+        .filter(col("file") < col("maxf"))
+        .groupBy(col("tbl")).agg(max(col("pos")).as("wm"))
+      val cut = wm.agg(min(col("wm")).as("cut"))
+      val w = Window.partitionBy(col("tbl"), col("user_id"))
+        .orderBy(col("pos").desc)
+      log.crossJoin(broadcast(cut)).filter(col("pos") <= col("cut"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("op") =!= "DELETE")
+        .groupBy(col("tbl"), col("cut"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("tbl")
     }
   )
 
@@ -816,6 +848,23 @@ object Cdc {
          |SELECT user_id, event_type, pos AS last_pos, value AS last_value
          |FROM r WHERE rn = 1 AND op <> 'DELETE'
          |ORDER BY user_id, event_type""".stripMargin,
+    "b16_consistent_cut" ->
+      s"""WITH ch0 AS ($changelogSql),
+         |ch AS (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'users_even'
+         |                      ELSE 'users_odd' END AS tbl2,
+         |              pos // 1000 AS file FROM ch0),
+         |maxf AS (SELECT tbl2, max(file) AS maxf FROM ch GROUP BY tbl2),
+         |wm AS (SELECT ch.tbl2, max(pos) AS wm
+         |       FROM ch JOIN maxf USING (tbl2) WHERE file < maxf GROUP BY ch.tbl2),
+         |cut AS (SELECT min(wm) AS cut FROM wm),
+         |r AS (SELECT ch.*, cut.cut,
+         |        ROW_NUMBER() OVER (PARTITION BY tbl2, user_id
+         |                           ORDER BY pos DESC) AS rn
+         |      FROM ch, cut WHERE pos <= cut.cut)
+         |SELECT tbl2 AS tbl, cut, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM r WHERE rn = 1 AND op <> 'DELETE'
+         |GROUP BY tbl2, cut ORDER BY tbl2""".stripMargin,
     "b13_incremental_agg" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),

@@ -1056,6 +1056,58 @@ object Extensions {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("t").as("term"), col("score"))
         .orderBy("doc_id", "rank")
+    },
+    // E4/quality — character-distribution entropy: H = ln(n) − Σc·ln(c)/n
+    // over per-doc character counts — the compressibility proxy that flags
+    // mojibake (spiky high entropy) and repeated-char junk (low entropy),
+    // a standard web-corpus quality signal beside e11/e41. Determinism:
+    // ln() evaluates only on small integer counts (identical doubles on
+    // both engines); each c·ln(c) term is cast to DECIMAL(28,9) so the
+    // per-doc sum is exact and order-independent. Scale shape: the per-char
+    // explode is pipelined (never materialized) and the groupBy(doc, ch)
+    // partial-aggregates map-side, so shuffle volume is |docs|·|alphabet|
+    // rows, not total characters — one corpus pass at any size.
+    "e46_char_entropy" -> { (s, d) =>
+      val ch = load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), length(col("text"))),
+            i => col("text").substr(i, lit(1)))).as("ch"))
+      ch.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("c"),
+          (col("c").cast(DoubleType) * log(col("c").cast(DoubleType)))
+            .cast(DecimalType(28, 9)).as("clc"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), sum(col("clc")).as("sclc"))
+        .select(col("doc_id"), col("n").cast(LongType).as("n_chars"),
+          round(log(col("n").cast(DoubleType))
+            - col("sclc").cast(DoubleType) / col("n"), 6).as("entropy"))
+        .orderBy(col("entropy").asc, col("doc_id"))
+        .limit(25)
+    },
+    // E1/linkage — blocked fuzzy matching: Levenshtein near-match pairs of
+    // part names under a cheap blocking key (first word + first letter of
+    // the second) — the record-linkage/entity-resolution primitive that
+    // catches typo-level dups exact hashing misses. The blocking key is the
+    // scale move: candidate pairs are block-local (shuffle on the key,
+    // quadratic only within a block), never all-pairs — at 100 TB the key
+    // graduates to q-gram/LSH blocking, same plan shape. The length band
+    // |len1−len2| ≤ 3 pre-prunes before the O(len²) edit-distance DP runs.
+    "e47_fuzzy_pairs" -> { (s, d) =>
+      val p = load(s, d, "part").select(col("p_partkey"), col("p_name"),
+        concat(split_part(col("p_name"), lit(" "), lit(1)), lit(" "),
+          substring(split_part(col("p_name"), lit(" "), lit(2)), 1, 1)).as("blk"))
+      val a = p.select(col("blk"), col("p_partkey").as("k1"), col("p_name").as("n1"))
+      val b = p.select(col("blk"), col("p_partkey").as("k2"), col("p_name").as("n2"))
+      a.join(b, Seq("blk"))
+        .filter(col("k1") < col("k2") &&
+          abs(length(col("n1")) - length(col("n2"))) <= 3)
+        .withColumn("lev", levenshtein(col("n1"), col("n2")))
+        .filter(col("lev") <= 3)
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_close_pairs"),
+          sum(when(col("lev") === 0, 1L).otherwise(0L)).as("n_exact"),
+          min(col("lev")).as("min_lev"))
+        .orderBy("blk")
     }
   )
 
@@ -1652,6 +1704,30 @@ object Extensions {
         |      FROM sc)
         |SELECT doc_id, rank::INT AS rank, t AS term, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "e46_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substring(text, i.i, 1) AS ch
+        |            FROM documents, UNNEST(generate_series(1, length(text))) AS i(i)),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+        |t AS (SELECT doc_id, c,
+        |        CAST(c::DOUBLE * ln(c::DOUBLE) AS DECIMAL(28,9)) AS clc
+        |      FROM c),
+        |s AS (SELECT doc_id, sum(c) AS n, sum(clc) AS sclc FROM t GROUP BY doc_id)
+        |SELECT doc_id, n::BIGINT AS n_chars,
+        |  round(ln(n::DOUBLE) - sclc::DOUBLE / n, 6) AS entropy
+        |FROM s ORDER BY entropy ASC, doc_id LIMIT 25""".stripMargin,
+    "e47_fuzzy_pairs" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |             split_part(p_name, ' ', 1) || ' ' ||
+        |               substring(split_part(p_name, ' ', 2), 1, 1) AS blk
+        |           FROM part),
+        |pr AS (SELECT a.blk, levenshtein(a.p_name, b.p_name) AS lev
+        |       FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |         AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |       WHERE levenshtein(a.p_name, b.p_name) <= 3)
+        |SELECT blk, count(*) AS n_close_pairs,
+        |  sum(CASE WHEN lev = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+        |  min(lev)::INT AS min_lev
+        |FROM pr GROUP BY blk ORDER BY blk""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh

@@ -388,6 +388,47 @@ object Similarity {
         .orderBy(col("adc_d2").asc, col("vec_id").asc)
         .limit(10)
     },
+    // E1+E2 — semantic dedup (the SemDeDup recipe): cluster the embedding
+    // space (centroids = vecs 0..7, one exact integer-quantized assignment,
+    // the e30 round-1 math), then WITHIN each cluster drop every vector
+    // whose cosine to a lower-id member is ≥ 0.25 — semantically-redundant
+    // documents that text-level MinHash (e03) never pairs. The cluster is
+    // the scale move: pairwise work is cluster-local (shuffle on cid), and
+    // a real corpus raises k so cluster sizes stay bounded — pairs per
+    // cluster ≈ (N/k)², never N². Assignment distances are pure integer
+    // math; pair cosines are the fixed-fold doubles both engines share.
+    "e48_semantic_dedup" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val qv = load(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) * 100).cast(LongType)).as("q"))
+      val cents = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+      val d2Int = aggregate(
+        zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      val assigned = qv.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"), d2Int.as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cid"), col("vec_id"), col("embedding"))
+      val a = assigned.select(col("cid"), col("vec_id").as("v1"),
+        col("embedding").as("e1"))
+      val b = assigned.select(col("cid"), col("vec_id").as("v2"),
+        col("embedding").as("e2"))
+      val dropped = a.join(b, Seq("cid"))
+        .filter(col("v1") < col("v2") &&
+          cosine(col("e1"), col("e2")) >= 0.25)
+        .select(col("cid"), col("v2")).distinct()
+      val mem = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      val drc = dropped.groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
+      mem.join(drc, Seq("cid"), "left")
+        .select(col("cid"), col("n_members"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy("cid")
+    },
     // E2 scale path — int8 symmetric quantization of the embedding column
     // (per-vector max-abs scale, the standard PTQ recipe): 4× less scan
     // bytes and an INTEGER dot product in the hot loop; the float scales
@@ -532,6 +573,25 @@ object Similarity {
          |FROM codes JOIN ptab USING (chunk, code)
          |WHERE vec_id <> 42
          |GROUP BY vec_id ORDER BY adc_d2 ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
+    "e48_semantic_dedup" -> {
+      val di = "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, 64), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))), (acc, x) -> acc + x)"
+      s"""WITH qv AS (SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 100) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8),
+         |a1 AS (SELECT cid, vec_id, embedding FROM (
+         |    SELECT v.vec_id, v.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY $di ASC, c.cid ASC) AS rn
+         |    FROM qv v, c0 c) WHERE rn = 1),
+         |dr AS (SELECT DISTINCT a.cid, b.vec_id AS v2
+         |       FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |       WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.25),
+         |mem AS (SELECT cid, count(*) AS n_members FROM a1 GROUP BY cid),
+         |drc AS (SELECT cid, count(*) AS n_dropped FROM dr GROUP BY cid)
+         |SELECT mem.cid, n_members, coalesce(n_dropped, 0) AS n_dropped,
+         |  n_members - coalesce(n_dropped, 0) AS n_kept
+         |FROM mem LEFT JOIN drc USING (cid) ORDER BY cid""".stripMargin
     },
     "e23_vector_quantize" -> {
       val qdotSql =
