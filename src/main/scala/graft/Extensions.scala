@@ -1087,26 +1087,37 @@ object Extensions {
     // E1/linkage — blocked fuzzy matching: Levenshtein near-match pairs of
     // part names under a cheap blocking key (first word + first letter of
     // the second) — the record-linkage/entity-resolution primitive that
-    // catches typo-level dups exact hashing misses. The blocking key is the
-    // scale move: candidate pairs are block-local (shuffle on the key,
-    // quadratic only within a block), never all-pairs — at 100 TB the key
-    // graduates to q-gram/LSH blocking, same plan shape. The length band
-    // |len1−len2| ≤ 3 pre-prunes before the O(len²) edit-distance DP runs.
+    // catches typo-level dups exact hashing misses. Two scale moves:
+    // (1) the corpus collapses to DISTINCT (block, name) groups BEFORE any
+    // quadratic work — row-level pair counts are exactly recoverable from
+    // group sizes (same-name pairs = C(cnt,2) at lev 0, cross-name pairs =
+    // cnt_a·cnt_b), so the O(pairs·len²) edit-distance stage runs on the
+    // value domain (64 names here for 20k rows), never on rows; (2) pairs
+    // are block-local with a |len1−len2| ≤ 3 band pre-prune before the DP —
+    // at 100 TB the key graduates to q-gram/LSH blocking, same plan shape.
     "e47_fuzzy_pairs" -> { (s, d) =>
-      val p = load(s, d, "part").select(col("p_partkey"), col("p_name"),
+      val p = load(s, d, "part").select(col("p_name"),
         concat(split_part(col("p_name"), lit(" "), lit(1)), lit(" "),
           substring(split_part(col("p_name"), lit(" "), lit(2)), 1, 1)).as("blk"))
-      val a = p.select(col("blk"), col("p_partkey").as("k1"), col("p_name").as("n1"))
-      val b = p.select(col("blk"), col("p_partkey").as("k2"), col("p_name").as("n2"))
-      a.join(b, Seq("blk"))
-        .filter(col("k1") < col("k2") &&
+      val g = p.groupBy(col("blk"), col("p_name")).agg(count(lit(1)).as("cnt"))
+      val exact = g.groupBy(col("blk"))
+        .agg(sum(expr("cnt * (cnt - 1) div 2")).as("n_exact"))
+      val a = g.select(col("blk"), col("p_name").as("n1"), col("cnt").as("c1"))
+      val b = g.select(col("blk"), col("p_name").as("n2"), col("cnt").as("c2"))
+      val cross = a.join(b, Seq("blk"))
+        .filter(col("n1") < col("n2") &&
           abs(length(col("n1")) - length(col("n2"))) <= 3)
         .withColumn("lev", levenshtein(col("n1"), col("n2")))
         .filter(col("lev") <= 3)
         .groupBy(col("blk"))
-        .agg(count(lit(1)).as("n_close_pairs"),
-          sum(when(col("lev") === 0, 1L).otherwise(0L)).as("n_exact"),
-          min(col("lev")).as("min_lev"))
+        .agg(sum(col("c1") * col("c2")).as("n_cross"),
+          min(col("lev")).as("min_cross"))
+      exact.join(cross, Seq("blk"), "left")
+        .select(col("blk"),
+          (coalesce(col("n_cross"), lit(0L)) + col("n_exact")).as("n_close_pairs"),
+          col("n_exact"),
+          when(col("n_exact") > 0, 0).otherwise(col("min_cross")).as("min_lev"))
+        .filter(col("n_close_pairs") > 0)
         .orderBy("blk")
     }
   )
@@ -1716,18 +1727,24 @@ object Extensions {
         |  round(ln(n::DOUBLE) - sclc::DOUBLE / n, 6) AS entropy
         |FROM s ORDER BY entropy ASC, doc_id LIMIT 25""".stripMargin,
     "e47_fuzzy_pairs" ->
-      """WITH p AS (SELECT p_partkey, p_name,
+      """WITH p AS (SELECT p_name,
         |             split_part(p_name, ' ', 1) || ' ' ||
         |               substring(split_part(p_name, ' ', 2), 1, 1) AS blk
         |           FROM part),
-        |pr AS (SELECT a.blk, levenshtein(a.p_name, b.p_name) AS lev
-        |       FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |g AS (SELECT blk, p_name, count(*) AS cnt FROM p GROUP BY blk, p_name),
+        |ex AS (SELECT blk, sum(cnt * (cnt - 1) // 2) AS n_exact FROM g GROUP BY blk),
+        |cr AS (SELECT a.blk, sum(a.cnt * b.cnt) AS n_cross,
+        |         min(levenshtein(a.p_name, b.p_name)) AS min_cross
+        |       FROM g a JOIN g b ON a.blk = b.blk AND a.p_name < b.p_name
         |         AND abs(length(a.p_name) - length(b.p_name)) <= 3
-        |       WHERE levenshtein(a.p_name, b.p_name) <= 3)
-        |SELECT blk, count(*) AS n_close_pairs,
-        |  sum(CASE WHEN lev = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
-        |  min(lev)::INT AS min_lev
-        |FROM pr GROUP BY blk ORDER BY blk""".stripMargin,
+        |       WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |       GROUP BY a.blk)
+        |SELECT blk, (coalesce(n_cross, 0) + n_exact)::BIGINT AS n_close_pairs,
+        |  n_exact::BIGINT AS n_exact,
+        |  (CASE WHEN n_exact > 0 THEN 0 ELSE min_cross END)::INT AS min_lev
+        |FROM ex LEFT JOIN cr USING (blk)
+        |WHERE coalesce(n_cross, 0) + n_exact > 0
+        |ORDER BY blk""".stripMargin,
     "e28_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang,
          |  ${String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")} AS hh
