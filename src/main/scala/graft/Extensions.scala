@@ -1119,6 +1119,36 @@ object Extensions {
           when(col("n_exact") > 0, 0).otherwise(col("min_cross")).as("min_lev"))
         .filter(col("n_close_pairs") > 0)
         .orderBy("blk")
+    },
+    // E1 — survivorship (canonical selection by QUALITY): e21/e25 keep the
+    // min-doc_id member of each near-dup cluster, but a real pipeline keeps
+    // the BEST member — here the e11 quality score, ties broken by doc_id.
+    // The cluster machinery is the shared lshComponents fixpoint; the
+    // selection adds one quality map-pass and a per-cluster top-1 window
+    // (WindowGroupLimit heap, no per-cluster sort). Both engines compute
+    // the identical IEEE score, so the argmax is deterministic cross-engine.
+    "e49_dedup_survivorship" -> { (s, d) =>
+      val tk = toks(col("text"))
+      val n = size(tk)
+      val ttr = size(array_distinct(tk)).cast(DoubleType) / n
+      val stopRatio =
+        size(filter(tk, t => t === "the" || t === "a")).cast(DoubleType) / n
+      val q = load(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          (ttr * 0.5 + least(n.cast(DoubleType) / 100.0, lit(1.0)) * 0.3
+            + stopRatio * 0.2).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp_id")).orderBy(col("q").desc, col("doc_id").asc)
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("comp_id"))
+      lshComponents(s, d)
+        .select(col("node").as("doc_id"), col("label").as("comp_id"))
+        .join(q, "doc_id")
+        .withColumn("n_members", count(lit(1)).over(wc))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("n_members") >= 2)
+        .select(col("comp_id"), col("doc_id").as("survivor_doc"),
+          col("n_members"), round(col("q"), 6).as("survivor_q"))
+        .orderBy("comp_id")
     }
   )
 
@@ -1715,6 +1745,47 @@ object Extensions {
         |      FROM sc)
         |SELECT doc_id, rank::INT AS rank, t AS term, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "e49_dedup_survivorship" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM sig
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |comp AS (SELECT node, MIN(label) AS comp_id FROM reach GROUP BY node),
+         |q AS (SELECT doc_id,
+         |        (len(list_distinct(tk2))::DOUBLE / len(tk2)) * 0.5
+         |          + least(len(tk2)::DOUBLE / 100.0, 1.0) * 0.3
+         |          + (len(list_filter(tk2, t -> t = 'the' OR t = 'a'))::DOUBLE
+         |             / len(tk2)) * 0.2 AS q
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS tk2
+         |            FROM documents WHERE doc_id % 10 = 0)),
+         |r AS (SELECT comp.comp_id, comp.node AS doc_id, q.q,
+         |        COUNT(*) OVER (PARTITION BY comp.comp_id) AS n_members,
+         |        ROW_NUMBER() OVER (PARTITION BY comp.comp_id
+         |                           ORDER BY q.q DESC, comp.node ASC) AS rn
+         |      FROM comp JOIN q ON q.doc_id = comp.node)
+         |SELECT comp_id, doc_id AS survivor_doc, n_members,
+         |  round(q, 6) AS survivor_q
+         |FROM r WHERE rn = 1 AND n_members >= 2 ORDER BY comp_id""".stripMargin
+    },
     "e46_char_entropy" ->
       """WITH ch AS (SELECT doc_id, substring(text, i.i, 1) AS ch
         |            FROM documents, UNNEST(generate_series(1, length(text))) AS i(i)),

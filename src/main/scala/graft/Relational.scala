@@ -710,6 +710,22 @@ object Relational {
         .select(col("band"), col("doc_id"), col("n_chars"))
         .orderBy("band", "doc_id")
     },
+    // C48 semi-structured VARIANT — Spark 4's open-schema JSON type:
+    // parse once into the binary VARIANT encoding, then typed path
+    // extraction (variant_get) at query time — the shredded-JSON pattern
+    // that replaces per-query string re-parsing (c25's get_json_object) on
+    // hot semi-structured columns. At rest the column would be parquet
+    // VARIANT (parse cost paid once at ingest, typed access thereafter).
+    // Extraction is map-side; the aggregate is an ordinary partial-agg.
+    "c48_variant" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
     // C45 positional window navigation — FIRST_VALUE / NTH_VALUE /
     // LAST_VALUE over the full partition frame. Keyed at microsecond
     // precision (ties broken by event_id): DuckDB truncates the parquet
@@ -1129,6 +1145,12 @@ object Relational {
         |SELECT band, doc_id, n_chars FROM bands JOIN documents
         |ON n_chars >= lo AND n_chars <= hi
         |ORDER BY band, doc_id""".stripMargin,
+    "c48_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INT))::INT AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT))::INT AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "c45_nth_value" ->
       """SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,
         |  first_value(value) OVER w AS first_v,

@@ -18,6 +18,29 @@ class ApproxAggSpec extends SparkSpecBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile within rank-error bound of the exact quantiles") {
+    // the sketch-quantile contract: with accuracy parameter B the estimate's
+    // RANK error is <= 1/B, so the returned value must lie between the exact
+    // quantiles at p ± 1/B (value error can be arbitrary, rank error cannot)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val b = 100 // rank error <= 1%
+    val ps = Seq(0.25, 0.5, 0.75)
+    val row = li.agg(
+      expr(s"approx_percentile(l_extendedprice, array(${ps.mkString(",")}), $b)")
+        .as("approx"),
+      expr(s"percentile(l_extendedprice, array(${ps.map(p => p - 0.01).mkString(",")}))")
+        .as("lo"),
+      expr(s"percentile(l_extendedprice, array(${ps.map(p => p + 0.01).mkString(",")}))")
+        .as("hi")).head()
+    val approx = row.getSeq[Double](0)
+    val lo = row.getSeq[Double](1)
+    val hi = row.getSeq[Double](2)
+    ps.indices.foreach { i =>
+      assert(approx(i) >= lo(i) && approx(i) <= hi(i),
+        s"p=${ps(i)}: approx=${approx(i)} outside exact rank band [${lo(i)}, ${hi(i)}]")
+    }
+  }
+
   test("DataSketches HLL: per-group sketches union to the global estimate") {
     // the mergeable-sketch pattern for 100 TB rollups: build sketches per
     // group once, then combine them for any coarser grouping without
