@@ -621,7 +621,9 @@ object Cdc {
       val log = changelog(s, d)
         .withColumn("tbl", when(col("user_id") % 2 === 0, "users_even")
           .otherwise("users_odd"))
-        .withColumn("file", expr("pos div 1000"))
+        // 200-position files so even the smallest fixture has several
+        // complete (finalized) files — the cut must never be vacuous
+        .withColumn("file", expr("pos div 200"))
       val maxf = log.groupBy(col("tbl")).agg(max(col("file")).as("maxf"))
       val wm = log.join(broadcast(maxf), "tbl")
         .filter(col("file") < col("maxf"))
@@ -852,7 +854,7 @@ object Cdc {
       s"""WITH ch0 AS ($changelogSql),
          |ch AS (SELECT *, CASE WHEN user_id % 2 = 0 THEN 'users_even'
          |                      ELSE 'users_odd' END AS tbl2,
-         |              pos // 1000 AS file FROM ch0),
+         |              pos // 200 AS file FROM ch0),
          |maxf AS (SELECT tbl2, max(file) AS maxf FROM ch GROUP BY tbl2),
          |wm AS (SELECT ch.tbl2, max(pos) AS wm
          |       FROM ch JOIN maxf USING (tbl2) WHERE file < maxf GROUP BY ch.tbl2),

@@ -1120,6 +1120,46 @@ object Extensions {
         .filter(col("n_close_pairs") > 0)
         .orderBy("blk")
     },
+    // E1+E4 — sparse TF-IDF cosine: the inverted-index (term-at-a-time)
+    // similarity that complements dense-embedding cosine (e07) — candidate
+    // pairs come from LSH banding (never all-pairs), then each pair's score
+    // is Σ w_a·w_b / (‖a‖·‖b‖) with w = tf·ln(N/df). Determinism: ln() only
+    // on vocab-bounded distinct ratios; every product is cast to
+    // DECIMAL(28,9) before summation so dot products and norms are exact
+    // and order-independent; scores round to 6 BEFORE ranking. Scale shape:
+    // weights/norms are one tf aggregate + a broadcast-df join; the pair
+    // scoring joins the weight table twice on (doc, term) — hash shuffles
+    // keyed by doc, work ∝ candidate postings, not corpus².
+    "e50_tfidf_cosine" -> { (s, d) =>
+      val docs = load(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      // persisted: the weight table feeds the two pair-join branches and
+      // the norm aggregate — three readers of one corpus pass
+      val wts = tf.join(broadcast(dfc), "t").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("t"),
+          (col("tf") * log(col("n_docs").cast(DoubleType) / col("df"))).as("w"))
+        .persist()
+      val norms = wts
+        .select(col("doc_id"), (col("w") * col("w")).cast(DecimalType(28, 9)).as("w2"))
+        .groupBy(col("doc_id")).agg(sum(col("w2")).as("n2"))
+      val pd = lshCandidates(s, d)
+        .join(wts.select(col("doc_id").as("d1"), col("t"), col("w").as("w1")), Seq("d1"))
+        .join(wts.select(col("doc_id").as("d2"), col("t"), col("w").as("w2")), Seq("d2", "t"))
+        .select(col("d1"), col("d2"),
+          (col("w1") * col("w2")).cast(DecimalType(28, 9)).as("ww"))
+        .groupBy(col("d1"), col("d2")).agg(sum(col("ww")).as("dp"))
+      pd.join(norms.select(col("doc_id").as("d1"), col("n2").as("nn1")), "d1")
+        .join(norms.select(col("doc_id").as("d2"), col("n2").as("nn2")), "d2")
+        .select(col("d1"), col("d2"),
+          round(col("dp").cast(DoubleType)
+            / (sqrt(col("nn1").cast(DoubleType)) * sqrt(col("nn2").cast(DoubleType))),
+            6).as("cos_tfidf"))
+        .orderBy(col("cos_tfidf").desc, col("d1"), col("d2"))
+        .limit(25)
+    },
     // E1 — survivorship (canonical selection by QUALITY): e21/e25 keep the
     // min-doc_id member of each near-dup cluster, but a real pipeline keeps
     // the BEST member — here the e11 quality score, ties broken by doc_id.
@@ -1745,6 +1785,43 @@ object Extensions {
         |      FROM sc)
         |SELECT doc_id, rank::INT AS rank, t AS term, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "e50_tfidf_cosine" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |tf AS (SELECT doc_id, t, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |             FROM documents WHERE doc_id % 10 = 0)
+         |       GROUP BY doc_id, t),
+         |dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |nd AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 10 = 0),
+         |w AS (SELECT doc_id, t, tf * ln(nd.n_docs::DOUBLE / dfc.df) AS w
+         |      FROM tf JOIN dfc USING (t) CROSS JOIN nd),
+         |nrm AS (SELECT doc_id, sum(CAST(w * w AS DECIMAL(28,9))) AS n2
+         |        FROM w GROUP BY doc_id),
+         |pd AS (SELECT d1, d2, sum(CAST(a.w * b.w AS DECIMAL(28,9))) AS dp
+         |       FROM cand JOIN w a ON a.doc_id = d1
+         |                 JOIN w b ON b.doc_id = d2 AND b.t = a.t
+         |       GROUP BY d1, d2)
+         |SELECT d1, d2,
+         |  round(dp::DOUBLE / (sqrt(x.n2::DOUBLE) * sqrt(y.n2::DOUBLE)), 6) AS cos_tfidf
+         |FROM pd JOIN nrm x ON x.doc_id = d1 JOIN nrm y ON y.doc_id = d2
+         |ORDER BY cos_tfidf DESC, d1, d2 LIMIT 25""".stripMargin
+    },
     "e49_dedup_survivorship" -> {
       val hs = String.format(tokenHashSql, "t")
       val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>

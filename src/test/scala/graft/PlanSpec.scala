@@ -222,4 +222,40 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("e47 fuzzy pairs: the quadratic stage joins the distinct-name aggregate, not rows") {
+    val p = finalPlan(q("e47_fuzzy_pairs"))
+    // both join inputs must be the (blk, name) groupBy output — the
+    // Levenshtein DP runs on the value domain; a row-level self-join of
+    // `part` would show a scan feeding the join without the aggregate
+    assert(p.contains("levenshtein"), p.take(2000))
+    assert("partial_count".r.findAllIn(p).nonEmpty, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("e46 char entropy: per-char explode partial-aggregates before the exchange") {
+    val p = finalPlan(q("e46_char_entropy"))
+    // shuffle volume must be docs×alphabet, not total characters: the
+    // (doc_id, ch) aggregate partial-combines map-side under the explode
+    assert(p.contains("Generate"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("b16 consistent cut: watermark sides broadcast, cut filter below the merge window") {
+    val p = finalPlan(q("b16_consistent_cut"))
+    // the per-table watermark aggregates are table-count-sized and join as
+    // broadcasts; the pk merge shuffles once; no sort-merge anywhere
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1, p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // 1-row cut
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("e48 semantic dedup: centroids broadcast; pairwise work is cluster-local") {
+    val p = finalPlan(q("e48_semantic_dedup"))
+    // assignment = crossJoin(broadcast(8 centroids)); the within-cluster
+    // pair join keys on cid (hash join), never a corpus cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // 8-row centroids
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
