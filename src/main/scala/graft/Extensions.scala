@@ -1112,7 +1112,7 @@ object Extensions {
         .groupBy(col("blk"))
         .agg(sum(col("c1") * col("c2")).as("n_cross"),
           min(col("lev")).as("min_cross"))
-      exact.join(cross, Seq("blk"), "left")
+      exact.join(broadcast(cross), Seq("blk"), "left")
         .select(col("blk"),
           (coalesce(col("n_cross"), lit(0L)) + col("n_exact")).as("n_close_pairs"),
           col("n_exact"),

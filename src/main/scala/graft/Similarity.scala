@@ -423,7 +423,7 @@ object Similarity {
         .select(col("cid"), col("v2")).distinct()
       val mem = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
       val drc = dropped.groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
-      mem.join(drc, Seq("cid"), "left")
+      mem.join(broadcast(drc), Seq("cid"), "left")
         .select(col("cid"), col("n_members"),
           coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
           (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
