@@ -36,7 +36,9 @@ object Bench {
     "e04b_jaccard_sparse", "e06_cosine_topk", "e09c_ann_ivf_partitioned",
     "e10_lang_id", "e20_top_ngrams", "b11_incremental_scd2",
     "e21_dedup_components", "e25_dedup_corpus", "e39_dup_spans",
-    "e41_bigram_lm", "e42_dup_coverage", "c47_band_join")
+    "e41_bigram_lm", "e42_dup_coverage", "c47_band_join",
+    "b16_consistent_cut", "e47_fuzzy_pairs", "e48_semantic_dedup",
+    "e50_tfidf_cosine")
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 

@@ -1120,6 +1120,29 @@ object Extensions {
         .filter(col("n_close_pairs") > 0)
         .orderBy("blk")
     },
+    // E4/quality — robust outlier cut: per-language median + MAD (median
+    // absolute deviation) of document length, flagging docs beyond 2·MAD —
+    // the outlier filter that, unlike mean/stddev, is immune to the very
+    // outliers it hunts. Two exact-percentile aggregates (per-lang, tiny)
+    // broadcast back onto the corpus — the doc side never shuffles; at
+    // open-ended group counts the percentile becomes a sketch
+    // (approx_percentile) with the same plan shape.
+    "e51_robust_outliers" -> { (s, d) =>
+      val docs = load(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val med = docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val dev = docs.join(broadcast(med), "lang")
+        .withColumn("adev", abs(col("n_chars") - col("med")))
+      val mad = dev.groupBy(col("lang"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "lang")
+        .groupBy(col("lang"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("adev") > col("mad") * 2, 1L).otherwise(0L)).as("n_outliers"),
+          max(col("adev")).as("max_adev"))
+        .orderBy("lang")
+    },
     // E1+E4 — sparse TF-IDF cosine: the inverted-index (term-at-a-time)
     // similarity that complements dense-embedding cosine (e07) — candidate
     // pairs come from LSH banding (never all-pairs), then each pair's score
@@ -1785,6 +1808,19 @@ object Extensions {
         |      FROM sc)
         |SELECT doc_id, rank::INT AS rank, t AS term, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "e51_robust_outliers" ->
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |             FROM documents GROUP BY lang),
+        |dev AS (SELECT d.lang, d.n_chars, med.med,
+        |          abs(d.n_chars - med.med) AS adev
+        |        FROM documents d JOIN med USING (lang)),
+        |mad AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY lang)
+        |SELECT dev.lang, med, mad, count(*) AS n_docs,
+        |  sum(CASE WHEN adev > mad * 2 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  max(adev) AS max_adev
+        |FROM dev JOIN mad USING (lang)
+        |GROUP BY dev.lang, med, mad ORDER BY dev.lang""".stripMargin,
     "e50_tfidf_cosine" -> {
       val hs = String.format(tokenHashSql, "t")
       val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>

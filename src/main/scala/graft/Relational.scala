@@ -726,6 +726,28 @@ object Relational {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")
     },
+    // C49 conversion funnel — the product-analytics staple: first signup
+    // per user, first purchase AT OR AFTER it, cohort-level conversion rate
+    // and mean time-to-convert. Two filtered aggregates + one keyed join —
+    // at 100 TB both sides shuffle once on user_id (or co-bucket) and the
+    // cohort rollup is partial-aggregatable. Determinism: event times are
+    // integer micros; the mean is an exact integer sum divided once.
+    "c49_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_us"))
+      val fc = sg.join(pu, Seq("user_id"), "left")
+        .withColumn("p_ok", when(col("p_us") >= col("s_us"), col("p_us")))
+        .groupBy(col("user_id"), col("s_us")).agg(min(col("p_ok")).as("conv_us"))
+      fc.groupBy((col("user_id") % 4).as("cohort"))
+        .agg(count(lit(1)).as("n_signup_users"),
+          count(col("conv_us")).as("n_converted"),
+          round(sum(col("conv_us") - col("s_us")).cast(DoubleType)
+            / count(col("conv_us")) / 1000000.0, 6).as("avg_conv_sec"))
+        .orderBy("cohort")
+    },
     // C45 positional window navigation — FIRST_VALUE / NTH_VALUE /
     // LAST_VALUE over the full partition frame. Keyed at microsecond
     // precision (ties broken by event_id): DuckDB truncates the parquet
@@ -1145,6 +1167,20 @@ object Relational {
         |SELECT band, doc_id, n_chars FROM bands JOIN documents
         |ON n_chars >= lo AND n_chars <= hi
         |ORDER BY band, doc_id""".stripMargin,
+    "c49_funnel" ->
+      """WITH sg AS (SELECT user_id, min(epoch_us(ts)) AS s_us
+        |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT user_id, epoch_us(ts) AS p_us
+        |       FROM events WHERE event_type = 'purchase'),
+        |fc AS (SELECT sg.user_id, sg.s_us,
+        |         min(CASE WHEN p_us >= s_us THEN p_us END) AS conv_us
+        |       FROM sg LEFT JOIN pu ON sg.user_id = pu.user_id
+        |       GROUP BY sg.user_id, sg.s_us)
+        |SELECT user_id % 4 AS cohort, count(*) AS n_signup_users,
+        |  count(conv_us) AS n_converted,
+        |  round(sum(conv_us - s_us)::DOUBLE / count(conv_us) / 1000000, 6)
+        |    AS avg_conv_sec
+        |FROM fc GROUP BY 1 ORDER BY cohort""".stripMargin,
     "c48_variant" ->
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
