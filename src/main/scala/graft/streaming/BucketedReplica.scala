@@ -97,6 +97,22 @@ final class BucketedReplica(
 
   private def manifestPath(v: Long) = io.path(s"manifest-$v.tsv")
 
+  private def tagPath(v: Long) = io.path(s"tag-$v.tsv")
+
+  /** Commit tag of version `v` (the source batch id the version reflects),
+    * if one was recorded. */
+  def tagOf(v: Long): Option[Long] =
+    if (io.exists(tagPath(v))) Some(io.readString(tagPath(v)).trim.toLong)
+    else None
+
+  /** version → tag for every RETAINED version (current + previous) that
+    * carries a tag — the alignment index for cross-replica consistent
+    * reads ([[CdcStream.consistentCutVersions]]). */
+  def retainedTags: Map[Long, Long] =
+    pointerVersions.sorted.flatMap { v =>
+      Seq(v - 1, v).filter(u => u > 0 && io.exists(manifestPath(u)))
+    }.distinct.flatMap(v => tagOf(v).map(v -> _)).toMap
+
   private def readManifest(v: Long): Map[Int, String] =
     io.readString(manifestPath(v)).linesIterator.filter(_.nonEmpty).map { line =>
       val Array(b, rel) = line.split("\t", 2)
@@ -167,7 +183,10 @@ final class BucketedReplica(
   def compact(spark: SparkSession): Unit = {
     val man = currentVersion.map(readManifest).getOrElse(Map.empty)
     if (man.isEmpty) return
-    publish(man.keys.toSeq.sorted, read(spark))
+    // content is unchanged, so the new version still reflects the same
+    // source batch: carry the current tag forward
+    publish(man.keys.toSeq.sorted, read(spark),
+      currentVersion.flatMap(tagOf))
   }
 
   /** Fold one change batch into the replica. Only buckets containing batch
@@ -178,7 +197,8 @@ final class BucketedReplica(
     * retain all tombstones (required while arbitrarily old positions can
     * still arrive). Untouched buckets GC when next written, or via
     * [[compactTombstones]]. */
-  def commit(batch: DataFrame, tombstoneGcHorizon: Option[Long] = None): Unit = {
+  def commit(batch: DataFrame, tombstoneGcHorizon: Option[Long] = None,
+             tag: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     // Schema-drift tolerance (the reference's sink schemas are all-NULLABLE
     // for the same reason — main.tf:197-215): a batch missing an envelope
@@ -217,7 +237,7 @@ final class BucketedReplica(
           !((col("is_deleted") <=> true) && col(tsCol).isNotNull && col(tsCol) < h))
         case None    => merged
       }
-      publish(touched, gcd.drop("is_deleted"))
+      publish(touched, gcd.drop("is_deleted"), tag)
     } finally { batchRows.unpersist(); () }
   }
 
@@ -252,7 +272,9 @@ final class BucketedReplica(
       .select(bucketExpr.as("__b")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq.sorted
     if (touched.isEmpty) return
-    publish(touched, readBuckets(spark, man, touched).filter(!isOldTombstone))
+    // tombstone GC does not change which source batches are reflected
+    publish(touched, readBuckets(spark, man, touched).filter(!isOldTombstone),
+      currentVersion.flatMap(tagOf))
   }
 
   private def readBuckets(spark: SparkSession, man: Map[Int, String],
@@ -265,7 +287,8 @@ final class BucketedReplica(
 
   /** Write `rows` (covering exactly `touched` buckets) as the next version,
     * re-point the manifest, and flip the pointer atomically. */
-  private def publish(touched: Seq[Int], rows: DataFrame): Unit = {
+  private def publish(touched: Seq[Int], rows: DataFrame,
+                      tag: Option[Long] = None): Unit = {
     writeMetaIfAbsent()
     val curV = currentVersion
     val newV = curV.getOrElse(0L) + 1
@@ -291,9 +314,13 @@ final class BucketedReplica(
     io.writeString(manifestPath(newV),
       newMan.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
         .mkString("", "\n", "\n"))
+    // tag before pointer: once the version is visible its tag is readable
+    tag.foreach(t => io.writeString(tagPath(newV), s"$t\n"))
     commitPointer(newV)
     gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet)
-    curV.foreach(v => io.delete(manifestPath(v - 1))) // keep cur+prev
+    curV.foreach { v => // keep cur+prev
+      io.delete(manifestPath(v - 1)); io.delete(tagPath(v - 1))
+    }
   }
 
   /** Write-once pointer creation makes the new version visible

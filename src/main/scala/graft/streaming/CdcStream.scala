@@ -160,8 +160,14 @@ object CdcStream {
         tbls.foreach { t =>
           val sub = good.filter(col("tbl") === t)
           new BucketedReplica(s"$replicaRoot/$t")
-            .commit(sub, horizonOf(sub, tombstoneRetentionNs))
+            .commit(sub, horizonOf(sub, tombstoneRetentionNs),
+              tag = Some(batchId))
         }
+        // ALL tables committed: publish the consistent frontier. A crash
+        // before this line leaves the batch half-applied and un-markered —
+        // consistent readers stay at the previous frontier until the
+        // foreachBatch retry completes the batch and re-marks it.
+        markApplied(replicaRoot, batchId)
       }
       .start()
 
@@ -169,6 +175,77 @@ object CdcStream {
   def liveReplicaFor(spark: SparkSession, replicaRoot: String,
                      tbl: String): DataFrame =
     new BucketedReplica(s"$replicaRoot/$tbl").live(spark)
+
+  /** Publish "source batch `batchId` is fully applied to every table" —
+    * the consistent frontier marker [[consistentCutVersions]] reads.
+    * Write-once and monotone; a foreachBatch retry re-marks its batch,
+    * which is a no-op. */
+  def markApplied(replicaRoot: String, batchId: Long): Unit = {
+    val io = new StoreIO(replicaRoot, StoreIO.sessionConf())
+    val p = io.path(s"_APPLIED-$batchId")
+    if (!io.exists(p)) io.createExclusive(p, batchId.toString)
+    // keep the frontier bounded: older markers carry no information
+    io.listFiles(io.root).map(_.getName).filter(_.startsWith("_APPLIED-"))
+      .map(_.stripPrefix("_APPLIED-").toLong).filter(_ < batchId)
+      .foreach(o => io.delete(io.path(s"_APPLIED-$o")))
+  }
+
+  /** Highest fully-applied source batch (the consistent frontier), if any. */
+  def appliedFrontier(replicaRoot: String): Option[Long] = {
+    val io = new StoreIO(replicaRoot, StoreIO.sessionConf())
+    val ms = io.listFiles(io.root).map(_.getName)
+      .filter(_.startsWith("_APPLIED-")).map(_.stripPrefix("_APPLIED-").toLong)
+    if (ms.isEmpty) None else Some(ms.max)
+  }
+
+  /** B16, streaming form — the consistent cut across a multi-table replica
+    * root. Per-table appliers commit independently, so at any instant the
+    * CURRENT versions of two replicas may straddle a source batch — a
+    * cross-table join over them reads a torn transaction. The fan-out tags
+    * every commit with its source batch id and, once ALL tables of a batch
+    * committed, publishes an `_APPLIED-<id>` frontier marker. The cut C =
+    * the highest marker; each table reads its latest version with tag ≤ C.
+    *
+    * Why that is exactly consistent: a version tagged t reflects precisely
+    * this table's rows of batches ≤ t, and the marker guarantees every
+    * table's rows of batches ≤ C are committed. The chosen version's tag
+    * t* is the table's max tag ≤ C; had the table owned rows in some batch
+    * b ∈ (t*, C], a version tagged b would exist — contradiction — so its
+    * state at t* IS its state at C. A table with no tagged version ≤ C had
+    * no rows at all through C: its consistent view is the empty replica.
+    *
+    * Retention bound: at most ONE batch is in flight beyond the frontier
+    * (batches apply sequentially), so a table is at most one version past
+    * its ≤-C version — exactly the current+previous window the replica
+    * retains. Control-plane only (marker + tag files, #tables entries). */
+  def consistentCutVersions(replicaRoot: String,
+                            tbls: Seq[String]): (Long, Map[String, Option[Long]]) = {
+    val cut = appliedFrontier(replicaRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no applied-frontier marker under $replicaRoot — nothing consistently readable"))
+    val vers = tbls.map { t =>
+      val vt = new BucketedReplica(s"$replicaRoot/$t").retainedTags
+      val ok = vt.filter(_._2 <= cut)
+      // among equal tags (a retried commit re-tags its replay) the newest
+      // version wins — identical content, freshest files
+      t -> (if (ok.isEmpty) None
+            else Some(ok.maxBy { case (v, tg) => (tg, v) }._1))
+    }.toMap
+    (cut, vers)
+  }
+
+  /** The live view of one table at the consistent cut computed by
+    * [[consistentCutVersions]] (empty if the table had no rows through the
+    * cut). */
+  def consistentLiveFor(spark: SparkSession, replicaRoot: String, tbl: String,
+                        versions: Map[String, Option[Long]]): DataFrame = {
+    val rep = new BucketedReplica(s"$replicaRoot/$tbl")
+    versions(tbl) match {
+      case Some(v) => rep.liveAt(spark, v)
+      case None => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), envelopeSchema)
+    }
+  }
 
   /** B9/D8 — STREAMING SCD Type 2: maintain the history table
     * incrementally. Per micro-batch, intervals closed by the batch's

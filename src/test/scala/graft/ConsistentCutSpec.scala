@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.streaming.{BucketedReplica, CdcStream}
+
+/** B16, streaming form — frontier-marker consistent reads across the
+  * per-table replicas of the multi-table fan-out. Every fan-out commit is
+  * tagged with its source batch id; once ALL tables of a batch committed,
+  * an `_APPLIED-<id>` marker publishes the consistent frontier. Readers cut
+  * at the marker and each table resolves its latest version with tag ≤ cut
+  * — provably that table's state at the frontier, torn reads impossible by
+  * construction. The replica's current+previous retention exactly covers
+  * the one in-flight batch that can sit beyond the frontier.
+  */
+class ConsistentCutSpec extends SparkSpecBase {
+
+  private def mkBatch(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), CdcStream.envelopeSchema)
+
+  private def row(tbl: String, pos: Long, uid: Long, v: Double): Row =
+    Row("INSERT", tbl, pos, pos * 10, uid, v, "evt")
+
+  /** One fan-out batch: per-table commits, then the frontier marker —
+    * exactly what applyToReplicasByTable's foreachBatch does. */
+  private def applyBatch(root: String, batchId: Long, rows: Seq[Row],
+                         mark: Boolean = true): Unit = {
+    rows.groupBy(_.getString(1)).toSeq.sortBy(_._1).foreach { case (t, rs) =>
+      new BucketedReplica(s"$root/$t", nBuckets = 4)
+        .commit(mkBatch(rs), tag = Some(batchId))
+    }
+    if (mark) CdcStream.markApplied(root, batchId)
+  }
+
+  test("a half-applied batch is invisible: the cut stays at the previous frontier") {
+    val root = tmpDir("ccut") + "/reps"
+    applyBatch(root, 1L, Seq(row("even", 1, 2, 1.0), row("odd", 2, 3, 2.0)))
+    applyBatch(root, 2L, Seq(row("even", 3, 4, 3.0), row("odd", 4, 5, 4.0)))
+    // batch 3 crashes after committing odd, before the marker
+    applyBatch(root, 3L, Seq(row("odd", 5, 7, 5.0)), mark = false)
+
+    val (cut, vers) = CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    assert(cut === 2L, "un-markered batch must not advance the frontier")
+
+    val evenRows = CdcStream.consistentLiveFor(spark, root, "even", vers)
+      .select("user_id").collect().map(_.getLong(0)).sorted
+    val oddRows = CdcStream.consistentLiveFor(spark, root, "odd", vers)
+      .select("user_id").collect().map(_.getLong(0)).sorted
+    assert(evenRows === Array(2L, 4L))
+    // the consistent view of odd EXCLUDES the half-applied batch 3 …
+    assert(oddRows === Array(3L, 5L))
+    // … which odd's torn current view already contains
+    val torn = CdcStream.liveReplicaFor(spark, root, "odd")
+      .select("user_id").collect().map(_.getLong(0)).sorted
+    assert(torn === Array(3L, 5L, 7L))
+
+    // the foreachBatch retry completes batch 3 and re-marks it
+    applyBatch(root, 3L, Seq(row("odd", 5, 7, 5.0)))
+    val (cut2, vers2) = CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    assert(cut2 === 3L)
+    assert(CdcStream.consistentLiveFor(spark, root, "odd", vers2)
+      .select("user_id").collect().map(_.getLong(0)).sorted === Array(3L, 5L, 7L))
+  }
+
+  test("a table idle across batches reads its current version (nothing was missed)") {
+    val root = tmpDir("ccut_idle") + "/reps"
+    applyBatch(root, 1L, Seq(row("even", 1, 2, 1.0), row("odd", 2, 3, 2.0)))
+    // batches 2 and 3 carry only odd rows: even idles at tag 1 but misses
+    // nothing — its tag-1 state IS its state at the frontier
+    applyBatch(root, 2L, Seq(row("odd", 4, 5, 4.0)))
+    applyBatch(root, 3L, Seq(row("odd", 5, 7, 5.0)))
+
+    val (cut, vers) = CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    assert(cut === 3L)
+    assert(CdcStream.consistentLiveFor(spark, root, "even", vers).count() === 1)
+    assert(CdcStream.consistentLiveFor(spark, root, "odd", vers)
+      .select("user_id").collect().map(_.getLong(0)).sorted
+      === Array(3L, 5L, 7L))
+  }
+
+  test("a table born in the in-flight batch reads as empty, not as torn") {
+    val root = tmpDir("ccut_born") + "/reps"
+    applyBatch(root, 1L, Seq(row("odd", 2, 3, 2.0)))
+    // even's FIRST rows arrive in batch 2, which crashes before the marker
+    applyBatch(root, 2L, Seq(row("even", 3, 4, 3.0), row("odd", 4, 5, 4.0)),
+      mark = false)
+    val (cut, vers) = CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    assert(cut === 1L)
+    assert(vers("even").isEmpty)
+    assert(CdcStream.consistentLiveFor(spark, root, "even", vers).count() === 0)
+    assert(CdcStream.consistentLiveFor(spark, root, "odd", vers).count() === 1)
+  }
+
+  test("a retried commit (same tag) resolves to the newest replay; compaction keeps its tag") {
+    val root = tmpDir("ccut_retry") + "/reps"
+    applyBatch(root, 1L, Seq(row("even", 1, 2, 1.0), row("odd", 2, 3, 2.0)))
+    // foreachBatch redelivery: odd's batch 1 commits again with the same tag
+    new BucketedReplica(s"$root/odd", nBuckets = 4)
+      .commit(mkBatch(Seq(row("odd", 2, 3, 2.0))), tag = Some(1L))
+    CdcStream.markApplied(root, 1L) // re-mark is a no-op
+    val (cut, vers) = CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    assert(cut === 1L)
+    assert(vers("odd") === Some(2L), "equal tags must resolve to the newest version")
+    assert(CdcStream.consistentLiveFor(spark, root, "odd", vers).count() === 1)
+
+    // compaction rewrites files but reflects the same source batch
+    val even = new BucketedReplica(s"$root/even", nBuckets = 4)
+    even.compact(spark)
+    assert(even.retainedTags(even.currentVersion.get) === 1L)
+    val (_, vers2) = CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    assert(CdcStream.consistentLiveFor(spark, root, "even", vers2).count() === 1)
+  }
+
+  test("end-to-end: the streaming fan-out's replicas admit a consistent cut") {
+    val root = tmpDir("ccut_e2e")
+    val ch = Cdc.changelog(spark, sfDir)
+      .withColumn("tbl", when(col("user_id") % 2 === 0, "users_even")
+        .otherwise("users_odd"))
+    // two change files → two micro-batches (maxFilesPerTrigger = 1)
+    ch.filter(col("pos") < 500).coalesce(1)
+      .write.mode("append").parquet(s"$root/in")
+    ch.filter(col("pos") >= 500).coalesce(1)
+      .write.mode("append").parquet(s"$root/in")
+    val q = CdcStream.applyToReplicasByTable(
+      CdcStream.fileChangelogStream(spark, s"$root/in"),
+      s"$root/reps", s"$root/staging", s"$root/dlq", s"$root/ckpt")
+    q.awaitTermination()
+    val (cut, vers) =
+      CdcStream.consistentCutVersions(s"$root/reps", Seq("users_even", "users_odd"))
+    assert(cut >= 0L)
+    val even = CdcStream.consistentLiveFor(spark, s"$root/reps", "users_even", vers)
+    val odd = CdcStream.consistentLiveFor(spark, s"$root/reps", "users_odd", vers)
+    // at the final frontier the consistent views equal the current views …
+    assert(even.count() > 0 && odd.count() > 0)
+    assert(even.count() ===
+      CdcStream.liveReplicaFor(spark, s"$root/reps", "users_even").count())
+    // … and stay key-disjoint by construction
+    assert(even.filter(col("user_id") % 2 =!= 0).count() === 0)
+    assert(odd.filter(col("user_id") % 2 === 0).count() === 0)
+  }
+}
