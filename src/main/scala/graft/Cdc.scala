@@ -388,6 +388,34 @@ object Cdc {
           sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
         .orderBy("op")
     },
+    // A17 raw binary-file source — the real ingest surface of the
+    // multimodal path (E5): `binaryFile` reads opaque payloads (images,
+    // audio) as (path, length, content) rows with no decode; content
+    // addressing via md5 proves byte-exact transport. The fixture files are
+    // derived deterministically from document text so the DuckDB twin can
+    // recompute every digest from the fixture alone. Driver-side write is
+    // fixture-scale only (binaryFile is a read-only source); at 100 TB the
+    // files simply exist on object storage and the same read distributes
+    // one file per task.
+    "a17_binary_files" -> { (s, d) =>
+      val path = scratch("a17_blob", d)
+      val dir = new java.io.File(path); dir.mkdirs()
+      Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".bin")).foreach(_.delete())
+      load(s, d, "documents").filter(col("doc_id").isin(0L, 10L, 20L))
+        .select(col("doc_id"), md5(col("text")).as("h")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"blob_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "blob_(\\d+)\\.bin$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length"), md5(col("content")).as("digest"))
+        .orderBy("doc_id")
+    },
     // A9 DDL / catalog registration — CREATE OR REPLACE TEMP VIEW + SQL over
     // the registered name (reference cr_pet_tbl.sql:3, main.tf:122-125).
     "a9_catalog_ddl" -> { (s, d) =>
@@ -734,6 +762,9 @@ object Cdc {
       s"""WITH ch AS ($changelogSql)
          |SELECT op, COUNT(*) AS n, MIN(pos) AS min_pos, MAX(pos) AS max_pos
          |FROM ch GROUP BY op ORDER BY op""".stripMargin,
+    "a17_binary_files" ->
+      """SELECT doc_id, 32::BIGINT AS length, md5(md5(text)) AS digest
+        |FROM documents WHERE doc_id IN (0, 10, 20) ORDER BY doc_id""".stripMargin,
     "a9_catalog_ddl" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
