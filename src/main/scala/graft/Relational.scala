@@ -329,6 +329,35 @@ object Relational {
         .union(e.select("op", "nk", "n"))
         .orderBy("op", "nk")
     },
+    // C18b bag-semantics set ops — INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (min / truncated difference of per-value counts),
+    // the variant warehouse SQL needs for multiset reconciliation (e.g.
+    // staged-vs-applied row accounting). Plans as an aggregate per side +
+    // one join keyed by the value — no row-level pairing, multiplicity
+    // math on counts; same single-shuffle class at any scale.
+    "c18b_setops_all" -> { (s, d) =>
+      val cn = load(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val sn = load(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      val ia = cn.intersectAll(sn).groupBy(col("nk"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = cn.exceptAll(sn).groupBy(col("nk"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.select("op", "nk", "n").union(ea.select("op", "nk", "n"))
+        .orderBy("op", "nk")
+    },
+    // C14d grouping metadata — GROUPING()/GROUPING_ID() disambiguate "NULL
+    // because subtotal" from "NULL because the data is NULL" in rollup
+    // output; every BI layer reading c14's subtotals needs this bit. Same
+    // expand+aggregate plan as rollup — the id is free metadata.
+    "c14d_grouping_id" -> { (s, d) =>
+      load(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("gid"),
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last)
+    },
     // C19 date/time functions — "today" pinned to a literal (SURVEY §7.4).
     "c19_date_funcs" -> { (s, d) =>
       val od = col("o_orderdate").cast(DateType)
@@ -969,6 +998,23 @@ object Relational {
         |SELECT 'except' AS op, nk, 1::BIGINT AS n
         |  FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
         |ORDER BY op, nk""".stripMargin,
+    "c18b_setops_all" ->
+      """WITH cn AS (SELECT c_nationkey AS nk FROM customer),
+        |sn AS (SELECT s_nationkey AS nk FROM supplier),
+        |ia AS (SELECT 'intersect_all' AS op, nk, count(*) AS n
+        |       FROM (SELECT nk FROM cn INTERSECT ALL SELECT nk FROM sn)
+        |       GROUP BY nk),
+        |ea AS (SELECT 'except_all' AS op, nk, count(*) AS n
+        |       FROM (SELECT nk FROM cn EXCEPT ALL SELECT nk FROM sn)
+        |       GROUP BY nk)
+        |SELECT op, nk, n FROM ia UNION ALL SELECT op, nk, n FROM ea
+        |ORDER BY op, nk""".stripMargin,
+    "c14d_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+        |  GROUPING(o_orderstatus)::INT AS g_status
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
     "c19_date_funcs" ->
       """SELECT o_orderkey,
         |  CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS y,
