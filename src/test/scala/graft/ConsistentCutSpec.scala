@@ -111,6 +111,45 @@ class ConsistentCutSpec extends SparkSpecBase {
     assert(CdcStream.consistentLiveFor(spark, root, "even", vers2).count() === 1)
   }
 
+  test("property: under any batch schedule, the cut view equals the batch-prefix state") {
+    // randomized-but-seeded schedules: tables drop in and out of batches,
+    // the last batch may be half-applied — the consistent view must always
+    // equal a from-scratch merge of the batches up to the frontier
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val root = tmpDir(s"ccut_prop$trial") + "/reps"
+      val tbls = Seq("t0", "t1", "t2")
+      val n = 3 + rnd.nextInt(3)
+      var pos = 0L
+      val batches: Seq[(Long, Seq[Row])] = (1 to n).map { b =>
+        val rows = tbls.filter(_ => rnd.nextBoolean()).flatMap { t =>
+          (0 until 1 + rnd.nextInt(2)).map { _ =>
+            pos += 1; row(t, pos, rnd.nextInt(5).toLong, pos * 1.0)
+          }
+        }
+        (b.toLong, rows)
+      }
+      val lastHalf = rnd.nextBoolean() // crash before the final marker?
+      batches.foreach { case (b, rows) =>
+        applyBatch(root, b, rows, mark = !(lastHalf && b == n))
+      }
+      val frontier = if (lastHalf) n - 1L else n.toLong
+      val applied = batches.filter(_._1 <= frontier).flatMap(_._2)
+      val (cut, vers) = CdcStream.consistentCutVersions(root, tbls)
+      assert(cut === frontier, s"trial $trial")
+      // latest-wins per pk within each table, over exactly the prefix
+      val expected = applied.groupBy(_.getString(1)).view.mapValues {
+        _.groupBy(_.getLong(4)).view.mapValues(_.map(_.getLong(2)).max).toMap
+      }.toMap
+      tbls.foreach { t =>
+        val got = CdcStream.consistentLiveFor(spark, root, t, vers)
+          .select("user_id", "pos").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected.getOrElse(t, Map.empty), s"trial $trial table $t")
+      }
+    }
+  }
+
   test("end-to-end: the streaming fan-out's replicas admit a consistent cut") {
     val root = tmpDir("ccut_e2e")
     val ch = Cdc.changelog(spark, sfDir)

@@ -19,6 +19,39 @@ class DedupPropertySpec extends SparkSpecBase {
     tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  test("e47's distinct-name collapse recovers row-level pair counts exactly") {
+    // the identity that makes the value-domain rewrite safe: for every
+    // block, same-name pairs C(cnt,2) + cross-name Σ cnt_a·cnt_b equals the
+    // count of row-level (k1 < k2) pairs — checked against the naive
+    // row-level self-join on a corpus slice with heavy name repetition
+    val p = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        substring(col("p_name"), 1, 1).as("blk")) // coarse blocks → big groups
+    val naive = p.select(col("blk"), col("p_partkey").as("k1"), col("p_name").as("n1"))
+      .join(p.select(col("blk"), col("p_partkey").as("k2"), col("p_name").as("n2")),
+        Seq("blk"))
+      .filter(col("k1") < col("k2"))
+      .withColumn("lev", levenshtein(col("n1"), col("n2")))
+      .filter(col("lev") <= 3)
+      .groupBy(col("blk")).agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("lev") === 0, 1L).otherwise(0L)).as("n_exact"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val g = p.groupBy(col("blk"), col("p_name")).agg(count(lit(1)).as("cnt"))
+    val exact = g.groupBy(col("blk"))
+      .agg(sum(expr("cnt * (cnt - 1) div 2")).as("n_exact"))
+    val cross = g.select(col("blk"), col("p_name").as("n1"), col("cnt").as("c1"))
+      .join(g.select(col("blk"), col("p_name").as("n2"), col("cnt").as("c2")), Seq("blk"))
+      .filter(col("n1") < col("n2") && levenshtein(col("n1"), col("n2")) <= 3)
+      .groupBy(col("blk")).agg(sum(col("c1") * col("c2")).as("n_cross"))
+    val collapsed = exact.join(cross, Seq("blk"), "left")
+      .select(col("blk"),
+        (coalesce(col("n_cross"), lit(0L)) + col("n_exact")).as("n_pairs"),
+        col("n_exact"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(collapsed.filter(_._2._1 > 0) === naive,
+      "group-size arithmetic must equal the row-level pair counts")
+  }
+
   test("an exact duplicate gets an identical MinHash signature") {
     val docs = Tables.load(spark, sfDir, "documents").limit(20)
     val dups = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
