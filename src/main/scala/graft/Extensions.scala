@@ -1120,6 +1120,33 @@ object Extensions {
         .filter(col("n_close_pairs") > 0)
         .orderBy("blk")
     },
+    // E-pipeline — yield funnel: docs and tokens surviving each cleaning
+    // stage (raw → quality gate → exact dedup), the capacity-planning
+    // report every corpus build publishes ("how much data do the filters
+    // cost?"). Stages compose left to right exactly as the pipeline runs
+    // them (dedup AFTER the gate, so a removed dup can't hide behind a
+    // quality rejection). Each stage is one filter/window over the
+    // previous — three passes over one projected scan, aggregates are
+    // 1-row; the md5 dedup key keeps the heavy stage a hash groupBy.
+    "e52_yield_funnel" -> { (s, d) =>
+      val base = load(s, d, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("lt"),
+          size(toks(col("text"))).as("n_tok"),
+          (size(array_distinct(toks(col("text")))).cast(DoubleType)
+            / size(toks(col("text")))).as("ttr"))
+      val q = base.filter(col("n_tok") >= 20 && col("ttr") >= 0.3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("doc_id"))
+      val dd = q
+        .withColumn("k", md5(array_join(slice(split(col("lt"), " "), 1, 10), " ")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      def st(name: String, df: DataFrame) =
+        df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"))
+      st("1_raw", base).unionByName(st("2_quality", q))
+        .unionByName(st("3_exact_dedup", dd))
+        .orderBy("stage")
+    },
     // E4/quality — robust outlier cut: per-language median + MAD (median
     // absolute deviation) of document length, flagging docs beyond 2·MAD —
     // the outlier filter that, unlike mean/stddev, is immune to the very
@@ -1808,6 +1835,21 @@ object Extensions {
         |      FROM sc)
         |SELECT doc_id, rank::INT AS rank, t AS term, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "e52_yield_funnel" ->
+      """WITH base AS (SELECT doc_id, lower(trim(text)) AS lt,
+        |         len(string_split(text, ' ')) AS n_tok,
+        |         len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |           / len(string_split(text, ' ')) AS ttr
+        |       FROM documents),
+        |q AS (SELECT * FROM base WHERE n_tok >= 20 AND ttr >= 0.3),
+        |dd AS (SELECT * FROM (
+        |         SELECT *, ROW_NUMBER() OVER (
+        |           PARTITION BY md5(array_to_string((string_split(lt, ' '))[1:10], ' '))
+        |           ORDER BY doc_id) AS rn FROM q) WHERE rn = 1)
+        |SELECT '1_raw' AS stage, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens FROM base
+        |UNION ALL SELECT '2_quality', count(*), sum(n_tok)::BIGINT FROM q
+        |UNION ALL SELECT '3_exact_dedup', count(*), sum(n_tok)::BIGINT FROM dd
+        |ORDER BY stage""".stripMargin,
     "e51_robust_outliers" ->
       """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
         |             FROM documents GROUP BY lang),
