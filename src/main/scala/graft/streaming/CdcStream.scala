@@ -111,8 +111,10 @@ object CdcStream {
                  stagingDir: String, dlqDir: String,
                  tombstoneRetentionNs: Option[Long] = None): Unit = {
     val good = stageAndSplit(batch, batchId, stagingDir, dlqDir)
+    // tag = the staged batch id: replica versions align with the staging
+    // partitions they reflect (and with the multi-table frontier protocol)
     new BucketedReplica(replicaDir)
-      .commit(good, horizonOf(good, tombstoneRetentionNs))
+      .commit(good, horizonOf(good, tombstoneRetentionNs), tag = Some(batchId))
     ()
   }
 
