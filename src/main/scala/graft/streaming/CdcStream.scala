@@ -249,6 +249,38 @@ object CdcStream {
     }
   }
 
+  /** CDC OUT at aligned frontiers: per-table change feeds between two
+    * consistent version maps (each from [[consistentCutVersions]] at a
+    * different time). A downstream consumer applying these feeds moves from
+    * one torn-free snapshot to the next — it can never observe a
+    * half-applied source batch, the guarantee a per-table
+    * [[BucketedReplica.changeFeed]] alone cannot give. Emitted per table:
+    * (user_id, change ∈ INSERT/UPDATE/DELETE, pos). A table unchanged
+    * between frontiers yields an empty feed; a table born between them
+    * yields its full state as INSERTs.
+    *
+    * Retention contract: `from` versions must still be retained
+    * (current+previous) — consume at least once per table commit, the same
+    * bounded-staleness window every reader of the store has. */
+  def consistentChangeFeeds(spark: SparkSession, replicaRoot: String,
+                            from: Map[String, Option[Long]],
+                            to: Map[String, Option[Long]]): Map[String, DataFrame] =
+    to.keys.map { t =>
+      val rep = new BucketedReplica(s"$replicaRoot/$t")
+      val feed = (from.getOrElse(t, None), to(t)) match {
+        case (Some(f), Some(g)) if f != g => rep.changeFeed(spark, f, g)
+        case (None, Some(g)) =>
+          rep.liveAt(spark, g)
+            .select(col("user_id"), lit("INSERT").as("change"), col("pos"))
+        case _ => // unchanged (or still unborn): empty feed
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("user_id", LongType),
+              StructField("change", StringType), StructField("pos", LongType))))
+      }
+      t -> feed
+    }.toMap
+
   /** B9/D8 — STREAMING SCD Type 2: maintain the history table
     * incrementally. Per micro-batch, intervals closed by the batch's
     * changes append to the history log (batch_id-partitioned, overwrite ⇒

@@ -150,6 +150,35 @@ class ConsistentCutSpec extends SparkSpecBase {
     }
   }
 
+  test("aligned change feeds move a consumer between torn-free snapshots") {
+    val root = tmpDir("ccut_feed") + "/reps"
+    applyBatch(root, 1L, Seq(row("even", 1, 2, 1.0), row("odd", 2, 3, 2.0)))
+    val (_, v1) = CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    // batch 2: update even's key 2, odd's FIRST sight of key 9; 'born' table
+    // late arrives in batch 2 as well
+    applyBatch(root, 2L, Seq(
+      Row("UPDATE", "even", 3L, 30L, 2L, 9.0, "evt"),
+      row("odd", 4, 9, 4.0), row("born", 5, 11, 5.0)))
+    val (_, v2) = CdcStream.consistentCutVersions(root, Seq("even", "odd", "born"))
+
+    val feeds = CdcStream.consistentChangeFeeds(spark, root, v1, v2)
+    val evenFeed = feeds("even").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(evenFeed === Set((2L, "UPDATE", 3L)))
+    val oddFeed = feeds("odd").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(oddFeed === Set((9L, "INSERT", 4L)))
+    val bornFeed = feeds("born").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(bornFeed === Set((11L, "INSERT", 5L)))
+
+    // a third frontier with no changes anywhere → all feeds empty
+    CdcStream.markApplied(root, 3L)
+    val (_, v3) = CdcStream.consistentCutVersions(root, Seq("even", "odd", "born"))
+    assert(CdcStream.consistentChangeFeeds(spark, root, v2, v3)
+      .values.map(_.count()).sum === 0L)
+  }
+
   test("end-to-end: the streaming fan-out's replicas admit a consistent cut") {
     val root = tmpDir("ccut_e2e")
     val ch = Cdc.changelog(spark, sfDir)
