@@ -777,6 +777,41 @@ object Relational {
             / count(col("conv_us")) / 1000000.0, 6).as("avg_conv_sec"))
         .orderBy("cohort")
     },
+    // C50 retention cohorts — the week-N retention matrix: users grouped by
+    // signup week, counted distinct-active per subsequent week offset. All
+    // integer epoch-day/week arithmetic (exact on both engines); one keyed
+    // join of the cohort map (user-count-sized, broadcastable at any
+    // realistic user cardinality) onto the event stream, then a distinct
+    // count per (cohort, offset) — partial-aggregatable, |weeks|² output.
+    "c50_retention_cohorts" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+        .select(col("user_id"), expr("d0 div 7").as("cohort_week"))
+      ev.join(sg, "user_id")
+        .withColumn("week_offset", expr("day div 7") - col("cohort_week"))
+        .filter(col("week_offset").between(0, 3))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    // C51 event-transition mining — the behavior-path report (what do users
+    // do next?): per-user time-ordered event pairs via lead(), counted per
+    // (from, to). Ties at identical timestamps break on event_id, so the
+    // sequence is total and both engines pair identically. One user-keyed
+    // window + one small aggregate — the window is the same single-shuffle
+    // class as the merge, output is |event types|².
+    "c51_event_transitions" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    },
     // C45 positional window navigation — FIRST_VALUE / NTH_VALUE /
     // LAST_VALUE over the full partition frame. Keyed at microsecond
     // precision (ties broken by event_id): DuckDB truncates the parquet
@@ -1213,6 +1248,25 @@ object Relational {
         |SELECT band, doc_id, n_chars FROM bands JOIN documents
         |ON n_chars >= lo AND n_chars <= hi
         |ORDER BY band, doc_id""".stripMargin,
+    "c50_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |sg AS (SELECT user_id, min(day) // 7 AS cohort_week
+        |       FROM ev WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT cohort_week, (day // 7) - cohort_week AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN sg ON ev.user_id = sg.user_id
+        |WHERE (day // 7) - cohort_week BETWEEN 0 AND 3
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "c51_event_transitions" ->
+      """WITH t AS (SELECT event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_ns(ts), event_id) AS to_type
+        |           FROM events)
+        |SELECT event_type AS from_type, to_type, count(*) AS n
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY event_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "c49_funnel" ->
       """WITH sg AS (SELECT user_id, min(epoch_us(ts)) AS s_us
         |            FROM events WHERE event_type = 'signup' GROUP BY user_id),
