@@ -1120,6 +1120,37 @@ object Extensions {
         .filter(col("n_close_pairs") > 0)
         .orderBy("blk")
     },
+    // E4/diagnostics — Zipf slope: least-squares fit of ln(freq) against
+    // ln(rank) over the top-50 terms — natural corpora sit near slope −1,
+    // so a far-off slope flags synthetic/spammy text (a corpus-level
+    // quality diagnostic beside the per-doc signals). Exactness: ln() only
+    // on small integer ranks/frequencies (identical doubles both engines);
+    // every product is cast to DECIMAL(28,9) so the regression sums are
+    // order-free (the c31 exact-moments recipe); the slope divides once at
+    // the end. One vocab aggregate + a 50-row window — corpus cost is the
+    // term count, the fit is constant-size.
+    "e53_zipf_slope" -> { (s, d) =>
+      val tf = load(s, d, "documents")
+        .select(explode(toks(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("t").asc)
+      val top = tf.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 50)
+        .select(log(col("rank").cast(DoubleType)).as("x"),
+          log(col("f").cast(DoubleType)).as("y"))
+      val dec = (c: Column) => c.cast(DecimalType(28, 9))
+      top.agg(count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x") * col("x"))).as("sxx"),
+          sum(dec(col("x") * col("y"))).as("sxy"))
+        .select(col("n"),
+          round((col("n") * col("sxy").cast(DoubleType)
+              - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+            / (col("n") * col("sxx").cast(DoubleType)
+              - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)),
+            6).as("zipf_slope"))
+    },
     // E-pipeline — yield funnel: docs and tokens surviving each cleaning
     // stage (raw → quality gate → exact dedup), the capacity-planning
     // report every corpus build publishes ("how much data do the filters
@@ -1835,6 +1866,22 @@ object Extensions {
         |      FROM sc)
         |SELECT doc_id, rank::INT AS rank, t AS term, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "e53_zipf_slope" ->
+      """WITH tf AS (SELECT t, count(*) AS f
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |                  FROM documents) GROUP BY t),
+        |top AS (SELECT ln(rank::DOUBLE) AS x, ln(f::DOUBLE) AS y FROM (
+        |          SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t ASC) AS rank
+        |          FROM tf) WHERE rank <= 50),
+        |s AS (SELECT count(*) AS n,
+        |        sum(CAST(x AS DECIMAL(28,9))) AS sx,
+        |        sum(CAST(y AS DECIMAL(28,9))) AS sy,
+        |        sum(CAST(x * x AS DECIMAL(28,9))) AS sxx,
+        |        sum(CAST(x * y AS DECIMAL(28,9))) AS sxy
+        |      FROM top)
+        |SELECT n, round((n * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |  / (n * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS zipf_slope
+        |FROM s""".stripMargin,
     "e52_yield_funnel" ->
       """WITH base AS (SELECT doc_id, lower(trim(text)) AS lt,
         |         len(string_split(text, ' ')) AS n_tok,
