@@ -1127,16 +1127,18 @@ object Extensions {
     // on small integer ranks/frequencies (identical doubles both engines);
     // every product is cast to DECIMAL(28,9) so the regression sums are
     // order-free (the c31 exact-moments recipe); the slope divides once at
-    // the end. One vocab aggregate + a 50-row window — corpus cost is the
-    // term count, the fit is constant-size.
+    // the end. One vocab aggregate + a 50-row cut — the top-50 is a
+    // sorted limit (TakeOrderedAndProject: per-partition heap + driver
+    // merge), so no global window ever sees the full vocabulary;
+    // row_number only ranks the 50 survivors.
     "e53_zipf_slope" -> { (s, d) =>
       val tf = load(s, d, "documents")
         .select(explode(toks(col("text"))).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("f"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("f").desc, col("t").asc)
-      val top = tf.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 50)
+      val top = tf.orderBy(col("f").desc, col("t").asc).limit(50)
+        .withColumn("rank", row_number().over(w))
         .select(log(col("rank").cast(DoubleType)).as("x"),
           log(col("f").cast(DoubleType)).as("y"))
       val dec = (c: Column) => c.cast(DecimalType(28, 9))
