@@ -82,7 +82,10 @@ object Extensions {
     val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"sig$i")
     }
-    val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+    // persisted: the signature agg (tokenize + explode + groupBy) feeds
+    // three branches — both edge sides and the initial labels — and would
+    // otherwise recompute per branch
+    val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*).persist()
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("band"),
         (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
@@ -107,7 +110,7 @@ object Extensions {
       labels.unpersist(); labels = next
       if (c2 == checksum) done = true else checksum = c2
     }
-    und.unpersist()
+    und.unpersist(); sig.unpersist()
     labels
   }
 
@@ -237,7 +240,10 @@ object Extensions {
     // join: the per-pair set intersection compares 8-byte ints instead of
     // strings, and the shuffled build side carries long arrays, not text —
     // the difference between feasible and not at 100 TB. |∩|/|∪| stays exact
-    // small-integer division, bit-identical on both engines.
+    // small-integer division, bit-identical on both engines. Length
+    // prefilter (PPJoin-family): J ≤ min/max, so a pair whose shingle-set
+    // sizes differ by more than 10× can never reach the 0.1 threshold —
+    // the join condition prunes it before the O(|set|) intersect runs.
     "e04_ngram_jaccard" -> { (s, d) =>
       // persisted: both join sides read the md5-shingle transform from cache
       // instead of recomputing it per branch
@@ -249,10 +255,14 @@ object Extensions {
           array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
             i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
               element_at(col("tk"), i + 2))))).as("bg"))
+        .withColumn("nb", size(col("bg")))
         .persist()
-      val a = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
-      val b = base.select(col("doc_id").as("d2"), col("lang").as("lang2"), col("bg").as("bg2"))
-      a.join(b, col("lang") === col("lang2") && col("d1") < col("d2"))
+      val a = base.select(col("doc_id").as("d1"), col("lang"),
+        col("bg").as("bg1"), col("nb").as("nb1"))
+      val b = base.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+        col("bg").as("bg2"), col("nb").as("nb2"))
+      a.join(b, col("lang") === col("lang2") && col("d1") < col("d2") &&
+          col("nb1") * 10 >= col("nb2") && col("nb2") * 10 >= col("nb1"))
         .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
         .withColumn("jaccard", col("n_common").cast(DoubleType)
           / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
@@ -284,19 +294,21 @@ object Extensions {
           array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
             i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
               element_at(col("tk"), i + 2))))).as("bg"))
+        .withColumn("nb", size(col("bg")))
         .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(B.toLong)))
         .persist() // replicas read the shingle transform from cache, not 2B×
       val grid = explode(sequence(lit(0L), lit(B - 1L))).as("other")
       val a = base.select(col("doc_id").as("d1"), col("lang"),
-        col("bg").as("bg1"), col("blk").as("a_row"), grid)
+        col("bg").as("bg1"), col("nb").as("nb1"), col("blk").as("a_row"), grid)
         .withColumnRenamed("other", "a_col")
       val b = base.select(col("doc_id").as("d2"), col("lang").as("lang2"),
-        col("bg").as("bg2"), col("blk").as("b_col"), grid)
+        col("bg").as("bg2"), col("nb").as("nb2"), col("blk").as("b_col"), grid)
         .withColumnRenamed("other", "b_row")
       a.join(b,
         col("lang") === col("lang2") &&
           col("a_row") === col("b_row") && col("a_col") === col("b_col") &&
-          col("d1") < col("d2"))
+          col("d1") < col("d2") &&
+          col("nb1") * 10 >= col("nb2") && col("nb2") * 10 >= col("nb1"))
         .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
         .withColumn("jaccard", col("n_common").cast(DoubleType)
           / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
