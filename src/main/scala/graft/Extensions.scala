@@ -1284,6 +1284,58 @@ object Extensions {
         .select(col("comp_id"), col("doc_id").as("survivor_doc"),
           col("n_members"), round(col("q"), 6).as("survivor_q"))
         .orderBy("comp_id")
+    },
+    // E-pipeline data-quality audit — the Deequ-style constraint suite a
+    // warehouse runs before publishing a table: completeness (non-null
+    // ratio), key uniqueness, value-domain membership, numeric range, and
+    // cross-table referential integrity, emitted as one audit table of
+    // (column, check, metric, pass). Shape for 100 TB: each source table
+    // contributes ONE scan — all its per-column metrics ride a single
+    // conditional aggregate (map-side partials, 1-row result) and fan out
+    // to audit rows via a constant-size explode; the RI check is the only
+    // join, a broadcast anti-join keyed on the fact's foreign key. Ratios
+    // are exact integer divisions evaluated identically by both engines.
+    "e54_dq_audit" -> { (s, d) =>
+      val o = load(s, d, "orders")
+      val li = load(s, d, "lineitem")
+      val c = load(s, d, "customer")
+      def row(colName: String, chk: String, metric: Column, pass: Column) =
+        struct(lit(colName).as("col_name"), lit(chk).as("dq_check"),
+          metric.as("metric"), pass.as("pass"))
+      val om = o.agg(count(lit(1)).as("n"), count(col("o_custkey")).as("nn"),
+          countDistinct(col("o_orderkey")).as("nd"),
+          expr("count_if(o_orderstatus IN ('O','F','P'))").as("ndom"))
+        .select(explode(array(
+          row("orders.o_custkey", "completeness",
+            col("nn").cast(DoubleType) / col("n"), col("nn") === col("n")),
+          row("orders.o_orderkey", "uniqueness",
+            col("nd").cast(DoubleType) / col("n"), col("nd") === col("n")),
+          row("orders.o_orderstatus", "domain_OFP",
+            col("ndom").cast(DoubleType) / col("n"), col("ndom") === col("n"))
+        )).as("r"))
+      val lm = li.agg(count(lit(1)).as("n"),
+          expr("count_if(l_quantity BETWEEN 1 AND 50)").as("nrange"))
+        .select(explode(array(
+          row("lineitem.l_quantity", "range_1_50",
+            col("nrange").cast(DoubleType) / col("n"), col("nrange") === col("n"))
+        )).as("r"))
+      val cm = c.agg(count(lit(1)).as("n"), count(col("c_name")).as("nn"))
+        .select(explode(array(
+          row("customer.c_name", "completeness",
+            col("nn").cast(DoubleType) / col("n"), col("nn") === col("n"))
+        )).as("r"))
+      val orph = li.select(col("l_orderkey"))
+        .join(broadcast(o.select(col("o_orderkey").as("l_orderkey"))),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orph"))
+        .select(explode(array(
+          row("lineitem.l_orderkey", "ref_integrity",
+            col("n_orph").cast(DoubleType), col("n_orph") === 0)
+        )).as("r"))
+      om.unionByName(lm).unionByName(cm).unionByName(orph)
+        .select(col("r.col_name"), col("r.dq_check"), col("r.metric"),
+          col("r.pass"))
+        .orderBy("col_name", "dq_check")
     }
   )
 
@@ -2040,7 +2092,34 @@ object Extensions {
          |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS sample_rank
          |  FROM h)
          |SELECT lang, sample_rank, doc_id FROM r
-         |WHERE sample_rank <= 25 ORDER BY lang, sample_rank""".stripMargin
+         |WHERE sample_rank <= 25 ORDER BY lang, sample_rank""".stripMargin,
+    "e54_dq_audit" ->
+      """WITH om AS (SELECT count(*) AS n, count(o_custkey) AS nn,
+        |              count(DISTINCT o_orderkey) AS nd,
+        |              count(*) FILTER (WHERE o_orderstatus IN ('O','F','P'))
+        |                AS ndom
+        |            FROM orders),
+        |lm AS (SELECT count(*) AS n,
+        |         count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 50) AS nrange
+        |       FROM lineitem),
+        |cm AS (SELECT count(*) AS n, count(c_name) AS nn FROM customer),
+        |orph AS (SELECT count(*) AS n FROM lineitem l
+        |         WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                           WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT * FROM (
+        |  SELECT 'orders.o_custkey' AS col_name, 'completeness' AS dq_check,
+        |    nn::DOUBLE / n AS metric, nn = n AS pass FROM om
+        |  UNION ALL SELECT 'orders.o_orderkey', 'uniqueness',
+        |    nd::DOUBLE / n, nd = n FROM om
+        |  UNION ALL SELECT 'orders.o_orderstatus', 'domain_OFP',
+        |    ndom::DOUBLE / n, ndom = n FROM om
+        |  UNION ALL SELECT 'lineitem.l_quantity', 'range_1_50',
+        |    nrange::DOUBLE / n, nrange = n FROM lm
+        |  UNION ALL SELECT 'lineitem.l_orderkey', 'ref_integrity',
+        |    n::DOUBLE, n = 0 FROM orph
+        |  UNION ALL SELECT 'customer.c_name', 'completeness',
+        |    nn::DOUBLE / n, nn = n FROM cm
+        |) ORDER BY col_name, dq_check""".stripMargin
   )
 
   /** DuckDB twin of [[tsSimilarity]] — same integer segment math, same

@@ -27,6 +27,12 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Deterministic per-query scratch dir (c52's partitioned layout). */
+  private def scratch(name: String, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_$tag/$name"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 projection — column pruning reaches the scan (ReadSchema shows 3 cols).
     "c01_projection" -> { (s, d) =>
@@ -867,6 +873,35 @@ object Relational {
         .select(col("user_id"), col("h"), col("value").isNotNull.as("observed"),
           last(col("value"), ignoreNulls = true).over(wFill).as("filled"))
         .orderBy("user_id", "h")
+    },
+    // C52 dynamic partition pruning — the fact table is laid out
+    // partitionBy(ship_month) (83 directories); the selective predicate
+    // lives on the DIM side (yr = '1996'), so at plan time the fact scan
+    // has no static partition filter at all. DPP turns the dim's broadcast
+    // into a runtime subquery inside the scan's PartitionFilters
+    // (dynamicpruning#N), so the fact reads only the 12 qualifying month
+    // directories — at 100 TB, the difference between scanning ~1/7 and
+    // all of a date-partitioned fact whenever the cut arrives through a
+    // dimension attribute instead of a literal. PlanSpec pins the
+    // dynamicpruning filter so a regression that flips it to a full scan
+    // fails loudly.
+    "c52_dpp_join" -> { (s, d) =>
+      val factPath = scratch("c52_fact", d)
+      val dimPath = scratch("c52_dim", d)
+      val li = load(s, d, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .select("l_orderkey", "ship_month", "l_quantity", "l_extendedprice")
+      li.write.mode("overwrite").partitionBy("ship_month").parquet(factPath)
+      li.select(col("ship_month")).distinct()
+        .withColumn("yr", substring(col("ship_month"), 1, 4))
+        .write.mode("overwrite").parquet(dimPath)
+      val fact = s.read.parquet(factPath)
+      val dim = s.read.parquet(dimPath).filter(col("yr") === "1996")
+      fact.join(broadcast(dim), "ship_month")
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+        .orderBy("ship_month")
     }
   )
 
@@ -1317,6 +1352,17 @@ object Relational {
         |SELECT user_id, h, observed,
         |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        |FROM j ORDER BY user_id, h""".stripMargin
+        |FROM j ORDER BY user_id, h""".stripMargin,
+    "c52_dpp_join" ->
+      """WITH li AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |              l_extendedprice
+        |            FROM lineitem),
+        |dim AS (SELECT DISTINCT ship_month FROM li
+        |        WHERE substring(ship_month, 1, 4) = '1996')
+        |SELECT ship_month, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM li JOIN dim USING (ship_month)
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin
   )
 }

@@ -121,6 +121,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("PartitionFilters: [isnotnull(op"))
   }
 
+  test("c52 fact scan is dynamically pruned by the dim-side year filter") {
+    val p = finalPlan(q("c52_dpp_join"))
+    // no static filter exists on the fact — the partition cut arrives at
+    // runtime from the dim's broadcast (dynamicpruningexpression), so only
+    // the qualifying month directories are read
+    assert(p.contains("dynamicpruningexpression"), p.take(2000))
+    // and column pruning still reaches the scan: the fact reads one column
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"), p.take(2000))
+  }
+
   test("b9 SCD2 history shuffles exactly once on the primary key") {
     val p = finalPlan(q("b9_scd2_history"))
     // one hash exchange feeds the interval-closing window; the only other
