@@ -1336,6 +1336,55 @@ object Extensions {
         .select(col("r.col_name"), col("r.dq_check"), col("r.metric"),
           col("r.pass"))
         .orderBy("col_name", "dq_check")
+    },
+    // E1 set-similarity join with PPJoin prefix filtering — the sharpest
+    // member of the Jaccard family: e04 scores all same-language pairs,
+    // e04b inverts the full posting list (with a df cut), and this orders
+    // every document's shingles by GLOBAL RARITY (df asc, hash asc) and
+    // indexes only the first |x| − ⌈t·|x|⌉ + 1 of them. The prefix lemma
+    // guarantees two sets with J ≥ t share an element inside BOTH
+    // prefixes, so the exact verify sees every qualifying pair — and at
+    // t=0.5 half of every posting list disappears, with the survivors
+    // being the RAREST shingles: exactly inverse to the hot-shingle df²
+    // blowup a raw inverted index suffers. This is how a 100 TB
+    // set-similarity join keeps candidate generation subquadratic without
+    // the probabilistic miss rate of LSH. Verify step = e04's exact
+    // integer arithmetic on the candidates; oracle = the dense join at
+    // the same threshold, so the prefix filter's losslessness is itself
+    // what the gate checks.
+    "e55_jaccard_prefix" -> { (s, d) =>
+      // doc_id%2 sample (wider than e04's %5): at t=0.5 the %5 sample has
+      // no qualifying pair below sf0.1, which would make this gate vacuous
+      val base = load(s, d, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
+            i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
+              element_at(col("tk"), i + 2))))).as("bg"))
+        .persist() // feeds the posting explode AND both verify sides
+      val post = base.select(col("doc_id"), col("lang"), explode(col("bg")).as("h"))
+      val dfc = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val pre = post.join(dfc, "h")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("srt"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("slice(transform(srt, x -> x.h), 1," +
+            " size(srt) - cast(ceil(0.5 * size(srt)) as int) + 1)")).as("h"))
+      val cand = pre.as("x").join(pre.as("y"),
+          col("x.lang") === col("y.lang") && col("x.h") === col("y.h") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      val s1 = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
+      val s2 = base.select(col("doc_id").as("d2"), col("bg").as("bg2"))
+      cand.join(s1, "d1").join(s2, "d2")
+        .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
+        .withColumn("jaccard", col("n_common").cast(DoubleType)
+          / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
+        .filter(col("jaccard") >= 0.5)
+        .select("lang", "d1", "d2", "jaccard")
+        .orderBy("lang", "d1", "d2")
     }
   )
 
@@ -2119,7 +2168,11 @@ object Extensions {
         |    n::DOUBLE, n = 0 FROM orph
         |  UNION ALL SELECT 'customer.c_name', 'completeness',
         |    nn::DOUBLE / n, nn = n FROM cm
-        |) ORDER BY col_name, dq_check""".stripMargin
+        |) ORDER BY col_name, dq_check""".stripMargin,
+    // the prefix filter is lossless, so the oracle is the DENSE join at
+    // the same threshold — the equality is the losslessness proof
+    "e55_jaccard_prefix" -> denseJaccardSql
+      .replace(">= 0.1", ">= 0.5").replace("doc_id % 5", "doc_id % 2")
   )
 
   /** DuckDB twin of [[tsSimilarity]] — same integer segment math, same

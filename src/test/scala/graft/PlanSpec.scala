@@ -121,6 +121,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("PartitionFilters: [isnotnull(op"))
   }
 
+  test("e55 prefix-filtered similarity join: no cartesian stage, shingle base cached") {
+    val p = finalPlan(q("e55_jaccard_prefix"))
+    // candidate generation is a keyed equi-join on (lang, shingle) — the
+    // prefix filter must never degenerate to a nested-loop pair scan
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the shingle projection is persisted: postings and both verify sides
+    // read the cache instead of recomputing the md5 transform
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+  }
+
   test("c52 fact scan is dynamically pruned by the dim-side year filter") {
     val p = finalPlan(q("c52_dpp_join"))
     // no static filter exists on the fact — the partition cut arrives at
