@@ -1385,6 +1385,42 @@ object Extensions {
         .filter(col("jaccard") >= 0.5)
         .select("lang", "d1", "d2", "jaccard")
         .orderBy("lang", "d1", "d2")
+    },
+    // E-graph — PageRank over the LSH near-dup candidate graph: the
+    // "importance in a similarity neighborhood" analytic (a high-rank doc
+    // is a boilerplate source many near-dups orbit). Fixed 5 damped
+    // (0.85) iterations over the undirected e03 candidate edges; nodes =
+    // edge endpoints. Determinism: the whole iteration runs in FIXED-POINT
+    // integer arithmetic (rank scaled by 10^12; contribution = pr div
+    // outdeg, damping = 85·sum div 100) — floor division and long sums
+    // are bit-identical on any engine, where the decimal/double variant
+    // of this query drifted one ulp between Spark and DuckDB at sf0.1.
+    // Scale: und/deg are |edges|-sized; each iteration is one keyed join
+    // + one agg (the label-propagation dataflow class), 5 iterations = a
+    // linear 15-join DAG — at 100 TB the loop checkpoints per iteration,
+    // same as the CC operator.
+    "e56_pagerank" -> { (s, d) =>
+      val SCALE = 1000000000000L
+      val cand = lshCandidates(s, d)
+      val und = cand.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(cand.select(col("d2").as("a"), col("d1").as("b")))
+        .persist()
+      val deg = und.groupBy(col("a")).agg(count(lit(1)).as("outdeg")).persist()
+      val n = deg.count()
+      val base = 15L * SCALE / (100L * n) // (1−d)/N, scaled, exact floor
+      var pr = deg.select(col("a").as("node"), lit(SCALE / n).as("pr"))
+      (1 to 5).foreach { _ =>
+        val contrib = und.join(deg, "a")
+          .join(pr, col("a") === col("node"))
+          .select(col("b"), expr("pr div outdeg").as("c"))
+          .groupBy(col("b")).agg(sum(col("c")).as("sc"))
+        pr = deg.select(col("a").as("node"))
+          .join(contrib, col("node") === col("b"), "left")
+          .select(col("node"),
+            (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
+      }
+      pr.select(col("node").as("doc_id"), col("pr").as("pagerank_e12"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2172,7 +2208,44 @@ object Extensions {
     // the prefix filter is lossless, so the oracle is the DENSE join at
     // the same threshold — the equality is the losslessness proof
     "e55_jaccard_prefix" -> denseJaccardSql
-      .replace(">= 0.1", ">= 0.5").replace("doc_id % 5", "doc_id % 2")
+      .replace(">= 0.1", ">= 0.5").replace("doc_id % 5", "doc_id % 2"),
+    "e56_pagerank" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      val iters = (1 to 5).map { k =>
+        val prev = if (k == 1) "pr0" else s"it${k - 1}"
+        s"""it$k AS (SELECT d.a AS node,
+           |    (15000000000000 // (100 * nn.n))
+           |      + (85 * COALESCE(s.sc, 0)) // 100 AS pr
+           |  FROM deg d CROSS JOIN nn LEFT JOIN (
+           |    SELECT u.b, SUM(p.pr // dd.outdeg) AS sc
+           |    FROM und u JOIN deg dd ON dd.a = u.a JOIN $prev p ON p.node = u.a
+           |    GROUP BY u.b) s ON s.b = d.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |deg AS (SELECT a, count(*) AS outdeg FROM und GROUP BY a),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+         |pr0 AS (SELECT a AS node, 1000000000000 // nn.n AS pr
+         |        FROM deg CROSS JOIN nn),
+         |$iters
+         |SELECT node AS doc_id, CAST(pr AS BIGINT) AS pagerank_e12
+         |FROM it5 ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** DuckDB twin of [[tsSimilarity]] — same integer segment math, same
