@@ -666,6 +666,34 @@ object Cdc {
         .agg(count(lit(1)).as("n_rows"),
           sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
         .orderBy("tbl")
+    },
+    // B17 point-in-time (temporal) join — the canonical warehouse pattern
+    // the SCD2 history exists FOR: each fact row joins the dimension
+    // VERSION valid at the fact's position, i.e. the interval
+    // [valid_from, valid_to) containing fact_pos — never the current row
+    // (that's the SCD1 lookup), never more than one version per fact.
+    // Plan shape: equi-join on the key with the interval predicate as a
+    // post-filter — the join hashes on user_id exactly like the merge, so
+    // skew/AQE behavior is the proven b3 class; per key the version list
+    // is the pos-ordered change history, so matched-row work is
+    // |facts| + |versions|, not their product. At 100 TB the history side
+    // is partition-pruned to the fact's key range first.
+    "b17_temporal_join" -> { (s, d) =>
+      val hist = scd2(changelog(s, d), Seq("user_id"))
+        .select(col("user_id").as("h_user"), col("valid_from_pos"),
+          col("valid_to_pos"), col("op").as("version_op"),
+          col("value").as("dim_value"))
+      val fact = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("fact_pos"),
+          col("value").as("amount"))
+      fact.join(hist, col("user_id") === col("h_user") &&
+          col("valid_from_pos") <= col("fact_pos") &&
+          (col("valid_to_pos").isNull || col("fact_pos") < col("valid_to_pos")))
+        .select(col("user_id"), col("fact_pos"), col("amount"),
+          col("valid_from_pos").as("version_pos"), col("version_op"),
+          col("dim_value"))
+        .orderBy("user_id", "fact_pos")
     }
   )
 
@@ -898,6 +926,21 @@ object Cdc {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM r WHERE rn = 1 AND op <> 'DELETE'
          |GROUP BY tbl2, cut ORDER BY tbl2""".stripMargin,
+    "b17_temporal_join" ->
+      s"""WITH ch AS ($changelogSql),
+         |hist AS (SELECT user_id, pos AS valid_from_pos,
+         |           lead(pos) OVER (PARTITION BY user_id ORDER BY pos)
+         |             AS valid_to_pos,
+         |           op AS version_op, value AS dim_value
+         |         FROM ch),
+         |fact AS (SELECT user_id, event_id AS fact_pos, value AS amount
+         |         FROM events WHERE event_type = 'purchase')
+         |SELECT f.user_id, f.fact_pos, f.amount,
+         |  h.valid_from_pos AS version_pos, h.version_op, h.dim_value
+         |FROM fact f JOIN hist h ON f.user_id = h.user_id
+         |  AND h.valid_from_pos <= f.fact_pos
+         |  AND (h.valid_to_pos IS NULL OR f.fact_pos < h.valid_to_pos)
+         |ORDER BY f.user_id, f.fact_pos""".stripMargin,
     "b13_incremental_agg" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),

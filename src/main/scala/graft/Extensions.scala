@@ -1421,6 +1421,40 @@ object Extensions {
       }
       pr.select(col("node").as("doc_id"), col("pr").as("pagerank_e12"))
         .orderBy("doc_id")
+    },
+    // E-graph — triangle count + local clustering coefficient over the
+    // LSH candidate graph: how CLIQUE-like each near-dup neighborhood is
+    // (boilerplate families triangulate densely; chains of pairwise
+    // near-dups don't). Triangles enumerate once via the oriented
+    // edge list (a<b<c: E⋈E⋈E on the standard two-path + closing edge),
+    // so each triangle is counted exactly once with no orientation
+    // dedup pass. Coefficient = 2·tri / deg·(deg−1): exact integers into
+    // one IEEE division — bit-identical cross-engine. Scale: the E⋈E
+    // two-path join is the only superlinear stage; on an LSH graph its
+    // size is Σ deg² of the candidate graph, which the e03 band-bucket
+    // economics already bound — the same reason e03b is feasible.
+    "e57_triangle_count" -> { (s, d) =>
+      val e = lshCandidates(s, d)
+        .select(col("d1").as("a"), col("d2").as("b")).persist()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val perNode = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      val deg = e.select(col("a").as("doc_id"))
+        .unionByName(e.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      deg.join(perNode, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("degree") >= 2,
+            (coalesce(col("n_tri"), lit(0L)) * 2).cast(DoubleType)
+              / (col("degree") * (col("degree") - 1)))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2245,6 +2279,43 @@ object Extensions {
          |$iters
          |SELECT node AS doc_id, CAST(pr AS BIGINT) AS pagerank_e12
          |FROM it5 ORDER BY doc_id""".stripMargin
+    },
+    "e57_triangle_count" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |e AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |    JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |pn AS (SELECT doc_id, count(*) AS n_tri FROM (
+         |         SELECT x AS doc_id FROM tri
+         |         UNION ALL SELECT y FROM tri
+         |         UNION ALL SELECT z FROM tri) GROUP BY doc_id),
+         |deg AS (SELECT doc_id, count(*) AS degree FROM (
+         |          SELECT a AS doc_id FROM e
+         |          UNION ALL SELECT b FROM e) GROUP BY doc_id)
+         |SELECT d.doc_id, d.degree, COALESCE(pn.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.degree >= 2
+         |    THEN (COALESCE(pn.n_tri, 0) * 2)::DOUBLE
+         |           / (d.degree * (d.degree - 1))
+         |    ELSE 0.0 END AS clustering
+         |FROM deg d LEFT JOIN pn ON pn.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     }
   )
 
