@@ -694,6 +694,30 @@ object Cdc {
           col("valid_from_pos").as("version_pos"), col("version_op"),
           col("dim_value"))
         .orderBy("user_id", "fact_pos")
+    },
+    // B18 op-legality audit — the CDC contract checker beside b12's gap
+    // monitor: a well-formed per-key op sequence is INSERT (UPDATE|...)*
+    // DELETE; anything else (INSERT on a live key, UPDATE/DELETE on a
+    // dead or never-born key) means lost or reordered events upstream.
+    // One lag window per key — the same single pk-shuffle class as the
+    // merge — rolled up to a per-violation-type summary with first/last
+    // offending positions for triage.
+    "b18_op_legality" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("pos"))
+      changelog(s, d)
+        .withColumn("prev_op", lag(col("op"), 1).over(w))
+        .withColumn("violation",
+          when(col("op") === "INSERT" && col("prev_op").isNotNull
+            && col("prev_op") =!= "DELETE", "insert_on_live")
+          .when(col("op") === "UPDATE" && (col("prev_op").isNull
+            || col("prev_op") === "DELETE"), "update_on_dead")
+          .when(col("op") === "DELETE" && (col("prev_op").isNull
+            || col("prev_op") === "DELETE"), "delete_on_dead"))
+        .filter(col("violation").isNotNull)
+        .groupBy(col("violation"))
+        .agg(count(lit(1)).as("n"), min(col("pos")).as("first_pos"),
+          max(col("pos")).as("last_pos"))
+        .orderBy("violation")
     }
   )
 
@@ -941,6 +965,25 @@ object Cdc {
          |  AND h.valid_from_pos <= f.fact_pos
          |  AND (h.valid_to_pos IS NULL OR f.fact_pos < h.valid_to_pos)
          |ORDER BY f.user_id, f.fact_pos""".stripMargin,
+    "b18_op_legality" ->
+      s"""WITH ch AS ($changelogSql),
+         |lg AS (SELECT op, pos,
+         |         lag(op) OVER (PARTITION BY user_id ORDER BY pos) AS prev_op
+         |       FROM ch),
+         |v AS (SELECT pos,
+         |        CASE
+         |          WHEN op = 'INSERT' AND prev_op IS NOT NULL
+         |            AND prev_op <> 'DELETE' THEN 'insert_on_live'
+         |          WHEN op = 'UPDATE' AND (prev_op IS NULL
+         |            OR prev_op = 'DELETE') THEN 'update_on_dead'
+         |          WHEN op = 'DELETE' AND (prev_op IS NULL
+         |            OR prev_op = 'DELETE') THEN 'delete_on_dead'
+         |        END AS violation
+         |      FROM lg)
+         |SELECT violation, COUNT(*) AS n, MIN(pos) AS first_pos,
+         |  MAX(pos) AS last_pos
+         |FROM v WHERE violation IS NOT NULL
+         |GROUP BY violation ORDER BY violation""".stripMargin,
     "b13_incremental_agg" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),

@@ -902,6 +902,44 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
         .orderBy("ship_month")
+    },
+    // C53 RFM segmentation — the classic customer-value quartile cube:
+    // recency (last purchase position), frequency (purchase count),
+    // monetary (exact decimal spend) scored 1–4 against GLOBAL quartile
+    // thresholds. The thresholds are one 9-value aggregate broadcast back
+    // over the users — never a global ntile window (which would funnel
+    // every user through one partition); scoring is map-side comparisons,
+    // then the segment rollup is an ordinary partial+final agg. Spark
+    // percentile() ≡ DuckDB quantile_cont() on identical doubles — the
+    // proven c30 pairing — and boolean-to-int scoring is exact.
+    "c53_rfm_segments" -> { (s, d) =>
+      val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      val rfm = p.groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("recency_pos"),
+          count(lit(1)).as("frequency"),
+          sum(dec(col("value"))).cast(DoubleType).as("monetary"))
+      val q = rfm.agg(
+        expr("percentile(recency_pos, 0.25)").as("r1"),
+        expr("percentile(recency_pos, 0.5)").as("r2"),
+        expr("percentile(recency_pos, 0.75)").as("r3"),
+        expr("percentile(frequency, 0.25)").as("f1"),
+        expr("percentile(frequency, 0.5)").as("f2"),
+        expr("percentile(frequency, 0.75)").as("f3"),
+        expr("percentile(monetary, 0.25)").as("m1"),
+        expr("percentile(monetary, 0.5)").as("m2"),
+        expr("percentile(monetary, 0.75)").as("m3"))
+      val score = (v: Column, t1: Column, t2: Column, t3: Column) =>
+        lit(1) + (v > t1).cast("int") + (v > t2).cast("int") +
+          (v > t3).cast("int")
+      rfm.crossJoin(broadcast(q))
+        .select(col("monetary"),
+          score(col("recency_pos"), col("r1"), col("r2"), col("r3")).as("r_score"),
+          score(col("frequency"), col("f1"), col("f2"), col("f3")).as("f_score"),
+          score(col("monetary"), col("m1"), col("m2"), col("m3")).as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(dec(col("monetary"))).cast(DoubleType).as("total_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
     }
   )
 
@@ -1363,6 +1401,37 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM li JOIN dim USING (ship_month)
-        |GROUP BY ship_month ORDER BY ship_month""".stripMargin
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+    "c53_rfm_segments" ->
+      """WITH p AS (SELECT user_id, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |rfm AS (SELECT user_id, max(event_id) AS recency_pos,
+        |          count(*) AS frequency,
+        |          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |        FROM p GROUP BY user_id),
+        |q AS (SELECT
+        |        quantile_cont(recency_pos, 0.25) AS r1,
+        |        quantile_cont(recency_pos, 0.5)  AS r2,
+        |        quantile_cont(recency_pos, 0.75) AS r3,
+        |        quantile_cont(frequency, 0.25) AS f1,
+        |        quantile_cont(frequency, 0.5)  AS f2,
+        |        quantile_cont(frequency, 0.75) AS f3,
+        |        quantile_cont(monetary, 0.25) AS m1,
+        |        quantile_cont(monetary, 0.5)  AS m2,
+        |        quantile_cont(monetary, 0.75) AS m3
+        |      FROM rfm),
+        |sc AS (SELECT monetary,
+        |         1 + (recency_pos > q.r1)::INT + (recency_pos > q.r2)::INT
+        |           + (recency_pos > q.r3)::INT AS r_score,
+        |         1 + (frequency > q.f1)::INT + (frequency > q.f2)::INT
+        |           + (frequency > q.f3)::INT AS f_score,
+        |         1 + (monetary > q.m1)::INT + (monetary > q.m2)::INT
+        |           + (monetary > q.m3)::INT AS m_score
+        |       FROM rfm CROSS JOIN q)
+        |SELECT r_score, f_score, m_score, count(*) AS n_users,
+        |  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_monetary
+        |FROM sc GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin
   )
 }
