@@ -1455,6 +1455,39 @@ object Extensions {
               / (col("degree") * (col("degree") - 1)))
             .otherwise(lit(0.0)).as("clustering"))
         .orderBy("doc_id")
+    },
+    // E1-eval — MEASURED precision/recall of the MinHash-LSH candidate
+    // generator against exact ground truth (dense unigram Jaccard ≥ 0.1
+    // on the same %10 sample the bands index): the honesty check every
+    // probabilistic dedup ships with — r=2 rows × b=4 bands has a known
+    // theoretical S-curve, this query reports what it actually did on
+    // this corpus. The quadratic truth join is the point: recall is
+    // evaluated on a bounded SAMPLE (here %10; at 100 TB a fixed-size
+    // audit slice), never the full corpus — the LSH path itself stays
+    // subquadratic. All counts exact integers; precision/recall are
+    // single IEEE divisions.
+    "e58_lsh_recall" -> { (s, d) =>
+      val sets = load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+        .persist()
+      val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
+      val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
+      val truth = a.join(b, col("d1") < col("d2"))
+        .withColumn("nc", size(array_intersect(col("tk1"), col("tk2"))))
+        .filter(col("nc").cast(DoubleType)
+          / (size(col("tk1")) + size(col("tk2")) - col("nc")) >= 0.1)
+        .select("d1", "d2")
+      val cand = lshCandidates(s, d)
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nC = cand.agg(count(lit(1)).as("n_cand"))
+      val nTp = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("tp"))
+      nT.crossJoin(nC).crossJoin(nTp)
+        .select(col("n_truth"), col("n_cand"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          (col("tp").cast(DoubleType) / col("n_cand")).as("precision"),
+          (col("tp").cast(DoubleType) / col("n_truth")).as("recall"))
     }
   )
 
@@ -2316,6 +2349,38 @@ object Extensions {
          |    ELSE 0.0 END AS clustering
          |FROM deg d LEFT JOIN pn ON pn.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+    "e58_lsh_recall" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+         |              FROM documents WHERE doc_id % 10 = 0),
+         |truth AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+         |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.1),
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |nt AS (SELECT count(*) AS n_truth FROM truth),
+         |ncd AS (SELECT count(*) AS n_cand FROM cand),
+         |ntp AS (SELECT count(*) AS tp FROM truth JOIN cand USING (d1, d2))
+         |SELECT n_truth, n_cand, tp, n_cand - tp AS fp, n_truth - tp AS fn,
+         |  tp::DOUBLE / n_cand AS precision, tp::DOUBLE / n_truth AS recall
+         |FROM nt CROSS JOIN ncd CROSS JOIN ntp""".stripMargin
     }
   )
 

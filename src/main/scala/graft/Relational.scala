@@ -940,6 +940,28 @@ object Relational {
         .agg(count(lit(1)).as("n_users"),
           sum(dec(col("monetary"))).cast(DoubleType).as("total_monetary"))
         .orderBy("r_score", "f_score", "m_score")
+    },
+    // C54 ratio-to-report — share of parent and share of grand total per
+    // (returnflag, linestatus) cell: the percent-of-total column every
+    // revenue report carries. The fact scan aggregates FIRST (partial+
+    // final, exact decimal sums); the share windows then run over the
+    // 9-row AGGREGATE, so the "global" window is a constant-size frame,
+    // never the fact table (the e53 rule: a windowless-partition window is
+    // fine only after the data is report-sized). Ratios are single IEEE
+    // divisions of identical exact-decimal-derived doubles.
+    "c54_share_of_total" -> { (s, d) =>
+      val g = load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+      val wf = Window.partitionBy(col("l_returnflag"))
+      val wg = Window.partitionBy()
+      g.select(col("l_returnflag"), col("l_linestatus"),
+          col("rev").cast(DoubleType).as("revenue"),
+          (col("rev").cast(DoubleType)
+            / sum(col("rev")).over(wf).cast(DoubleType)).as("share_of_flag"),
+          (col("rev").cast(DoubleType)
+            / sum(col("rev")).over(wg).cast(DoubleType)).as("share_of_total"))
+        .orderBy("l_returnflag", "l_linestatus")
     }
   )
 
@@ -1432,6 +1454,15 @@ object Relational {
         |  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_monetary
         |FROM sc GROUP BY r_score, f_score, m_score
-        |ORDER BY r_score, f_score, m_score""".stripMargin
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+    "c54_share_of_total" ->
+      """WITH g AS (SELECT l_returnflag, l_linestatus,
+        |             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |           FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, rev::DOUBLE AS revenue,
+        |  rev::DOUBLE / (SUM(rev) OVER (PARTITION BY l_returnflag))::DOUBLE
+        |    AS share_of_flag,
+        |  rev::DOUBLE / (SUM(rev) OVER ())::DOUBLE AS share_of_total
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }
