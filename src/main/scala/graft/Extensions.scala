@@ -1379,6 +1379,10 @@ object Extensions {
       val s1 = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
       val s2 = base.select(col("doc_id").as("d2"), col("bg").as("bg2"))
       cand.join(s1, "d1").join(s2, "d2")
+        // lossless length filter: J ≥ 0.5 forces 2·min(|x|,|y|) ≥ max —
+        // mismatched-size candidates drop before the O(|set|) intersect
+        .filter(size(col("bg1")) * 2 >= size(col("bg2")) &&
+          size(col("bg2")) * 2 >= size(col("bg1")))
         .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
         .withColumn("jaccard", col("n_common").cast(DoubleType)
           / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
@@ -1488,6 +1492,22 @@ object Extensions {
           (col("n_truth") - col("tp")).as("fn"),
           (col("tp").cast(DoubleType) / col("n_cand")).as("precision"),
           (col("tp").cast(DoubleType) / col("n_truth")).as("recall"))
+    },
+    // E1-report — near-dup cluster size distribution: how much of the
+    // corpus sits in 2-doc pairs vs giant boilerplate families. The
+    // capacity question a dedup rollout answers first ("removing dups
+    // saves how much?") — two cheap aggregates over the e21 component
+    // labels: label → cluster size, then size → (n_clusters, docs
+    // removable = (size−1)·n). Scale cost is the components fixpoint,
+    // already amortized; this report adds two |clusters|-sized shuffles.
+    "e59_cluster_sizes" -> { (s, d) =>
+      lshComponents(s, d)
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removable"))
+        .orderBy("cluster_size")
     }
   )
 
@@ -1835,6 +1855,36 @@ object Extensions {
          |SELECT node AS doc_id, MIN(label) AS comp_id,
          |  (node = MIN(label)) AS is_canonical
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    },
+    "e59_cluster_sizes" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM sig
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+         |cs AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  (cluster_size - 1) * COUNT(*) AS docs_removable
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
     },
     "e25_dedup_corpus" -> {
       val hs = String.format(tokenHashSql, "t")

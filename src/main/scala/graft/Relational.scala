@@ -962,6 +962,36 @@ object Relational {
           (col("rev").cast(DoubleType)
             / sum(col("rev")).over(wg).cast(DoubleType)).as("share_of_total"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+    // C55 market-basket affinity — pairwise co-occurrence lift over the
+    // order/part bipartite set: lift(a,b) = P(ab)/(P(a)P(b)) =
+    // n_ab·N / (n_a·n_b), the association-rule screen. The pair join is
+    // WITHIN-order (cost Σ items-per-order², bounded by basket size, never
+    // parts²); supports broadcast back onto the surviving pairs (at 100 TB
+    // the support table shuffle-joins on the part key instead — same
+    // plan minus the broadcast). Exact integer counts into one IEEE
+    // division; top-25 by lift via TakeOrderedAndProject with a total
+    // deterministic tie-break.
+    "c55_basket_lift" -> { (s, d) =>
+      val op = load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
+      val n = op.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val sup = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+      val a = op.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = op.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .join(broadcast(sup.select(col("l_partkey").as("p1"),
+          col("n_p").as("n_a"))), "p1")
+        .join(broadcast(sup.select(col("l_partkey").as("p2"),
+          col("n_p").as("n_b"))), "p2")
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("n_orders")).cast(DoubleType)
+            / (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy(col("lift").desc, col("p1"), col("p2")).limit(25)
     }
   )
 
@@ -1463,6 +1493,20 @@ object Relational {
         |  rev::DOUBLE / (SUM(rev) OVER (PARTITION BY l_returnflag))::DOUBLE
         |    AS share_of_flag,
         |  rev::DOUBLE / (SUM(rev) OVER ())::DOUBLE AS share_of_total
-        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "c55_basket_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+        |sup AS (SELECT l_partkey, count(*) AS n_p FROM op GROUP BY l_partkey),
+        |co AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab
+        |       FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |         AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT co.p1, co.p2, co.n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+        |  (co.n_ab * n.n_orders)::DOUBLE / (sa.n_p * sb.n_p) AS lift
+        |FROM co JOIN sup sa ON sa.l_partkey = co.p1
+        |        JOIN sup sb ON sb.l_partkey = co.p2
+        |        CROSS JOIN n
+        |ORDER BY lift DESC, p1, p2 LIMIT 25""".stripMargin
   )
 }
