@@ -38,7 +38,8 @@ object Bench {
     "e21_dedup_components", "e25_dedup_corpus", "e39_dup_spans",
     "e41_bigram_lm", "e42_dup_coverage", "c47_band_join",
     "b16_consistent_cut", "e47_fuzzy_pairs", "e48_semantic_dedup",
-    "e50_tfidf_cosine", "c52_dpp_join", "e54_dq_audit", "e55_jaccard_prefix")
+    "e50_tfidf_cosine", "c52_dpp_join", "e54_dq_audit", "e55_jaccard_prefix",
+    "e56_pagerank", "e57_triangle_count", "e58_lsh_recall", "c55_basket_lift")
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 

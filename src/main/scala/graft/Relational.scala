@@ -992,6 +992,36 @@ object Relational {
           ((col("n_ab") * col("n_orders")).cast(DoubleType)
             / (col("n_a") * col("n_b"))).as("lift"))
         .orderBy(col("lift").desc, col("p1"), col("p2")).limit(25)
+    },
+    // C56 three-step strict-order funnel — signup → first subsequent view
+    // → first subsequent purchase (c49's two-step chained once more): each
+    // stage is a conditional-min aggregate over a per-user left join, so
+    // order is enforced by comparison, not by sorting events. Same scale
+    // class as c49: every stage is one pk-keyed join + agg (merge-class
+    // shuffles); time math stays in exact integer micros until the single
+    // rounded division at the end.
+    "c56_funnel3" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("us", expr("ts_ns div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+      val vw = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v"))
+      val fv = sg.join(vw, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("s_us"))
+        .agg(min(when(col("v") >= col("s_us"), col("v"))).as("v_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p"))
+      val fp = fv.join(pu, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("s_us"), col("v_us"))
+        .agg(min(when(col("p") >= col("v_us"), col("p"))).as("p_us"))
+      fp.groupBy((col("user_id") % 4).as("cohort"))
+        .agg(count(lit(1)).as("n_signup"),
+          count(col("v_us")).as("n_viewed"),
+          count(col("p_us")).as("n_converted"),
+          round(sum(when(col("p_us").isNotNull, col("p_us") - col("s_us")))
+            .cast(DoubleType) / count(col("p_us")) / 1000000, 6)
+            .as("avg_conv_sec"))
+        .orderBy("cohort")
     }
   )
 
@@ -1507,6 +1537,27 @@ object Relational {
         |FROM co JOIN sup sa ON sa.l_partkey = co.p1
         |        JOIN sup sb ON sb.l_partkey = co.p2
         |        CROSS JOIN n
-        |ORDER BY lift DESC, p1, p2 LIMIT 25""".stripMargin
+        |ORDER BY lift DESC, p1, p2 LIMIT 25""".stripMargin,
+    "c56_funnel3" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |sg AS (SELECT user_id, min(us) AS s_us FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |fv AS (SELECT sg.user_id, sg.s_us,
+        |         min(CASE WHEN v.us >= sg.s_us THEN v.us END) AS v_us
+        |       FROM sg LEFT JOIN (SELECT user_id, us FROM ev
+        |                          WHERE event_type = 'view') v
+        |         ON v.user_id = sg.user_id
+        |       GROUP BY sg.user_id, sg.s_us),
+        |fp AS (SELECT fv.user_id, fv.s_us, fv.v_us,
+        |         min(CASE WHEN p.us >= fv.v_us THEN p.us END) AS p_us
+        |       FROM fv LEFT JOIN (SELECT user_id, us FROM ev
+        |                          WHERE event_type = 'purchase') p
+        |         ON p.user_id = fv.user_id
+        |       GROUP BY fv.user_id, fv.s_us, fv.v_us)
+        |SELECT user_id % 4 AS cohort, count(*) AS n_signup,
+        |  count(v_us) AS n_viewed, count(p_us) AS n_converted,
+        |  round(sum(CASE WHEN p_us IS NOT NULL THEN p_us - s_us END)::DOUBLE
+        |    / count(p_us) / 1000000, 6) AS avg_conv_sec
+        |FROM fp GROUP BY user_id % 4 ORDER BY cohort""".stripMargin
   )
 }
