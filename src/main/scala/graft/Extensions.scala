@@ -1508,6 +1508,55 @@ object Extensions {
         .select(col("cluster_size"), col("n_clusters"),
           ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removable"))
         .orderBy("cluster_size")
+    },
+    // E-sketch — Bloom-filter join prefilter with a measured FP audit:
+    // the deny-list membership structure beside the KMV cardinality and
+    // MinHash similarity sketches. m=1024 bits as 32×32-bit words (shifts
+    // stay ≤31 — a 1<<63 is signed-overflow UB in some engines), k=2
+    // md5-derived positions per key — set-bit words build with bit_or
+    // (one |keys|-sized agg), membership is (bloom & mask) == mask on
+    // both positions; the deny set is the %7 slice of error users so the
+    // filter has something real to discriminate. Everything is integer bit math from the shared md5 hash,
+    // so the filter — including its FALSE POSITIVES — is bit-identical
+    // on any engine: the oracle checks the sketch itself, not just the
+    // final set. At 100 TB the 16-word table broadcasts for free and the
+    // probe never shuffles (the same economics Spark's own runtime bloom
+    // uses, here made explicit and auditable).
+    "e60_bloom_prefilter" -> { (s, d) =>
+      val M = 1024L
+      val pos = (c: Column, salt: String) =>
+        pmod(tokenHash(concat(lit(salt), c.cast(StringType))), lit(M))
+      val ev = Tables.events(s, d)
+      val bad = ev.filter(col("event_type") === "error" &&
+          col("user_id") % 7 === 0)
+        .select(col("user_id")).distinct()
+      val bits = bad
+        .select(explode(array(pos(col("user_id"), "a"),
+          pos(col("user_id"), "b"))).as("p"))
+        .select(expr("p div 32").as("w"),
+          expr("shiftleft(1L, cast(p % 32 as int))").as("m"))
+        .groupBy(col("w")).agg(expr("bit_or(m)").as("bloom"))
+      val cand = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val hit = cand
+        .select(col("user_id"), explode(array(pos(col("user_id"), "a"),
+          pos(col("user_id"), "b"))).as("p"))
+        .select(col("user_id"), expr("p div 32").as("w"),
+          expr("shiftleft(1L, cast(p % 32 as int))").as("m"))
+        .join(broadcast(bits), Seq("w"), "left")
+        .withColumn("ok", col("bloom").isNotNull &&
+          expr("bloom & m") === col("m"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ok").cast("int")).as("allok"))
+        .filter(col("allok") === 1).select("user_id")
+      val nC = cand.agg(count(lit(1)).as("n_candidates"))
+      val nP = hit.agg(count(lit(1)).as("n_pass"))
+      val nT = hit.join(bad, "user_id").agg(count(lit(1)).as("n_true"))
+      nC.crossJoin(nP).crossJoin(nT)
+        .select(col("n_candidates"), col("n_pass"), col("n_true"),
+          (col("n_pass") - col("n_true")).as("n_fp"),
+          ((col("n_pass") - col("n_true")).cast(DoubleType)
+            / col("n_candidates")).as("fp_rate"))
     }
   )
 
@@ -1885,6 +1934,34 @@ object Extensions {
          |SELECT cluster_size, COUNT(*) AS n_clusters,
          |  (cluster_size - 1) * COUNT(*) AS docs_removable
          |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+    },
+    "e60_bloom_prefilter" -> {
+      val ha = String.format(tokenHashSql, "concat('a', CAST(user_id AS VARCHAR))")
+      val hb = String.format(tokenHashSql, "concat('b', CAST(user_id AS VARCHAR))")
+      s"""WITH bad AS (SELECT DISTINCT user_id FROM events
+         |             WHERE event_type = 'error' AND user_id % 7 = 0),
+         |bp AS (SELECT $ha % 1024 AS p FROM bad
+         |       UNION ALL SELECT $hb % 1024 FROM bad),
+         |bits AS (SELECT p // 32 AS w,
+         |           bit_or(1::BIGINT << (p % 32)::INT) AS bloom
+         |         FROM bp GROUP BY p // 32),
+         |cand AS (SELECT DISTINCT user_id FROM events
+         |         WHERE event_type = 'purchase'),
+         |cp AS (SELECT user_id, $ha % 1024 AS p FROM cand
+         |       UNION ALL SELECT user_id, $hb % 1024 FROM cand),
+         |probe AS (SELECT cp.user_id,
+         |            (bits.bloom IS NOT NULL
+         |             AND (bits.bloom & (1::BIGINT << (cp.p % 32)::INT))
+         |                 = (1::BIGINT << (cp.p % 32)::INT))::INT AS ok
+         |          FROM cp LEFT JOIN bits ON bits.w = cp.p // 32),
+         |hit AS (SELECT user_id FROM probe GROUP BY user_id
+         |        HAVING min(ok) = 1),
+         |nc AS (SELECT count(*) AS n_candidates FROM cand),
+         |np AS (SELECT count(*) AS n_pass FROM hit),
+         |nt AS (SELECT count(*) AS n_true FROM hit JOIN bad USING (user_id))
+         |SELECT n_candidates, n_pass, n_true, n_pass - n_true AS n_fp,
+         |  (n_pass - n_true)::DOUBLE / n_candidates AS fp_rate
+         |FROM nc CROSS JOIN np CROSS JOIN nt""".stripMargin
     },
     "e25_dedup_corpus" -> {
       val hs = String.format(tokenHashSql, "t")
