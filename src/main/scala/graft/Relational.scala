@@ -1022,6 +1022,31 @@ object Relational {
             .cast(DoubleType) / count(col("p_us")) / 1000000, 6)
             .as("avg_conv_sec"))
         .orderBy("cohort")
+    },
+    // C57 top user journeys — gap-sessionized (30 min) event paths ranked
+    // by frequency: the "what do users actually do" path-mining report.
+    // Sessionization is the d5-style lag-gap cumulative sum (one window
+    // per user); the path string is a partitioning-invariant ordered
+    // LISTAGG (the c41 recipe: collect structs, sort_array, then join —
+    // never relying on collect_list arrival order); the final top-10 is a
+    // TakeOrderedAndProject heap over |distinct paths|, with a total
+    // deterministic tie-break.
+    "c57_top_paths" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val gapNs = 1800000000000L // 30 min
+      val ev = Tables.events(s, d)
+        .withColumn("prev", lag(col("ts_ns"), 1).over(w))
+        .withColumn("new_s", (col("prev").isNull
+          || col("ts_ns") - col("prev") > gapNs).cast("int"))
+        .withColumn("sess", sum(col("new_s")).over(w))
+      val paths = ev.groupBy(col("user_id"), col("sess"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts_ns"), col("event_id"),
+            col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(10)
     }
   )
 
@@ -1558,6 +1583,20 @@ object Relational {
         |  count(v_us) AS n_viewed, count(p_us) AS n_converted,
         |  round(sum(CASE WHEN p_us IS NOT NULL THEN p_us - s_us END)::DOUBLE
         |    / count(p_us) / 1000000, 6) AS avg_conv_sec
-        |FROM fp GROUP BY user_id % 4 ORDER BY cohort""".stripMargin
+        |FROM fp GROUP BY user_id % 4 ORDER BY cohort""".stripMargin,
+    "c57_top_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |              event_type FROM events),
+        |l AS (SELECT *, lag(ts_ns) OVER (PARTITION BY user_id
+        |        ORDER BY ts_ns, event_id) AS prev FROM ev),
+        |s AS (SELECT *, SUM(CASE WHEN prev IS NULL
+        |          OR ts_ns - prev > 1800000000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS sess
+        |      FROM l),
+        |p AS (SELECT user_id, sess,
+        |        string_agg(event_type, '>' ORDER BY ts_ns, event_id) AS path
+        |      FROM s GROUP BY user_id, sess)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
   )
 }
