@@ -452,6 +452,32 @@ object Similarity {
             .as("approx_dot"))
         .orderBy(col("qdot").desc, col("vec_id").asc)
         .limit(10)
+    },
+    // E2-audit — embedding-space density outliers: each point's 3rd-
+    // nearest-neighbor cosine within its label block; the 15 most
+    // isolated points (lowest kNN similarity) are the mislabeled/garbage
+    // vector candidates every embedding pipeline reviews. Same audit-
+    // slice economics as e58: the pairwise pass runs on the %10 sample
+    // (label-blocked, never all-pairs corpus-wide); per-point top-3 is a
+    // WindowGroupLimit heap keyed by the point. Cosines come from the
+    // fused graft_cosine expression — bit-identical cross-engine, so no
+    // rounding is needed anywhere.
+    "e61_knn_outliers" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val sm = load(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+      val a = sm.select(col("vec_id").as("v1"), col("label"),
+        col("embedding").as("e1"))
+      val b = sm.select(col("vec_id").as("v2"), col("label").as("label2"),
+        col("embedding").as("e2"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v1")).orderBy(col("cs").desc, col("v2"))
+      a.join(b, col("label") === col("label2") && col("v1") =!= col("v2"))
+        .select(col("v1"), col("label"), col("v2"),
+          cosine(col("e1"), col("e2")).as("cs"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 3)
+        .select(col("v1").as("vec_id"), col("label"), col("cs").as("knn3_cos"))
+        .orderBy(col("knn3_cos").asc, col("vec_id")).limit(15)
     }
   )
 
@@ -608,6 +634,17 @@ object Similarity {
          |  ($qdotSql)::DOUBLE * (scale / 127) * (pscale / 127) AS approx_dot
          |FROM qv, probe WHERE vec_id <> 0
          |ORDER BY qdot DESC, vec_id ASC LIMIT 10""".stripMargin
-    }
+    },
+    "e61_knn_outliers" ->
+      s"""WITH sm AS (SELECT vec_id, label, embedding FROM embeddings
+         |            WHERE vec_id % 10 = 0),
+         |p AS (SELECT a.vec_id AS v1, a.label, b.vec_id AS v2,
+         |        ${cosSql("a.embedding", "b.embedding")} AS cs
+         |      FROM sm a JOIN sm b
+         |        ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
+         |        ORDER BY cs DESC, v2) AS rn FROM p)
+         |SELECT v1 AS vec_id, label, cs AS knn3_cos FROM r WHERE rn = 3
+         |ORDER BY knn3_cos ASC, vec_id LIMIT 15""".stripMargin
   )
 }

@@ -193,6 +193,29 @@ object StreamingOps {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
         .orderBy("c_mktsegment")
+    },
+    // D12 watermark lateness audit, batch twin — how much data a 10-min
+    // watermark WOULD drop, measured per source partition (user_id%8
+    // stands in for the Kafka partition; real watermarks advance per
+    // partition and the global watermark is their min — exactly this
+    // dataflow). Per partition: running max event time in arrival order
+    // (event_id), a row is late when it trails that max by > 10 min. One
+    // window per source partition — arrival order is only ever needed
+    // WITHIN a partition, so nothing global is sorted.
+    "d12_late_audit" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("src_part")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lateUs = 600000000L // 10 min; micros = the shared exact domain
+      Tables.events(s, d)
+        .select(pmod(col("user_id"), lit(8L)).as("src_part"),
+          col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+        .withColumn("run_max", max(col("ts_us")).over(w))
+        .withColumn("late", (col("ts_us") < col("run_max") - lateUs).cast("int"))
+        .groupBy(col("src_part"))
+        .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+          max(col("ts_us")).as("max_ts_us"))
+        .orderBy("src_part")
     }
   )
 
@@ -275,6 +298,18 @@ object StreamingOps {
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "d12_late_audit" ->
+      """WITH ev AS (SELECT user_id % 8 AS src_part, event_id,
+        |              epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT *, MAX(ts_us) OVER (PARTITION BY src_part
+        |        ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        |      FROM ev)
+        |SELECT src_part, COUNT(*) AS n_events,
+        |  SUM(CASE WHEN ts_us < run_max - 600000000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_late,
+        |  MAX(ts_us) AS max_ts_us
+        |FROM r GROUP BY src_part ORDER BY src_part""".stripMargin
   )
 }
