@@ -718,6 +718,28 @@ object Cdc {
         .agg(count(lit(1)).as("n"), min(col("pos")).as("first_pos"),
           max(col("pos")).as("last_pos"))
         .orderBy("violation")
+    },
+    // B19 version retention — changelog compaction keeping the last K=2
+    // versions per key (the storage policy behind b10's two-version time
+    // travel: anything older can never be read again and is reclaimable).
+    // One row_number window per key (merge-class shuffle); the report
+    // proves the policy: per op-of-retained-version counts plus how many
+    // rows compaction drops.
+    "b19_version_retention" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("pos").desc)
+      val ranked = changelog(s, d)
+        .withColumn("rn", row_number().over(w))
+      val kept = ranked.filter(col("rn") <= 2)
+      val total = ranked.agg(count(lit(1)).as("n_total"))
+      kept.groupBy(col("op"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_kept_value"))
+        .crossJoin(broadcast(total))
+        .withColumn("n_dropped_total",
+          col("n_total") - sum(col("n_kept")).over(Window.partitionBy()))
+        .select(col("op"), col("n_kept"), col("sum_kept_value"),
+          col("n_dropped_total"))
+        .orderBy("op")
     }
   )
 
@@ -984,6 +1006,19 @@ object Cdc {
          |  MAX(pos) AS last_pos
          |FROM v WHERE violation IS NOT NULL
          |GROUP BY violation ORDER BY violation""".stripMargin,
+    "b19_version_retention" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY pos DESC) AS rn FROM ch),
+         |kept AS (SELECT * FROM r WHERE rn <= 2),
+         |tot AS (SELECT count(*) AS n_total FROM r),
+         |g AS (SELECT op, count(*) AS n_kept,
+         |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |          AS sum_kept_value
+         |      FROM kept GROUP BY op)
+         |SELECT op, n_kept, sum_kept_value,
+         |  (n_total - SUM(n_kept) OVER ())::BIGINT AS n_dropped_total
+         |FROM g CROSS JOIN tot ORDER BY op""".stripMargin,
     "b13_incremental_agg" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),

@@ -1557,6 +1557,26 @@ object Extensions {
           (col("n_pass") - col("n_true")).as("n_fp"),
           ((col("n_pass") - col("n_true")).cast(DoubleType)
             / col("n_candidates")).as("fp_rate"))
+    },
+    // E4/data-mixture — temperature-reweighted language shares (α = 0.5):
+    // the standard multilingual rebalancing (raw token share p_i flattened
+    // to p_i^α / Σ p_j^α) that upsamples tail languages. Exactness: sqrt
+    // is one IEEE op on an exact integer count; each sqrt is cast to
+    // DECIMAL(28,9) (deterministic round) so the NORMALIZING SUM is exact
+    // decimal addition — order-free — and the final share divides once.
+    // One aggregate over the corpus; the share table is #langs rows.
+    "e62_temperature_mix" -> { (s, d) =>
+      val perLang = load(s, d, "documents")
+        .select(col("lang"), size(toks(col("text"))).as("n"))
+        .groupBy(col("lang")).agg(sum(col("n")).as("n_tokens"))
+        .withColumn("w", sqrt(col("n_tokens").cast(DoubleType))
+          .cast(DecimalType(28, 9)))
+      val z = perLang.agg(sum(col("w")).as("z"))
+      perLang.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_tokens"),
+          (col("w").cast(DoubleType) / col("z").cast(DoubleType))
+            .as("temp_share"))
+        .orderBy("lang")
     }
   )
 
@@ -1963,6 +1983,16 @@ object Extensions {
          |  (n_pass - n_true)::DOUBLE / n_candidates AS fp_rate
          |FROM nc CROSS JOIN np CROSS JOIN nt""".stripMargin
     },
+    "e62_temperature_mix" ->
+      """WITH pl AS (SELECT lang,
+        |              SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |            FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_tokens,
+        |        CAST(sqrt(n_tokens::DOUBLE) AS DECIMAL(28,9)) AS w
+        |      FROM pl),
+        |z AS (SELECT SUM(w) AS z FROM w)
+        |SELECT lang, n_tokens, w::DOUBLE / z::DOUBLE AS temp_share
+        |FROM w CROSS JOIN z ORDER BY lang""".stripMargin,
     "e25_dedup_corpus" -> {
       val hs = String.format(tokenHashSql, "t")
       val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
