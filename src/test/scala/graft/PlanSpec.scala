@@ -132,6 +132,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan"), p.take(2000))
   }
 
+  test("c55 basket lift: support joins broadcast, top-25 is a heap not a sort") {
+    val p = finalPlan(q("c55_basket_lift"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("c57 top paths: sessionized path mining never goes cartesian") {
+    val p = finalPlan(q("c57_top_paths"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("c52 fact scan is dynamically pruned by the dim-side year filter") {
     val p = finalPlan(q("c52_dpp_join"))
     // no static filter exists on the fact — the partition cut arrives at
