@@ -1577,6 +1577,64 @@ object Extensions {
           (col("w").cast(DoubleType) / col("z").cast(DoubleType))
             .as("temp_share"))
         .orderBy("lang")
+    },
+    // E1-eval — LSH banding calibration sweep: the e58 audit run for BOTH
+    // practical 8-signature bandings (r=2×b=4: high recall, and r=4×b=2:
+    // high precision) against the same exact ground truth, side by side —
+    // the table an engineer reads before picking banding for a corpus.
+    // The r=4 bucket combines 4 signatures via the md5 hash of their
+    // joined string (a 4-way product would overflow BIGINT); everything
+    // else is the shared sig machinery. Output: one row per config with
+    // exact counts and single-division precision/recall.
+    "e63_lsh_sweep" -> { (s, d) =>
+      val docs = load(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      val sets = docs
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+        .persist()
+      val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
+      val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
+      val truth = a.join(b, col("d1") < col("d2"))
+        .withColumn("nc", size(array_intersect(col("tk1"), col("tk2"))))
+        .filter(col("nc").cast(DoubleType)
+          / (size(col("tk1")) + size(col("tk2")) - col("nc")) >= 0.1)
+        .select("d1", "d2").persist()
+      val tok = docs
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+        .withColumn("h", tokenHash(col("t")))
+      val sigs = A.zip(B).zipWithIndex.map { case ((aa, bb), i) =>
+        min((col("h") * aa + bb) % P).as(s"sig$i")
+      }
+      val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*).persist()
+      def candidates(bands: Seq[Column]): DataFrame = {
+        val bd = sig.select(col("doc_id"), explode(array(
+          bands.zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("band"), c.as("bucket")) }: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bucket").as("bucket"))
+        bd.as("x").join(bd.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+      }
+      val r2b4 = candidates((0 until 4).map(j =>
+        col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")))
+      val r4b2 = candidates((0 until 2).map(j =>
+        tokenHash(concat_ws(",",
+          (0 until 4).map(i => col(s"sig${4 * j + i}").cast(StringType)): _*))))
+      def audit(cfg: String, cand: DataFrame): DataFrame = {
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        val nC = cand.agg(count(lit(1)).as("n_cand"))
+        val nTp = truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("tp"))
+        nT.crossJoin(nC).crossJoin(nTp)
+          .select(lit(cfg).as("config"), col("n_truth"), col("n_cand"),
+            col("tp"),
+            (col("tp").cast(DoubleType) / col("n_cand")).as("precision"),
+            (col("tp").cast(DoubleType) / col("n_truth")).as("recall"))
+      }
+      audit("r2xb4", r2b4).unionByName(audit("r4xb2", r4b2))
+        .orderBy("config")
     }
   )
 
@@ -1993,6 +2051,54 @@ object Extensions {
         |z AS (SELECT SUM(w) AS z FROM w)
         |SELECT lang, n_tokens, w::DOUBLE / z::DOUBLE AS temp_share
         |FROM w CROSS JOIN z ORDER BY lang""".stripMargin,
+    "e63_lsh_sweep" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      def h4(j: Int) = String.format(tokenHashSql,
+        (0 until 4).map(i => s"sig${4 * j + i}::VARCHAR")
+          .mkString("concat_ws(',', ", ", ", ")"))
+      s"""WITH sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+         |              FROM documents WHERE doc_id % 10 = 0),
+         |truth AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+         |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.1),
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |b1 AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand1 AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM b1 x JOIN b1 y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |b2 AS (
+         |  SELECT doc_id, 0 AS band, ${h4(0)} AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, ${h4(1)} FROM sig),
+         |cand2 AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM b2 x JOIN b2 y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |a1 AS (SELECT 'r2xb4' AS config,
+         |        (SELECT count(*) FROM truth) AS n_truth,
+         |        (SELECT count(*) FROM cand1) AS n_cand,
+         |        (SELECT count(*) FROM truth JOIN cand1 USING (d1, d2)) AS tp),
+         |a2 AS (SELECT 'r4xb2' AS config,
+         |        (SELECT count(*) FROM truth) AS n_truth,
+         |        (SELECT count(*) FROM cand2) AS n_cand,
+         |        (SELECT count(*) FROM truth JOIN cand2 USING (d1, d2)) AS tp)
+         |SELECT config, n_truth, n_cand, tp,
+         |  tp::DOUBLE / n_cand AS precision, tp::DOUBLE / n_truth AS recall
+         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+         |ORDER BY config""".stripMargin
+    },
     "e25_dedup_corpus" -> {
       val hs = String.format(tokenHashSql, "t")
       val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>

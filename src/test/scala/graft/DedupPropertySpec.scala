@@ -85,4 +85,19 @@ class DedupPropertySpec extends SparkSpecBase {
       .agg(avg(col("err"))).head().getDouble(0)
     assert(err < 0.2, s"mean |estimate - jaccard| = $err")
   }
+
+  test("e56 fixed-point PageRank conserves rank mass and respects the teleport floor") {
+    val rows = SparkEntry.queries("e56_pagerank")(spark, sfDir).collect()
+    val SCALE = 1000000000000L
+    val n = rows.length
+    assert(n > 0)
+    val total = rows.map(_.getLong(1)).sum
+    // floor division can only LOSE mass, and per iteration loses at most
+    // ~1 unit per contribution — negligible against the 1e12 scale
+    assert(total <= SCALE, s"rank mass grew: $total > $SCALE")
+    assert(total >= (SCALE / 10) * 9, s"rank mass leaked: $total of $SCALE")
+    // every node keeps at least the damped teleport share
+    val base = 15L * SCALE / (100L * n)
+    assert(rows.forall(_.getLong(1) >= base), "rank below the teleport floor")
+  }
 }
