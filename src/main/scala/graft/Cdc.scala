@@ -117,8 +117,9 @@ object Cdc {
         col("valid_to_pos").isNull && col("op") =!= "DELETE")
   }
 
-  /** Deterministic per-query scratch dir (A3/A6/A7 write-then-read). */
-  private def scratch(name: String, dir: String): String = {
+  /** Deterministic per-query scratch dir (A3/A6/A7 write-then-read;
+    * shared with Relational's c52 partitioned layout). */
+  private[graft] def scratch(name: String, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft_$tag/$name"
   }

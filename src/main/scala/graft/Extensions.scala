@@ -37,14 +37,20 @@ object Extensions {
     * band, bucket) row per band. The shared signature pipeline of the
     * e02/e03 queries and the incremental [[graft.streaming.LshIndex]] —
     * docs sharing any (band, bucket) are near-dup candidates. */
-  def minhashBands(docs: DataFrame): DataFrame = {
+  /** k=8 MinHash signature columns (sig0..sig7) per doc — the shared
+    * signature pass under minhashBands, lshComponents, and e63's sweep. */
+  def minhashSigs(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
       .withColumn("h", tokenHash(col("t")))
     val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"sig$i")
     }
-    val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+    tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
+  }
+
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sig = minhashSigs(docs)
     sig.select(col("doc_id"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("band"),
         (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
@@ -68,6 +74,24 @@ object Extensions {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Exact near-dup ground truth (dense unigram Jaccard ≥ 0.1 over the
+    * %10 audit sample) — shared by the e58/e63 evaluation queries. The
+    * quadratic join is the point: truth is only ever computed on the
+    * bounded audit slice. Persisted: both evaluators read it repeatedly. */
+  private def sampledTruthPairs(s: SparkSession, d: String): DataFrame = {
+    val sets = load(s, d, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      .persist()
+    val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
+    val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("nc", size(array_intersect(col("tk1"), col("tk2"))))
+      .filter(col("nc").cast(DoubleType)
+        / (size(col("tk1")) + size(col("tk2")) - col("nc")) >= 0.1)
+      .select("d1", "d2")
+  }
+
   /** Shared by e21/e25: min-label components of the LSH candidate graph
     * over the doc_id%10 sample — returns (node, label) with label = the
     * component's minimum doc_id. Driver loop is control-plane only (one
@@ -75,17 +99,11 @@ object Extensions {
     * scalar action per round detects the fixpoint). The O(log n) large-star/
     * small-star variant lives in operators/ConnectedComponents. */
   private def lshComponents(s: SparkSession, d: String): DataFrame = {
-    val tok = load(s, d, "documents")
-      .filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
-      .withColumn("h", tokenHash(col("t")))
-    val sigs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"sig$i")
-    }
     // persisted: the signature agg (tokenize + explode + groupBy) feeds
     // three branches — both edge sides and the initial labels — and would
     // otherwise recompute per branch
-    val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*).persist()
+    val sig = minhashSigs(load(s, d, "documents")
+      .filter(col("doc_id") % 10 === 0)).persist()
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("band"),
         (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
@@ -1471,17 +1489,7 @@ object Extensions {
     // subquadratic. All counts exact integers; precision/recall are
     // single IEEE divisions.
     "e58_lsh_recall" -> { (s, d) =>
-      val sets = load(s, d, "documents")
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
-        .persist()
-      val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
-      val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
-      val truth = a.join(b, col("d1") < col("d2"))
-        .withColumn("nc", size(array_intersect(col("tk1"), col("tk2"))))
-        .filter(col("nc").cast(DoubleType)
-          / (size(col("tk1")) + size(col("tk2")) - col("nc")) >= 0.1)
-        .select("d1", "d2")
+      val truth = sampledTruthPairs(s, d)
       val cand = lshCandidates(s, d)
       val nT = truth.agg(count(lit(1)).as("n_truth"))
       val nC = cand.agg(count(lit(1)).as("n_cand"))
@@ -1519,7 +1527,7 @@ object Extensions {
     // filter has something real to discriminate. Everything is integer bit math from the shared md5 hash,
     // so the filter — including its FALSE POSITIVES — is bit-identical
     // on any engine: the oracle checks the sketch itself, not just the
-    // final set. At 100 TB the 16-word table broadcasts for free and the
+    // final set. At 100 TB the 32-word table broadcasts for free and the
     // probe never shuffles (the same economics Spark's own runtime bloom
     // uses, here made explicit and auditable).
     "e60_bloom_prefilter" -> { (s, d) =>
@@ -1587,42 +1595,26 @@ object Extensions {
     // else is the shared sig machinery. Output: one row per config with
     // exact counts and single-division precision/recall.
     "e63_lsh_sweep" -> { (s, d) =>
-      val docs = load(s, d, "documents").filter(col("doc_id") % 10 === 0)
-      val sets = docs
-        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
-        .persist()
-      val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
-      val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
-      val truth = a.join(b, col("d1") < col("d2"))
-        .withColumn("nc", size(array_intersect(col("tk1"), col("tk2"))))
-        .filter(col("nc").cast(DoubleType)
-          / (size(col("tk1")) + size(col("tk2")) - col("nc")) >= 0.1)
-        .select("d1", "d2").persist()
-      val tok = docs
-        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
-        .withColumn("h", tokenHash(col("t")))
-      val sigs = A.zip(B).zipWithIndex.map { case ((aa, bb), i) =>
-        min((col("h") * aa + bb) % P).as(s"sig$i")
-      }
-      val sig = tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*).persist()
-      def candidates(bands: Seq[Column]): DataFrame = {
-        val bd = sig.select(col("doc_id"), explode(array(
-          bands.zipWithIndex.map { case (c, i) =>
-            struct(lit(i).as("band"), c.as("bucket")) }: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"),
-            col("bb.bucket").as("bucket"))
-        bd.as("x").join(bd.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.bucket") === col("y.bucket") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-          .distinct()
-      }
-      val r2b4 = candidates((0 until 4).map(j =>
-        col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")))
-      val r4b2 = candidates((0 until 2).map(j =>
-        tokenHash(concat_ws(",",
-          (0 until 4).map(i => col(s"sig${4 * j + i}").cast(StringType)): _*))))
+      val truth = sampledTruthPairs(s, d).persist() // audited twice
+      // r=2×b=4 IS the production banding — reuse its candidate source;
+      // only the r=4×b=2 bucketing is new (4 sigs md5-combined: a 4-way
+      // integer product would overflow BIGINT)
+      val r2b4 = lshCandidates(s, d)
+      val sig = minhashSigs(load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)).persist()
+      val bd = sig.select(col("doc_id"), explode(array(
+        (0 until 2).map { j =>
+          struct(lit(j).as("band"), tokenHash(concat_ws(",",
+            (0 until 4).map(i => col(s"sig${4 * j + i}").cast(StringType)): _*))
+            .as("bucket")) }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+      val r4b2 = bd.as("x").join(bd.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
       def audit(cfg: String, cand: DataFrame): DataFrame = {
         val nT = truth.agg(count(lit(1)).as("n_truth"))
         val nC = cand.agg(count(lit(1)).as("n_cand"))

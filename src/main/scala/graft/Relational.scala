@@ -27,11 +27,8 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Deterministic per-query scratch dir (c52's partitioned layout). */
-  private def scratch(name: String, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_$tag/$name"
-  }
+  private def scratch(name: String, dir: String): String =
+    Cdc.scratch(name, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 projection — column pruning reaches the scan (ReadSchema shows 3 cols).
@@ -1001,7 +998,9 @@ object Relational {
     // shuffles); time math stays in exact integer micros until the single
     // rounded division at the end.
     "c56_funnel3" -> { (s, d) =>
+      // persisted: three stage filters read the same events projection
       val ev = Tables.events(s, d).withColumn("us", expr("ts_ns div 1000"))
+        .select("user_id", "event_type", "us").persist()
       val sg = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
       val vw = ev.filter(col("event_type") === "view")

@@ -454,10 +454,13 @@ object Similarity {
         .limit(10)
     },
     // E2-audit — embedding-space density outliers: each point's 3rd-
-    // nearest-neighbor cosine within its label block; the 15 most
-    // isolated points (lowest kNN similarity) are the mislabeled/garbage
-    // vector candidates every embedding pipeline reviews. Same audit-
-    // slice economics as e58: the pairwise pass runs on the %10 sample
+    // nearest-neighbor cosine within its label block (or its FARTHEST
+    // available neighbor when the block has fewer than 4 sampled members
+    // — a near-singleton block is the most suspicious case of all and
+    // must not vanish from the report); the 15 most isolated points
+    // (lowest kNN similarity) are the mislabeled/garbage vector
+    // candidates every embedding pipeline reviews. Same audit-slice
+    // economics as e58: the pairwise pass runs on the %10 sample
     // (label-blocked, never all-pairs corpus-wide); per-point top-3 is a
     // WindowGroupLimit heap keyed by the point. Cosines come from the
     // fused graft_cosine expression — bit-identical cross-engine, so no
@@ -469,13 +472,14 @@ object Similarity {
         col("embedding").as("e1"))
       val b = sm.select(col("vec_id").as("v2"), col("label").as("label2"),
         col("embedding").as("e2"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("v1")).orderBy(col("cs").desc, col("v2"))
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("v1"))
+      val w = wp.orderBy(col("cs").desc, col("v2"))
       a.join(b, col("label") === col("label2") && col("v1") =!= col("v2"))
         .select(col("v1"), col("label"), col("v2"),
           cosine(col("e1"), col("e2")).as("cs"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 3)
+        .withColumn("nn", count(lit(1)).over(wp))
+        .filter(col("rn") === least(lit(3), col("nn")))
         .select(col("v1").as("vec_id"), col("label"), col("cs").as("knn3_cos"))
         .orderBy(col("knn3_cos").asc, col("vec_id")).limit(15)
     }
@@ -643,8 +647,10 @@ object Similarity {
          |      FROM sm a JOIN sm b
          |        ON a.label = b.label AND a.vec_id <> b.vec_id),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY v1
-         |        ORDER BY cs DESC, v2) AS rn FROM p)
-         |SELECT v1 AS vec_id, label, cs AS knn3_cos FROM r WHERE rn = 3
+         |        ORDER BY cs DESC, v2) AS rn,
+         |        COUNT(*) OVER (PARTITION BY v1) AS nn FROM p)
+         |SELECT v1 AS vec_id, label, cs AS knn3_cos FROM r
+         |WHERE rn = least(3, nn)
          |ORDER BY knn3_cos ASC, vec_id LIMIT 15""".stripMargin
   )
 }

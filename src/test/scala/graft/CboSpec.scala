@@ -43,30 +43,33 @@ class CboSpec extends SparkSpecBase {
         .queryExecution.executedPlan.toString
     }
 
-    withConf(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.cbo.enabled" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "4096") {
+    try {
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "4096") {
 
-      // without ANALYZE the dim is priced from file bytes — over the 4 KB
-      // threshold, so the join must sort-merge
-      val before = planFor()
-      assert(before.contains("SortMergeJoin"), before.take(1500))
-      assert(!before.contains("BroadcastHashJoin"), before.take(1500))
+        // without ANALYZE the dim is priced from file bytes — over the 4 KB
+        // threshold, so the join must sort-merge
+        val before = planFor()
+        assert(before.contains("SortMergeJoin"), before.take(1500))
+        assert(!before.contains("BroadcastHashJoin"), before.take(1500))
 
-      spark.sql(s"ANALYZE TABLE $db.ord COMPUTE STATISTICS")
-      spark.sql(
-        s"ANALYZE TABLE $db.ord COMPUTE STATISTICS FOR COLUMNS o_custkey, o_orderkey, o_orderpriority")
-      spark.sql(s"ANALYZE TABLE $db.li COMPUTE STATISTICS")
+        spark.sql(s"ANALYZE TABLE $db.ord COMPUTE STATISTICS")
+        spark.sql(
+          s"ANALYZE TABLE $db.ord COMPUTE STATISTICS FOR COLUMNS o_custkey, o_orderkey, o_orderpriority")
+        spark.sql(s"ANALYZE TABLE $db.li COMPUTE STATISTICS")
 
-      // with row count + per-column ndv the equality filter prices at
-      // ~rowCount/ndv rows — far under the threshold — and broadcasts
-      val after = planFor()
-      assert(after.contains("BroadcastHashJoin"), after.take(1500))
-      assert(!after.contains("SortMergeJoin"), after.take(1500))
+        // with row count + per-column ndv the equality filter prices at
+        // ~rowCount/ndv rows — far under the threshold — and broadcasts
+        val after = planFor()
+        assert(after.contains("BroadcastHashJoin"), after.take(1500))
+        assert(!after.contains("SortMergeJoin"), after.take(1500))
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $db.ord")
+      spark.sql(s"DROP TABLE IF EXISTS $db.li")
+      spark.sql(s"DROP DATABASE IF EXISTS $db")
     }
-
-    spark.sql(s"DROP TABLE IF EXISTS $db.ord")
-    spark.sql(s"DROP TABLE IF EXISTS $db.li")
   }
 }
