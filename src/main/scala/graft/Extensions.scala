@@ -1627,6 +1627,35 @@ object Extensions {
       }
       audit("r2xb4", r2b4).unionByName(audit("r4xb2", r4b2))
         .orderBy("config")
+    },
+    // E-pipeline — per-source scorecard: the data-vendor quality report a
+    // corpus org publishes per ingest source — volume (docs, tokens),
+    // exact-dedup rate (1 − distinct fingerprints / docs, the e01
+    // fingerprint), mean lexical diversity (per-doc type-token ratio,
+    // DECIMAL(28,9) per-row so the mean's numerator is an exact order-free
+    // sum — the e41 recipe), and language spread. One partial+final
+    // aggregate over a single corpus scan; output is |sources| rows.
+    "e64_source_scorecard" -> { (s, d) =>
+      val tk = toks(col("text"))
+      val docs = load(s, d, "documents")
+        .select(col("source"), col("lang"),
+          md5(array_join(slice(toks(lower(trim(col("text")))), 1, 10), " "))
+            .as("fp"),
+          size(tk).as("n_tok"),
+          (size(array_distinct(tk)).cast(DoubleType) / size(tk))
+            .cast(DecimalType(28, 9)).as("ttr"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum(col("ttr")).as("sum_ttr"),
+          countDistinct(col("lang")).as("n_langs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (lit(1.0) - col("n_unique").cast(DoubleType) / col("n_docs"))
+            .as("dup_rate"),
+          (col("sum_ttr").cast(DoubleType) / col("n_docs")).as("mean_ttr"),
+          col("n_langs"))
+        .orderBy("source")
     }
   )
 
@@ -2091,6 +2120,21 @@ object Extensions {
          |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
          |ORDER BY config""".stripMargin
     },
+    "e64_source_scorecard" ->
+      """WITH docs AS (
+        |  SELECT source, lang,
+        |    md5(array_to_string(string_split(lower(trim(text)), ' ')[1:10],
+        |      ' ')) AS fp,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS DECIMAL(28,9)) AS ttr
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  SUM(n_tok)::BIGINT AS n_tokens,
+        |  1.0 - count(DISTINCT fp)::DOUBLE / count(*) AS dup_rate,
+        |  SUM(ttr)::DOUBLE / count(*) AS mean_ttr,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM docs GROUP BY source ORDER BY source""".stripMargin,
     "e25_dedup_corpus" -> {
       val hs = String.format(tokenHashSql, "t")
       val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
