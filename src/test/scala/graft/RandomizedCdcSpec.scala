@@ -13,8 +13,12 @@ class RandomizedCdcSpec extends SparkSpecBase {
     val rnd = new scala.util.Random(7)
     val n = 400
     val ids = rnd.shuffle((1 to n).toList)
+    // ±45 min jitter so event time is NOT monotone in arrival order —
+    // otherwise the watermark-lateness differential would be vacuous
     val rows = ids.map { eid =>
-      (eid.toLong, eid.toLong * 1000000000L, rnd.nextInt(21).toLong,
+      (eid.toLong,
+        eid.toLong * 1000000000L + (rnd.nextInt(5400) - 2700) * 1000000000L,
+        rnd.nextInt(21).toLong,
         types(rnd.nextInt(types.size)),
         math.rint(rnd.nextDouble() * 10000) / 100.0,
         """{"k":1}""")
@@ -32,6 +36,13 @@ class RandomizedCdcSpec extends SparkSpecBase {
     spark.read.parquet(s"$dir/events.parquet")
       .select("event_id", "user_id", "event_type", "value")
       .as[(Long, Long, String, Double)].collect().toSeq
+  }
+
+  private lazy val rawTs: Seq[(Long, Long, Long, String)] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
   }
 
   test("b17 temporal join matches a plain-Scala as-of reference on a random changelog") {
@@ -69,5 +80,85 @@ class RandomizedCdcSpec extends SparkSpecBase {
     // no false negatives: every true member of the deny set passes
     assert(nTrue === expectedTrue)
     assert(nPass >= nTrue && nPass <= nCand)
+  }
+
+  test("c56 three-step funnel matches a plain-Scala reference on random events") {
+    // micros domain, as the query computes it
+    val evs = rawTs.map { case (eid, ts, uid, tpe) => (uid, ts / 1000, tpe) }
+    val byUser = evs.groupBy(_._1)
+    case class F(s: Long, v: Option[Long], p: Option[Long])
+    val funnels = byUser.flatMap { case (uid, rows) =>
+      val sg = rows.collect { case (_, us, "signup") => us }
+      if (sg.isEmpty) None
+      else {
+        val s = sg.min
+        val v = rows.collect { case (_, us, "view") if us >= s => us }
+          .minOption
+        val p = v.flatMap(vv =>
+          rows.collect { case (_, us, "purchase") if us >= vv => us }.minOption)
+        Some(uid -> F(s, v, p))
+      }
+    }
+    val expected = funnels.groupBy(_._1 % 4).map { case (cohort, fs) =>
+      val l = fs.values.toSeq
+      val conv = l.flatMap(f => f.p.map(_ - f.s))
+      val avg =
+        if (conv.isEmpty) null
+        else java.math.BigDecimal.valueOf(conv.sum.toDouble / conv.size / 1e6)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (cohort, l.size.toLong, l.count(_.v.isDefined).toLong,
+        conv.size.toLong, avg)
+    }.toSet
+    val got = SparkEntry.queries("c56_funnel3")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSet
+    assert(got === expected)
+  }
+
+  test("b18 op-legality audit matches a plain-Scala reference on random events") {
+    val byUser = raw.map { case (eid, uid, tpe, _) =>
+      val op = tpe match {
+        case "signup" => "INSERT"; case "error" => "DELETE"; case _ => "UPDATE"
+      }
+      (uid, eid, op)
+    }.groupBy(_._1)
+    val violations = byUser.values.flatMap { rows =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(None +: sorted.map(r => Some(r._3))).flatMap {
+        case ((_, pos, op), prev) =>
+          val v = (op, prev) match {
+            case ("INSERT", Some(p)) if p != "DELETE" => Some("insert_on_live")
+            case ("UPDATE", None) => Some("update_on_dead")
+            case ("UPDATE", Some("DELETE")) => Some("update_on_dead")
+            case ("DELETE", None) => Some("delete_on_dead")
+            case ("DELETE", Some("DELETE")) => Some("delete_on_dead")
+            case _ => None
+          }
+          v.map(_ -> pos)
+      }
+    }.toSeq
+    val expected = violations.groupBy(_._1).map { case (v, ps) =>
+      (v, ps.size.toLong, ps.map(_._2).min, ps.map(_._2).max)
+    }.toSet
+    val got = SparkEntry.queries("b18_op_legality")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty, "generator must produce violations")
+    assert(got === expected)
+  }
+
+  test("d12 lateness audit matches a plain-Scala reference on jittered times") {
+    val lateUs = 600000000L
+    val expected = rawTs.map { case (eid, ts, uid, _) => (uid % 8, eid, ts / 1000) }
+      .groupBy(_._1).map { case (part, rows) =>
+        val inArrival = rows.sortBy(_._2).map(_._3)
+        val runMax = inArrival.scanLeft(Long.MinValue)(math.max).tail
+        val nLate = inArrival.zip(runMax).count { case (ts, m) => ts < m - lateUs }
+        (part, rows.size.toLong, nLate.toLong, inArrival.max)
+      }.toSet
+    val got = SparkEntry.queries("d12_late_audit")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.exists(_._3 > 0), "jitter must produce at least one late row")
+    assert(got === expected)
   }
 }
