@@ -161,4 +161,31 @@ class RandomizedCdcSpec extends SparkSpecBase {
     assert(expected.exists(_._3 > 0), "jitter must produce at least one late row")
     assert(got === expected)
   }
+
+  test("c57 top paths matches a plain-Scala sessionizer on jittered times") {
+    val gapNs = 1800000000000L
+    val paths = rawTs.map { case (eid, ts, uid, tpe) => (uid, ts, eid, tpe) }
+      .groupBy(_._1).values.flatMap { rows =>
+        val ordered = rows.toSeq.sortBy(r => (r._2, r._3))
+        // gap-split into sessions, emit one ">"-joined path per session
+        val sessions = ordered.foldLeft(List.empty[List[(Long, Long, String)]]) {
+          case (acc, (_, ts, eid, tpe)) =>
+            acc match {
+              case (cur @ ((lastTs, _, _) :: _)) :: rest
+                if ts - lastTs <= gapNs =>
+                ((ts, eid, tpe) :: cur) :: rest
+              case _ => List((ts, eid, tpe)) :: acc
+            }
+        }
+        sessions.map(_.reverse.map(_._3).mkString(">"))
+      }.toSeq
+    val expected = paths.groupBy(identity).map { case (p, l) => (p, l.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = SparkEntry.queries("c57_top_paths")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // long random sessions rarely repeat exactly — the differential rides
+    // on the count-desc, path-asc total order either way
+    assert(expected.size === 10, "generator must produce enough sessions")
+    assert(got === expected)
+  }
 }
