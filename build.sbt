@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console RAW: the default LoggedOutput
+// strategy prefixes every line with [info]/[error], which breaks the
+// driver's bench-record parser (it needs Bench's one JSON line bare on
+// stdout — BENCH_r1..r3 all recorded parsed:null because of the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1418,30 +1418,16 @@ object Extensions {
     // are bit-identical on any engine, where the decimal/double variant
     // of this query drifted one ulp between Spark and DuckDB at sf0.1.
     // Scale: und/deg are |edges|-sized; each iteration is one keyed join
-    // + one agg (the label-propagation dataflow class), 5 iterations = a
-    // linear 15-join DAG — at 100 TB the loop checkpoints per iteration,
-    // same as the CC operator.
+    // + one agg (the label-propagation dataflow class), and the operator
+    // localCheckpoints per iteration so the plan stays constant-depth —
+    // the same discipline as operators/ConnectedComponents, shared via
+    // operators/PageRank.
     "e56_pagerank" -> { (s, d) =>
-      val SCALE = 1000000000000L
       val cand = lshCandidates(s, d)
       val und = cand.select(col("d1").as("a"), col("d2").as("b"))
         .unionByName(cand.select(col("d2").as("a"), col("d1").as("b")))
-        .persist()
-      val deg = und.groupBy(col("a")).agg(count(lit(1)).as("outdeg")).persist()
-      val n = deg.count()
-      val base = 15L * SCALE / (100L * n) // (1−d)/N, scaled, exact floor
-      var pr = deg.select(col("a").as("node"), lit(SCALE / n).as("pr"))
-      (1 to 5).foreach { _ =>
-        val contrib = und.join(deg, "a")
-          .join(pr, col("a") === col("node"))
-          .select(col("b"), expr("pr div outdeg").as("c"))
-          .groupBy(col("b")).agg(sum(col("c")).as("sc"))
-        pr = deg.select(col("a").as("node"))
-          .join(contrib, col("node") === col("b"), "left")
-          .select(col("node"),
-            (lit(base) + expr("(85 * coalesce(sc, 0L)) div 100")).as("pr"))
-      }
-      pr.select(col("node").as("doc_id"), col("pr").as("pagerank_e12"))
+      graft.operators.PageRank.run(und, iterations = 5)
+        .select(col("node").as("doc_id"), col("pr").as("pagerank_e12"))
         .orderBy("doc_id")
     },
     // E-graph — triangle count + local clustering coefficient over the
