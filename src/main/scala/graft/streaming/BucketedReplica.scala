@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.hadoop.fs.Path
 
 /** Incremental keyed replica with bucket-granular rewrites and atomic
@@ -59,33 +59,55 @@ final class BucketedReplica(
   /** The bucket count is part of the stored layout: rows were placed by
     * `pmod(xxhash64(pk), n)` at write time, so re-deriving buckets with a
     * different n would make touched-bucket reads miss existing rows and
-    * duplicate keys. The first commit pins n (and the pk) in `_META`; every
-    * later open of the same replica must agree or fails loudly. */
-  private lazy val effectiveBuckets: Int = {
+    * duplicate keys. The CURRENT layout n is versioned with the manifest
+    * (`#n=` header line — [[rebucket]] changes it atomically with the
+    * pointer flip); `_META` pins the pk and carries the creation-time n as
+    * a fallback for pre-header manifests. Every writer open must agree
+    * with the current layout or fails loudly. */
+  private def metaKv: Map[String, String] = {
     val meta = io.path("_META")
-    if (io.exists(meta)) {
-      val kv = io.readString(meta)
-        .linesIterator.filter(_.contains("=")).map { l =>
-          val Array(k, v) = l.split("=", 2); k -> v
-        }.toMap
-      require(kv("pk") == pk,
-        s"replica at $root is keyed by ${kv("pk")}, not $pk")
-      val stored = kv("nBuckets").toInt
-      require(stored == nBuckets,
-        s"replica at $root was laid out with nBuckets=$stored; " +
-          s"reopening with $nBuckets would mis-place keys")
-      stored
-    } else nBuckets
+    if (!io.exists(meta)) Map.empty
+    else io.readString(meta)
+      .linesIterator.filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap
   }
 
-  private def writeMetaIfAbsent(): Unit = {
+  /** Source batch tag of the replica's FIRST EVER commit, if it was tagged
+    * — recorded durably at creation and never GC'd, so a consistent-cut
+    * reader can distinguish "this table was born after cut C" (provably
+    * empty at C) from "the ≤-C version has been evicted" (a retention
+    * violation), even once version retention has rolled past the birth. */
+  def firstTag: Option[Long] = metaKv.get("firstTag").map(_.trim.toLong)
+
+  private def effectiveBuckets: Int = {
+    val kv = metaKv
+    kv.get("pk").foreach(p => require(p == pk,
+      s"replica at $root is keyed by $p, not $pk"))
+    val stored = currentVersion.flatMap(manifestBuckets)
+      .orElse(kv.get("nBuckets").map(_.toInt))
+    stored.foreach(n => require(n == nBuckets,
+      s"replica at $root is laid out with nBuckets=$n; " +
+        s"opening a writer with $nBuckets would mis-place keys"))
+    stored.getOrElse(nBuckets)
+  }
+
+  /** Current layout n for READ-side derivations ([[rebucket]] itself):
+    * manifest header → creation meta → constructor, no pinning check. */
+  private def layoutBuckets: Int =
+    currentVersion.flatMap(manifestBuckets)
+      .orElse(metaKv.get("nBuckets").map(_.toInt))
+      .getOrElse(nBuckets)
+
+  private def writeMetaIfAbsent(n: Int, tag: Option[Long]): Unit = {
     val meta = io.path("_META")
     if (!io.exists(meta))
-      io.writeString(meta, s"nBuckets=$effectiveBuckets\npk=$pk\n")
+      io.writeString(meta, s"nBuckets=$n\npk=$pk\n" +
+        tag.map(t => s"firstTag=$t\n").getOrElse(""))
   }
 
-  private def bucketExpr: Column =
-    pmod(xxhash64(col(pk)), lit(effectiveBuckets.toLong))
+  private def bucketExpr(n: Int): Column =
+    pmod(xxhash64(col(pk)), lit(n.toLong))
 
   /** Committed versions, by their write-once `_PTR-<v>` pointer files. */
   private def pointerVersions: Seq[Long] =
@@ -114,18 +136,43 @@ final class BucketedReplica(
     }.distinct.flatMap(v => tagOf(v).map(v -> _)).toMap
 
   private def readManifest(v: Long): Map[Int, String] =
-    io.readString(manifestPath(v)).linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(b, rel) = line.split("\t", 2)
-      b.toInt -> rel
-    }.toMap
+    io.readString(manifestPath(v)).linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(b, rel) = line.split("\t", 2)
+        b.toInt -> rel
+      }.toMap
+
+  /** Layout bucket count recorded in version `v`'s manifest header
+    * (absent for manifests written before layouts were versioned). */
+  private def manifestBuckets(v: Long): Option[Int] =
+    io.readString(manifestPath(v)).linesIterator
+      .find(_.startsWith("#n=")).map(_.stripPrefix("#n=").trim.toInt)
+
+  private def schemaPath(v: Long) = io.path(s"schema-$v.json")
+
+  /** Stored schema in effect at version `v` — the widest schema any commit
+    * through `v` declared. Bucket files written by EARLIER (narrower)
+    * commits and re-referenced by `v`'s manifest read under it with the
+    * missing columns NULL (the all-NULLABLE evolution model of the
+    * reference's sink schemas, main.tf:197-215). Pre-evolution replicas
+    * have no schema file and fall back to the constructor contract. */
+  def schemaAt(v: Long): StructType =
+    if (io.exists(schemaPath(v)))
+      org.apache.spark.sql.types.DataType.fromJson(io.readString(schemaPath(v)))
+        .asInstanceOf[StructType]
+    else schema
+
+  /** Schema of the replica as of the current pointer. */
+  def storedSchema: StructType = currentVersion.map(schemaAt).getOrElse(schema)
 
   /** The stored replica (tombstones included) as of the current pointer. */
   def read(spark: SparkSession): DataFrame = {
+    val sch = storedSchema
     val paths = currentVersion.map(readManifest).getOrElse(Map.empty)
       .values.map(rel => s"$root/$rel").toSeq.sorted
     if (paths.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    else spark.read.schema(sch).parquet(paths: _*)
   }
 
   /** The analyst-facing view: tombstoned keys filtered out. */
@@ -141,10 +188,11 @@ final class BucketedReplica(
     require(io.exists(manifestPath(v)),
       s"version $v of replica at $root is not retained " +
         s"(current=${currentVersion.getOrElse(-1L)}; current+previous kept)")
+    val sch = schemaAt(v) // the schema in effect when v was committed
     val paths = readManifest(v).values.map(rel => s"$root/$rel").toSeq.sorted
     if (paths.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    else spark.read.schema(sch).parquet(paths: _*)
   }
 
   /** [[readAt]] with tombstones filtered — the live view as of version `v`. */
@@ -186,7 +234,7 @@ final class BucketedReplica(
     // content is unchanged, so the new version still reflects the same
     // source batch: carry the current tag forward
     publish(man.keys.toSeq.sorted, read(spark),
-      currentVersion.flatMap(tagOf))
+      currentVersion.flatMap(tagOf), layoutBuckets)
   }
 
   /** Fold one change batch into the replica. Only buckets containing batch
@@ -198,13 +246,27 @@ final class BucketedReplica(
     * still arrive). Untouched buckets GC when next written, or via
     * [[compactTombstones]]. */
   def commit(batch: DataFrame, tombstoneGcHorizon: Option[Long] = None,
-             tag: Option[Long] = None): Unit = {
+             tag: Option[Long] = None, evolveSchema: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    val n = effectiveBuckets
     // Schema-drift tolerance (the reference's sink schemas are all-NULLABLE
     // for the same reason — main.tf:197-215): a batch missing an envelope
     // column lands it as NULL, out-of-contract extra columns are dropped,
     // and drifted-but-castable types coerce. The stored schema is the
-    // declared contract, always.
+    // declared contract — unless `evolveSchema`, in which case a NEW batch
+    // column WIDENS the contract instead of dropping: it appends as a
+    // nullable field, all previously-stored rows read NULL for it, and the
+    // widened schema becomes this version's stored contract (monotone —
+    // later narrower batches land the missing column as NULL as usual).
+    val target: StructType =
+      if (!evolveSchema) storedSchema
+      else {
+        val base = storedSchema
+        val known = base.fieldNames.toSet
+        StructType(base.fields ++ batch.schema.fields
+          .filterNot(f => known.contains(f.name))
+          .map(f => StructField(f.name, f.dataType, nullable = true)))
+      }
     val have = batch.columns.toSet
     // Null primary keys are unmergeable at the storage layer (xxhash64(null)
     // has no bucket): skip them deterministically rather than NPE. The
@@ -213,19 +275,19 @@ final class BucketedReplica(
     // persisted: the commit is two actions (bucket-id probe, version write)
     // — the cache stops the second from recomputing the caller's upstream
     // (for the streaming paths that is a filter/cast/dedup over the source)
-    val batchRows = batch.select(schema.fields.toSeq.map { f =>
+    val batchRows = batch.select(target.fields.toSeq.map { f =>
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*).filter(col(pk).isNotNull).persist()
     try {
       val touched: Seq[Int] = batchRows
-        .select(bucketExpr.as("__b")).distinct()
+        .select(bucketExpr(n).as("__b")).distinct()
         .collect().map(_.getLong(0).toInt).toSeq.sorted
       if (touched.isEmpty) return // empty batch: nothing to commit
 
       val man = currentVersion.map(readManifest).getOrElse(Map.empty)
       val merged = graft.Cdc.merge(
-        readBuckets(spark, man, touched).unionByName(batchRows), Seq(pk),
+        readBuckets(spark, man, touched, target).unionByName(batchRows), Seq(pk),
         posCol, opCol, keepTombstones = true)
       // GC only tombstones PROVABLY behind the horizon: a null event time
       // (possible via the schema-drift NULL landing above) must be retained,
@@ -237,8 +299,31 @@ final class BucketedReplica(
           !((col("is_deleted") <=> true) && col(tsCol).isNotNull && col(tsCol) < h))
         case None    => merged
       }
-      publish(touched, gcd.drop("is_deleted"), tag)
+      publish(touched, gcd.drop("is_deleted"), tag, n)
     } finally { batchRows.unpersist(); () }
+  }
+
+  /** Change the bucket count — the maintenance op a long-lived replica
+    * eventually needs (the day-one n is wrong once the table grows 100×:
+    * buckets become multi-GB rewrite units). Rewrites EVERY live bucket
+    * into a fresh version laid out with `newBuckets` and replaces the
+    * manifest wholesale; the new layout n rides the manifest header, so it
+    * becomes visible atomically WITH the pointer flip — a crash mid-rebucket
+    * leaves the old pointer, old manifest, old n, fully consistent.
+    * Content, tag, retention and time travel are untouched: the previous
+    * (old-layout) version stays readable/readAt-able under the same
+    * cur+prev window, because reads never derive bucket placement. */
+  def rebucket(spark: SparkSession, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"rebucket: need a positive bucket count, got $newBuckets")
+    val man = currentVersion.map(readManifest).getOrElse(Map.empty)
+    if (currentVersion.isEmpty) return // nothing stored: layout not yet pinned
+    publish(man.keys.toSeq.sorted, read(spark), currentVersion.flatMap(tagOf),
+      newBuckets, replaceAll = true)
+    // refresh the creation-meta fallback so pre-header readers and error
+    // messages cite the live layout; placement truth is the manifest header,
+    // so a crash before this line costs nothing
+    io.writeString(io.path("_META"), s"nBuckets=$newBuckets\npk=$pk\n" +
+      firstTag.map(t => s"firstTag=$t\n").getOrElse(""))
   }
 
   /** The stored rows sharing a bucket with any key in `batch` — the bounded
@@ -249,10 +334,10 @@ final class BucketedReplica(
   def readTouched(batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
     val touched = batch.filter(col(pk).isNotNull)
-      .select(bucketExpr.as("__b")).distinct()
+      .select(bucketExpr(layoutBuckets).as("__b")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq.sorted
     readBuckets(spark, currentVersion.map(readManifest).getOrElse(Map.empty),
-      touched)
+      touched, storedSchema)
   }
 
   /** Maintenance pass (the VACUUM analog of transactional table formats):
@@ -268,28 +353,35 @@ final class BucketedReplica(
     // dropping it through three-valued NULL.
     val isOldTombstone =
       (col(opCol) <=> "DELETE") && col(tsCol).isNotNull && col(tsCol) < horizon
+    val n = layoutBuckets
     val touched = read(spark).filter(isOldTombstone)
-      .select(bucketExpr.as("__b")).distinct()
+      .select(bucketExpr(n).as("__b")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq.sorted
     if (touched.isEmpty) return
     // tombstone GC does not change which source batches are reflected
-    publish(touched, readBuckets(spark, man, touched).filter(!isOldTombstone),
-      currentVersion.flatMap(tagOf))
+    publish(touched,
+      readBuckets(spark, man, touched, storedSchema).filter(!isOldTombstone),
+      currentVersion.flatMap(tagOf), n)
   }
 
   private def readBuckets(spark: SparkSession, man: Map[Int, String],
-                          buckets: Seq[Int]): DataFrame = {
+                          buckets: Seq[Int], sch: StructType): DataFrame = {
     val paths = buckets.flatMap(man.get).map(rel => s"$root/$rel")
     if (paths.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    else spark.read.schema(sch).parquet(paths: _*)
   }
 
-  /** Write `rows` (covering exactly `touched` buckets) as the next version,
-    * re-point the manifest, and flip the pointer atomically. */
-  private def publish(touched: Seq[Int], rows: DataFrame,
-                      tag: Option[Long] = None): Unit = {
-    writeMetaIfAbsent()
+  /** Write `rows` (covering exactly `touched` buckets under layout
+    * `layoutN`) as the next version, re-point the manifest, and flip the
+    * pointer atomically. `replaceAll` drops every prior manifest entry
+    * instead of carrying untouched buckets forward ([[rebucket]] — the old
+    * entries' bucket ids are meaningless under the new layout). The rows'
+    * schema is recorded as the version's stored contract. */
+  private def publish(touched: Seq[Int], rows: DataFrame, tag: Option[Long],
+                      layoutN: Int, replaceAll: Boolean = false): Unit = {
+    writeMetaIfAbsent(layoutN, tag)
+    val outSchema = rows.schema
     val curV = currentVersion
     val newV = curV.getOrElse(0L) + 1
     val man = curV.map(readManifest).getOrElse(Map.empty)
@@ -298,8 +390,9 @@ final class BucketedReplica(
     // mode=overwrite: a writer that crashed after writing this version dir
     // but before flipping the pointer leaves an orphan with this same
     // version number — clobber it, never fail the recovery commit.
-    rows.withColumn("bucket", bucketExpr)
-      .repartition(math.min(effectiveBuckets, touched.size.max(1)), col("bucket"))
+    rows.withColumn("bucket", bucketExpr(layoutN))
+      .repartition(if (replaceAll) layoutN
+                   else math.min(layoutN, touched.size.max(1)), col("bucket"))
       .sortWithinPartitions(col("bucket"), col(pk))
       .write.mode("overwrite").partitionBy("bucket").parquet(versionDir)
 
@@ -309,17 +402,20 @@ final class BucketedReplica(
       .filter(_.getName.startsWith("bucket="))
       .map(p => p.getName.stripPrefix("bucket=").toInt -> s"data/v$newV/${p.getName}")
       .toMap
-    val newMan = (man -- touched) ++ written
+    val newMan = if (replaceAll) written else (man -- touched) ++ written
 
     io.writeString(manifestPath(newV),
-      newMan.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
-        .mkString("", "\n", "\n"))
+      s"#n=$layoutN\n" +
+        newMan.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
+          .mkString("", "\n", "\n"))
+    io.writeString(schemaPath(newV), outSchema.json)
     // tag before pointer: once the version is visible its tag is readable
     tag.foreach(t => io.writeString(tagPath(newV), s"$t\n"))
     commitPointer(newV)
     gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet)
     curV.foreach { v => // keep cur+prev
       io.delete(manifestPath(v - 1)); io.delete(tagPath(v - 1))
+      io.delete(schemaPath(v - 1))
     }
   }
 

@@ -87,13 +87,14 @@ object CdcStream {
     * order, as in the redelivery specs). */
   def applyToReplica(changes: DataFrame, replicaDir: String, stagingDir: String,
                      dlqDir: String, checkpointDir: String,
-                     tombstoneRetentionNs: Option[Long] = None): StreamingQuery =
+                     tombstoneRetentionNs: Option[Long] = None,
+                     evolveSchema: Boolean = false): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, replicaDir, stagingDir, dlqDir,
-          tombstoneRetentionNs)
+          tombstoneRetentionNs, evolveSchema)
       }
       .start()
 
@@ -107,14 +108,23 @@ object CdcStream {
     *  - the replica commit is latest-wins over retained positions, so
     *    re-committing the same batch is a semantic no-op (a new version with
     *    identical live content). */
+  /** `evolveSchema`: a new producer generation that ADDS a column lands it
+    * by widening the replica contract (BucketedReplica.commit's nullable
+    * append) instead of silently dropping it — mid-stream schema evolution,
+    * the streaming twin of the batch `mergeSchema` path (a14). Mixed
+    * generations interleave freely: old-generation batches read NULL for
+    * the new column; old versions stay time-travel readable under the
+    * schema they were committed with. */
   def applyBatch(batch: DataFrame, batchId: Long, replicaDir: String,
                  stagingDir: String, dlqDir: String,
-                 tombstoneRetentionNs: Option[Long] = None): Unit = {
+                 tombstoneRetentionNs: Option[Long] = None,
+                 evolveSchema: Boolean = false): Unit = {
     val good = stageAndSplit(batch, batchId, stagingDir, dlqDir)
     // tag = the staged batch id: replica versions align with the staging
     // partitions they reflect (and with the multi-table frontier protocol)
     new BucketedReplica(replicaDir)
-      .commit(good, horizonOf(good, tombstoneRetentionNs), tag = Some(batchId))
+      .commit(good, horizonOf(good, tombstoneRetentionNs), tag = Some(batchId),
+        evolveSchema = evolveSchema)
     ()
   }
 
@@ -226,12 +236,39 @@ object CdcStream {
       throw new IllegalArgumentException(
         s"no applied-frontier marker under $replicaRoot — nothing consistently readable"))
     val vers = tbls.map { t =>
-      val vt = new BucketedReplica(s"$replicaRoot/$t").retainedTags
+      val rep = new BucketedReplica(s"$replicaRoot/$t")
+      val vt = rep.retainedTags
       val ok = vt.filter(_._2 <= cut)
       // among equal tags (a retried commit re-tags its replay) the newest
       // version wins — identical content, freshest files
-      t -> (if (ok.isEmpty) None
-            else Some(ok.maxBy { case (v, tg) => (tg, v) }._1))
+      val v =
+        if (ok.nonEmpty) Some(ok.maxBy { case (ver, tg) => (tg, ver) }._1)
+        else rep.firstTag match {
+          // "no retained version tagged ≤ cut" is ambiguous on its own:
+          // the durable birth tag disambiguates. Born in a batch beyond
+          // the cut → the table provably had NO rows through C: empty.
+          case Some(ft) if ft > cut => None
+          // Born at-or-before the cut → a ≤-C state EXISTED and has been
+          // evicted (e.g. compact() ran between a fan-out commit and its
+          // _APPLIED marker, re-tagging both retained versions beyond C).
+          // Reading empty here would silently drop the table's data from
+          // the consistent view — fail loudly instead.
+          case Some(ft) => throw new IllegalStateException(
+            s"replica $t: born at batch $ft <= cut $cut but no retained " +
+              s"version is tagged <= $cut (retained tags: $vt) — the " +
+              "consistent version was evicted; retention violated " +
+              "(compaction between a tagged commit and its frontier marker?)")
+          // No birth tag recorded: an unborn table (no replica yet) is
+          // legitimately empty; a replica WITH versions but no tag history
+          // cannot prove emptiness — refuse to guess.
+          case None =>
+            if (rep.currentVersion.isEmpty) None
+            else throw new IllegalStateException(
+              s"replica $t: has committed versions but no tagged history " +
+                s"<= cut $cut and no recorded birth tag — cannot prove its " +
+                "state at the cut")
+        }
+      t -> v
     }.toMap
     (cut, vers)
   }

@@ -247,8 +247,124 @@ class BucketedReplicaSpec extends SparkSpecBase {
     val cur = rep.currentVersion.get
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(root, s"manifest-$cur.tsv")), "UTF-8")
-    assert(manifest.linesIterator.forall(_.contains(s"data/v$cur/")),
+    assert(manifest.linesIterator.filterNot(_.startsWith("#")) // layout header
+      .forall(_.contains(s"data/v$cur/")),
       s"manifest still references pre-compaction versions:\n$manifest")
+  }
+
+  test("rebucket(n') re-lays the replica; merge, time travel, and change feed survive") {
+    val root = tmpDir("bkr_rebucket") + "/rep"
+    val rep8 = new BucketedReplica(root, nBuckets = 8)
+    rep8.commit(mkBatch((1L to 40L).map(k => row("INSERT", k, k * 10, k, k * 1.0))),
+      tag = Some(1L))
+    rep8.commit(mkBatch(Seq(row("UPDATE", 100L, 900L, 5L, 50.0),
+      row("DELETE", 101L, 910L, 6L, 0.0))), tag = Some(2L))
+    val before = rep8.live(spark).collect()
+      .map(r => (r.getLong(4), r.getLong(2), r.getDouble(5))).toSet
+    val vOld = rep8.currentVersion.get
+
+    new BucketedReplica(root, nBuckets = 8).rebucket(spark, 16)
+
+    // the old-layout writer now fails loudly (pinning against the NEW n) …
+    val stale = intercept[IllegalArgumentException] {
+      new BucketedReplica(root, nBuckets = 8)
+        .commit(mkBatch(Seq(row("UPDATE", 200L, 990L, 1L, 11.0))))
+    }
+    assert(stale.getMessage.contains("nBuckets=16"), stale.getMessage)
+
+    // … the new-layout writer merges touched-bucket-wise, content preserved
+    val rep16 = new BucketedReplica(root, nBuckets = 16)
+    assert(rep16.live(spark).collect()
+      .map(r => (r.getLong(4), r.getLong(2), r.getDouble(5))).toSet === before,
+      "rebucket must not change content")
+    val vNew = rep16.currentVersion.get
+    assert(rep16.tagOf(vNew) === Some(2L), "rebucket must carry the tag forward")
+    rep16.commit(mkBatch(Seq(row("UPDATE", 200L, 990L, 1L, 11.0))), tag = Some(3L))
+    val v3 = new File(root, s"data/v${rep16.currentVersion.get}")
+    assert(Option(v3.listFiles()).get.count(_.getName.startsWith("bucket=")) === 1,
+      "post-rebucket one-key commit must still rewrite exactly one bucket")
+    val got = rep16.live(spark).filter(col("user_id") === 1L).select("pos").head()
+    assert(got.getLong(0) === 200L)
+
+    // time travel across the layout change: the pre-rebucket version is the
+    // retained previous one and still reads under the OLD layout's manifest
+    assert(rep16.liveAt(spark, vNew).collect()
+      .map(r => (r.getLong(4), r.getLong(2), r.getDouble(5))).toSet === before)
+    // change feed across the rebucket boundary sees only the real change
+    val feed = rep16.changeFeed(spark, vNew, rep16.currentVersion.get)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(feed.toSeq === Seq((1L, "UPDATE", 200L)))
+  }
+
+  test("schema evolution: a new producer generation widens the stored contract mid-stream") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("bkr_evolve") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    // generation 1: the flat envelope
+    rep.commit(mkBatch(Seq(row("INSERT", 1L, 10L, 1L, 1.0),
+      row("INSERT", 2L, 20L, 2L, 2.0))), tag = Some(1L))
+    val vGen1 = rep.currentVersion.get
+
+    // generation 2 adds a nullable column; evolveSchema widens instead of drops
+    val gen2Schema = StructType(CdcStream.envelopeSchema.fields :+
+      StructField("region_code", StringType))
+    val gen2 = spark.createDataFrame(java.util.Arrays.asList(
+      Row("UPDATE", "users", 3L, 30L, 1L, 1.5, "evt", "EU"),
+      Row("INSERT", "users", 4L, 40L, 3L, 3.0, "evt", "US")), gen2Schema)
+    rep.commit(gen2, tag = Some(2L), evolveSchema = true)
+
+    assert(rep.storedSchema.fieldNames.toSeq ===
+      CdcStream.envelopeSchema.fieldNames.toSeq :+ "region_code")
+    val live = rep.live(spark).collect()
+      .map(r => r.getLong(4) -> Option(r.getString(7))).toMap
+    // gen-1 rows read NULL for the new column, gen-2 rows carry it
+    assert(live === Map(1L -> Some("EU"), 2L -> None, 3L -> Some("US")))
+
+    // the retained pre-evolution version time-travels under ITS OWN (narrow)
+    // schema — a gen-1 reader replaying history never sees the new column
+    assert(rep.schemaAt(vGen1).fieldNames.toSeq ===
+      CdcStream.envelopeSchema.fieldNames.toSeq)
+    assert(rep.liveAt(spark, vGen1).columns.toSeq ===
+      CdcStream.envelopeSchema.fieldNames.toSeq)
+    assert(rep.liveAt(spark, vGen1).count() === 2)
+
+    // a LATER old-generation batch still lands (missing column → NULL),
+    // even when its keys share buckets with widened rows
+    rep.commit(mkBatch(Seq(row("UPDATE", 5L, 50L, 2L, 2.5))), tag = Some(3L))
+    val after = rep.live(spark).collect()
+      .map(r => (r.getLong(4), r.getLong(2), Option(r.getString(7)))).toSet
+    assert(after === Set((1L, 3L, Some("EU")), (2L, 5L, None), (3L, 4L, Some("US"))))
+
+    // the whole incremental path converges to the one-shot batch merge over
+    // the union of generations (stream ≡ batch under evolution)
+    val allChanges = mkBatch(Seq(row("INSERT", 1L, 10L, 1L, 1.0),
+        row("INSERT", 2L, 20L, 2L, 2.0), row("UPDATE", 5L, 50L, 2L, 2.5)))
+      .withColumn("region_code", lit(null).cast("string"))
+      .unionByName(gen2)
+    val oneShot = Cdc.merge(allChanges, Seq("user_id"))
+      .collect().map(r => (r.getLong(4), r.getLong(2), Option(r.getString(7)))).toSet
+    assert(after === oneShot)
+  }
+
+  test("schema evolution through the streaming merge: mixed generations converge") {
+    import org.apache.spark.sql.types._
+    val base = tmpDir("bkr_evostream")
+    val gen2Schema = StructType(CdcStream.envelopeSchema.fields :+
+      StructField("region_code", StringType))
+    // three micro-batches: gen1, gen2 (adds column), gen1 again
+    val b1 = mkBatch(Seq(row("INSERT", 1L, 10L, 1L, 1.0)))
+    val b2 = spark.createDataFrame(java.util.Arrays.asList(
+      Row("INSERT", "users", 2L, 20L, 2L, 2.0, "evt", "EU")), gen2Schema)
+    val b3 = mkBatch(Seq(row("UPDATE", 3L, 30L, 1L, 1.5)))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      CdcStream.applyBatch(b, i.toLong, s"$base/rep", s"$base/staging",
+        s"$base/dlq", evolveSchema = true)
+    }
+    val rep = new BucketedReplica(s"$base/rep")
+    assert(rep.storedSchema.fieldNames.contains("region_code"))
+    val live = rep.live(spark).collect()
+      .map(r => (r.getLong(4), r.getLong(2), Option(r.getString(7)))).toSet
+    assert(live === Set((1L, 3L, None), (2L, 2L, Some("EU"))))
   }
 
   test("direct commit skips null-pk rows deterministically instead of NPE-ing") {

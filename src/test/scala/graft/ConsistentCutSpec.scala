@@ -111,6 +111,33 @@ class ConsistentCutSpec extends SparkSpecBase {
     assert(CdcStream.consistentLiveFor(spark, root, "even", vers2).count() === 1)
   }
 
+  test("an evicted <=cut version throws (retention violated) instead of reading empty") {
+    val root = tmpDir("ccut_evict") + "/reps"
+    // odd has real data at the frontier (batch 1, markered) …
+    applyBatch(root, 1L, Seq(row("even", 1, 2, 1.0), row("odd", 2, 3, 2.0)))
+    // … then batch 2 commits to odd but crashes BEFORE the marker,
+    // and a compaction runs in the gap: both retained versions of odd now
+    // carry tag 2 (compact carries the in-flight tag forward) and the
+    // version tagged 1 is evicted by cur+prev retention
+    applyBatch(root, 2L, Seq(row("odd", 4, 5, 4.0)), mark = false)
+    new BucketedReplica(s"$root/odd", nBuckets = 4).compact(spark)
+
+    // pre-fix this silently read odd as EMPTY at cut 1 — data loss in the
+    // consistent view; the durable birth tag (firstTag=1 <= cut) proves a
+    // <=cut state existed, so the read must fail loudly
+    val e = intercept[IllegalStateException] {
+      CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    }
+    assert(e.getMessage.contains("retention violated"), e.getMessage)
+
+    // the retry completes batch 2; the frontier advances and reads heal
+    applyBatch(root, 2L, Seq(row("odd", 4, 5, 4.0)))
+    val (cut, vers) = CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    assert(cut === 2L)
+    assert(CdcStream.consistentLiveFor(spark, root, "odd", vers)
+      .select("user_id").collect().map(_.getLong(0)).sorted === Array(3L, 5L))
+  }
+
   test("property: under any batch schedule, the cut view equals the batch-prefix state") {
     // randomized-but-seeded schedules: tables drop in and out of batches,
     // the last batch may be half-applied — the consistent view must always
