@@ -49,11 +49,23 @@ object Extensions {
     tok.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
   }
 
-  def minhashBands(docs: DataFrame): DataFrame = {
-    val sig = minhashSigs(docs)
+  def minhashBands(docs: DataFrame): DataFrame =
+    bandsFromSigs(minhashSigs(docs), 2, 4)
+
+  /** Band a k=8 signature frame (sig0..sig7) as r rows × b bands. The
+    * r=2 bucket keeps the original exact product formula (`sig·P + sig` —
+    * bit-compatible with every stored e03-family index); other r combine
+    * their r sigs through the md5 token hash, the e63-sweep formula (an
+    * r-way product would overflow BIGINT). Shared by the one-shot banding
+    * queries and [[graft.streaming.LshIndex]]'s re-banding migration. */
+  def bandsFromSigs(sig: DataFrame, r: Int, b: Int): DataFrame = {
+    require(r > 0 && b > 0 && r * b <= 8, s"banding r=$r b=$b needs r*b <= 8")
+    def bucket(j: Int): Column =
+      if (r == 2) col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")
+      else tokenHash(concat_ws(",",
+        (0 until r).map(i => col(s"sig${r * j + i}").cast(StringType)): _*))
     sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(j => struct(lit(j).as("band"),
-        (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bucket"))): _*
+      (0 until b).map(j => struct(lit(j).as("band"), bucket(j).as("bucket"))): _*
     )).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }

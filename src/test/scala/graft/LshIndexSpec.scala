@@ -105,6 +105,57 @@ class LshIndexSpec extends SparkSpecBase {
       idx.postings(spark).drop("batch_id").count(), "physical duplicates survived")
   }
 
+  /** One-shot twin at an arbitrary banding. */
+  private def oneShotAt(d: DataFrame, r: Int, b: Int): Set[(Long, Long, Long)] = {
+    val bands = Extensions.bandsFromSigs(Extensions.minhashSigs(d), r, b)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("reband migrates to a new (r,b); index equals a fresh index at that banding") {
+    val idx = new LshIndex(tmpDir("lsh_reband") + "/idx")
+    idx.destroy()
+    // build under the default 2×4 banding, compaction mixed in (the
+    // migration must survive consolidated negative-id partitions)
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 0), 0L)
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 1), 1L)
+    idx.compact(spark)
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 2), 2L)
+    assert(emitted(idx).toSet === oneShot(docs))
+
+    // migrate to 4×2 (what an e63-style sweep would pick for precision)
+    idx.reband(spark, r = 4, b = 2)
+    val migrated = emitted(idx)
+    assert(migrated.size === migrated.toSet.size, "a pair was emitted twice")
+    assert(migrated.toSet === oneShotAt(docs, 4, 2),
+      "re-banded index must equal a fresh index at the new banding")
+    // postings are fully re-derived: every n_shared_bands is ≤ new b
+    assert(migrated.forall(_._3 <= 2))
+
+    // post-migration batches band and probe under the NEW banding
+    val idx2 = new LshIndex(tmpDir("lsh_reband2") + "/idx")
+    idx2.destroy()
+    idx2.addBatch(docs.filter(col("doc_id") < 30), 0L)
+    idx2.reband(spark, 4, 2)
+    idx2.addBatch(docs.filter(col("doc_id") >= 30), 1L)
+    val got = emitted(idx2)
+    assert(got.size === got.toSet.size)
+    assert(got.toSet === oneShotAt(docs, 4, 2),
+      "a batch arriving after the migration must complete pairs under the new banding")
+
+    // replay of a post-migration batch is still idempotent
+    idx2.addBatch(docs.filter(col("doc_id") >= 30), 1L)
+    assert(emitted(idx2).toSet === oneShotAt(docs, 4, 2))
+
+    // and compaction after migration preserves the migrated content
+    idx2.compact(spark)
+    assert(emitted(idx2).toSet === oneShotAt(docs, 4, 2))
+  }
+
   test("streaming wrapper: the index maintained from a document file stream converges") {
     val root = tmpDir("lsh_stream")
     val idx = new LshIndex(s"$root/idx")
