@@ -620,6 +620,47 @@ object Extensions {
           md5(expr("substring(payload, (n_frames - 1) * 64 + 1, 16)")).as("last_md5"))
         .orderBy("doc_id")
     },
+    // E5/multimodal — REAL image decode: the fixture writes complete valid
+    // PNGs (Multimodal.encodePng: zlib IDAT, CRC32'd chunks — a17's
+    // driver-side fixture discipline, dims derived deterministically from
+    // each doc's n_chars), then the scan parses IHDR width/height/depth/
+    // color straight off the binary column with pure codegen'd expressions
+    // (hex + substring + conv big-endian reads — no UDF). The oracle runs
+    // the IDENTICAL big-endian reads on the IDENTICAL bytes via DuckDB's
+    // read_blob, so the parse itself is what's gated. Fixture path is
+    // fixed (oracle SQL is static); the query rewrites it deterministically
+    // from its own SF every run, and the gate always runs Spark-then-
+    // oracle. Scale: header metadata is a bounded prefix read per file —
+    // at 100 TB this is the scan-time column-stats pass of an image
+    // corpus, never a pixel decode.
+    "e65_png_ihdr" -> { (s, d) =>
+      // literal /tmp (not java.io.tmpdir): the oracle SQL is a static
+      // string and must name the same absolute path
+      val path = "/tmp/graft_png_fixture"
+      val dir = new java.io.File(path); dir.mkdirs()
+      Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".png")).foreach(_.delete())
+      load(s, d, "documents").filter(col("doc_id").isin(0L, 10L, 20L))
+        .select(col("doc_id"), col("n_chars")).collect()
+        .foreach { r =>
+          val w = (r.getLong(1) % 480 + 16).toInt
+          val h = (r.getLong(1) * 3 % 360 + 16).toInt
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"png_${r.getLong(0)}.png"),
+            Multimodal.encodePng(w, h, seed = r.getLong(0)))
+        }
+      s.read.format("binaryFile").load(path)
+        .filter(Multimodal.isPng(col("content")))
+        .select(
+          regexp_extract(col("path"), "png_(\\d+)\\.png$", 1)
+            .cast(LongType).as("doc_id"),
+          Multimodal.pngWidth(col("content")).as("width"),
+          Multimodal.pngHeight(col("content")).as("height"),
+          Multimodal.pngBitDepth(col("content")).as("bit_depth"),
+          Multimodal.pngColorType(col("content")).as("color_type"),
+          col("length").as("n_bytes"))
+        .orderBy("doc_id")
+    },
     // E1 near-dup canonicalization — connected components over the LSH
     // candidate graph (docs sharing any MinHash band bucket are edges), so
     // each near-dup CLUSTER keeps exactly one canonical doc (min doc_id).
@@ -2179,6 +2220,20 @@ object Extensions {
         |  md5(substring(text, 1, 16)) AS frame0_md5,
         |  md5(substring(text, (n_frames - 1) * 64 + 1, 16)) AS last_md5
         |FROM f ORDER BY doc_id""".stripMargin,
+    // the SAME big-endian header reads on the SAME fixture bytes, via
+    // read_blob — hex+substring+0x-cast is DuckDB's spelling of Spark's
+    // hex+substring+conv; the gate compares the two engines' PARSE of
+    // identical files (the Spark query writes them before the oracle runs)
+    "e65_png_ihdr" ->
+      """SELECT CAST(regexp_extract(filename, 'png_(\d+)\.png', 1) AS BIGINT) AS doc_id,
+        |  CAST('0x' || substring(hex(content), 33, 8) AS BIGINT) AS width,
+        |  CAST('0x' || substring(hex(content), 41, 8) AS BIGINT) AS height,
+        |  CAST('0x' || substring(hex(content), 49, 2) AS BIGINT) AS bit_depth,
+        |  CAST('0x' || substring(hex(content), 51, 2) AS BIGINT) AS color_type,
+        |  octet_length(content)::BIGINT AS n_bytes
+        |FROM read_blob('/tmp/graft_png_fixture/*.png')
+        |WHERE substring(hex(content), 1, 16) = '89504E470D0A1A0A'
+        |ORDER BY doc_id""".stripMargin,
     "e24_lexicon_scrub" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |k AS (SELECT doc_id, lang, tk,

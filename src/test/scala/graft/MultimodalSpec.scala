@@ -36,6 +36,116 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.frame_offsets.length === 4 && f.frame_offsets.head === 0)
   }
 
+  test("encodePng emits PNGs the JDK's own ImageIO reader decodes identically") {
+    // cross-IMPLEMENTATION differential: our encoder vs the JDK's
+    // independent PNG decoder — dims, then every pixel of a small image
+    val bytes = Multimodal.encodePng(37, 23, seed = 42L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth === 37 && img.getHeight === 23)
+    val raw = Multimodal.rawScanlines(37, 23, 42L)
+    (0 until 23).foreach { y =>
+      (0 until 37).foreach { x =>
+        val base = y * (1 + 37 * 3) + 1 + x * 3
+        val expected = ((raw(base) & 0xff) << 16) |
+          ((raw(base + 1) & 0xff) << 8) | (raw(base + 2) & 0xff)
+        assert((img.getRGB(x, y) & 0xffffff) === expected,
+          s"pixel ($x,$y) mismatch vs ImageIO")
+      }
+    }
+    // and our own pixel decoder agrees with the generator byte-for-byte
+    val px = Multimodal.decodePngPixels(bytes)
+    val gen = (0 until 23).flatMap(y =>
+      (0 until 37 * 3).map(x => raw(y * (1 + 37 * 3) + 1 + x))).toArray
+    assert(px.toSeq === gen.toSeq)
+  }
+
+  test("decodePngPixels reverses all five PNG filter types") {
+    // hand-build a 4x3 truecolor PNG whose rows use filters 1-4 (and 0),
+    // then check the unfiltered pixels against a reference computed here
+    val w = 4; val h = 5; val stride = w * 3
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(h * stride)(rnd.nextInt(256).toByte) // ground truth
+    def p(y: Int, x: Int): Int = if (y < 0 || x < 0) 0 else px(y * stride + x) & 0xff
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val pr = a + b - c
+      val (pa, pb, pc) = (math.abs(pr - a), math.abs(pr - b), math.abs(pr - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    // FORWARD-filter each row with its type (the encoder side of the spec)
+    val filters = Seq(0, 1, 2, 3, 4)
+    val raw = new java.io.ByteArrayOutputStream()
+    (0 until h).foreach { y =>
+      val ft = filters(y)
+      raw.write(ft)
+      (0 until stride).foreach { x =>
+        val cur = p(y, x)
+        val left = if (x >= 3) p(y, x - 3) else 0
+        val up = p(y - 1, x)
+        val ul = if (x >= 3) p(y - 1, x - 3) else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw.write(enc & 0xff)
+      }
+    }
+    // wrap the filtered stream in a real PNG container
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array())
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+
+    assert(Multimodal.decodePngPixels(out.toByteArray).toSeq === px.toSeq)
+    // the JDK reader agrees too — the filtered stream is spec-legal
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    assert((img.getRGB(2, 4) & 0xffffff) ===
+      ((p(4, 6) << 16) | (p(4, 7) << 8) | p(4, 8)))
+  }
+
+  test("IHDR column expressions parse dims off the binary column, codegen'd") {
+    import spark.implicits._
+    val rows = Seq((1L, Multimodal.encodePng(640, 480, 1L)),
+      (2L, Multimodal.encodePng(17, 1033, 2L)),
+      (3L, "not a png".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+    val got = df.filter(Multimodal.isPng(col("payload")))
+      .select(col("doc_id"), Multimodal.pngWidth(col("payload")).as("w"),
+        Multimodal.pngHeight(col("payload")).as("h"),
+        Multimodal.pngBitDepth(col("payload")).as("d"),
+        Multimodal.pngColorType(col("payload")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set((1L, 640L, 480L, 8L, 2L), (2L, 17L, 1033L, 8L, 2L)))
+    // extractFeatures uses the REAL decode for PNG media
+    val media = df.filter(col("doc_id") === 1L)
+      .select(col("doc_id"), lit("image").as("kind"), col("payload"),
+        lit("en").as("lang"), lit(0L).as("n_chars")).as[Multimodal.Media]
+    val f = Multimodal.extractFeatures(media).head()
+    assert((f.width, f.height) === ((640, 480)))
+    val px = Multimodal.decodePngPixels(rows.head._2)
+    val mean = px.map(_.toInt & 0xff).foldLeft(0L)(_ + _).toDouble / px.length
+    assert(math.abs(f.mean_byte - mean) < 1e-12)
+  }
+
   test("features survive a shuffle and join back to metadata") {
     val media = Multimodal.fromDocuments(spark, sfDir)
     val feats = Multimodal.extractFeatures(media).toDF()
