@@ -94,7 +94,11 @@ object Extensions {
     val sets = load(s, d, "documents")
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
-      .persist()
+      // localCheckpoint, not persist: both verify sides read it from
+      // storage, and the blocks release on GC (ContextCleaner) instead of
+      // accumulating for the session (no unpersist hook exists — the
+      // caller consumes a lazy plan over this)
+      .localCheckpoint()
     val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
     val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
     a.join(b, col("d1") < col("d2"))
@@ -141,7 +145,12 @@ object Extensions {
       if (c2 == checksum) done = true else checksum = c2
     }
     und.unpersist(); sig.unpersist()
-    labels
+    // hand back a checkpointed copy and release the loop's cache: the
+    // caller holds a lazy plan, and checkpoint blocks free on GC — the
+    // session never accumulates this query's cache
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -286,7 +295,7 @@ object Extensions {
             i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
               element_at(col("tk"), i + 2))))).as("bg"))
         .withColumn("nb", size(col("bg")))
-        .persist()
+        .localCheckpoint() // both join sides; GC-released, see sampledTruthPairs
       val a = base.select(col("doc_id").as("d1"), col("lang"),
         col("bg").as("bg1"), col("nb").as("nb1"))
       val b = base.select(col("doc_id").as("d2"), col("lang").as("lang2"),
@@ -326,7 +335,7 @@ object Extensions {
               element_at(col("tk"), i + 2))))).as("bg"))
         .withColumn("nb", size(col("bg")))
         .withColumn("blk", pmod(xxhash64(col("doc_id")), lit(B.toLong)))
-        .persist() // replicas read the shingle transform from cache, not 2B×
+        .localCheckpoint() // replicas read the shingle transform once, not 2B×; GC-released
       val grid = explode(sequence(lit(0L), lit(B - 1L))).as("other")
       val a = base.select(col("doc_id").as("d1"), col("lang"),
         col("bg").as("bg1"), col("nb").as("nb1"), col("blk").as("a_row"), grid)
@@ -374,7 +383,7 @@ object Extensions {
           explode(array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
             i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
               element_at(col("tk"), i + 2)))))).as("sh"))
-        .persist()
+        .localCheckpoint() // feeds hot-shingle cut AND postings; GC-released
       val hot = inv.groupBy(col("lang"), col("sh"))
         .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
         .select(col("lang"), col("sh"))
@@ -1030,7 +1039,7 @@ object Extensions {
               concat(element_at(col("ts"), i), lit(" "),
                 element_at(col("ts"), i + 1)).as("bg")))).as("x"))
         .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
-        .persist()
+        .localCheckpoint() // three readers; GC-released
       val c2 = bg.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("c2"))
       val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       bg.join(broadcast(c2.drop("w1")), "bg").join(broadcast(c1), "w1")
@@ -1064,7 +1073,7 @@ object Extensions {
             i => struct(i.as("p"),
               array_join(slice(col("ts"), i, lit(8)), " ").as("span")))).as("x"))
         .select(col("doc_id"), col("x.p").cast(LongType).as("p"), col("x.span").as("span"))
-        .persist()
+        .localCheckpoint() // dup-span filter and coverage both read it; GC-released
       val dup = spans.groupBy(col("span"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2).select(col("span"))
@@ -1307,7 +1316,7 @@ object Extensions {
       val wts = tf.join(broadcast(dfc), "t").crossJoin(broadcast(nd))
         .select(col("doc_id"), col("t"),
           (col("tf") * log(col("n_docs").cast(DoubleType) / col("df"))).as("w"))
-        .persist()
+        .localCheckpoint() // norm aggregate + both pair sides; GC-released
       val norms = wts
         .select(col("doc_id"), (col("w") * col("w")).cast(DecimalType(28, 9)).as("w2"))
         .groupBy(col("doc_id")).agg(sum(col("w2")).as("n2"))
@@ -1434,7 +1443,7 @@ object Extensions {
           array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
             i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
               element_at(col("tk"), i + 2))))).as("bg"))
-        .persist() // feeds the posting explode AND both verify sides
+        .localCheckpoint() // feeds the posting explode AND both verify sides; GC-released
       val post = base.select(col("doc_id"), col("lang"), explode(col("bg")).as("h"))
       val dfc = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val pre = post.join(dfc, "h")
@@ -1496,7 +1505,8 @@ object Extensions {
     // economics already bound — the same reason e03b is feasible.
     "e57_triangle_count" -> { (s, d) =>
       val e = lshCandidates(s, d)
-        .select(col("d1").as("a"), col("d2").as("b")).persist()
+        .select(col("d1").as("a"), col("d2").as("b"))
+        .localCheckpoint() // three-way self-join; GC-released
       val tri = e.as("e1")
         .join(e.as("e2"), col("e1.b") === col("e2.a"))
         .join(e.as("e3"),
@@ -1634,13 +1644,13 @@ object Extensions {
     // else is the shared sig machinery. Output: one row per config with
     // exact counts and single-division precision/recall.
     "e63_lsh_sweep" -> { (s, d) =>
-      val truth = sampledTruthPairs(s, d).persist() // audited twice
+      val truth = sampledTruthPairs(s, d).localCheckpoint() // audited twice; GC-released
       // r=2×b=4 IS the production banding — reuse its candidate source;
       // only the r=4×b=2 bucketing is new (4 sigs md5-combined: a 4-way
       // integer product would overflow BIGINT)
       val r2b4 = lshCandidates(s, d)
       val sig = minhashSigs(load(s, d, "documents")
-        .filter(col("doc_id") % 10 === 0)).persist()
+        .filter(col("doc_id") % 10 === 0)).localCheckpoint() // two bandings read it; GC-released
       val bd = sig.select(col("doc_id"), explode(array(
         (0 until 2).map { j =>
           struct(lit(j).as("band"), tokenHash(concat_ws(",",

@@ -971,7 +971,8 @@ object Relational {
     // deterministic tie-break.
     "c55_basket_lift" -> { (s, d) =>
       val op = load(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct().persist()
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint() // basket self-join reads it twice; GC-released
       val n = op.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_orders"))
       val sup = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
@@ -1000,7 +1001,8 @@ object Relational {
     "c56_funnel3" -> { (s, d) =>
       // persisted: three stage filters read the same events projection
       val ev = Tables.events(s, d).withColumn("us", expr("ts_ns div 1000"))
-        .select("user_id", "event_type", "us").persist()
+        .select("user_id", "event_type", "us")
+        .localCheckpoint() // both sequence sides; GC-released
       val sg = ev.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
       val vw = ev.filter(col("event_type") === "view")
