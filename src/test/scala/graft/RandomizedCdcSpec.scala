@@ -162,6 +162,95 @@ class RandomizedCdcSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  /** Largest per-task shuffle-read row count observed while running
+    * `action` — the direct measurement of reducer skew (a hot key's rows
+    * all landing in one task shows up here, where per-operator SQL metric
+    * totals would hide it). */
+  private def maxTaskShuffleRead(action: => Unit): Long = {
+    val maxRecs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null)
+          maxRecs.getAndUpdate(cur => math.max(cur, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      // the listener bus is async: poll until the max stabilizes
+      var prev = -1L
+      var settled = 0
+      while (settled < 3) {
+        Thread.sleep(200)
+        val cur = maxRecs.get()
+        if (cur == prev) settled += 1 else { settled = 0; prev = cur }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    maxRecs.get()
+  }
+
+  test("b7 salted merge bounds the max-task input under a pathologically hot key") {
+    // skewed changelog: one key owns 80% of 60k rows — the distribution
+    // that breaks a window-per-key merge at scale
+    val n = 60000
+    val rnd = new scala.util.Random(20260813)
+    import spark.implicits._
+    val skewDir = tmpDir("rand_skew")
+    (1 to n).map { eid =>
+      val uid = if (rnd.nextInt(10) < 8) 1L else 2L + rnd.nextInt(500)
+      val tpe = types(rnd.nextInt(types.size))
+      (eid.toLong, eid.toLong * 1000000000L, uid, tpe,
+        math.rint(rnd.nextDouble() * 10000) / 100.0, """{"k":1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(8) // several map tasks, as a real scan would have
+      .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+    val hot = spark.read.parquet(s"$skewDir/events.parquet")
+      .filter($"user_id" === 1L).count()
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // correctness first: salted two-phase ≡ the windowed latest-wins merge
+    val salted = SparkEntry.queries("b7_merge_salted")(spark, skewDir)
+    val windowed = Cdc.merge(Cdc.changelog(spark, skewDir), Seq("user_id"))
+      .select($"user_id", $"pos".as("last_pos"), $"value".as("last_value"))
+    assert(salted.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      === windowed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+
+    // skew, measured three ways:
+    //  (1) the NAIVE window plan (rank-limit pushdown disabled) funnels
+    //      every hot-key row into ONE task — the failure mode salting
+    //      exists for;
+    //  (2) Spark 4's own WindowGroupLimit mitigates rn=1 merges by keeping
+    //      only the per-key top row map-side — worth pinning, because the
+    //      plain Cdc.merge leans on it at scale;
+    //  (3) the salted two-phase agg bounds the reducer independently of
+    //      any rank-limit pushdown (partial aggregation caps what any
+    //      reducer sees at keys × salts × map-task partials) — the form
+    //      that generalizes to aggregates no group-limit can rescue.
+    val maxNaive = {
+      spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+      try maxTaskShuffleRead(noop(windowed))
+      finally spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
+    }
+    val maxWindowed = maxTaskShuffleRead(noop(windowed))
+    val maxSalted = maxTaskShuffleRead(noop(salted))
+    assert(maxNaive >= hot,
+      s"naive window merge should concentrate the hot key: max-task read " +
+        s"$maxNaive < hot $hot — generator or measurement broken")
+    assert(maxSalted * 4 <= maxNaive,
+      s"salted plan not bounded: max-task read $maxSalted vs naive " +
+        s"$maxNaive (hot=$hot)")
+    assert(maxWindowed * 4 <= maxNaive,
+      s"WindowGroupLimit stopped engaging for the rn=1 merge: " +
+        s"$maxWindowed vs naive $maxNaive — the plain merge would " +
+        "concentrate hot keys at scale")
+    info(s"measured max-task shuffle reads: naive=$maxNaive " +
+      s"windowGroupLimit=$maxWindowed salted=$maxSalted hot=$hot n=$n")
+  }
+
   test("c57 top paths matches a plain-Scala sessionizer on jittered times") {
     val gapNs = 1800000000000L
     val paths = rawTs.map { case (eid, ts, uid, tpe) => (uid, ts, eid, tpe) }
