@@ -109,9 +109,10 @@ class PlanSpec extends SparkSpecBase {
     // the df-cut must not shuffle the posting list against the hot list
     assert(p.contains("LeftAnti"), p.take(2000))
     assert(!p.contains("SortMergeJoin(leftanti"), "anti join must broadcast, not shuffle")
-    // the posting list is persisted: consuming branches read the cache
+    // the posting list is materialized once (localCheckpoint — GC-released,
+    // see CacheHygieneSpec): consuming branches scan the checkpointed RDD
     // instead of recomputing the md5-shingle transform per branch
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
     // and nothing in the pair pipeline degenerates to a nested-loop join
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
@@ -127,9 +128,10 @@ class PlanSpec extends SparkSpecBase {
     // prefix filter must never degenerate to a nested-loop pair scan
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    // the shingle projection is persisted: postings and both verify sides
-    // read the cache instead of recomputing the md5 transform
-    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    // the shingle projection is materialized once (localCheckpoint):
+    // postings and both verify sides scan the checkpointed RDD instead of
+    // recomputing the md5 transform
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
   }
 
   test("c55 basket lift: support joins broadcast, top-25 is a heap not a sort") {
