@@ -171,9 +171,17 @@ object Multimodal {
     inf.setInput(zdata.toByteArray)
     val raw = new Array[Byte](h * (1 + w * 3))
     var filled = 0
-    while (!inf.finished() && filled < raw.length)
-      filled += inf.inflate(raw, filled, raw.length - filled)
+    var stalled = false
+    while (!stalled && !inf.finished() && filled < raw.length) {
+      val n = inf.inflate(raw, filled, raw.length - filled)
+      // inflate()==0 with finished()==false means the stream needs input we
+      // don't have (truncated IDAT) — throw instead of spinning forever.
+      if (n == 0) stalled = true else filled += n
+    }
     inf.end()
+    if (stalled && filled < raw.length)
+      throw new IllegalArgumentException(
+        s"truncated IDAT: inflater stalled at $filled of ${raw.length} bytes")
     require(filled == raw.length, s"short inflate: $filled of ${raw.length}")
     // unfilter in place into the output (bpp = 3)
     val bpp = 3

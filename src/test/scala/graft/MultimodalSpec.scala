@@ -121,6 +121,46 @@ class MultimodalSpec extends SparkSpecBase {
       ((p(4, 6) << 16) | (p(4, 7) << 8) | p(4, 8)))
   }
 
+  test("decodePngPixels throws on truncated IDAT instead of spinning") {
+    // a valid PNG with its IDAT chopped mid-stream: the inflater stalls
+    // (inflate()==0, finished()==false) — must throw, never loop forever
+    val full = Multimodal.encodePng(64, 48, seed = 9L)
+    // find the IDAT chunk and rebuild the file with only half its payload
+    def be(b: Array[Byte], off: Int, n: Int): Long =
+      (0 until n).foldLeft(0L)((acc, i) => (acc << 8) | (b(off + i) & 0xffL))
+    var off = 8
+    var idatOff = -1; var idatLen = -1
+    while (idatOff < 0) {
+      val len = be(full, off, 4).toInt
+      val typ = new String(full, off + 4, 4, "US-ASCII")
+      if (typ == "IDAT") { idatOff = off; idatLen = len }
+      else off += 8 + len + 4
+    }
+    val keep = idatLen / 2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(full, 0, idatOff)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(keep).array())
+    val tb = "IDAT".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(full, idatOff + 8, keep)
+    out.write(tb)
+    out.write(full, idatOff + 8, keep)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    // IEND so the chunk walk terminates normally
+    val iendCrc = new java.util.zip.CRC32()
+    iendCrc.update("IEND".getBytes("US-ASCII"))
+    out.write(Array[Byte](0, 0, 0, 0))
+    out.write("IEND".getBytes("US-ASCII"))
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(iendCrc.getValue.toInt).array())
+    val truncated = out.toByteArray
+    assert(Multimodal.isPngBytes(truncated)) // passes the gate checks...
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodePngPixels(truncated) // ...but must fail loud, fast
+    }
+    assert(ex.getMessage.contains("truncated IDAT") ||
+      ex.getMessage.contains("short inflate"))
+  }
+
   test("IHDR column expressions parse dims off the binary column, codegen'd") {
     import spark.implicits._
     val rows = Seq((1L, Multimodal.encodePng(640, 480, 1L)),
