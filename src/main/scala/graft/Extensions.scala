@@ -94,11 +94,12 @@ object Extensions {
     val sets = load(s, d, "documents")
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
-      // localCheckpoint, not persist: both verify sides read it from
-      // storage, and the blocks release on GC (ContextCleaner) instead of
+      // checkpoint, not persist: both verify sides read it from storage;
+      // local blocks release on GC (ContextCleaner) instead of
       // accumulating for the session (no unpersist hook exists — the
-      // caller consumes a lazy plan over this)
-      .localCheckpoint()
+      // caller consumes a lazy plan over this). graft.checkpoint.dir
+      // switches to durable storage on cluster runs.
+      .transform(operators.RoundCheckpointer.resolve(s, None).truncate)
     val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
     val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
     a.join(b, col("d1") < col("d2"))
@@ -115,6 +116,7 @@ object Extensions {
     * scalar action per round detects the fixpoint). The O(log n) large-star/
     * small-star variant lives in operators/ConnectedComponents. */
   private def lshComponents(s: SparkSession, d: String): DataFrame = {
+    val ck = operators.RoundCheckpointer.resolve(s, None)
     // persisted: the signature agg (tokenize + explode + groupBy) feeds
     // three branches — both edge sides and the initial labels — and would
     // otherwise recompute per branch
@@ -146,9 +148,9 @@ object Extensions {
     }
     und.unpersist(); sig.unpersist()
     // hand back a checkpointed copy and release the loop's cache: the
-    // caller holds a lazy plan, and checkpoint blocks free on GC — the
-    // session never accumulates this query's cache
-    val out = labels.localCheckpoint()
+    // caller holds a lazy plan, and local checkpoint blocks free on GC —
+    // the session never accumulates this query's cache
+    val out = ck.truncate(labels)
     labels.unpersist()
     out
   }

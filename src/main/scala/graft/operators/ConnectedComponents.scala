@@ -64,20 +64,23 @@ object ConnectedComponents {
     * round count is the number of (large-star, small-star) iterations run
     * (≈ log of the largest component, never its diameter). */
   def run(nodes: DataFrame, edges: DataFrame,
-          maxRounds: Int = 50): (DataFrame, Int) = {
-    // localCheckpoint (not persist): each round must TRUNCATE the logical
+          maxRounds: Int = 50,
+          checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val ck = RoundCheckpointer.resolve(edges.sparkSession, checkpointDir)
+    // Checkpoint (not persist): each round must TRUNCATE the logical
     // plan, or 10 rounds of join/distinct compose into an exponentially
     // deep lineage that stalls the optimizer long before execution starts.
-    var e = edges
+    // Pass checkpointDir (or set graft.checkpoint.dir) on cluster runs —
+    // executor-local blocks die with their executor, durable ones don't.
+    var e = ck.truncate(edges
       .select(col("a").cast(LongType).as("a"), col("b").cast(LongType).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var sig = checksum(e)
     var rounds = 0
     var done = e.isEmpty
     while (!done && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = ck.truncate(smallStar(largeStar(e)))
       val nsig = checksum(next)
       e = next
       rounds += 1

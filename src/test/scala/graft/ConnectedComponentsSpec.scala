@@ -65,4 +65,27 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  test("graft.checkpoint.dir conf switches rounds to reliable checkpoints, same answer") {
+    // the conf hook is how fixed-signature query closures opt in — no
+    // API change, one conf, every fixpoint becomes executor-loss-proof
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val n = 32L
+    val nodes = spark.range(n).select(col("id").as("node"))
+    val edges = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val (localLabels, localRounds) = ConnectedComponents.run(nodes, edges)
+    val localMap = localLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(graft.operators.RoundCheckpointer.ConfKey, dir)
+    try {
+      val (relLabels, relRounds) = ConnectedComponents.run(nodes, edges)
+      val relMap = relLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(relMap === localMap)
+      assert(relRounds === localRounds)
+      def rddDirs(f: java.io.File): Int =
+        Option(f.listFiles).toSeq.flatten.map(c =>
+          (if (c.getName.startsWith("rdd-")) 1 else 0) + rddDirs(c)).sum
+      assert(rddDirs(new java.io.File(dir)) > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset(graft.operators.RoundCheckpointer.ConfKey)
+  }
 }

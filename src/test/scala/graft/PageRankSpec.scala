@@ -75,4 +75,31 @@ class PageRankSpec extends SparkSpecBase {
     assert(d2 === d8,
       s"plan grew with iterations ($d2 lines at k=2, $d8 at k=8) — lineage not truncated")
   }
+
+  test("reliable checkpointDir: identical ranks, durable round files, constant depth") {
+    // the fault-tolerant mode for 1000-executor runs — executor-local
+    // blocks die with their executor; df.checkpoint() against storage
+    // doesn't. Answers must be bit-identical to the local mode.
+    val dir = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
+    val ring = (0L until 16L).map(i => (i, (i + 1) % 16))
+    val directed = ring ++ ring.map(_.swap)
+    val local = PageRank.run(edgesDf(directed), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliableDf = PageRank.run(edgesDf(directed), iterations = 4,
+      checkpointDir = Some(dir))
+    val reliable = reliableDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === local)
+    // rounds actually hit durable storage: rdd-* checkpoint dirs exist
+    def rddDirs(f: java.io.File): Int =
+      Option(f.listFiles).toSeq.flatten.map(c =>
+        (if (c.getName.startsWith("rdd-")) 1 else 0) + rddDirs(c)).sum
+    assert(rddDirs(new java.io.File(dir)) > 0, s"no checkpoint files under $dir")
+    // truncation property holds in reliable mode too
+    val lines = reliableDf.queryExecution.optimizedPlan
+      .numberedTreeString.linesIterator.size
+    val localLines = PageRank.run(edgesDf(directed), iterations = 4)
+      .queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(lines === localLines,
+      s"reliable-mode plan depth $lines != local-mode $localLines")
+  }
 }
