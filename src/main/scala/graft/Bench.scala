@@ -12,7 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    every timed query: the warm-up would otherwise leave persisted blocks
   *    (e04/e04b/e04c cache their shingle projections) that the timed run
   *    reads instead of computing, and caches would accumulate RAM across the
-  *    98-query session;
+  *    98-query session. Query closures that materialize shared
+  *    intermediates use `localCheckpoint()`, whose blocks clearCache does
+  *    NOT touch — they free only when the ContextCleaner sees the RDD
+  *    garbage-collected — so each untimed gap also nudges a full GC:
+  *    without it, blocks from earlier queries linger nondeterministically
+  *    and their eviction/GC cost lands inside whichever later query
+  *    triggers the collection (observed as r4's phantom e02 "+65%":
+  *    e02's own code was untouched and isolated reruns sit at 0.58-0.77 s
+  *    — run-order memory pressure, not a plan regression);
   *  - failures are recorded as -1 with an explicit failure list, never
   *    silently timed as fast successes;
   *  - the stdout line carries the total plus a fixed HEADLINE subset of
@@ -87,6 +95,7 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query persists must not leak onward
+      System.gc() // release localCheckpoint blocks (ContextCleaner is GC-driven)
       name -> (if (ok) sec else -1.0)
     }
     val failures = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
