@@ -638,16 +638,16 @@ object Extensions {
     // color straight off the binary column with pure codegen'd expressions
     // (hex + substring + conv big-endian reads — no UDF). The oracle runs
     // the IDENTICAL big-endian reads on the IDENTICAL bytes via DuckDB's
-    // read_blob, so the parse itself is what's gated. Fixture path is
-    // fixed (oracle SQL is static); the query rewrites it deterministically
-    // from its own SF every run, and the gate always runs Spark-then-
-    // oracle. Scale: header metadata is a bounded prefix read per file —
+    // read_blob, so the parse itself is what's gated. The fixture dir is
+    // keyed by SF dir (two concurrent Verify runs on one host must not
+    // race on shared files); the oracle entry reads the recorded path back
+    // at dump time — Verify runs queries first, then dumps oracleSql, in
+    // one JVM. Scale: header metadata is a bounded prefix read per file —
     // at 100 TB this is the scan-time column-stats pass of an image
     // corpus, never a pixel decode.
     "e65_png_ihdr" -> { (s, d) =>
-      // literal /tmp (not java.io.tmpdir): the oracle SQL is a static
-      // string and must name the same absolute path
-      val path = "/tmp/graft_png_fixture"
+      val path = pngFixtureFor(d)
+      pngFixturePath = path
       val dir = new java.io.File(path); dir.mkdirs()
       Option(dir.listFiles).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".png")).foreach(_.delete())
@@ -1795,7 +1795,24 @@ object Extensions {
       |WHERE n_common::DOUBLE / (n1 + n2 - n_common) >= 0.1
       |ORDER BY lang, d1, d2""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  /** e65's PNG fixture dir for SF dir `d` — keyed by SF so concurrent
+    * Verify runs at different SFs on one host never race on shared files. */
+  private def pngFixtureFor(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_png_fixture_$tag"
+  }
+
+  /** The fixture path the e65 query last wrote — the oracle SQL must name
+    * the same absolute path, and [[oracleSql]] carries no SF parameter, so
+    * the query records its path here and the oracle entry (evaluated at
+    * dump time, after the queries ran in the same Verify JVM) reads it
+    * back. The default covers an oracle dump with e65 never run. */
+  @volatile private var pngFixturePath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_png_fixture_default"
+
+  // def, not val: the e65 entry late-binds the fixture path recorded by the
+  // query run (Verify dumps this map only after running every query)
+  def oracleSql: Map[String, String] = Map(
     "e01_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents
@@ -2237,15 +2254,15 @@ object Extensions {
     // hex+substring+conv; the gate compares the two engines' PARSE of
     // identical files (the Spark query writes them before the oracle runs)
     "e65_png_ihdr" ->
-      """SELECT CAST(regexp_extract(filename, 'png_(\d+)\.png', 1) AS BIGINT) AS doc_id,
+      ("""SELECT CAST(regexp_extract(filename, 'png_(\d+)\.png', 1) AS BIGINT) AS doc_id,
         |  CAST('0x' || substring(hex(content), 33, 8) AS BIGINT) AS width,
         |  CAST('0x' || substring(hex(content), 41, 8) AS BIGINT) AS height,
         |  CAST('0x' || substring(hex(content), 49, 2) AS BIGINT) AS bit_depth,
         |  CAST('0x' || substring(hex(content), 51, 2) AS BIGINT) AS color_type,
         |  octet_length(content)::BIGINT AS n_bytes
-        |FROM read_blob('/tmp/graft_png_fixture/*.png')
+        |FROM read_blob('""".stripMargin + pngFixturePath + """/*.png')
         |WHERE substring(hex(content), 1, 16) = '89504E470D0A1A0A'
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
     "e24_lexicon_scrub" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |k AS (SELECT doc_id, lang, tk,

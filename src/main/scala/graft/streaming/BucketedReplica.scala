@@ -80,6 +80,29 @@ final class BucketedReplica(
     * violation), even once version retention has rolled past the birth. */
   def firstTag: Option[Long] = metaKv.get("firstTag").map(_.trim.toLong)
 
+  /** Upgrade path for replicas created BEFORE birth tags were recorded:
+    * durably register the source batch tag of the first-ever commit, known
+    * from deployment history. Without it, a consistent-cut read whose cut
+    * precedes every retained tag cannot distinguish "born later" (provably
+    * empty) from "evicted" (retention violated) and fails loudly. Refuses
+    * to overwrite an existing birth tag or to claim a birth AFTER a
+    * retained tag (a version tagged t proves the table existed by t —
+    * backfilling anything later would be unsound, which is why this is an
+    * explicit operator action and never an automatic guess from the oldest
+    * retained tag). */
+  def recordFirstTag(t: Long): Unit = {
+    require(firstTag.isEmpty,
+      s"replica at $root already records firstTag=${firstTag.get}")
+    retainedTags.values.reduceOption(_ min _).foreach(minTag =>
+      require(t <= minTag,
+        s"firstTag=$t is after retained tag $minTag — a version tagged " +
+          s"$minTag proves the table existed by then"))
+    val kv = metaKv
+    io.writeString(io.path("_META"),
+      (kv.toSeq.sortBy(_._1) :+ ("firstTag" -> t.toString))
+        .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
+  }
+
   private def effectiveBuckets: Int = {
     val kv = metaKv
     kv.get("pk").foreach(p => require(p == pk,

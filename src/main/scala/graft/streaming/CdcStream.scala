@@ -266,7 +266,12 @@ object CdcStream {
             else throw new IllegalStateException(
               s"replica $t: has committed versions but no tagged history " +
                 s"<= cut $cut and no recorded birth tag — cannot prove its " +
-                "state at the cut")
+                "state at the cut. Pre-birth-tag replicas upgrade by " +
+                "registering the first commit's source batch id once via " +
+                "BucketedReplica.recordFirstTag(t) (from deployment " +
+                "history); an automatic backfill from the oldest retained " +
+                "tag would only bound the birth from above and could " +
+                "declare a born-earlier table provably empty")
         }
       t -> v
     }.toMap

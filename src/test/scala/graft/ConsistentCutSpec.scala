@@ -138,6 +138,58 @@ class ConsistentCutSpec extends SparkSpecBase {
       .select("user_id").collect().map(_.getLong(0)).sorted === Array(3L, 5L))
   }
 
+  test("pre-birth-tag replica upgrades via recordFirstTag (no silent empty, no unsound guess)") {
+    val root = tmpDir("ccut_upgrade") + "/reps"
+    applyBatch(root, 1L, Seq(row("even", 1, 2, 1.0), row("odd", 2, 3, 2.0)))
+    // simulate a replica created before birth tags existed: strip firstTag
+    val metaPath = java.nio.file.Paths.get(s"$root/odd/_META")
+    val stripped = java.nio.file.Files.readString(metaPath)
+      .linesIterator.filterNot(_.startsWith("firstTag=")).mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(metaPath, stripped)
+    // roll odd's retained tags past the cut: batch 2 commits to odd only,
+    // no marker, compaction re-tags both retained versions to 2
+    applyBatch(root, 2L, Seq(row("odd", 4, 5, 4.0)), mark = false)
+    val odd = new BucketedReplica(s"$root/odd", nBuckets = 4)
+    odd.compact(spark)
+
+    // no retained tag <= cut, no birth tag: fail loudly with the upgrade
+    // procedure in the message (never silently empty, never auto-guessed)
+    val e = intercept[IllegalStateException] {
+      CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    }
+    assert(e.getMessage.contains("recordFirstTag"), e.getMessage)
+
+    // refuses an unsound birth claim: a retained version tagged 2 proves
+    // the table existed by batch 2, so birth "at 3" is rejected
+    intercept[IllegalArgumentException] { odd.recordFirstTag(3L) }
+
+    // the operator registers the true birth (batch 1, from deployment
+    // history): the cut now resolves the ambiguity as retention-violated
+    // (a <=cut state provably existed and was evicted) — the sound answer
+    odd.recordFirstTag(1L)
+    assert(odd.firstTag === Some(1L))
+    val e2 = intercept[IllegalStateException] {
+      CdcStream.consistentCutVersions(root, Seq("even", "odd"))
+    }
+    assert(e2.getMessage.contains("retention violated"), e2.getMessage)
+
+    // double registration is refused
+    intercept[IllegalArgumentException] { odd.recordFirstTag(1L) }
+
+    // and a table genuinely born AFTER the cut resolves as provably empty
+    val root2 = tmpDir("ccut_upgrade2") + "/reps"
+    applyBatch(root2, 1L, Seq(row("even", 1, 2, 1.0)))
+    applyBatch(root2, 2L, Seq(row("odd", 4, 5, 4.0)), mark = false)
+    val odd2 = new BucketedReplica(s"$root2/odd", nBuckets = 4)
+    val meta2 = java.nio.file.Paths.get(s"$root2/odd/_META")
+    java.nio.file.Files.writeString(meta2,
+      java.nio.file.Files.readString(meta2).linesIterator
+        .filterNot(_.startsWith("firstTag=")).mkString("", "\n", "\n"))
+    odd2.recordFirstTag(2L) // born in the in-flight batch
+    val (cut2, vers2) = CdcStream.consistentCutVersions(root2, Seq("even", "odd"))
+    assert(cut2 === 1L && vers2("odd").isEmpty)
+  }
+
   test("property: under any batch schedule, the cut view equals the batch-prefix state") {
     // randomized-but-seeded schedules: tables drop in and out of batches,
     // the last batch may be half-applied — the consistent view must always
