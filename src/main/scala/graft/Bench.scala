@@ -101,16 +101,32 @@ object Bench {
     val failures = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = r3(results.values.filter(_ >= 0).sum)
     val failJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The stdout record must survive the driver's bounded tail capture
+    // (~2000 chars) with sbt's "[success]" trailer after it. r5's record was
+    // head-truncated to parsed:null because 62 failure names inlined ~1.3 KB:
+    // the short line caps the inline failure list (full list in the detail
+    // file) so the line stays bounded no matter how much breaks.
+    val failShort = (failures.take(8).map("\"" + _ + "\"") ++
+      (if (failures.size > 8) Seq("\"...\"") else Nil)).mkString("[", ",", "]")
     def qJson(qs: Iterable[(String, Double)]): String =
       qs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir"}"""
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(headline.flatMap(h => results.get(h).map(h -> _)))},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir","detail":"bench_result.json"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.props("user.dir"), "bench_result.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(headline.flatMap(h => results.get(h).map(h -> _)))},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failShort,"sf":"$sfDir","detail":"bench_result.json"}"""
+    // bench_result.json is overwrite-on-run (the driver's detail file) — and
+    // a judge re-run clobbers the driver's copy (observed r5). bench_history
+    // .jsonl is append-only so every run this round stays recoverable.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.props("user.dir"), "bench_result.json"),
+        (full + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.props("user.dir"), "bench_history.jsonl"),
+        (full + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
     println(short)
     spark.stop()
   }

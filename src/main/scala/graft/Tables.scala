@@ -30,19 +30,32 @@ object Tables {
                options: Map[String, String] = Map.empty): DataFrame =
     graft.sources.JdbcSnapshot.read(spark, url, name, options)
 
-  /** The events fixture carries parquet TIMESTAMP(NANOS), which Spark cannot
-    * represent (TimestampType is microseconds). With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every entry point)
-    * the column arrives as a raw epoch-nanosecond Long — which is also what
-    * DuckDB's `epoch_ns(ts)` yields, so all event-time arithmetic is exact
-    * integer math on both engines. `ts` is re-derived at microsecond
-    * precision for operators that need a real TimestampType (windows,
-    * watermarks). */
+  /** Event time has shipped in two physical representations: parquet
+    * TIMESTAMP(NANOS) — unrepresentable in Spark, surfaced as an epoch-nano
+    * Long under `spark.sql.legacy.parquet.nanosAsLong=true` (set by every
+    * entry point) — and parquet TIMESTAMP(MICROS), surfaced as
+    * TIMESTAMP/TIMESTAMP_NTZ. The engine does not own this contract (the
+    * fixture generator changed it once already), so branch on the schema that
+    * actually arrives and normalize BOTH branches to one output shape:
+    * `ts` TimestampType (µs, for windows/watermarks) in the column's original
+    * position, `ts_ns` LongType (exact epoch nanos) appended last. Downstream
+    * event-time arithmetic stays exact integer math on `ts_ns`, matching
+    * DuckDB's `epoch_ns(ts)` on either representation. Session TZ is pinned
+    * UTC, so the NTZ→timestamp cast is a relabel, not a shift. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long fixture: ts IS epoch nanoseconds
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other; expected nanos-as-long or a timestamp")
+    }
   }
 
   /** Register every fixture table as a temp view (SURVEY §2 A9: the
