@@ -16,17 +16,26 @@ import org.apache.spark.sql.types._
   * stored PRIMITIVE is the raw `(vec_id, embedding)` rows — centroid
   * assignment is derived — so [[recenter]] can migrate the index to a new
   * centroid set (e.g. k-means re-fit after the corpus distribution drifts)
-  * without re-reading the source corpus, under the same versioned
-  * write-once commit protocol as `LshIndex.reband` and
-  * `BucketedReplica.rebucket`.
+  * without re-reading the source corpus, under the same [[OpLog]] commit
+  * protocol as `LshIndex.reband` (and the same write-once pointer
+  * discipline as `BucketedReplica`).
   *
   * Layout (under `root`):
   * {{{
   *   centroids/part-….parquet                      // generation 0 (cid, cemb)
   *   centroids_gen=<v>/part-….parquet              // generation v, from recenter
   *   index/batch_id=<n>/cid=<k>/part-….parquet     // (vec_id, embedding)
-  *   _CENTROIDS-<v>                                // write-once generation commit
+  *   _LOG-<v>                                      // write-once operation log
   * }}}
+  *
+  * Commit protocol: data is written before its log entry, and readers union
+  * exactly the partition ids committed entries name — a recenter that
+  * crashes between its consolidated rewrite and its commit leaves only
+  * invisible garbage (no id-range cut to leak through), and a recenter
+  * racing a LIVE addBatch is serialized by the write-once log version:
+  * whichever commits second observes the other and recomputes (the append
+  * cleans up its dead-layout output and rethrows for the stream's retry;
+  * the migration re-runs its rewrite including the new batch).
   *
   * Scale design:
   *  - assignment is a crossJoin against BROADCAST centroids (k×dim) + a
@@ -44,6 +53,7 @@ import org.apache.spark.sql.types._
 final class IvfIndex(root: String) {
 
   private val io = new StoreIO(root, StoreIO.sessionConf())
+  private[graft] val log = new OpLog(io)
 
   private def indexDir = s"$root/index"
 
@@ -52,33 +62,12 @@ final class IvfIndex(root: String) {
     StructField("embedding", ArrayType(FloatType)),
     StructField("cid", LongType), StructField("batch_id", LongType)))
 
-  /** Current centroid generation: (centroids dir, validity cut). After a
-    * [[recenter]] the cut `Some((consol, cutoff))` marks which index
-    * partitions carry the current generation's assignments:
-    * `batch_id <= consol` (the migration's consolidated rewrite) or
-    * `batch_id > cutoff` (stream batches appended after it). Generation 0
-    * (no `_CENTROIDS` commit) admits only `batch_id >= 0`, so a crashed
-    * first recenter's half-written negative consol partition is invisible
-    * until its commit lands. */
-  private def generation: (String, Option[(Long, Long)]) = {
-    val vs = io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_CENTROIDS-"))
-      .map(_.stripPrefix("_CENTROIDS-").toLong)
-    if (vs.isEmpty) ("centroids", None)
-    else {
-      val kv = io.readString(io.path(s"_CENTROIDS-${vs.max}"))
-        .linesIterator.filter(_.contains("=")).map { l =>
-          val Array(k, v) = l.split("=", 2); k -> v
-        }.toMap
-      (kv("dir"), Some((kv("consol").toLong, kv("cutoff").toLong)))
-    }
-  }
+  /** Centroid dir of the state's current generation. */
+  private def centroidDirOf(st: OpLog.State): String =
+    st.migration.map(_("dir")).getOrElse("centroids")
 
-  private def validIn(cut: Option[(Long, Long)]): Column = cut match {
-    case Some((consol, cutoff)) =>
-      col("batch_id") <= consol || col("batch_id") > cutoff
-    case None => col("batch_id") >= 0
-  }
+  private def idFilter(ids: Seq[Long]): Column =
+    if (ids.isEmpty) lit(false) else col("batch_id").isin(ids: _*)
 
   /** Pin the initial centroid set (once, at creation). `cents`: (cid, cemb). */
   def create(cents: DataFrame): Unit = {
@@ -89,7 +78,7 @@ final class IvfIndex(root: String) {
 
   /** The current generation's centroid set. */
   def centroids(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"$root/${generation._1}")
+    spark.read.parquet(s"$root/${centroidDirOf(log.state)}")
 
   /** The stored index of the CURRENT centroid generation (cid/batch_id from
     * the partition dirs). */
@@ -99,7 +88,7 @@ final class IvfIndex(root: String) {
         indexReadSchema)
     else spark.read.schema(indexReadSchema)
       .option("basePath", indexDir).parquet(indexDir)
-      .filter(validIn(generation._2))
+      .filter(idFilter(log.state.validIds))
 
   /** Nearest-centroid assignment of `vecs` against `cents` — broadcast
     * argmax, no shuffle of the vectors (shared by [[addBatch]] and
@@ -117,53 +106,58 @@ final class IvfIndex(root: String) {
   }
 
   /** Assign `vecs` (vec_id, embedding) to their nearest current-generation
-    * centroid and append them under the centroid's partition. Idempotent
-    * under foreachBatch retries (overwrite of this batch_id's dir). */
+    * centroid and append them under the centroid's partition, then commit
+    * the batch to the log. Idempotent under foreachBatch retries (committed
+    * replays no-op via the log's maxSeen fence; uncommitted retries
+    * overwrite their own partition). Safe against a concurrent [[recenter]]
+    * — see the class doc's commit protocol. */
   def addBatch(vecs: DataFrame, batchId: Long): Unit = {
     val spark = vecs.sparkSession
-    assignTo(vecs, centroids(spark))
+    val st = log.state
+    if (batchId <= st.maxSeen) return // committed replay (checkpoint re-run)
+    assignTo(vecs, spark.read.parquet(s"$root/${centroidDirOf(st)}"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$indexDir/batch_id=$batchId")
+    log.commitAppend(st.version, batchId,
+      () => io.delete(new org.apache.hadoop.fs.Path(s"$indexDir/batch_id=$batchId")))
   }
 
-  /** Offline migration (stream paused — same contract as
-    * `LshIndex.reband`): switch the index to a NEW centroid set — e.g. a
-    * k-means re-fit over the stored vectors after distribution drift —
-    * WITHOUT re-reading the source corpus. The stored vectors are
-    * re-assigned wholesale into one consolidated negative-batch_id
-    * partition, the new centroids land in a fresh generation dir, then a
-    * write-once `_CENTROIDS` commit flips the generation: its validity cut
-    * makes the old assignments logically dead at that instant, so the
-    * trailing deletes are pure physical GC. A crash anywhere re-runs to
-    * convergence (the consolidated partition is invisible until the commit,
-    * and a re-run overwrites it); correctness never depends on the deletes.
+  /** Migrate the index to a NEW centroid set — e.g. a k-means re-fit over
+    * the stored vectors after distribution drift — WITHOUT re-reading the
+    * source corpus. The stored vectors are re-assigned wholesale into one
+    * consolidated negative-batch_id partition, the new centroids land in a
+    * fresh generation dir, then one write-once log entry flips the
+    * generation. Pre-commit the consolidated partition is at an id no
+    * committed entry names — invisible by construction (the r5 hole closed)
+    * — so a crash anywhere re-runs to convergence and the trailing deletes
+    * are pure physical GC.
     *
-    * A stream resuming AFTER the migration must keep its checkpoint (so
-    * batch ids continue past `cutoff`) — the same contract every versioned
-    * store here shares. */
+    * ONLINE-safe: no stream-paused contract — a racing addBatch is
+    * serialized by the log (see class doc). A stream resuming after the
+    * migration keeps its checkpoint so batch ids stay monotone — the same
+    * contract every versioned store here shares. */
   def recenter(spark: SparkSession, newCents: DataFrame): Unit = {
-    val dirIds = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-      .map(_.getName.stripPrefix("batch_id=").toLong)
-    val consol = (dirIds :+ 0L).min - 1L
-    val cutoff = (dirIds :+ -1L).max
-    // distinct: a vector double-stored by a crash-retry window collapses here
-    val vecs = index(spark).select(col("vec_id"), col("embedding")).distinct()
-    assignTo(vecs, newCents)
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$indexDir/batch_id=$consol")
-    val nextV = 1L + io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_CENTROIDS-"))
-      .map(_.stripPrefix("_CENTROIDS-").toLong).foldLeft(0L)(math.max)
-    val genDir = s"centroids_gen=$nextV"
-    newCents.coalesce(1).write.mode("overwrite").parquet(s"$root/$genDir")
-    // the generation commit: readers/writers flip to the new centroids here
-    io.createExclusive(io.path(s"_CENTROIDS-$nextV"),
-      s"dir=$genDir\nconsol=$consol\ncutoff=$cutoff\n")
-    // physical GC of the dead generation's assignment partitions
-    io.listDirs(new org.apache.hadoop.fs.Path(indexDir)).filter { p =>
-      val id = p.getName.stripPrefix("batch_id=").toLong
-      !(id <= consol || id > cutoff)
-    }.foreach(io.delete)
+    log.migrate("recenter") { st =>
+      // below every id ever used (crashed attempts' garbage included)
+      val listed = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+        .map(_.getName.stripPrefix("batch_id=").toLong)
+      val consol = ((listed ++ st.validIds) :+ 0L).min - 1L
+      // distinct: a vector double-stored by a crash-retry window collapses here
+      val vecs = spark.read.schema(indexReadSchema)
+        .option("basePath", indexDir).parquet(indexDir)
+        .filter(idFilter(st.validIds))
+        .select(col("vec_id"), col("embedding")).distinct()
+      assignTo(vecs, newCents)
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$indexDir/batch_id=$consol")
+      val genDir = s"centroids_gen=${st.version + 1}"
+      newCents.coalesce(1).write.mode("overwrite").parquet(s"$root/$genDir")
+      (Map("type" -> "migrate", "dir" -> genDir,
+        "consol" -> consol.toString, "maxseen" -> st.maxSeen.toString),
+        () => io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+          .filter(_.getName.stripPrefix("batch_id=").toLong != consol)
+          .foreach(io.delete))
+    }
   }
 
   /** Top-k neighbors of `probeVec` from its nearest centroid's partition

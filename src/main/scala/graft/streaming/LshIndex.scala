@@ -15,8 +15,21 @@ import org.apache.spark.sql.types._
   *   sigs/batch_id=<n>/part-….parquet              // (doc_id, sig0..sig7)
   *   postings/batch_id=<n>/bp=<k>/part-….parquet   // (band, bucket, doc_id)
   *   pairs/batch_id=<n>/part-….parquet             // (d1, d2, n_shared_bands)
-  *   _BANDING-<v>                                  // write-once banding commit
+  *   _LOG-<v>                                      // write-once operation log
   * }}}
+  *
+  * Commit protocol — the shared [[OpLog]]: every append/migration/compaction
+  * writes its data FIRST, then commits one write-once `_LOG-<v>` entry.
+  * Readers union exactly the partition ids committed entries name, so
+  * half-written output (a crashed append, a migration that died between its
+  * consolidated rewrite and its commit) is structurally invisible — there is
+  * no id-range cut for it to leak through. The `createExclusive` on the next
+  * log version is also the concurrency fence that makes [[reband]] safe to
+  * run against a LIVE stream: whichever of {appending batch, migration}
+  * commits second loses the race, observes the other's entry, and
+  * recomputes — an append under a dead banding deletes its own output and
+  * throws for the foreachBatch retry; a migration that lost simply re-runs
+  * its rewrite including the new batch.
   *
   * Scale design:
   *  - signatures are the stored PRIMITIVE (8 longs per doc, banding-
@@ -24,9 +37,8 @@ import org.apache.spark.sql.types._
   *    That is what makes [[reband]] possible without re-reading the corpus;
   *  - postings are append-only (documents are immutable facts), written per
   *    batch under `batch_id=<n>` with overwrite → a foreachBatch retry
-  *    replaces its own output, exactly-once like the staging sink (the
-  *    stored side of the probe excludes the in-flight batch_id, so a
-  *    replay derives the same pairs);
+  *    replaces its own output, exactly-once (the stored side of the probe
+  *    is the COMMITTED id set, which never includes the in-flight batch);
   *  - within each batch the postings are partitioned by
   *    `bp = pmod(xxhash64(bucket), 16)`, and the candidate probe prunes
   *    the stored side to the bp values present in the incoming batch (a
@@ -37,7 +49,9 @@ import org.apache.spark.sql.types._
   *    e03b, now incremental;
   *  - each pair is emitted exactly once, by the batch that completes it
   *    (new-vs-stored, or new-vs-new within the batch), so the pairs sink
-  *    is append-only for downstream dedup consumers.
+  *    is append-only for downstream dedup consumers;
+  *  - the log is control-plane (one tiny file per micro-batch, folded and
+  *    truncated by [[compact]]), never a data-plane cost.
   */
 final class LshIndex(root: String, nBp: Int = 16) {
 
@@ -46,6 +60,7 @@ final class LshIndex(root: String, nBp: Int = 16) {
   private def pairsDir = s"$root/pairs"
 
   private val io = new StoreIO(root, StoreIO.sessionConf())
+  private[graft] val log = new OpLog(io)
 
   private val sigsReadSchema = StructType(
     StructField("doc_id", LongType) +:
@@ -61,34 +76,13 @@ final class LshIndex(root: String, nBp: Int = 16) {
     StructField("d1", LongType), StructField("d2", LongType),
     StructField("n_shared_bands", LongType), StructField("batch_id", LongType)))
 
-  /** Current banding: (rows-per-band, bands, validity cut). The validity
-    * cut — `Some((consol, cutoff))` after a [[reband]] — marks which
-    * posting/pair partitions belong to the current banding generation:
-    * `batch_id <= consol` (the migration's consolidated rewrite and any
-    * later compaction) or `batch_id > cutoff` (stream batches after the
-    * migration). Partitions outside it are the OLD banding's — logically
-    * dead the instant the `_BANDING` commit lands, physically GC'd after
-    * (correctness never depends on the deletes). No `_BANDING` file =
-    * the default 2×4 banding, everything valid. */
-  private def banding: (Int, Int, Option[(Long, Long)]) = {
-    val vs = io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_BANDING-")).map(_.stripPrefix("_BANDING-").toLong)
-    if (vs.isEmpty) (2, 4, None)
-    else {
-      val kv = io.readString(io.path(s"_BANDING-${vs.max}"))
-        .linesIterator.filter(_.contains("=")).map { l =>
-          val Array(k, v) = l.split("=", 2); k -> v
-        }.toMap
-      (kv("r").toInt, kv("b").toInt,
-        Some((kv("consol").toLong, kv("cutoff").toLong)))
-    }
-  }
+  /** Banding of the state's current generation (default 2 rows × 4 bands). */
+  private def bandingOf(st: OpLog.State): (Int, Int) =
+    st.migration.map(kv => (kv("r").toInt, kv("b").toInt)).getOrElse((2, 4))
 
-  private def validIn(cut: Option[(Long, Long)]): Column = cut match {
-    case Some((consol, cutoff)) =>
-      col("batch_id") <= consol || col("batch_id") > cutoff
-    case None => lit(true)
-  }
+  /** Exact-id validity — the committed partition set, nothing else. */
+  private def idFilter(ids: Seq[Long]): Column =
+    if (ids.isEmpty) lit(false) else col("batch_id").isin(ids: _*)
 
   private def readDir(spark: SparkSession, rel: String, dir: String,
                       schema: StructType): DataFrame =
@@ -97,34 +91,46 @@ final class LshIndex(root: String, nBp: Int = 16) {
         schema)
     else spark.read.schema(schema).option("basePath", dir).parquet(dir)
 
-  /** The stored signatures (all batches — banding-independent). */
+  /** The stored signatures (committed batches — banding-independent). */
   def sigs(spark: SparkSession): DataFrame =
     readDir(spark, "sigs", sigsDir, sigsReadSchema)
+      .filter(idFilter(log.state.auxIds))
 
   /** The stored posting list of the CURRENT banding generation. */
   def postings(spark: SparkSession): DataFrame =
     readDir(spark, "postings", postingsDir, postingsReadSchema)
-      .filter(validIn(banding._3))
+      .filter(idFilter(log.state.validIds))
 
   /** Every candidate pair of the CURRENT banding generation (exactly once
     * each). */
   def pairs(spark: SparkSession): DataFrame =
     readDir(spark, "pairs", pairsDir, pairsReadSchema)
-      .filter(validIn(banding._3))
+      .filter(idFilter(log.state.validIds))
 
   private def bpCol: Column =
     pmod(xxhash64(col("bucket")), lit(nBp.toLong)).cast(IntegerType)
 
+  private def batchDirs(batchId: Long): Seq[org.apache.hadoop.fs.Path] =
+    Seq(pairsDir, postingsDir, sigsDir)
+      .map(d => new org.apache.hadoop.fs.Path(s"$d/batch_id=$batchId"))
+
   /** Fold one batch of (doc_id, text) documents into the index: write the
     * NEW candidate pairs this batch completes to the pairs sink, then
-    * append the batch's postings and signatures. Idempotent under
-    * foreachBatch retries — all three writes overwrite their own batch_id
-    * partition, and the stored probe side excludes this batch_id, so a
-    * replay derives identical output no matter where the first attempt
-    * crashed. */
+    * append the batch's postings and signatures, then commit the batch to
+    * the log. Idempotent under foreachBatch retries — a replay of an
+    * ALREADY-COMMITTED batch id is a no-op (ids are monotone, the log's
+    * maxSeen fences it), and a retry of an uncommitted attempt overwrites
+    * its own partitions and probes only committed state, deriving identical
+    * output no matter where the first attempt crashed. Safe against a
+    * concurrent [[reband]]: if a migration commits between this batch's
+    * read and its own commit, the commit loses the write-once race, the
+    * dead-banding output is deleted, and [[StoreIO.ConcurrentCommit]]
+    * propagates so the stream's retry recomputes under the new banding. */
   def addBatch(docs: DataFrame, batchId: Long): Unit = {
     val spark = docs.sparkSession
-    val (r, b, _) = banding
+    val st = log.state
+    if (batchId <= st.maxSeen) return // committed replay (checkpoint re-run)
+    val (r, b) = bandingOf(st)
     // persisted: the signatures feed five actions (bp probe, both sides of
     // the pair join, the postings write, the sigs write)
     val sig = graft.Extensions.minhashSigs(docs).persist()
@@ -133,8 +139,8 @@ final class LshIndex(root: String, nBp: Int = 16) {
       // bounded read: only the stored bp partitions this batch touches
       val touchedBp = bands.select(col("bp")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
-      val stored = postings(spark)
-        .filter(col("batch_id") =!= batchId && col("bp").isin(touchedBp: _*))
+      val stored = readDir(spark, "postings", postingsDir, postingsReadSchema)
+        .filter(idFilter(st.validIds) && col("bp").isin(touchedBp: _*))
         .select(col("band"), col("bucket"), col("doc_id").as("old_doc"))
       // new-vs-stored: pairs completed by this batch against the prior corpus
       val vsOld = bands.join(stored, Seq("band", "bucket"))
@@ -148,96 +154,111 @@ final class LshIndex(root: String, nBp: Int = 16) {
       val newPairs = vsOld.unionByName(vsNew)
         .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("n_shared_bands"))
-      // pairs first, postings second: a crash between the two leaves this
-      // batch's postings absent, so the retry recomputes the SAME pairs
-      // (postings first would make the replay see its own docs as "stored")
       newPairs.write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
       bands.write.mode("overwrite").partitionBy("bp")
         .parquet(s"$postingsDir/batch_id=$batchId")
       sig.write.mode("overwrite").parquet(s"$sigsDir/batch_id=$batchId")
     } finally { sig.unpersist(); () }
+    log.commitAppend(st.version, batchId, () => batchDirs(batchId).foreach(io.delete))
   }
 
-  /** Offline migration (stream paused — same contract as [[compact]]):
-    * switch the index to a NEW (r, b) banding — e63's sweep measures which
+  /** Switch the index to a NEW (r, b) banding — e63's sweep measures which
     * banding a corpus wants; this applies it WITHOUT re-reading the corpus.
-    * Postings and pairs are recomputed wholesale from the stored
-    * signatures into one consolidated partition each (the compaction
-    * path's negative-batch_id convention), then a write-once `_BANDING`
-    * commit flips the generation: its validity cut makes the old banding's
-    * partitions logically dead at that instant, so the trailing deletes
-    * are pure physical GC — a crash anywhere re-runs to convergence, and
-    * correctness never depends on the deletes having happened.
+    * Postings and pairs are recomputed wholesale from the stored signatures
+    * into one consolidated partition each at a fresh negative id, then one
+    * write-once log entry flips the generation. Until that entry lands the
+    * consolidated partition is at an id NO committed entry names — readers
+    * cannot see it, so a crash anywhere before the commit leaves only
+    * invisible garbage and a re-run converges (the r5 pre-commit-visibility
+    * hole is closed by construction, not by ordering).
+    *
+    * ONLINE-safe: no stream-paused contract. If an append commits while the
+    * rewrite runs, this migration's commit loses the write-once race and the
+    * rewrite re-runs including the new batch (bounded attempts, then a loud
+    * failure for the operator to retry at lower ingest pressure). If the
+    * append commits second, IT loses, cleans up, and the stream recomputes
+    * it under the new banding — see [[addBatch]].
     *
     * The one-time cost is a full self-join over the re-banded postings —
     * the same bucket-local economics as the one-shot e03b banding, paid
     * once per migration instead of per batch. */
   def reband(spark: SparkSession, r: Int, b: Int): Unit = {
     require(r > 0 && b > 0 && r * b <= 8, s"reband r=$r b=$b needs r*b <= 8")
-    val dirIds = (io.listDirs(new org.apache.hadoop.fs.Path(postingsDir)) ++
-      io.listDirs(new org.apache.hadoop.fs.Path(pairsDir)))
-      .map(_.getName.stripPrefix("batch_id=").toLong)
-    val consol = (dirIds :+ 0L).min - 1L
-    val cutoff = (dirIds :+ -1L).max
-    val sig = sigs(spark).drop("batch_id").distinct()
-    val bands = graft.Extensions.bandsFromSigs(sig, r, b)
-      .withColumn("bp", bpCol).persist()
-    try {
-      bands.repartition(math.max(1, nBp / 4))
-        .write.mode("overwrite").partitionBy("bp")
-        .parquet(s"$postingsDir/batch_id=$consol")
-      val allPairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .agg(count(lit(1)).as("n_shared_bands"))
-      allPairs.repartition(math.max(1, nBp / 4))
-        .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$consol")
-    } finally { bands.unpersist(); () }
-    // the generation commit: readers/writers flip to the new banding here
-    val nextV = 1L + io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_BANDING-")).map(_.stripPrefix("_BANDING-").toLong)
-      .foldLeft(0L)(math.max)
-    io.createExclusive(io.path(s"_BANDING-$nextV"),
-      s"r=$r\nb=$b\nconsol=$consol\ncutoff=$cutoff\n")
-    // physical GC of the dead generation's partitions
-    (io.listDirs(new org.apache.hadoop.fs.Path(postingsDir)) ++
-      io.listDirs(new org.apache.hadoop.fs.Path(pairsDir)))
-      .filter { p =>
-        val id = p.getName.stripPrefix("batch_id=").toLong
-        !(id <= consol || id > cutoff)
-      }.foreach(io.delete)
+    log.migrate("reband") { st =>
+      val sig = readDir(spark, "sigs", sigsDir, sigsReadSchema)
+        .filter(idFilter(st.auxIds)).drop("batch_id").distinct()
+      val bands = graft.Extensions.bandsFromSigs(sig, r, b)
+        .withColumn("bp", bpCol).persist()
+      val consol = freshNegativeId(st)
+      try {
+        bands.repartition(math.max(1, nBp / 4))
+          .write.mode("overwrite").partitionBy("bp")
+          .parquet(s"$postingsDir/batch_id=$consol")
+        val allPairs = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("n_shared_bands"))
+        allPairs.repartition(math.max(1, nBp / 4))
+          .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$consol")
+      } finally { bands.unpersist(); () }
+      (Map("type" -> "migrate", "r" -> r.toString, "b" -> b.toString,
+        "consol" -> consol.toString, "maxseen" -> st.maxSeen.toString),
+        // post-commit GC: the old generation's postings/pairs are logically
+        // dead the instant the entry lands — deletes are pure physical GC
+        () => gcPartitions(Map(postingsDir -> Set(consol), pairsDir -> Set(consol),
+          sigsDir -> st.auxIds.toSet)))
+    }
   }
 
-  /** Offline maintenance (stream paused — same contract as
-    * BucketedReplica.compact): fold every sig/posting/pair batch partition
-    * into ONE consolidated partition each, collapsing the small-file
-    * scatter a long-running ingest accumulates (one dir per micro-batch).
-    * The consolidated partition takes a fresh NEGATIVE batch_id, so it can
-    * never collide with the checkpoint-driven ids of future stream batches
-    * and the probe's `batch_id =!= current` exclusion still holds.
-    *
-    * Idempotent and crash-converging: the consolidated rows are written
-    * DISTINCT (sig, posting and pair rows are unique by construction, so a
-    * crash that leaves both sources and the consolidation visible only
-    * duplicates rows physically — the next compact() collapses them), and
-    * sources are deleted only after the consolidated write completes. */
+  /** Maintenance: fold every committed sig/posting/pair partition into ONE
+    * consolidated partition each, collapsing the small-file scatter a
+    * long-running ingest accumulates (one dir per micro-batch) — and fold
+    * the operation log itself down to a single entry. Runs under the same
+    * online-safe optimistic commit as [[reband]]: pre-commit output is
+    * invisible, a racing append wins or loses the log race deterministically. */
   def compact(spark: SparkSession): Unit = {
-    def consolidate(dir: String, read: DataFrame, partBy: Option[String]): Unit = {
-      val sources = io.listDirs(new org.apache.hadoop.fs.Path(dir))
-      if (sources.size <= 1) return // nothing to fold
-      val ids = sources.map(_.getName.stripPrefix("batch_id=").toLong)
-      val nextId = math.min(ids.min, 0L) - 1L
-      val out = s"$dir/batch_id=$nextId"
-      val w = read.drop("batch_id").distinct()
-        .repartition(math.max(1, nBp / 4)).write.mode("overwrite")
-      partBy.fold(w)(c => w.partitionBy(c)).parquet(out)
-      sources.foreach(io.delete)
+    val pre = log.state
+    if (pre.validIds.size <= 1 && pre.auxIds.size <= 1) return // nothing to fold
+    log.migrate("compact") { st =>
+      val (r, b) = bandingOf(st)
+      val consol = freshNegativeId(st)
+      def consolidate(dir: String, df: DataFrame, partBy: Option[String]): Unit = {
+        val w = df.drop("batch_id").distinct()
+          .repartition(math.max(1, nBp / 4)).write.mode("overwrite")
+        partBy.fold(w)(c => w.partitionBy(c)).parquet(s"$dir/batch_id=$consol")
+      }
+      consolidate(sigsDir, readDir(spark, "sigs", sigsDir, sigsReadSchema)
+        .filter(idFilter(st.auxIds)), None)
+      consolidate(postingsDir, readDir(spark, "postings", postingsDir,
+        postingsReadSchema).filter(idFilter(st.validIds)), Some("bp"))
+      consolidate(pairsDir, readDir(spark, "pairs", pairsDir, pairsReadSchema)
+        .filter(idFilter(st.validIds)), None)
+      (Map("type" -> "compact", "r" -> r.toString, "b" -> b.toString,
+        "consol" -> consol.toString, "auxconsol" -> consol.toString,
+        "maxseen" -> st.maxSeen.toString),
+        () => gcPartitions(Map(postingsDir -> Set(consol), pairsDir -> Set(consol),
+          sigsDir -> Set(consol))))
     }
-    consolidate(sigsDir, sigs(spark), None)
-    consolidate(postingsDir, postings(spark), Some("bp"))
-    consolidate(pairsDir, pairs(spark), None)
   }
+
+  /** An id strictly below every id any dir has EVER used (crashed attempts'
+    * garbage included) — consolidated output can never collide. */
+  private def freshNegativeId(st: OpLog.State): Long = {
+    val listed = Seq(postingsDir, pairsDir, sigsDir)
+      .flatMap(d => io.listDirs(new org.apache.hadoop.fs.Path(d)))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    ((listed ++ st.validIds ++ st.auxIds) :+ 0L).min - 1L
+  }
+
+  /** Delete every batch_id partition of each dir that is not in its keep
+    * set. Never load-bearing: validity is the log, these are dead files. */
+  private def gcPartitions(keep: Map[String, Set[Long]]): Unit =
+    keep.foreach { case (dir, ids) =>
+      io.listDirs(new org.apache.hadoop.fs.Path(dir))
+        .filter(p => !ids.contains(p.getName.stripPrefix("batch_id=").toLong))
+        .foreach(io.delete)
+    }
 
   def destroy(): Unit = io.delete(io.root)
 }

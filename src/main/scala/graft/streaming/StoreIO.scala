@@ -92,4 +92,201 @@ object StoreIO {
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
+
+  /** Thrown when an [[OpLog]] commit loses the write-once race to a
+    * concurrent committer. An appender catching this must re-read the log:
+    * if a migration landed, its own data partitions were computed under the
+    * dead generation — delete them and rethrow so the stream's foreachBatch
+    * retry recomputes under the new one. */
+  final class ConcurrentCommit(msg: String) extends RuntimeException(msg)
+}
+
+/** Write-once operation log — the shared commit protocol of the
+  * generation-versioned partition stores ([[LshIndex]], [[IvfIndex]]).
+  *
+  * Every state change (micro-batch append, layout migration, compaction)
+  * becomes one `_LOG-<v>` file whose creation via
+  * [[StoreIO.createExclusive]] is the single serialization point: two
+  * operations racing on the same next version cannot both win — the loser
+  * gets [[StoreIO.ConcurrentCommit]] and must re-read before retrying.
+  * Data files are always fully written BEFORE their log entry, so a
+  * committed entry implies complete data and a crash between write and
+  * commit leaves only invisible garbage (re-runs overwrite it).
+  *
+  * Readers derive the EXACT set of valid `batch_id` partitions by folding
+  * the log — `consol=` ids of the latest migration/compaction plus every
+  * `append` after it — rather than a half-open id-range cut. That exactness
+  * is what closes the r5 pre-commit-visibility hole: a migration's
+  * half-written consolidated partition is at an id NO committed entry
+  * names, so readers cannot see it until its entry lands.
+  *
+  * Entry kv grammar (one `k=v` per line):
+  * {{{
+  *   type=append    batch=<id>
+  *   type=migrate   consol=<id[,id…]> maxseen=<max batch id folded in>
+  *                  + store-specific fields (r/b for LSH, dir for IVF)
+  *   type=compact   consol=<id[,id…]> maxseen=<…>  (a migration that keeps
+  *                                                  the current layout)
+  * }}}
+  *
+  * Scale note: the log is control-plane — one tiny file per micro-batch,
+  * one list+read per store open. Compaction folds the whole history into a
+  * single entry and GCs the prefix, so the log length is bounded by the
+  * compaction cadence, not the stream's lifetime.
+  */
+final class OpLog(io: StoreIO) {
+
+  private val prefix = "_LOG-"
+
+  /** Test seams for deterministic race interleavings: invoked after an
+    * operation's data is fully written, immediately before its commit
+    * attempt — the exact window a concurrent committer can win. No-ops in
+    * production. */
+  private[graft] var beforeAppendCommit: () => Unit = () => ()
+  private[graft] var beforeMigrateCommit: () => Unit = () => ()
+
+  def versions: Seq[Long] =
+    io.listFiles(io.root).map(_.getName)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).sorted
+
+  def read(v: Long): Map[String, String] =
+    io.readString(io.path(s"$prefix$v")).linesIterator
+      .filter(_.contains("=")).map { l =>
+        val Array(k, vv) = l.split("=", 2); k -> vv
+      }.toMap
+
+  /** All entries in commit order. */
+  def entries: Seq[(Long, Map[String, String])] = versions.map(v => v -> read(v))
+
+  /** Attempt to commit `kv` at version `expected` (normally
+    * `versions.lastOption.getOrElse(0L) + 1`). Throws
+    * [[StoreIO.ConcurrentCommit]] if another committer took it first. */
+  def commitAt(expected: Long, kv: Map[String, String]): Unit =
+    try io.createExclusive(io.path(s"$prefix$expected"),
+      kv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n"))
+    catch { case e: java.io.IOException =>
+      throw new StoreIO.ConcurrentCommit(
+        s"log version $expected was committed concurrently: ${e.getMessage}")
+    }
+
+  def nextVersion: Long = versions.lastOption.getOrElse(0L) + 1
+
+  /** The folded reader/writer view of the log:
+    * `validIds` — exactly the batch_id partitions a PRIMARY-dataset reader
+    * may union (postings/pairs for LSH, index for IVF); a `migrate` entry
+    * replaces the set with its `consol` ids, an `append` adds its id;
+    * `auxIds` — the layout-INDEPENDENT dataset's valid partitions (LSH
+    * signatures): appends add to it, `migrate` leaves it untouched (the
+    * stored primitive survives a layout change), only `compact` replaces it
+    * with `auxconsol`;
+    * `migration` — the latest migrate/compact entry's kv (layout fields);
+    * `migrationVersion` — that entry's log version (0 if none): an appender
+    * whose commit loses a race compares this against the version it read to
+    * distinguish "another append slipped in" (retry the commit) from "a
+    * migration slipped in" (its own data is under a dead layout — clean up
+    * and recompute);
+    * `maxSeen` — the highest append id the log has ever named (duplicate
+    * fence for crash-retried appends; stream batch ids are monotone);
+    * `version` — the last log version folded (the optimistic-concurrency
+    * read timestamp). */
+  def state: OpLog.State = {
+    val es = entries
+    var valid = Vector.empty[Long]
+    var aux = Vector.empty[Long]
+    var mig: Option[Map[String, String]] = None
+    var migV = 0L
+    var maxSeen = -1L
+    es.foreach { case (v, kv) =>
+      kv.getOrElse("type", "") match {
+        case "append" =>
+          val b = kv("batch").toLong
+          valid :+= b; aux :+= b; maxSeen = math.max(maxSeen, b)
+        case t @ ("migrate" | "compact") =>
+          valid = kv("consol").split(",").filter(_.nonEmpty).map(_.toLong).toVector
+          if (t == "compact") aux =
+            kv.getOrElse("auxconsol", kv("consol"))
+              .split(",").filter(_.nonEmpty).map(_.toLong).toVector
+          maxSeen = math.max(maxSeen, kv.get("maxseen").map(_.toLong).getOrElse(-1L))
+          mig = Some(kv); migV = v
+        case _ => ()
+      }
+    }
+    OpLog.State(valid.distinct, aux.distinct, mig, migV, maxSeen,
+      es.lastOption.map(_._1).getOrElse(0L))
+  }
+
+  /** GC every entry strictly before `v` — safe only when entry `v` is a
+    * compact whose `consol`/`auxconsol`/`maxseen` subsume the prefix
+    * (a migrate does NOT subsume aux history and must keep the prefix). */
+  def truncateBefore(v: Long): Unit =
+    versions.filter(_ < v).foreach(o => io.delete(io.path(s"$prefix$o")))
+
+  /** Append-commit with the race protocol (data for `batchId` must be fully
+    * on disk before calling — the write-before-commit invariant). If a
+    * MIGRATION committed after `readVersion`, the append's data was computed
+    * under the dead layout: `cleanupStale` removes it and
+    * [[StoreIO.ConcurrentCommit]] propagates so the stream's foreachBatch
+    * retry recomputes under the new generation. A racing sibling APPEND just
+    * re-races at the next version (and a sibling that committed this very
+    * batch id makes this call a no-op). */
+  def commitAppend(readVersion: Long, batchId: Long, cleanupStale: () => Unit): Unit = {
+    beforeAppendCommit()
+    var expected = readVersion + 1
+    while (true) {
+      try {
+        commitAt(expected, Map("type" -> "append", "batch" -> batchId.toString))
+        return
+      } catch { case _: StoreIO.ConcurrentCommit =>
+        val st2 = state
+        if (st2.migrationVersion >= expected) {
+          cleanupStale()
+          throw new StoreIO.ConcurrentCommit(
+            s"batch $batchId was computed under a layout that migrated " +
+              s"mid-flight; output removed — retry under the new generation")
+        }
+        if (st2.maxSeen >= batchId) return // another writer committed it
+        expected = st2.version + 1 // a sibling append slipped in: re-race
+      }
+    }
+  }
+
+  /** Optimistic-concurrency migration driver: run `body` against the
+    * current state — it writes its (invisible, uncommitted) output and
+    * returns the log entry plus a post-commit GC thunk — then race the
+    * entry against any concurrent append. Losing the race re-runs the body
+    * over the NEW state (the interleaved batch folds in); after
+    * `maxAttempts` losses fail loudly — deterministic reject, never silent
+    * corruption. On a win, run the GC thunk, then truncate the log prefix
+    * if the entry is a compact (which subsumes it). */
+  def migrate(what: String, maxAttempts: Int = 5)
+      (body: OpLog.State => (Map[String, String], () => Unit)): Unit = {
+    var attempts = 0
+    while (true) {
+      val st = state
+      val (entry, gc) = body(st)
+      beforeMigrateCommit()
+      try {
+        commitAt(st.version + 1, entry)
+        gc()
+        if (entry("type") == "compact") truncateBefore(st.version + 1)
+        return
+      } catch { case _: StoreIO.ConcurrentCommit =>
+        attempts += 1
+        if (attempts >= maxAttempts)
+          throw new IllegalStateException(
+            s"$what lost the commit race $maxAttempts times to concurrent " +
+              s"appends — the ingest is outrunning the rewrite; retry when " +
+              s"pressure drops")
+        // loop: recompute over the state that now includes the winner
+      }
+    }
+  }
+}
+
+object OpLog {
+  /** See [[OpLog.state]] for field semantics. */
+  final case class State(validIds: Seq[Long], auxIds: Seq[Long],
+                         migration: Option[Map[String, String]],
+                         migrationVersion: Long, maxSeen: Long, version: Long)
 }
