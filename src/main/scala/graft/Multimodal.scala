@@ -51,6 +51,94 @@ object Multimodal {
   def pngBitDepth(payload: Column): Column = beInt(payload, 24, 1)
   def pngColorType(payload: Column): Column = beInt(payload, 25, 1)
 
+  // ---- JPEG (the second real decoder: SOF marker walk) ------------------
+  // Public format (ITU T.81): SOI (FFD8), then marker segments FF xx with a
+  // 2-byte big-endian length that INCLUDES the length field. The SOF0-SOF15
+  // segment (xx = C0..CF minus C4 DHT, C8 JPG, CC DAC) carries
+  // precision(1) height(2) width(2) nComponents(1) after its length. Unlike
+  // PNG's fixed-offset IHDR, the SOF position varies per file (APP0/EXIF/
+  // DQT segments precede it), so extraction is a bounded MARKER WALK — here
+  // expressed as ONE `aggregate` higher-order expression over a step
+  // sequence: the whole walk stays a codegen'd column expression, no UDF,
+  // linear expression size in the step bound.
+
+  /** True iff the payload starts with the JPEG SOI marker. */
+  def isJpeg(payload: Column): Column =
+    substring(hex(payload), 1, 4) === "FFD8"
+
+  /** Big-endian unsigned read of `nBytes` at a DYNAMIC 0-based byte offset
+    * (column), the variable-position twin of [[beInt]]. */
+  def beIntAt(payload: Column, byteOffset: Column, nBytes: Int): Column =
+    conv(hex(payload).substr(byteOffset * 2 + 1, lit(2 * nBytes)), 16, 10)
+      .cast(LongType)
+
+  private val SofCodes = Seq(
+    "C0", "C1", "C2", "C3", "C5", "C6", "C7",
+    "C9", "CA", "CB", "CD", "CE", "CF")
+
+  /** 0-based offset of the SOF segment's FF byte, or -1 if none found
+    * within `maxSegments` marker segments. */
+  def jpegSofOffset(payload: Column, maxSegments: Int = 16): Column = {
+    val walk = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      struct(lit(2L).as("off"), lit(-1L).as("sof")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val code = hex(payload).substr(off * 2 + 3, lit(2)) // marker byte
+        val segLen = beIntAt(payload, off + 2, 2) // includes its own 2 bytes
+        when(acc.getField("sof") >= 0, acc)
+          .when(code.isin(SofCodes: _*),
+            struct(off.as("off"), off.as("sof")))
+          .otherwise(struct((off + segLen + 2).as("off"), lit(-1L).as("sof")))
+      })
+    walk.getField("sof")
+  }
+
+  /** SOF payload fields at a known SOF offset (see layout above). */
+  def jpegPrecisionAt(payload: Column, sof: Column): Column = beIntAt(payload, sof + 4, 1)
+  def jpegHeightAt(payload: Column, sof: Column): Column = beIntAt(payload, sof + 5, 2)
+  def jpegWidthAt(payload: Column, sof: Column): Column = beIntAt(payload, sof + 7, 2)
+  def jpegComponentsAt(payload: Column, sof: Column): Column = beIntAt(payload, sof + 9, 1)
+
+  def isJpegBytes(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8
+
+  /** JVM-side SOF walk (the executor/spec twin of the column expressions).
+    * Returns (precision, height, width, nComponents). */
+  def jpegSofHeader(b: Array[Byte]): (Int, Int, Int, Int) = {
+    require(isJpegBytes(b), "not a JPEG payload")
+    var off = 2
+    var steps = 0
+    while (steps < 64 && off + 4 <= b.length) {
+      require((b(off) & 0xff) == 0xFF, s"bad marker alignment at $off")
+      val code = b(off + 1) & 0xff
+      if (code >= 0xC0 && code <= 0xCF && code != 0xC4 && code != 0xC8 && code != 0xCC)
+        return ((b(off + 4) & 0xff),
+          be(b, off + 5, 2).toInt, be(b, off + 7, 2).toInt, b(off + 9) & 0xff)
+      off += 2 + be(b, off + 2, 2).toInt
+      steps += 1
+    }
+    throw new IllegalArgumentException("no SOF marker found")
+  }
+
+  /** Encode a REAL JPEG via the JDK's built-in ImageIO baseline writer
+    * (JFIF APP0 + DQT + SOF0 + DHT + SOS) — pixels a deterministic LCG.
+    * Driver-side fixture writer: bounded file counts only. */
+  def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, s"encodeJpeg($width x $height)")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until height).foreach { y =>
+      (0 until width).foreach { x =>
+        val v = ((seed + y.toLong * 7919L + x) * 1103515245L + 12345L) >>> 16
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
   /** A multimodal row: payload is opaque bytes; kind tags the modality. */
   case class Media(doc_id: Long, kind: String, payload: Array[Byte],
                    lang: String, n_chars: Long)

@@ -63,6 +63,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions) // cluster twin: spark.sql.extensions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, sfDir, outDir, SparkEntry.queries.filter(kv => only(kv._1)))

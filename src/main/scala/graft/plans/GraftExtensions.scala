@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // install() calls when the session is built with this extension
     ext.injectPlannerStrategy(_ => BroadcastRangeJoinStrategy)
     ext.injectPlannerStrategy(_ => BroadcastAsofJoinStrategy)
+    // ANSI MERGE INTO over registered BucketedReplica views (SURVEY B3's
+    // SQL surface) — intercepts the resolved MergeIntoTable in the
+    // resolution fixed-point, before Spark's v2-only rewrite rejects it
+    ext.injectResolutionRule(_ => GraftMergeInto.InterceptRule)
   }
 }

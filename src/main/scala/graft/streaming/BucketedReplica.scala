@@ -44,11 +44,11 @@ import org.apache.hadoop.fs.Path
   */
 final class BucketedReplica(
     val root: String,
-    pk: String = "user_id",
+    val pk: String = "user_id",
     nBuckets: Int = 32,
     schema: StructType = CdcStream.envelopeSchema,
-    posCol: String = "pos",
-    opCol: String = "op",
+    val posCol: String = "pos",
+    val opCol: String = "op",
     tsCol: String = "ts_ns") {
 
   /** All control-plane I/O (pointer, manifests, meta, GC listing) goes
@@ -347,6 +347,22 @@ final class BucketedReplica(
     // so a crash before this line costs nothing
     io.writeString(io.path("_META"), s"nBuckets=$newBuckets\npk=$pk\n" +
       firstTag.map(t => s"firstTag=$t\n").getOrElse(""))
+  }
+
+  /** SQL-MERGE write path (graft.plans.GraftMergeInto): `rows` is the FULL
+    * new content of every bucket it covers (the caller carried co-resident
+    * rows and applied the merge semantics); replace exactly those buckets —
+    * the same bounded atomic version commit as [[commit]] without the
+    * latest-wins fold. */
+  private[graft] def replaceTouched(rows: DataFrame): Unit = {
+    val n = layoutBuckets
+    val r = rows.filter(col(pk).isNotNull).persist()
+    try {
+      val touched = r.select(bucketExpr(n).as("__b")).distinct()
+        .collect().map(_.getLong(0).toInt).toSeq.sorted
+      if (touched.nonEmpty)
+        publish(touched, r, currentVersion.flatMap(tagOf), n)
+    } finally { r.unpersist(); () }
   }
 
   /** The stored rows sharing a bucket with any key in `batch` — the bounded

@@ -186,6 +186,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(math.abs(f.mean_byte - mean) < 1e-12)
   }
 
+  test("JPEG SOF walk: column expressions and JVM twin agree with ImageIO") {
+    import spark.implicits._
+    val cases = Seq((33, 21, 1L), (200, 151, 2L), (16, 16, 3L))
+    cases.foreach { case (w, h, seed) =>
+      val bytes = Multimodal.encodeJpeg(w, h, seed)
+      assert(Multimodal.isJpegBytes(bytes))
+      // the walk finds the floating SOF and reads the true dimensions
+      val (prec, hh, ww, ncomp) = Multimodal.jpegSofHeader(bytes)
+      assert((ww, hh) === ((w, h)))
+      assert(prec === 8 && ncomp === 3) // baseline truecolor
+      // the JDK's own reader agrees the file is a real decodable JPEG
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert((img.getWidth, img.getHeight) === ((w, h)))
+    }
+    // the codegen'd column-expression twin of the same walk
+    val df = cases.map { case (w, h, seed) =>
+      (seed, Multimodal.encodeJpeg(w, h, seed)) }.toDF("id", "payload")
+      .withColumn("sof", Multimodal.jpegSofOffset(col("payload")))
+    assert(df.filter(col("sof") < 0).count() === 0, "SOF not found by the walk")
+    val got = df.select(col("id"),
+        Multimodal.jpegWidthAt(col("payload"), col("sof")).as("w"),
+        Multimodal.jpegHeightAt(col("payload"), col("sof")).as("h"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got === cases.map(c => (c._1.toLong, c._2.toLong)))
+  }
+
   test("features survive a shuffle and join back to metadata") {
     val media = Multimodal.fromDocuments(spark, sfDir)
     val feats = Multimodal.extractFeatures(media).toDF()

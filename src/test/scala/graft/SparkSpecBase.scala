@@ -21,6 +21,7 @@ object SparkSpecBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions) // cluster twin: spark.sql.extensions
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

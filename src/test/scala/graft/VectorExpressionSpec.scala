@@ -26,8 +26,11 @@ class VectorExpressionSpec extends SparkSpecBase {
 
   test("native cosine participates in whole-stage codegen") {
     VectorExpressions.register(spark)
+    // distinct args: cosine(x, x) would be rewritten by the session's
+    // SelfCosineToOne extension rule (its own test lives in ExtensionsSpec)
     val df = Tables.load(spark, sfDir, "embeddings")
-      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .select(Similarity.cosine(col("embedding"),
+        reverse(col("embedding"))).as("c"))
     df.collect() // finalize the (adaptive) plan
     val plan = df.queryExecution.executedPlan.toString
     // the projection holding graft_cosine must sit inside a WholeStageCodegen
