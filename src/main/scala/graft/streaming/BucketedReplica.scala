@@ -458,11 +458,25 @@ final class BucketedReplica(
     }
   }
 
+  /** Test seam for deterministic race interleavings: invoked after a
+    * version's data+manifest are fully written, immediately before the
+    * pointer flip — the window a concurrent committer can win. No-op in
+    * production. */
+  private[graft] var beforePointerCommit: () => Unit = () => ()
+
   /** Write-once pointer creation makes the new version visible
     * all-at-once (no rename anywhere — see [[StoreIO]]); older pointers
     * are then GC'd (readers that already listed are protected by the
-    * cur+prev MANIFEST retention, not by pointer retention). */
+    * cur+prev MANIFEST retention, not by pointer retention). A committer
+    * racing another writer onto the same next version (a live commit vs a
+    * concurrent [[rebucket]]/[[compact]]) loses here LOUDLY — the
+    * write-once create throws, the loser's version dir is an orphan the
+    * retry clobbers, and the retry recomputes against the winner's layout
+    * (effectiveBuckets re-reads the manifest header): the same
+    * optimistic-concurrency discipline as [[OpLog]], which is what makes
+    * rebucket safe against a LIVE stream. */
   private def commitPointer(v: Long): Unit = {
+    beforePointerCommit()
     io.createExclusive(io.path(s"_PTR-$v"), v.toString)
     pointerVersions.filter(_ < v).foreach(o => io.delete(io.path(s"_PTR-$o")))
   }

@@ -160,6 +160,35 @@ final class IvfIndex(root: String) {
     }
   }
 
+  /** Maintenance: fold every committed batch partition into ONE
+    * consolidated partition (keeping the cid sub-layout probes prune on)
+    * and the operation log down to a single entry — the small-file
+    * compaction a long-running ingest needs. Same online-safe optimistic
+    * commit as [[recenter]]: pre-commit output is invisible, a racing
+    * append is serialized at the log. The current centroid generation is
+    * carried into the compact entry so the layout survives log truncation. */
+  def compact(spark: SparkSession): Unit = {
+    val pre = log.state
+    if (pre.validIds.size <= 1) return // nothing to fold
+    log.migrate("compact") { st =>
+      val listed = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+        .map(_.getName.stripPrefix("batch_id=").toLong)
+      val consol = ((listed ++ st.validIds) :+ 0L).min - 1L
+      spark.read.schema(indexReadSchema)
+        .option("basePath", indexDir).parquet(indexDir)
+        .filter(idFilter(st.validIds))
+        .drop("batch_id").distinct()
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$indexDir/batch_id=$consol")
+      (Map("type" -> "compact", "dir" -> centroidDirOf(st),
+        "consol" -> consol.toString, "auxconsol" -> consol.toString,
+        "maxseen" -> st.maxSeen.toString),
+        () => io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+          .filter(_.getName.stripPrefix("batch_id=").toLong != consol)
+          .foreach(io.delete))
+    }
+  }
+
   /** Top-k neighbors of `probeVec` from its nearest centroid's partition
     * only (nprobe=1; the multi-probe lever is a cid IN (…) over the same
     * pruned layout). */

@@ -184,6 +184,62 @@ class StoreProtocolSpec extends SparkSpecBase {
       "the migration's second attempt must include the batch that beat it")
   }
 
+  test("replica online: a commit racing a rebucket loses the pointer loudly; its retry converges on the new layout") {
+    val root = tmpDir("proto_race4") + "/rep"
+    val rep = new BucketedReplica(root, pk = "user_id", nBuckets = 4)
+    val batch = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_ns").as("pos"), lit("UPSERT").as("op"),
+        col("ts_ns"), col("value"))
+    rep.commit(batch.filter(col("user_id") < 10))
+    val late = batch.filter(col("user_id") >= 10)
+
+    // the rebucket commits INSIDE the commit's write-to-pointer window
+    rep.beforePointerCommit = () => {
+      rep.beforePointerCommit = () => ()
+      rep.rebucket(spark, 8)
+    }
+    intercept[java.io.IOException] { rep.commit(late) }
+
+    // the loser's orphan is invisible; the store is the rebucketed first half
+    assert(rep.read(spark).select("user_id").collect().map(_.getLong(0)).toSet
+      === rep.live(spark).select("user_id").collect().map(_.getLong(0)).toSet)
+    assert(rep.read(spark).filter(col("user_id") >= 10).count() === 0)
+
+    // the stream's retry opens against the NEW layout and converges; a
+    // writer still pinned to the old bucket count fails loudly instead
+    intercept[IllegalArgumentException] { rep.commit(late) } // nBuckets=4 stale
+    val rep8 = new BucketedReplica(root, pk = "user_id", nBuckets = 8)
+    rep8.commit(late)
+    val expect = graft.Cdc.merge(batch, Seq("user_id"))
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(rep8.live(spark).select("user_id").collect().map(_.getLong(0)).toSet
+      === expect)
+  }
+
+  test("IVF compact folds batches into one partition; probes and content unchanged") {
+    val root = tmpDir("proto_ivfc") + "/idx"
+    val idx = new IvfIndex(root)
+    val c0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    idx.create(c0)
+    idx.addBatch(emb.filter(col("vec_id") % 3 === 0), 0L)
+    idx.addBatch(emb.filter(col("vec_id") % 3 === 1), 1L)
+    val before = idx.index(spark).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filesBefore = idx.index(spark).inputFiles.length
+    idx.compact(spark)
+    assert(idx.index(spark).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === before)
+    assert(idx.index(spark).inputFiles.length < filesBefore)
+    // post-compaction appends and the maxSeen replay fence still work
+    idx.addBatch(emb.filter(col("vec_id") % 3 === 2), 2L)
+    idx.addBatch(emb.filter(col("vec_id") % 3 === 2), 2L) // replay no-op
+    val expect = Similarity.ivfAssign(emb, c0).select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idx.index(spark).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === expect)
+  }
+
   test("IVF online: an append racing a recenter loses, cleans up, and its retry follows the new centroids") {
     val root = tmpDir("proto_race3") + "/idx"
     val idx = new IvfIndex(root)
