@@ -692,7 +692,8 @@ object Extensions {
     // E5 multimodal #2: JPEG SOF dimensions — unlike PNG's fixed-offset
     // IHDR, the SOF segment floats behind APP0/DQT segments, so extraction
     // is a bounded marker WALK — one `aggregate` higher-order column
-    // expression (codegen'd, no UDF; Multimodal.jpegSofOffset). Fixtures
+    // expression (no UDF, no driver loop; per-FILE interpreted eval is
+    // dominated by the scan I/O — Multimodal.jpegSofOffset). Fixtures
     // are REAL JPEGs from the JDK's own ImageIO baseline writer; the
     // oracle re-walks the identical bytes with a recursive CTE.
     "e66_jpeg_sof" -> { (s, d) =>

@@ -59,8 +59,12 @@ object Multimodal {
   // PNG's fixed-offset IHDR, the SOF position varies per file (APP0/EXIF/
   // DQT segments precede it), so extraction is a bounded MARKER WALK — here
   // expressed as ONE `aggregate` higher-order expression over a step
-  // sequence: the whole walk stays a codegen'd column expression, no UDF,
-  // linear expression size in the step bound.
+  // sequence: a single column expression, no UDF, no driver loop, linear
+  // expression size in the step bound. (ArrayAggregate is CodegenFallback
+  // in Spark — the walk evaluates interpreted, which is the right trade:
+  // it runs once per FILE at scan granularity, trivially dominated by the
+  // file I/O beside it; an unrolled codegen'd CASE chain would be
+  // exponential in the step bound.)
 
   /** True iff the payload starts with the JPEG SOI marker. */
   def isJpeg(payload: Column): Column =
