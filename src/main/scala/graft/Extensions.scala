@@ -489,6 +489,59 @@ object Extensions {
             lit(0L), (acc, x) => (acc * 31 + x) % P).as("fingerprint"))
         .orderBy("doc_id")
     },
+    // E4/privacy — PII detection + redaction: the scrub pass every shipped
+    // training corpus runs (emails, IPv4s, phone numbers) as pure regexp
+    // column expressions — detect counts per class, then redact in one
+    // fixed replacement order so the output hash is engine-invariant. The
+    // synthetic corpus carries no organic PII, so each doc is AUGMENTED
+    // with one deterministic instance of each class (derived from doc_id,
+    // identically in both engines) — the patterns are exercised on every
+    // row, and any organic match would count identically anyway. Scale:
+    // map-side only; the regex set compiles once per task.
+    "e67_pii_redact" -> { (s, d) =>
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\+1-555-\\d{4}"
+      load(s, d, "documents")
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256L)), lit(".7 tel +1-555-"),
+          format_string("%04d", pmod(col("doc_id"), lit(10000L)))))
+        .select(col("doc_id"),
+          regexp_count(col("txt"), lit(email)).as("n_email"),
+          regexp_count(col("txt"), lit(ip)).as("n_ip"),
+          regexp_count(col("txt"), lit(phone)).as("n_phone"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("txt"),
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+            .as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    // E4/training prep — sequence packing: the concat-then-split layout a
+    // trainer feeds (docs concatenated in deterministic hash order per
+    // shard, cut into fixed 512-token sequences). Per-shard report: docs,
+    // tokens, sequences, boundary-crossing docs, and the tail sequence's
+    // fill — the packing-efficiency numbers that size a training run. One
+    // running-sum window per shard (the merge's shuffle class), exact
+    // integer arithmetic end to end.
+    "e68_sequence_pack" -> { (s, d) =>
+      val SEQ = 512L
+      val docs = load(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+        tokenHash(col("doc_id").cast(StringType)).as("ord"))
+        .withColumn("shard", pmod(col("ord"), lit(8L)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+      docs.withColumn("end_tok", sum(col("n_tok")).over(w))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          expr(s"(max(end_tok) + ${SEQ - 1}) div $SEQ").as("n_sequences"),
+          sum(when(expr(s"(end_tok - n_tok) div $SEQ") =!=
+            expr(s"(end_tok - 1) div $SEQ"), 1L).otherwise(0L)).as("n_split_docs"),
+          expr(s"max(end_tok) - ((max(end_tok) + ${SEQ - 1}) div $SEQ - 1) * $SEQ")
+            .as("last_fill"))
+        .orderBy("shard")
+    },
     // E4/training prep — document chunking: fixed-size token windows
     // (32 tokens, stride 24 → 8-token overlap), the unit a training pipeline
     // feeds to tokenization. Pure array ops — one generator per doc, no
@@ -2417,6 +2470,31 @@ object Extensions {
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "e67_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+        |    (doc_id % 256) || '.7 tel +1-555-' || printf('%04d', doc_id % 10000) AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(txt, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::INT AS n_email,
+        |  len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ip,
+        |  len(regexp_extract_all(txt, '\+1-555-\d{4}'))::INT AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+1-555-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "e68_sequence_pack" -> {
+      val th = String.format(tokenHashSql, "CAST(doc_id AS VARCHAR)")
+      s"""WITH dd AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok,
+         |    ($th) % 8 AS shard, $th AS ord FROM documents),
+         |p AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id)::BIGINT AS end_tok FROM dd)
+         |SELECT shard, count(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+         |  ((max(end_tok) + 511) // 512)::BIGINT AS n_sequences,
+         |  SUM(CASE WHEN (end_tok - n_tok) // 512 <> (end_tok - 1) // 512 THEN 1 ELSE 0 END)::BIGINT AS n_split_docs,
+         |  (max(end_tok) - ((max(end_tok) + 511) // 512 - 1) * 512)::BIGINT AS last_fill
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+    },
     "e26_kmv_cardinality" -> kmvSql,
     "e26b_kmv_native" -> kmvSql,
     "e27_ts_similarity" -> tsSimSql,
