@@ -125,6 +125,36 @@ class MergeIntoSqlSpec extends SparkSpecBase {
     GraftMergeInto.unregister("replica_nmbs")
   }
 
+  test("UPDATE expressions may mix target and source columns; extra ON conjuncts narrow the match") {
+    val rep = new BucketedReplica(tmpDir("msql_expr") + "/rep", nBuckets = 8)
+    rep.commit(seed)
+    val baseline = rep.live(spark).select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    GraftMergeInto.register(spark, "replica_e", rep)
+    staged.filter(col("op") =!= "DELETE" && col("user_id") < 1000)
+      .createOrReplaceTempView("staged_batch")
+    // t.value + s.value / 2 references BOTH sides; the extra conjunct
+    // restricts the match to even keys — odd matched keys carry unchanged
+    spark.sql(
+      """MERGE INTO replica_e t USING staged_batch s
+        |ON t.user_id = s.user_id AND t.user_id % 2 = 0
+        |WHEN MATCHED THEN UPDATE SET value = t.value + s.value / 2
+        |""".stripMargin)
+    val after = rep.live(spark).select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val stagedVals = staged.filter(col("op") =!= "DELETE" && col("user_id") < 1000)
+      .select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    baseline.foreach { case (k, v) =>
+      val expect = stagedVals.get(k) match {
+        case Some(sv) if k % 2 == 0 => v + sv / 2
+        case _ => v
+      }
+      assert(math.abs(after(k) - expect) < 1e-9, s"key $k")
+    }
+    GraftMergeInto.unregister("replica_e")
+  }
+
   test("the registered view follows the replica version after each MERGE") {
     val rep = new BucketedReplica(tmpDir("msql_view") + "/rep", nBuckets = 8)
     rep.commit(seed)
