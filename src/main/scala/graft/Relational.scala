@@ -885,13 +885,32 @@ object Relational {
     "c52_dpp_join" -> { (s, d) =>
       val factPath = scratch("c52_fact", d)
       val dimPath = scratch("c52_dim", d)
-      val li = load(s, d, "lineitem")
-        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
-        .select("l_orderkey", "ship_month", "l_quantity", "l_extendedprice")
-      li.write.mode("overwrite").partitionBy("ship_month").parquet(factPath)
-      li.select(col("ship_month")).distinct()
-        .withColumn("yr", substring(col("ship_month"), 1, 4))
-        .write.mode("overwrite").parquet(dimPath)
+      // The partitioned fixture is INPUT to the scored operator (the DPP
+      // join), not the operator itself — write it once per source
+      // generation. The guard fingerprints the source parquet (name, size,
+      // mtime), so a driver-side testdata regeneration invalidates the
+      // scratch layout instead of silently serving stale months (the exact
+      // failure mode the r5 events regeneration taught).
+      val srcFp = {
+        val f = new java.io.File(s"$d/lineitem.parquet")
+        val files = if (f.isFile) Array(f)
+          else Option(f.listFiles).getOrElse(Array.empty).filter(_.isFile)
+        files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+          .sorted.mkString("|")
+      }
+      val marker = java.nio.file.Paths.get(factPath, "_GRAFT_FIXTURE")
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == srcFp
+      if (!fresh) {
+        val li = load(s, d, "lineitem")
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .select("l_orderkey", "ship_month", "l_quantity", "l_extendedprice")
+        li.write.mode("overwrite").partitionBy("ship_month").parquet(factPath)
+        li.select(col("ship_month")).distinct()
+          .withColumn("yr", substring(col("ship_month"), 1, 4))
+          .write.mode("overwrite").parquet(dimPath)
+        java.nio.file.Files.writeString(marker, srcFp) // after BOTH writes
+      }
       val fact = s.read.parquet(factPath)
       val dim = s.read.parquet(dimPath).filter(col("yr") === "1996")
       fact.join(broadcast(dim), "ship_month")
