@@ -127,13 +127,17 @@ final class CorpusIngest(root: String, nHp: Int = 16) {
     } finally { gated.unpersist(); () }
   }
 
-  /** Offline maintenance (stream paused): fold the seen-hash store's
-    * per-batch partitions into one consolidated negative-batch_id
-    * partition, keeping the hp layout the dedup probe prunes on — the
-    * small-file compaction a long-running ingest needs (the corpus itself
-    * is plain parquet data; the a13-style compaction pass applies there).
-    * Same idempotent distinct-write discipline as [[LshIndex.compact]];
-    * also delegates to the LSH index's own compaction. */
+  /** Maintenance: fold the seen-hash store's per-batch partitions into one
+    * consolidated negative-batch_id partition, keeping the hp layout the
+    * dedup probe prunes on — the small-file compaction a long-running
+    * ingest needs (the corpus itself is plain parquet data; the a13-style
+    * compaction pass applies there). The SEEN-STORE fold requires the
+    * stream paused: the store has no operation log (the data dir is the
+    * commit), so a fold racing a live ingest could consolidate a
+    * half-written batch dir; its crash-safety is idempotent distinct
+    * writes (duplicate hash rows are harmless to the anti-join probe and
+    * collapse on the next fold). The delegated [[LshIndex.compact]] is
+    * ONLINE-safe under its OpLog and needs no pause. */
   def compact(spark: SparkSession): Unit = {
     val dir = s"$root/seen"
     val sources = io.listDirs(io.path("seen"))
