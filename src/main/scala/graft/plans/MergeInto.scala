@@ -219,13 +219,23 @@ case class GraftMergeCommand(
         case _ => false
       })).map(_.value).getOrElse(dflt)
 
-    def actionValue(a: Attribute, action: MergeAction, code: Int): (Expression, Expression) = {
+    def actionValue(a: Attribute, action: MergeAction, code: Int,
+                    sourcePresent: Boolean): (Expression, Expression) = {
       val v: Expression = action match {
         case u: UpdateAction => assigned(a, u.assignments, a)
         case ins: InsertAction =>
           assigned(a, ins.assignments, Literal.create(null, a.dataType))
         case _: DeleteAction =>
-          if (a.name == rep.opCol) Literal("DELETE") else a
+          // A MATCHED delete's stored tombstone records the DELETING row:
+          // source values win on shared columns (position/event-time
+          // included), so a later out-of-order batch loses against the
+          // delete's own position — byte-identical to Cdc.merge's stored
+          // form. A NOT-MATCHED-BY-SOURCE delete has no source row: the
+          // tombstone keeps the target's values.
+          if (a.name == rep.opCol) Literal("DELETE")
+          else if (sourcePresent) sourceAttrs.find(_.name == a.name)
+            .map(sa => Cast(sa, a.dataType): Expression).getOrElse(a)
+          else a
         case other => throw new IllegalArgumentException(
           s"unsupported MERGE action: $other")
       }
@@ -234,9 +244,12 @@ case class GraftMergeCommand(
 
     val outCols: Seq[NamedExpression] = targetAttrs.map { a =>
       val cases =
-        matchedActions.zipWithIndex.map { case (act, i) => actionValue(a, act, i) } ++
-        notMatchedActions.zipWithIndex.map { case (act, i) => actionValue(a, act, 100 + i) } ++
-        notMatchedBySourceActions.zipWithIndex.map { case (act, i) => actionValue(a, act, 200 + i) }
+        matchedActions.zipWithIndex.map { case (act, i) =>
+          actionValue(a, act, i, sourcePresent = true) } ++
+        notMatchedActions.zipWithIndex.map { case (act, i) =>
+          actionValue(a, act, 100 + i, sourcePresent = true) } ++
+        notMatchedBySourceActions.zipWithIndex.map { case (act, i) =>
+          actionValue(a, act, 200 + i, sourcePresent = false) }
       Alias(CaseWhen(cases, Some(a)), a.name)() // else: carry the target row
     }
     val result = Bridge.ofRows(spark, Project(outCols, kept))
