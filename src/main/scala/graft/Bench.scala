@@ -115,12 +115,13 @@ object Bench {
     // record (the full-sequence numbers are the comparable ones; isolated
     // reruns bound what the query itself costs):
     val notes = "r5 flagged e21 2.8x / e47 3.2x and a ~1.7x uniform drift; " +
-      "r6's full 195-query re-baseline (174.3s, 0 failures, vs r4 166.1s/" +
-      "193) shows all three were environmental: in-sequence e21 3.43s (r5 " +
-      "8.10, r4 2.91), e47 0.51s (r5 1.88, r4 0.60), and the regenerated " +
-      "fixtures show no densification (e47: 48 blocks, max 2 names/block; " +
-      "documents: ~zero dup families, so the e21 LSH graph is sparse and " +
-      "label propagation converges in few rounds)."
+      "r6's full re-baselines (195q/174.3s, then 197q/171.8s with 0 " +
+      "failures, vs r4 166.1s/193q) show all three were environmental: " +
+      "in-sequence e21 3.43s (r5 8.10, r4 2.91), e47 0.51s (r5 1.88, r4 " +
+      "0.60), and the regenerated fixtures show no densification (e47: 48 " +
+      "blocks, max 2 names/block; documents: ~zero dup families, so the " +
+      "e21 LSH graph is sparse and label propagation converges in few " +
+      "rounds). c52 drops 3.0s->0.6s from write-once fixture reuse."
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir","notes":"$notes"}"""
     val short =

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
 
@@ -8,9 +8,9 @@ import org.apache.spark.sql.classic
   * standard pattern for libraries that introduce their own logical plan
   * nodes (a custom node has no public entry point into a DataFrame).
   * Everything else in graft uses only public API; this file exists solely
-  * so graft.plans.AsofJoin can hand its AsofJoinPlan to the session. */
+  * so graft.plans.AsofJoin and graft.plans.GraftMergeInto can hand their
+  * custom logical plans to the session. */
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
-
 }
