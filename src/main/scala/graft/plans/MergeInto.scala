@@ -68,6 +68,11 @@ object GraftMergeInto {
 
   def unregister(name: String): Unit = { registry.remove(name.toLowerCase); () }
 
+  /** Physical plan of the last MERGE's merged-result computation (test
+    * observability: pins that the ON equality reaches a hash/sort-merge
+    * join, never a nested-loop — the scale contract of the surface). */
+  @volatile private[graft] var lastMergePlan: String = ""
+
   private[plans] def lookup(plan: LogicalPlan): Option[(String, BucketedReplica)] =
     plan.collectFirst {
       case SubqueryAlias(id, _) if registry.contains(id.name.toLowerCase) =>
@@ -253,6 +258,7 @@ case class GraftMergeCommand(
       Alias(CaseWhen(cases, Some(a)), a.name)() // else: carry the target row
     }
     val result = Bridge.ofRows(spark, Project(outCols, kept))
+    GraftMergeInto.lastMergePlan = result.queryExecution.executedPlan.toString
 
     // stored tombstones stay unless an action re-created their key
     val deadKept = dead.join(result.select(col(rep.pk)), Seq(rep.pk), "left_anti")

@@ -78,6 +78,23 @@ class MergeIntoSqlSpec extends SparkSpecBase {
     GraftMergeInto.unregister("replica_b")
   }
 
+  test("the merge's ON equality plans as a keyed join, never a nested loop") {
+    val rep = new BucketedReplica(tmpDir("msql_plan") + "/rep", nBuckets = 8)
+    rep.commit(seed)
+    GraftMergeInto.register(spark, "replica_p", rep)
+    staged.createOrReplaceTempView("staged_batch")
+    spark.sql(mergeSql.format("replica_p"))
+    val plan = GraftMergeInto.lastMergePlan
+    assert(plan.nonEmpty)
+    // the scale contract: pk equality extracted into a hash/sort-merge join
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"MERGE planned a non-keyed join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"no keyed join in:\n$plan")
+    GraftMergeInto.unregister("replica_p")
+  }
+
   test("MERGE rewrites only the buckets the source keys touch") {
     val root = tmpDir("msql_bounded") + "/rep"
     val rep = new BucketedReplica(root, nBuckets = 8)
