@@ -83,4 +83,48 @@ class SqlMergePropertySpec extends SparkSpecBase {
       repA.destroy(); repB.destroy()
     }
   }
+
+  test("the SQL MERGE composes into foreachBatch — the reference's periodic-merge deployment shape") {
+    val root = tmpDir("smp_stream")
+    val rep = new BucketedReplica(s"$root/rep", nBuckets = 4)
+    GraftMergeInto.register(spark, "smp_stream_replica", rep)
+    val log = logGen.apply(Gen.Parameters.default, Seed(99L)).get
+    // land the changelog as three files → three micro-batches
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    log.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
+      val stage = s"$root/stage$i"
+      df(chunk, i * 100L).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, f"chunk-$i%05d.parquet").toPath)
+    }
+    val q = spark.readStream.schema(CdcStream.envelopeSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedup(batch).createOrReplaceTempView("smp_stream_staged")
+        batch.sparkSession.sql(
+          """MERGE INTO smp_stream_replica t USING smp_stream_staged s
+            |ON t.user_id = s.user_id
+            |WHEN MATCHED AND s.op = 'DELETE' AND s.pos > t.pos THEN DELETE
+            |WHEN MATCHED AND s.pos > t.pos THEN UPDATE SET *
+            |WHEN NOT MATCHED AND s.op != 'DELETE' THEN INSERT *
+            |WHEN NOT MATCHED THEN INSERT *
+            |""".stripMargin)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // the streamed periodic MERGE converges to the one-shot batch merge
+    val expect = Cdc.merge(df(log.take(12), 0L)
+        .unionByName(df(log.slice(12, 24), 100L))
+        .unionByName(df(log.drop(24), 200L)),
+      Seq("user_id"), keepTombstones = true).drop("is_deleted")
+      .collect().map(_.toString).toSet
+    assert(stored(rep) === expect)
+    GraftMergeInto.unregister("smp_stream_replica")
+  }
 }
