@@ -126,23 +126,10 @@ case class GraftMergeCommand(
     rep: BucketedReplica,
     spec: MergeSpec) extends LeafRunnableCommand {
 
-  override def run(spark: SparkSession): Seq[Row] = {
-    val (target, source, cond) = (spec.target, spec.source, spec.cond)
-    val (matchedActions, notMatchedActions, notMatchedBySourceActions) =
-      (spec.matched, spec.notMatched, spec.notMatchedBySource)
-    val targetAttrs = target.output
-    val sourceAttrs = source.output
-    require(targetAttrs.map(_.exprId).toSet
-      .intersect(sourceAttrs.map(_.exprId).toSet).isEmpty,
-      "self-MERGE (source and target sharing a relation) is not supported")
-    val opAttr = targetAttrs.find(_.name == rep.opCol).getOrElse(
-      throw new IllegalArgumentException(
-        s"MERGE target $viewName lacks the replica op column '${rep.opCol}'"))
-    require(opAttr.dataType == StringType, s"op column must be STRING")
-
-    // ---- the pk equality that routes bucket-bounded I/O ------------------
-    val conjuncts = splitAnd(cond)
-    val srcKeyExpr: Expression = conjuncts.collectFirst {
+  /** The pk equality that routes bucket-bounded I/O. */
+  private def keyExpr(targetAttrs: Seq[Attribute], sourceAttrs: Seq[Attribute],
+                      cond: Expression): Expression =
+    splitAnd(cond).collectFirst {
       case EqualTo(a: AttributeReference, rhs)
         if a.name == rep.pk && targetAttrs.exists(_.exprId == a.exprId) &&
           rhs.references.forall(r => sourceAttrs.exists(_.exprId == r.exprId)) => rhs
@@ -152,6 +139,49 @@ case class GraftMergeCommand(
     }.getOrElse(throw new IllegalArgumentException(
       s"MERGE INTO $viewName requires an equality on the replica key " +
         s"'${rep.pk}' in the ON condition (got: ${cond.sql})"))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (target, source, cond) = (spec.target, spec.source, spec.cond)
+    val targetAttrs = target.output
+    val sourceAttrs = source.output
+    require(targetAttrs.map(_.exprId).toSet
+      .intersect(sourceAttrs.map(_.exprId).toSet).isEmpty,
+      "self-MERGE (source and target sharing a relation) is not supported")
+    val opAttr = targetAttrs.find(_.name == rep.opCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"MERGE target $viewName lacks the replica op column '${rep.opCol}'"))
+    require(opAttr.dataType == StringType, s"op column must be STRING")
+    keyExpr(targetAttrs, sourceAttrs, cond) // validate the ON shape up front
+
+    // A view registered before a schema-widening commit would align the
+    // fresh (wide) scan onto the narrower view attrs and publish the
+    // narrowed schema replica-wide — refuse loudly instead of silently
+    // dropping the evolved column.
+    val storedCols = rep.storedSchema.fieldNames.toSet
+    val viewCols = targetAttrs.map(_.name).toSet
+    require(storedCols == viewCols,
+      s"MERGE view $viewName is stale: stored schema has ${storedCols.toSeq.sorted
+        .mkString(",")} but the view carries ${viewCols.toSeq.sorted.mkString(",")} — " +
+        s"re-run GraftMergeInto.register after schema evolution")
+
+    // cache the SOURCE once: the bucket probe, the cardinality check, and
+    // the full-outer join all contain the same source subplan, and the
+    // CacheManager substitutes the cached relation into each by plan
+    // equality — one evaluation instead of three (and a nondeterministic
+    // source cannot disagree with itself between the probe and the join)
+    val srcCached = Bridge.ofRows(spark, source).persist()
+    try {
+      runWithSource(spark)
+    } finally { srcCached.unpersist(); () }
+  }
+
+  private def runWithSource(spark: SparkSession): Seq[Row] = {
+    val (target, source, cond) = (spec.target, spec.source, spec.cond)
+    val (matchedActions, notMatchedActions, notMatchedBySourceActions) =
+      (spec.matched, spec.notMatched, spec.notMatchedBySource)
+    val targetAttrs = target.output
+    val sourceAttrs = source.output
+    val srcKeyExpr = keyExpr(targetAttrs, sourceAttrs, cond)
 
     val srcKeys = Bridge.ofRows(spark,
       Project(Seq(Alias(srcKeyExpr, rep.pk)()), source))
@@ -163,18 +193,25 @@ case class GraftMergeCommand(
     val fresh =
       if (notMatchedBySourceActions.nonEmpty) rep.read(spark)
       else rep.readTouched(srcKeys)
+    // two-valued split: live is exactly what rep.live() shows the analyst;
+    // EVERYTHING else stored (tombstones AND null-op rows from schema-drift
+    // landings) is carried forward untouched unless an action re-creates
+    // the key — a NULL op must not fall through both filters and vanish
     val live = fresh.filter(col(rep.opCol) =!= "DELETE")
-    val dead = fresh.filter(col(rep.opCol) === "DELETE")
+    val dead = fresh.filter(col(rep.opCol).isNull || col(rep.opCol) === "DELETE")
 
-    // ANSI cardinality check: >1 source rows matching one live target key
+    // Cardinality: duplicate source keys ALWAYS raise. ANSI only rejects
+    // multiple rows matching one TARGET row, but this store keeps ONE row
+    // per key — two NOT-MATCHED inserts of the same key (or one matched +
+    // one "disambiguated" by extra ON conjuncts) would both land and break
+    // the invariant every later merge relies on.
     val dupKeys = srcKeys.filter(col(rep.pk).isNotNull)
       .groupBy(col(rep.pk)).agg(fCount(lit(1)).as("__n")).filter(col("__n") > 1)
-      .join(live.select(col(rep.pk)), Seq(rep.pk), "left_semi")
       .limit(1).collect()
     if (dupKeys.nonEmpty) throw new IllegalStateException(
-      s"MERGE cardinality violation: multiple source rows match target key " +
-        s"${dupKeys(0).get(0)} (dedupe the source first — e.g. latest-wins by " +
-        s"'${rep.posCol}')")
+      s"MERGE cardinality violation: source carries key ${dupKeys(0).get(0)} " +
+        s"more than once and the replica stores one row per key (dedupe the " +
+        s"source first — e.g. latest-wins by '${rep.posCol}')")
 
     val livePlan = live.queryExecution.analyzed
     val alignedTgt = Project(targetAttrs.map { a =>

@@ -152,11 +152,13 @@ final class IvfIndex(root: String) {
         .parquet(s"$indexDir/batch_id=$consol")
       val genDir = s"centroids_gen=${st.version + 1}"
       newCents.coalesce(1).write.mode("overwrite").parquet(s"$root/$genDir")
+      // GC set snapshotted PRE-commit — a post-commit listing would race a
+      // just-committed concurrent append (see LshIndex.gcSnapshot)
+      val dead = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+        .filter(_.getName.stripPrefix("batch_id=").toLong != consol)
       (Map("type" -> "migrate", "dir" -> genDir,
         "consol" -> consol.toString, "maxseen" -> st.maxSeen.toString),
-        () => io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-          .filter(_.getName.stripPrefix("batch_id=").toLong != consol)
-          .foreach(io.delete))
+        () => dead.foreach(io.delete))
     }
   }
 
@@ -180,12 +182,12 @@ final class IvfIndex(root: String) {
         .drop("batch_id").distinct()
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$indexDir/batch_id=$consol")
+      val dead = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+        .filter(_.getName.stripPrefix("batch_id=").toLong != consol)
       (Map("type" -> "compact", "dir" -> centroidDirOf(st),
         "consol" -> consol.toString, "auxconsol" -> consol.toString,
         "maxseen" -> st.maxSeen.toString),
-        () => io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-          .filter(_.getName.stripPrefix("batch_id=").toLong != consol)
-          .foreach(io.delete))
+        () => dead.foreach(io.delete))
     }
   }
 

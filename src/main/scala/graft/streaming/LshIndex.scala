@@ -202,12 +202,18 @@ final class LshIndex(root: String, nBp: Int = 16) {
         allPairs.repartition(math.max(1, nBp / 4))
           .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$consol")
       } finally { bands.unpersist(); () }
+      // GC set snapshotted PRE-commit: deleting "everything not in a keep
+      // set" at GC time would race an append that commits between our log
+      // entry and the deletes, destroying its just-committed partitions.
+      // The snapshot only ever names dirs that are dead (old generation) or
+      // uncommitted garbage at commit time — a concurrent uncommitted
+      // append's dirs may be in it, but that append LOSES the log race and
+      // recomputes anyway (see OpLog.commitAppend).
+      val dead = gcSnapshot(Map(postingsDir -> Set(consol),
+        pairsDir -> Set(consol), sigsDir -> st.auxIds.toSet))
       (Map("type" -> "migrate", "r" -> r.toString, "b" -> b.toString,
         "consol" -> consol.toString, "maxseen" -> st.maxSeen.toString),
-        // post-commit GC: the old generation's postings/pairs are logically
-        // dead the instant the entry lands — deletes are pure physical GC
-        () => gcPartitions(Map(postingsDir -> Set(consol), pairsDir -> Set(consol),
-          sigsDir -> st.auxIds.toSet)))
+        () => dead.foreach(io.delete))
     }
   }
 
@@ -234,11 +240,12 @@ final class LshIndex(root: String, nBp: Int = 16) {
         postingsReadSchema).filter(idFilter(st.validIds)), Some("bp"))
       consolidate(pairsDir, readDir(spark, "pairs", pairsDir, pairsReadSchema)
         .filter(idFilter(st.validIds)), None)
+      val dead = gcSnapshot(Map(postingsDir -> Set(consol),
+        pairsDir -> Set(consol), sigsDir -> Set(consol)))
       (Map("type" -> "compact", "r" -> r.toString, "b" -> b.toString,
         "consol" -> consol.toString, "auxconsol" -> consol.toString,
         "maxseen" -> st.maxSeen.toString),
-        () => gcPartitions(Map(postingsDir -> Set(consol), pairsDir -> Set(consol),
-          sigsDir -> Set(consol))))
+        () => dead.foreach(io.delete))
     }
   }
 
@@ -251,13 +258,15 @@ final class LshIndex(root: String, nBp: Int = 16) {
     ((listed ++ st.validIds ++ st.auxIds) :+ 0L).min - 1L
   }
 
-  /** Delete every batch_id partition of each dir that is not in its keep
-    * set. Never load-bearing: validity is the log, these are dead files. */
-  private def gcPartitions(keep: Map[String, Set[Long]]): Unit =
-    keep.foreach { case (dir, ids) =>
+  /** PRE-commit snapshot of the batch_id partitions each dir holds outside
+    * its keep set — the exact paths the post-commit GC thunk may delete.
+    * Listing must happen before the commit: anything created after it
+    * (a newly committed append) must never be deletable. Never
+    * load-bearing: validity is the log, these are dead files. */
+  private def gcSnapshot(keep: Map[String, Set[Long]]): Seq[org.apache.hadoop.fs.Path] =
+    keep.toSeq.flatMap { case (dir, ids) =>
       io.listDirs(new org.apache.hadoop.fs.Path(dir))
         .filter(p => !ids.contains(p.getName.stripPrefix("batch_id=").toLong))
-        .foreach(io.delete)
     }
 
   def destroy(): Unit = io.delete(io.root)

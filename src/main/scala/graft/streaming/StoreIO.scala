@@ -145,9 +145,21 @@ final class OpLog(io: StoreIO) {
   private[graft] var beforeAppendCommit: () => Unit = () => ()
   private[graft] var beforeMigrateCommit: () => Unit = () => ()
 
-  def versions: Seq[Long] =
-    io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).sorted
+  def versions: Seq[Long] = {
+    val names = io.listFiles(io.root).map(_.getName)
+    // Pre-OpLog generation commits must fail LOUDLY: this build derives
+    // validity only from _LOG- entries, so silently ignoring a legacy
+    // marker would read the store as empty and forget its migrated layout.
+    // (Plain-append stores written before the log carry no marker and must
+    // be rebuilt — documented contract; the marker case is detectable.)
+    val legacy = names.filter(n =>
+      n.startsWith("_BANDING-") || n.startsWith("_CENTROIDS-"))
+    if (legacy.nonEmpty) throw new IllegalStateException(
+      s"store at ${io.root} carries pre-OpLog generation commits " +
+        s"(${legacy.mkString(", ")}); this build reads only _LOG- entries — " +
+        s"rebuild the index from its source corpus")
+    names.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).sorted
+  }
 
   def read(v: Long): Map[String, String] =
     io.readString(io.path(s"$prefix$v")).linesIterator
@@ -232,22 +244,22 @@ final class OpLog(io: StoreIO) {
     * batch id makes this call a no-op). */
   def commitAppend(readVersion: Long, batchId: Long, cleanupStale: () => Unit): Unit = {
     beforeAppendCommit()
-    var expected = readVersion + 1
-    while (true) {
-      try {
-        commitAt(expected, Map("type" -> "append", "batch" -> batchId.toString))
-        return
-      } catch { case _: StoreIO.ConcurrentCommit =>
-        val st2 = state
-        if (st2.migrationVersion >= expected) {
-          cleanupStale()
-          throw new StoreIO.ConcurrentCommit(
-            s"batch $batchId was computed under a layout that migrated " +
-              s"mid-flight; output removed — retry under the new generation")
-        }
-        if (st2.maxSeen >= batchId) return // another writer committed it
-        expected = st2.version + 1 // a sibling append slipped in: re-race
-      }
+    try commitAt(readVersion + 1,
+      Map("type" -> "append", "batch" -> batchId.toString))
+    catch { case _: StoreIO.ConcurrentCommit =>
+      val st2 = state
+      // exactly THIS batch already committed (a crash-retry whose first
+      // attempt's commit landed): the recomputed data is identical — no-op
+      if (st2.validIds.contains(batchId)) return
+      // ANY other concurrent commit — a migration OR a sibling append —
+      // invalidates what this batch derived from its read state (under a
+      // dead layout, or without the sibling's postings on the probe side,
+      // which would silently drop cross-batch candidate pairs). Remove the
+      // stale output and make the caller recompute against current state.
+      cleanupStale()
+      throw new StoreIO.ConcurrentCommit(
+        s"batch $batchId was computed against log state that changed " +
+          s"mid-flight; output removed — retry against the current state")
     }
   }
 

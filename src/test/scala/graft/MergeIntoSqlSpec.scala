@@ -111,6 +111,28 @@ class MergeIntoSqlSpec extends SparkSpecBase {
     GraftMergeInto.unregister("replica_bd")
   }
 
+  test("stored NULL-op rows (schema-drift landings) survive a MERGE rewrite of their bucket") {
+    val rep = new BucketedReplica(tmpDir("msql_nullop") + "/rep", nBuckets = 2)
+    rep.commit(seed)
+    // a producer-drift batch missing the op column lands op=NULL (the
+    // replica's documented tolerance); such rows are invisible to live()
+    // but must never be DROPPED from storage by a later bucket rewrite
+    val drifted = seed.filter(col("user_id") === 3L).drop("op")
+      .withColumn("user_id", col("user_id") + 500L)
+      .withColumn("pos", col("pos") + 1000000L)
+    rep.commit(drifted)
+    val nullOpBefore = rep.read(spark).filter(col("op").isNull).count()
+    assert(nullOpBefore > 0, "fixture did not produce a NULL-op row")
+
+    GraftMergeInto.register(spark, "replica_no", rep)
+    // nBuckets=2 → any non-trivial source touches both buckets
+    staged.createOrReplaceTempView("staged_batch")
+    spark.sql(mergeSql.format("replica_no"))
+    assert(rep.read(spark).filter(col("op").isNull).count() === nullOpBefore,
+      "a NULL-op stored row vanished through the MERGE's bucket rewrite")
+    GraftMergeInto.unregister("replica_no")
+  }
+
   test("cardinality violation (two source rows, one target key) raises") {
     val rep = new BucketedReplica(tmpDir("msql_card") + "/rep", nBuckets = 8)
     rep.commit(seed)
