@@ -489,6 +489,23 @@ object Extensions {
             lit(0L), (acc, x) => (acc * 31 + x) % P).as("fingerprint"))
         .orderBy("doc_id")
     },
+    // E4/provenance — cross-source overlap audit: which sources share
+    // near-duplicate content with which (the data-vendor COPYING matrix
+    // complementing e64's per-source scorecard; within-source duplication
+    // is the diagonal). The e03b LSH candidate machinery provides the pair
+    // stream — bucket-local, never all-pairs — and the source attribution
+    // is two doc_id equi-joins against a 2-column projection of the corpus
+    // scan, rolled up per unordered source pair.
+    "e69_source_overlap" -> { (s, d) =>
+      val srcMap = load(s, d, "documents").select(col("doc_id"), col("source"))
+      lshCandidates(s, d)
+        .join(srcMap.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+        .join(srcMap.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+        .groupBy(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+        .orderBy("src_a", "src_b")
+    },
     // E4/privacy — PII detection + redaction: the scrub pass every shipped
     // training corpus runs (emails, IPv4s, phone numbers) as pure regexp
     // column expressions — detect counts per class, then redact in one
@@ -2470,6 +2487,31 @@ object Extensions {
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n
          |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "e69_source_overlap" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b,
+         |  COUNT(*) AS n_candidate_pairs
+         |FROM cand JOIN documents a ON cand.d1 = a.doc_id
+         |          JOIN documents b ON cand.d2 = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "e67_pii_redact" ->
       """WITH a AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com from 10.0.' ||
