@@ -795,6 +795,113 @@ object Extensions {
           col("length").as("n_bytes"))
         .orderBy("doc_id")
     },
+    // E5 multimodal #3: audio — WAV/PCM needs no codec (samples ARE
+    // little-endian int16s behind a RIFF header), so unlike the image
+    // stubs this is a fully REAL audio decode: header fields come off the
+    // binary column as pure codegen'd little-endian reads, the executor
+    // decodes the actual sample stream (chunk-walk header, sign-extended
+    // LE reads), and the stats are exact integers (sum, sum-of-squares,
+    // peak) — the cross-engine gate is exact, not float-tolerant. The
+    // fixture samples are a closed-form LCG, so the oracle rederives the
+    // stream without touching the data bytes while reading the header
+    // from the IDENTICAL file. Scale: decode parallelism = partitions,
+    // one 8-field row per file crosses the exchange.
+    "e70_wav_pcm" -> { (s, d) =>
+      import s.implicits._
+      val path = writeWavFixtures(s, d)
+      s.read.format("binaryFile").load(path)
+        .filter(Multimodal.isWav(col("content")))
+        .select(
+          regexp_extract(col("path"), "wav_(\\d+)\\.wav$", 1)
+            .cast(LongType).as("doc_id"),
+          col("content").as("payload"),
+          Multimodal.wavSampleRate(col("content")).as("sample_rate"),
+          Multimodal.wavChannels(col("content")).as("n_channels"),
+          Multimodal.wavBits(col("content")).as("bits"))
+        .as[(Long, Array[Byte], Long, Long, Long)]
+        .mapPartitions { rows =>
+          rows.map { case (id, b, sr, ch, bits) =>
+            val st = Multimodal.wavPcmStats(b)
+            (id, sr, ch, bits, st.n, st.sum, st.sumSq, st.peak)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "n_channels", "bits",
+          "n_samples", "sum_amp", "sum_sq", "peak")
+        .orderBy("doc_id")
+    },
+    // E5 multimodal — REAL resize over REAL decoded pixels: inflate +
+    // unfilter (decodePngPixels), then nearest-neighbor resample into a
+    // 24-box with pure integer floor math, so DuckDB rederives the exact
+    // sample grid with `//` and the resized-pixel checksum is an exact
+    // integer gate. This closes the decode→resize step a multimodal
+    // training pipeline runs before feature extraction; the geometry
+    // (fitBox) and the resample (resizeNearest) are both now real, the
+    // stub remains only for modalities with no in-container codec.
+    "e71_image_resize" -> { (s, d) =>
+      import s.implicits._
+      val path = writePngFixtures(s, d, "e71")
+      s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "png_(\\d+)\\.png$", 1)
+            .cast(LongType).as("doc_id"),
+          col("content").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, b) =>
+            val (w, h, _, _) = Multimodal.pngHeader(b)
+            val px = Multimodal.decodePngPixels(b)
+            val (rw, rh) = Multimodal.fitBox(w, h, 24)
+            val rz = Multimodal.resizeNearest(px, w, h, rw, rh)
+            val sum = rz.foldLeft(0L)((a, v) => a + (v & 0xff))
+            (id, w, h, rw, rh, sum, sum.toDouble / rz.length)
+          }
+        }
+        .toDF("doc_id", "width", "height", "rw", "rh", "px_sum", "mean_px")
+        .orderBy("doc_id")
+    },
+    // E5 multimodal #4: video frame sampling — the access pattern a frame
+    // sampler needs (read a frame index, seek to k sampled offsets, decode
+    // ONLY those frames) is codec-independent, so the GVID container makes
+    // it real: the fixture is an indexed container of real PNG frames, the
+    // query picks first/middle/last via the index with pure column
+    // arithmetic (big-endian reads at dynamic offsets + substring slice —
+    // never materializing unsampled frames), and pixel-decodes only the
+    // sampled slices on executors. The oracle seeks the IDENTICAL index
+    // bytes and rederives each sampled frame's pixel sum in closed form.
+    // Scale: per file the sampler reads 3 frames regardless of video
+    // length — the seek-don't-scan contract that matters at 100 TB.
+    "e72_video_frames" -> { (s, d) =>
+      import s.implicits._
+      val path = writeGvidFixtures(s, d)
+      s.read.format("binaryFile").load(path)
+        .filter(Multimodal.isGvid(col("content")))
+        .select(
+          regexp_extract(col("path"), "vid_(\\d+)\\.gvid$", 1)
+            .cast(LongType).as("doc_id"),
+          col("content").as("payload"),
+          Multimodal.gvidFrameCount(col("content")).as("n_frames"))
+        .withColumn("frame_idx", explode(array_distinct(array(
+          lit(0L), expr("n_frames div 2"), col("n_frames") - 1))))
+        .withColumn("off",
+          Multimodal.beIntAt(col("payload"), lit(6L) + col("frame_idx") * 8, 4))
+        .withColumn("len",
+          Multimodal.beIntAt(col("payload"), lit(10L) + col("frame_idx") * 8, 4))
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          expr("substring(payload, cast(off + 1 as int), cast(len as int))")
+            .as("frame"))
+        .as[(Long, Long, Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, f, nf, fb) =>
+            val (w, h, _, _) = Multimodal.pngHeader(fb)
+            val px = Multimodal.decodePngPixels(fb)
+            val sum = px.foldLeft(0L)((a, v) => a + (v & 0xff))
+            (id, f, nf, w, h, sum, sum.toDouble / px.length)
+          }
+        }
+        .toDF("doc_id", "frame_idx", "n_frames", "width", "height",
+          "px_sum", "mean_px")
+        .orderBy("doc_id", "frame_idx")
+    },
     // E1 near-dup canonicalization — connected components over the LSH
     // candidate graph (docs sharing any MinHash band bucket are edges), so
     // each near-dup CLUSTER keeps exactly one canonical doc (min doc_id).
@@ -1972,6 +2079,68 @@ object Extensions {
   @volatile private var jpegFixturePath: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_jpg_fixture_default"
 
+  /** e70's WAV fixture dir — SF-keyed + late-bound like the PNG/JPEG
+    * fixtures; file sizes stay small (≤ ~4 KB) because the oracle
+    * rederives every sample in SQL. */
+  private def wavFixtureFor(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_wav_fixture_$tag"
+  }
+  @volatile private var wavFixturePath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_wav_fixture_default"
+  private def writeWavFixtures(s: SparkSession, d: String): String = {
+    val path = wavFixtureFor(d)
+    wavFixturePath = path
+    val dir = new java.io.File(path); dir.mkdirs()
+    Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".wav")).foreach(_.delete())
+    load(s, d, "documents").filter(col("doc_id").isin(0L, 10L, 20L))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .foreach { r =>
+        val n = (r.getLong(1) % 1500 + 400).toInt
+        val sr = (8000 + (r.getLong(0) % 3) * 4000).toInt
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"wav_${r.getLong(0)}.wav"),
+          Multimodal.encodeWav(n, sr, seed = r.getLong(0)))
+      }
+    path
+  }
+
+  /** e72's GVID fixture dir — same discipline; frame counts/dims derive
+    * from n_chars so the sampled-index path is exercised at 2–6 frames. */
+  private def gvidFixtureFor(d: String): String = {
+    val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_gvid_fixture_$tag"
+  }
+  @volatile private var gvidFixturePath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_gvid_fixture_default"
+  private def writeGvidFixtures(s: SparkSession, d: String): String = {
+    val path = gvidFixtureFor(d)
+    gvidFixturePath = path
+    val dir = new java.io.File(path); dir.mkdirs()
+    Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".gvid")).foreach(_.delete())
+    load(s, d, "documents").filter(col("doc_id").isin(0L, 10L, 20L))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .foreach { r =>
+        val nf = (r.getLong(1) % 5 + 2).toInt
+        val w = (r.getLong(1) % 20 + 12).toInt
+        val h = (r.getLong(1) % 14 + 8).toInt
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"vid_${r.getLong(0)}.gvid"),
+          Multimodal.encodeVideo(nf, w, h, seed = r.getLong(0)))
+      }
+    path
+  }
+
+  /** DuckDB spelling of a little-endian unsigned read of `n` bytes at
+    * 0-based `off` over read_blob's `content` — per-byte hex reads
+    * recombined by place value, the oracle twin of [[Multimodal.leInt]]. */
+  private def leBlobSql(off: Int, n: Int): String =
+    (0 until n).map(i =>
+      s"CAST('0x' || substring(hex(content), ${2 * (off + i) + 1}, 2) AS BIGINT) * ${1L << (8 * i)}"
+    ).mkString("(", " + ", ")")
+
   // def, not val: the e65 entry late-binds the fixture path recorded by the
   // query run (Verify dumps this map only after running every query)
   def oracleSql: Map[String, String] = Map(
@@ -2472,6 +2641,107 @@ object Extensions {
         |  CAST('0x' || substring(hex(content), (off+9)*2+1, 2) AS BIGINT) AS n_components,
         |  octet_length(content)::BIGINT AS n_bytes
         |FROM sof ORDER BY doc_id""".stripMargin),
+    // the header comes off the IDENTICAL fixture bytes (little-endian
+    // per-byte reads — DuckDB's spelling of Multimodal.leInt); the sample
+    // stats are rederived from the closed-form LCG sample stream, so a
+    // decode defect (sign-extension, offset, short read) lands as an
+    // exact-integer mismatch
+    "e70_wav_pcm" -> {
+      val sgn = "CASE WHEN v >= 32768 THEN v - 65536 ELSE v END"
+      s"""WITH f AS (
+         |  SELECT CAST(regexp_extract(filename, 'wav_(\\d+)\\.wav', 1) AS BIGINT) AS doc_id,
+         |    content
+         |  FROM read_blob('$wavFixturePath/*.wav')
+         |  WHERE substring(hex(content), 1, 8) = '52494646'),
+         |hdr AS (
+         |  SELECT doc_id,
+         |    ${leBlobSql(24, 4)} AS sample_rate,
+         |    ${leBlobSql(22, 2)} AS n_channels,
+         |    ${leBlobSql(34, 2)} AS bits,
+         |    ${leBlobSql(40, 4)} // 2 AS n_samples
+         |  FROM f),
+         |sm AS (
+         |  SELECT doc_id, ((doc_id + i) * 1103515245 + 12345) // 65536 % 65536 AS v
+         |  FROM hdr, LATERAL unnest(generate_series(0, n_samples - 1)) AS t(i)),
+         |st AS (
+         |  SELECT doc_id,
+         |    SUM($sgn)::BIGINT AS sum_amp,
+         |    SUM(($sgn) * ($sgn))::BIGINT AS sum_sq,
+         |    MAX(abs($sgn))::BIGINT AS peak
+         |  FROM sm GROUP BY doc_id)
+         |SELECT h.doc_id AS doc_id, sample_rate, n_channels, bits,
+         |  n_samples::BIGINT AS n_samples, sum_amp, sum_sq, peak
+         |FROM hdr h JOIN st ON h.doc_id = st.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    // dims from the fixture's IHDR bytes, target geometry by the same
+    // integer floor math as fitBox, and the resized checksum from the
+    // closed-form pixel stream sampled at (ty*h//rh, tx*w//rw) — the
+    // oracle never resamples; it derives what a correct nearest-neighbor
+    // resample MUST sum to
+    "e71_image_resize" ->
+      ("""WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'png_(\d+)\.png', 1) AS BIGINT) AS doc_id,
+        |    CAST('0x' || substring(hex(content), 33, 8) AS BIGINT) AS w,
+        |    CAST('0x' || substring(hex(content), 41, 8) AS BIGINT) AS h
+        |  FROM read_blob('""".stripMargin + pngPathFor("e71") + """/*.png')),
+        |dims AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN w <= 24 AND h <= 24 THEN w
+        |         WHEN w >= h THEN 24 ELSE greatest(1, (w * 24) // h) END AS rw,
+        |    CASE WHEN w <= 24 AND h <= 24 THEN h
+        |         WHEN w >= h THEN greatest(1, (h * 24) // w) ELSE 24 END AS rh
+        |  FROM f),
+        |px AS (
+        |  SELECT doc_id, w, h, rw, rh,
+        |    SUM(((doc_id + (ty * h // rh) * 7919 + ((tx * w // rw) * 3 + c))
+        |         * 1103515245 + 12345) // 65536 % 256)::BIGINT AS px_sum,
+        |    COUNT(*) AS cnt
+        |  FROM dims,
+        |    LATERAL unnest(generate_series(0, rh - 1)) AS a(ty),
+        |    LATERAL unnest(generate_series(0, rw - 1)) AS b(tx),
+        |    LATERAL unnest(generate_series(0, 2)) AS cc(c)
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(rw AS INT) AS rw, CAST(rh AS INT) AS rh,
+        |  px_sum, px_sum::DOUBLE / cnt AS mean_px
+        |FROM px ORDER BY doc_id""".stripMargin),
+    // the oracle seeks the IDENTICAL container index (big-endian reads at
+    // computed offsets), reads each sampled frame's IHDR through the
+    // index, and rederives that frame's pixel sum from the closed form
+    // with the frame-keyed seed doc_id*100 + frame_idx
+    "e72_video_frames" ->
+      ("""WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'vid_(\d+)\.gvid', 1) AS BIGINT) AS doc_id,
+        |    content, CAST('0x' || substring(hex(content), 9, 4) AS BIGINT) AS n_frames
+        |  FROM read_blob('""".stripMargin + gvidFixturePath + """/*.gvid')
+        |  WHERE substring(hex(content), 1, 8) = '47564944'),
+        |sampled AS (
+        |  SELECT doc_id, content, n_frames, unnest(list_distinct(
+        |    [0, n_frames // 2, n_frames - 1])) AS frame_idx
+        |  FROM f),
+        |idx AS (
+        |  SELECT doc_id, content, n_frames, frame_idx,
+        |    CAST('0x' || substring(hex(content), (6 + frame_idx * 8) * 2 + 1, 8) AS BIGINT) AS off
+        |  FROM sampled),
+        |hdr AS (
+        |  SELECT doc_id, n_frames, frame_idx,
+        |    CAST('0x' || substring(hex(content), (off + 16) * 2 + 1, 8) AS BIGINT) AS w,
+        |    CAST('0x' || substring(hex(content), (off + 20) * 2 + 1, 8) AS BIGINT) AS h
+        |  FROM idx),
+        |px AS (
+        |  SELECT doc_id, n_frames, frame_idx, w, h,
+        |    SUM(((doc_id * 100 + frame_idx + y * 7919 + x) * 1103515245 + 12345)
+        |        // 65536 % 256)::BIGINT AS px_sum,
+        |    COUNT(*) AS cnt
+        |  FROM hdr,
+        |    LATERAL unnest(generate_series(0, h - 1)) AS ys(y),
+        |    LATERAL unnest(generate_series(0, w * 3 - 1)) AS xs(x)
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, frame_idx::BIGINT AS frame_idx, n_frames,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  px_sum, px_sum::DOUBLE / cnt AS mean_px
+        |FROM px ORDER BY doc_id, frame_idx""".stripMargin),
     "e24_lexicon_scrub" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |k AS (SELECT doc_id, lang, tk,

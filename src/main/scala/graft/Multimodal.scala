@@ -312,6 +312,182 @@ object Multimodal {
   def frameOffsets(nBytes: Int, k: Int = 4): Seq[Int] =
     if (nBytes <= 0) Seq.empty else (0 until k).map(i => (i * nBytes) / k)
 
+  // ---- WAV/PCM (the third real decoder: audio needs no codec) -----------
+  // Public format (RIFF): "RIFF" u32le(chunkSize) "WAVE", then chunks of
+  // [4-byte id][u32le len][payload]. The canonical PCM layout puts "fmt "
+  // (audioFormat=1, nChannels, sampleRate, byteRate, blockAlign, bits) at
+  // offset 12 and "data" at 36, but the reader WALKS the chunk list — a
+  // WAV with an extra LIST/INFO chunk still parses. 16-bit samples are
+  // raw little-endian int16: "decoding" audio is exactly an LE integer
+  // read, so unlike image codecs the whole path is real here.
+
+  /** Little-endian unsigned read of `nBytes` at 0-based `byteOffset` — the
+    * RIFF integer encoding, as a pure column expression (per-byte reads
+    * recombined by place value; stays in whole-stage codegen). */
+  def leInt(payload: Column, byteOffset: Int, nBytes: Int): Column =
+    (0 until nBytes).map(i => beInt(payload, byteOffset + i, 1) * lit(1L << (8 * i)))
+      .reduce(_ + _)
+
+  /** True iff the payload carries the RIFF/WAVE magic. */
+  def isWav(payload: Column): Column =
+    substring(hex(payload), 1, 8) === "52494646" && // "RIFF"
+      substring(hex(payload), 17, 8) === "57415645" // "WAVE"
+
+  // canonical-layout fmt fields (fixture files are canonical; the column
+  // reads mirror what the oracle reads at the same fixed offsets)
+  def wavChannels(payload: Column): Column = leInt(payload, 22, 2)
+  def wavSampleRate(payload: Column): Column = leInt(payload, 24, 4)
+  def wavBits(payload: Column): Column = leInt(payload, 34, 2)
+  def wavDataLen(payload: Column): Column = leInt(payload, 40, 4)
+
+  def isWavBytes(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 4, "US-ASCII") == "WAVE"
+
+  private def le(b: Array[Byte], off: Int, n: Int): Long =
+    (0 until n).foldLeft(0L)((acc, i) => acc | ((b(off + i) & 0xffL) << (8 * i)))
+
+  /** JVM-side header parse via a real chunk WALK (not fixed offsets):
+    * returns (sampleRate, nChannels, bitsPerSample, dataOffset, dataLen). */
+  def wavHeader(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    require(isWavBytes(b), "not a WAV payload")
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while ((fmt.isEmpty || data.isEmpty) && off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = le(b, off + 4, 4).toInt
+      if (id == "fmt ") {
+        require(le(b, off + 8, 2) == 1L, "not PCM")
+        fmt = Some((le(b, off + 12, 4).toInt, le(b, off + 10, 2).toInt,
+          le(b, off + 22, 2).toInt))
+      }
+      if (id == "data") data = Some((off + 8, len))
+      off += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
+    }
+    val (sr, ch, bits) = fmt.getOrElse(
+      throw new IllegalArgumentException("no fmt chunk"))
+    val (doff, dlen) = data.getOrElse(
+      throw new IllegalArgumentException("no data chunk"))
+    (sr, ch, bits, doff, dlen)
+  }
+
+  /** Exact PCM statistics over the REAL sample stream (16-bit LE signed):
+    * (nSamples, sum, sumOfSquares, peak=max|s|) — all integers, so the
+    * cross-engine comparison is exact, not float-tolerant. */
+  case class PcmStats(n: Long, sum: Long, sumSq: Long, peak: Long)
+  def wavPcmStats(b: Array[Byte]): PcmStats = {
+    val (_, _, bits, doff, dlen) = wavHeader(b)
+    require(bits == 16, s"unsupported bit depth $bits")
+    val n = dlen / 2
+    var i = 0
+    var sum = 0L; var sumSq = 0L; var peak = 0L
+    while (i < n) {
+      val s = (le(b, doff + 2 * i, 2).toInt << 16) >> 16 // sign-extend int16
+      sum += s; sumSq += s.toLong * s; peak = math.max(peak, math.abs(s.toLong))
+      i += 1
+    }
+    PcmStats(n, sum, sumSq, peak)
+  }
+
+  /** Encode a REAL canonical WAV: RIFF/WAVE + PCM "fmt " + "data", mono
+    * 16-bit, samples a deterministic LCG of `seed` (the audio twin of
+    * [[rawScanlines]] — the oracle rederives the stream in closed form).
+    * Parses under `javax.sound.sampled` (MultimodalSpec cross-checks).
+    * Driver-side fixture writer: bounded file counts only. */
+  def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    require(nSamples > 0 && sampleRate > 0, s"encodeWav($nSamples @ $sampleRate)")
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = sr * ch * 2
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until nSamples).foreach { i =>
+      bb.putShort(pcmSample(seed, i).toShort)
+    }
+    bb.array()
+  }
+
+  /** The closed-form sample stream [[encodeWav]] writes: signed int16 from
+    * the shared LCG (same constants as [[rawScanlines]], 16-bit slice). */
+  private[graft] def pcmSample(seed: Long, i: Int): Int = {
+    val v = (((seed + i) * 1103515245L + 12345L) >>> 16) & 0xffff
+    if (v >= 32768) (v - 65536).toInt else v.toInt
+  }
+
+  // ---- video container (frame INDEX seek + real per-frame decode) -------
+  // No public video codec ships in a JDK, but the access PATTERN a frame
+  // sampler needs — read a frame index, seek to k sampled offsets, decode
+  // only those frames — doesn't depend on the codec. GVID is a minimal
+  // indexed container: "GVID" u16be(nFrames), nFrames × (u32be offset,
+  // u32be length), then the frames themselves as REAL PNGs. The sampler
+  // seeks via the index (pure column arithmetic), slices the payload, and
+  // pixel-decodes only the sampled frames.
+
+  def isGvid(payload: Column): Column =
+    substring(hex(payload), 1, 8) === "47564944" // "GVID"
+
+  def gvidFrameCount(payload: Column): Column = beInt(payload, 4, 2)
+
+  def isGvidBytes(b: Array[Byte]): Boolean =
+    b.length >= 6 && new String(b, 0, 4, "US-ASCII") == "GVID"
+
+  /** JVM-side index read: (offset, length) of frame `f`. */
+  def gvidFrameAt(b: Array[Byte], f: Int): (Int, Int) = {
+    require(isGvidBytes(b), "not a GVID payload")
+    val n = be(b, 4, 2).toInt
+    require(f >= 0 && f < n, s"frame $f of $n")
+    (be(b, 6 + f * 8, 4).toInt, be(b, 6 + f * 8 + 4, 4).toInt)
+  }
+
+  /** Encode a GVID container of `nFrames` REAL PNG frames; frame `f`'s
+    * pixel stream uses seed `seed * 100 + f` (the oracle's closed form).
+    * Driver-side fixture writer: bounded file counts only. */
+  def encodeVideo(nFrames: Int, width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(nFrames > 0 && nFrames < 65536, s"encodeVideo($nFrames frames)")
+    val frames = (0 until nFrames).map(f => encodePng(width, height, seed * 100 + f))
+    val headLen = 6 + nFrames * 8
+    val bb = java.nio.ByteBuffer.allocate(headLen + frames.map(_.length).sum)
+    bb.put("GVID".getBytes("US-ASCII")).putShort(nFrames.toShort)
+    var off = headLen
+    frames.foreach { fb => bb.putInt(off).putInt(fb.length); off += fb.length }
+    frames.foreach(fb => bb.put(fb))
+    bb.array()
+  }
+
+  /** REAL nearest-neighbor resample of row-major RGB bytes: target pixel
+    * (ty,tx) takes source pixel (ty*h/th, tx*w/tw) — pure integer floor
+    * math, so DuckDB rederives the exact same sample grid with `//`. */
+  def resizeNearest(px: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    require(px.length == w * h * 3, s"pixel buffer ${px.length} != ${w}x${h}x3")
+    require(tw > 0 && th > 0 && tw <= w && th <= h, s"bad target ${tw}x$th")
+    val out = new Array[Byte](tw * th * 3)
+    var i = 0
+    (0 until th).foreach { ty =>
+      val sy = ty * h / th
+      (0 until tw).foreach { tx =>
+        val sx = tx * w / tw
+        val src = (sy * w + sx) * 3
+        out(i) = px(src); out(i + 1) = px(src + 1); out(i + 2) = px(src + 2)
+        i += 3
+      }
+    }
+    out
+  }
+
+  /** Aspect-preserving integer fit of (w,h) into a `maxSide` box —
+    * floor division only, so both engines derive identical geometry. */
+  def fitBox(w: Int, h: Int, maxSide: Int): (Int, Int) =
+    if (w <= maxSide && h <= maxSide) (w, h)
+    else if (w >= h) (maxSide, math.max(1, h * maxSide / w))
+    else (math.max(1, w * maxSide / h), maxSide)
+
   /** STUB resize — aspect-preserving fit into a target box (the geometry is
     * real; only the pixel resampling would come from a codec). */
   def resizeStub(w: Int, h: Int, maxSide: Int = 224): (Int, Int) =

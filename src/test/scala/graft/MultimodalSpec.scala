@@ -222,4 +222,116 @@ class MultimodalSpec extends SparkSpecBase {
     val total = joined.agg(sum("n")).head().getLong(0)
     assert(total === 500)
   }
+
+  test("encodeWav parses under the JDK's own javax.sound reader; stats are exact") {
+    // cross-IMPLEMENTATION differential: our RIFF writer vs the JDK's
+    // independent WAV parser — format fields and frame count
+    val bytes = Multimodal.encodeWav(nSamples = 777, sampleRate = 12000, seed = 5L)
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = aff.getFormat
+    assert(fmt.getSampleRate === 12000f)
+    assert(fmt.getChannels === 1 && fmt.getSampleSizeInBits === 16)
+    assert(aff.getFrameLength === 777)
+    // our decoder's exact integer stats match the closed-form stream
+    val st = Multimodal.wavPcmStats(bytes)
+    val ref = (0 until 777).map(i => Multimodal.pcmSample(5L, i))
+    assert(st.n === 777)
+    assert(st.sum === ref.map(_.toLong).sum)
+    assert(st.sumSq === ref.map(s => s.toLong * s).sum)
+    assert(st.peak === ref.map(s => math.abs(s.toLong)).max)
+    // and the stream really exercises both signs (the sign-extension path)
+    assert(ref.exists(_ < 0) && ref.exists(_ > 0))
+  }
+
+  test("wavHeader is a chunk WALK, not fixed offsets: an extra chunk still parses") {
+    val canonical = Multimodal.encodeWav(100, 8000, seed = 1L)
+    // splice a LIST chunk between "fmt " and "data" (canonical offsets 36+)
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = canonical.slice(0, 36) ++ extra ++ canonical.drop(36)
+    // patch the RIFF chunk size (offset 4, u32le)
+    val sz = spliced.length - 8
+    (0 until 4).foreach(i => spliced(4 + i) = ((sz >> (8 * i)) & 0xff).toByte)
+    val (sr, ch, bits, _, dlen) = Multimodal.wavHeader(spliced)
+    assert((sr, ch, bits, dlen) === ((8000, 1, 16, 200)))
+    assert(Multimodal.wavPcmStats(spliced) === Multimodal.wavPcmStats(canonical))
+  }
+
+  test("WAV header column expressions agree with the JVM chunk walk") {
+    import spark.implicits._
+    val rows = Seq(0L, 3L, 9L).map(s =>
+      (s, Multimodal.encodeWav((400 + s * 37).toInt, (8000 + s * 100).toInt, s)))
+    val df = rows.toDF("id", "payload")
+    val got = df.select(col("id"),
+        Multimodal.wavSampleRate(col("payload")).as("sr"),
+        Multimodal.wavChannels(col("payload")).as("ch"),
+        Multimodal.wavBits(col("payload")).as("bits"),
+        (Multimodal.wavDataLen(col("payload")) / 2).cast("long").as("n"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = rows.map { case (s, b) =>
+      val (sr, ch, bits, _, dlen) = Multimodal.wavHeader(b)
+      (s, sr.toLong, ch.toLong, bits.toLong, dlen.toLong / 2)
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("resizeNearest: identity is exact; downsample picks the floor-grid pixel") {
+    val w = 6; val h = 4
+    val px = Array.tabulate(w * h * 3)(i => (i * 7 % 251).toByte)
+    assert(Multimodal.resizeNearest(px, w, h, w, h).toSeq === px.toSeq)
+    // 2x2 target: target (ty,tx) takes source (ty*h/2, tx*w/2)
+    val rz = Multimodal.resizeNearest(px, w, h, 2, 2)
+    (0 until 2).foreach { ty =>
+      (0 until 2).foreach { tx =>
+        val src = ((ty * h / 2) * w + tx * w / 2) * 3
+        (0 until 3).foreach { c =>
+          assert(rz((ty * 2 + tx) * 3 + c) === px(src + c),
+            s"target ($ty,$tx) channel $c")
+        }
+      }
+    }
+    // fitBox geometry: floor math, aspect order preserved, small side >= 1
+    assert(Multimodal.fitBox(20, 10, 24) === ((20, 10))) // already fits
+    assert(Multimodal.fitBox(100, 30, 24) === ((24, 7))) // 30*24/100 = 7.2 -> 7
+    assert(Multimodal.fitBox(30, 100, 24) === ((7, 24)))
+    assert(Multimodal.fitBox(2000, 10, 24) === ((24, 1))) // clamps to 1
+  }
+
+  test("resize of a decoded PNG matches the closed-form sampled pixel sum") {
+    val (w, h, seed) = (61, 33, 11L)
+    val px = Multimodal.decodePngPixels(Multimodal.encodePng(w, h, seed))
+    val (rw, rh) = Multimodal.fitBox(w, h, 24)
+    val rz = Multimodal.resizeNearest(px, w, h, rw, rh)
+    // the oracle's derivation: LCG at (ty*h//rh, (tx*w//rw)*3 + c)
+    var want = 0L
+    (0 until rh).foreach { ty =>
+      (0 until rw).foreach { tx =>
+        (0 until 3).foreach { c =>
+          val y = ty * h / rh; val xb = (tx * w / rw) * 3 + c
+          want += (((seed + y.toLong * 7919L + xb) * 1103515245L + 12345L) >>> 16) & 0xff
+        }
+      }
+    }
+    assert(rz.foldLeft(0L)((a, v) => a + (v & 0xff)) === want)
+  }
+
+  test("GVID container: index seek slices the exact PNG frames back out") {
+    val bytes = Multimodal.encodeVideo(nFrames = 4, width = 18, height = 9, seed = 7L)
+    assert(Multimodal.isGvidBytes(bytes))
+    (0 until 4).foreach { f =>
+      val (off, len) = Multimodal.gvidFrameAt(bytes, f)
+      val frame = bytes.slice(off, off + len)
+      assert(frame.toSeq === Multimodal.encodePng(18, 9, 7L * 100 + f).toSeq,
+        s"frame $f bytes")
+      // and each sliced frame still pixel-decodes for real
+      assert(Multimodal.decodePngPixels(frame).length === 18 * 9 * 3)
+    }
+    // column-expression frame count agrees
+    import spark.implicits._
+    val n = Seq((1L, bytes)).toDF("id", "payload")
+      .select(Multimodal.gvidFrameCount(col("payload"))).head().getLong(0)
+    assert(n === 4L)
+  }
 }
