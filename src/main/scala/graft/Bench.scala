@@ -121,7 +121,13 @@ object Bench {
       "0.60), and the regenerated fixtures show no densification (e47: 48 " +
       "blocks, max 2 names/block; documents: ~zero dup families, so the " +
       "e21 LSH graph is sparse and label propagation converges in few " +
-      "rounds). c52 drops 3.0s->0.6s from write-once fixture reuse."
+      "rounds). c52 drops 3.0s->0.6s from write-once fixture reuse. " +
+      "Late-r6 201q runs (211.2s then 225.5s on an otherwise-idle " +
+      "container but host load ~3.3 from co-tenants, host rebooted " +
+      "mid-round) drift uniformly +20-30% vs the same round's 171.8s " +
+      "record with no plan changes and e21/e47/c52 still at their " +
+      "recovered levels - same environmental signature as r5; compare " +
+      "records within one host session, not across."
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir","notes":"$notes"}"""
     val short =

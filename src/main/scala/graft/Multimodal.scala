@@ -438,6 +438,12 @@ object Multimodal {
   def isGvidBytes(b: Array[Byte]): Boolean =
     b.length >= 6 && new String(b, 0, 4, "US-ASCII") == "GVID"
 
+  /** JVM-side frame count (the executor twin of [[gvidFrameCount]]). */
+  def gvidFrameCountBytes(b: Array[Byte]): Int = {
+    require(isGvidBytes(b), "not a GVID payload")
+    be(b, 4, 2).toInt
+  }
+
   /** JVM-side index read: (offset, length) of frame `f`. */
   def gvidFrameAt(b: Array[Byte], f: Int): (Int, Int) = {
     require(isGvidBytes(b), "not a GVID payload")
