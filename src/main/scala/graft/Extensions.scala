@@ -918,6 +918,57 @@ object Extensions {
           (col("node") === col("label")).as("is_canonical"))
         .orderBy("doc_id")
     },
+    // E1 diagnostic — rounds-to-fixpoint, MEASURED: per-component BFS
+    // eccentricity from the canonical node over the same LSH candidate
+    // graph as e21, reported as a depth histogram (depth d ⇒ synchronous
+    // min-label propagation reaches that component's fixpoint in d
+    // rounds; max depth bounds the whole loop). This is the number an
+    // operator reads before trusting the e21/e25 driver loop at a new
+    // corpus: a densified near-dup graph shows up HERE as a growing max
+    // depth, before it shows up as wall-clock. The BFS driver loop is
+    // control-plane only (≤ max-depth rounds, one keyed join + anti-join
+    // + min-agg per round — the e21 dataflow class exactly).
+    "e73_component_depth" -> { (s, d) =>
+      val ck = operators.RoundCheckpointer.resolve(s, None)
+      val labels = lshComponents(s, d).persist()
+      val cand = lshCandidates(s, d)
+      val und = cand.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(cand.select(col("d2").as("a"), col("d1").as("b")))
+        .persist()
+      var visited = labels.filter(col("node") === col("label"))
+        .select(col("node"), lit(0).as("depth")).persist()
+      var frontier = visited
+      var rounds = 0
+      var done = false
+      while (!done && rounds < 64) {
+        val next = und
+          .join(frontier.select(col("node").as("a"), col("depth")), "a")
+          .select(col("b").as("node"), (col("depth") + 1).as("depth"))
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .groupBy(col("node")).agg(min(col("depth")).as("depth"))
+          .persist()
+        if (next.isEmpty) { next.unpersist(); done = true }
+        else {
+          // materialize the union BEFORE releasing its cached child, or
+          // later rounds silently rebuild the whole visited lineage
+          val nv = visited.unionByName(next).persist()
+          nv.count()
+          visited.unpersist(); frontier.unpersist()
+          frontier = next; visited = nv
+          rounds += 1
+        }
+      }
+      val perComp = labels.join(visited, "node")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("nn"), max(col("depth")).as("ecc"))
+      val out = ck.truncate(perComp.groupBy(col("ecc"))
+        .agg(count(lit(1)).as("n_components"), sum(col("nn")).as("n_nodes"))
+        .select(col("ecc").as("depth"), col("n_components"), col("n_nodes"))
+        .orderBy("depth"))
+      labels.unpersist(); und.unpersist(); visited.unpersist()
+      frontier.unpersist()
+      out
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -2418,6 +2469,48 @@ object Extensions {
          |SELECT node AS doc_id, MIN(label) AS comp_id,
          |  (node = MIN(label)) AS is_canonical
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    },
+    // the oracle reruns the component closure (e21's CTE), then a
+    // depth-tracked BFS from each canonical node — MIN(d) per node is the
+    // propagation round that node settles in, MAX per component its
+    // fixpoint depth; the d < 64 guard mirrors the query's round cap
+    "e73_component_depth" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM sig
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+         |bfs(node, d) AS (
+         |    SELECT node, 0 FROM comp WHERE node = label
+         |  UNION
+         |    SELECT u.b, bfs.d + 1 FROM bfs JOIN und u ON u.a = bfs.node
+         |    WHERE bfs.d < 64),
+         |dist AS (SELECT node, MIN(d) AS depth FROM bfs GROUP BY node),
+         |ce AS (SELECT comp.label AS comp_id, COUNT(*) AS nn, MAX(depth) AS ecc
+         |       FROM comp JOIN dist ON comp.node = dist.node
+         |       GROUP BY comp.label)
+         |SELECT CAST(ecc AS INT) AS depth, COUNT(*) AS n_components,
+         |  SUM(nn)::BIGINT AS n_nodes
+         |FROM ce GROUP BY ecc ORDER BY depth""".stripMargin
     },
     "e59_cluster_sizes" -> {
       val hs = String.format(tokenHashSql, "t")
