@@ -23,6 +23,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    — run-order memory pressure, not a plan regression);
   *  - failures are recorded as -1 with an explicit failure list, never
   *    silently timed as fast successes;
+  *  - contention is self-diagnosing: the record carries /proc/loadavg
+  *    before/after the timed pass, per-query JVM GC seconds, and an
+  *    end-of-run ISOLATED rerun of the worst-3 queries — a large
+  *    in-sequence vs isolated gap (or a high load average) marks the run
+  *    contended without forensic reconstruction;
   *  - the stdout line carries the total plus a fixed HEADLINE subset of
   *    per-query timings (3-decimal) so it fits the driver's bounded stdout
   *    tail capture (2000 chars — the r1/r2 full per-query line was 3 KB and
@@ -50,6 +55,24 @@ object Bench {
     "e56_pagerank", "e57_triangle_count", "e58_lsh_recall", "c55_basket_lift")
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  /** Host load (1/5/15-min) — recorded before and after the timed pass so
+    * a contended record is self-diagnosing instead of needing forensic
+    * reconstruction (r5's 205 s and r6's 436.9 s official records were
+    * both co-tenant noise, each explained by hand after the fact). */
+  private def loadAvg: String =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split(" ").take(3).mkString(" ")
+    catch { case _: Throwable => "n/a" }
+
+  /** Cumulative JVM GC wall-clock; per-query deltas separate "the query
+    * computes for N s" from "the heap churned for N s". */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,7 +109,9 @@ object Bench {
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
     spark.catalog.clearCache() // timed runs must compute, not read warm cache
-    val results = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
+    val loadBefore = loadAvg
+    def timed(name: String, fn: (SparkSession, String) => DataFrame): (Double, Double) = {
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -95,9 +120,25 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis - g0) / 1e3
       spark.catalog.clearCache() // per-query persists must not leak onward
       System.gc() // release localCheckpoint blocks (ContextCleaner is GC-driven)
-      name -> (if (ok) sec else -1.0)
+      (if (ok) sec else -1.0, gcSec)
+    }
+    val detail = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
+      name -> timed(name, fn)
+    }
+    val results = detail.map { case (k, (sec, _)) => k -> sec }
+    val gcByQuery = detail.collect { case (k, (sec, gc)) if sec >= 0 => k -> gc }
+    val loadAfter = loadAvg
+    // Isolated rerun of the worst-3: in-sequence time includes whatever the
+    // host and the preceding 200 queries left behind (page cache, heap,
+    // co-tenant load); the isolated number bounds what the query itself
+    // costs. A big in-sequence/isolated gap = contention, not a plan
+    // regression — recorded in the same JSON so the record self-diagnoses.
+    val worst3 = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(3)
+    val isolated = worst3.map { case (name, _) =>
+      name -> r3(timed(name, SparkEntry.queries(name))._1)
     }
     val failures = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = r3(results.values.filter(_ >= 0).sum)
@@ -128,10 +169,12 @@ object Bench {
       "record with no plan changes and e21/e47/c52 still at their " +
       "recovered levels - same environmental signature as r5; compare " +
       "records within one host session, not across."
+    val envJson =
+      s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_worst3":${qJson(isolated)},"gc_sec_total":${r3(gcByQuery.map(_._2).sum)}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir","notes":"$notes"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"gc_sec":${qJson(gcByQuery)},$envJson,"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir","notes":"$notes"}"""
     val short =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(headline.flatMap(h => results.get(h).map(h -> _)))},"n_queries":${results.size},"n_failures":${failures.size},"failures":$failShort,"sf":"$sfDir","detail":"bench_result.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(headline.flatMap(h => results.get(h).map(h -> _)))},$envJson,"n_queries":${results.size},"n_failures":${failures.size},"failures":$failShort,"sf":"$sfDir","detail":"bench_result.json"}"""
     // bench_result.json is overwrite-on-run (the driver's detail file) — and
     // a judge re-run clobbers the driver's copy (observed r5). bench_history
     // .jsonl is append-only so every run this round stays recoverable.

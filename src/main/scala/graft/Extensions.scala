@@ -109,12 +109,18 @@ object Extensions {
       .select("d1", "d2")
   }
 
-  /** Shared by e21/e25: min-label components of the LSH candidate graph
-    * over the doc_id%10 sample — returns (node, label) with label = the
-    * component's minimum doc_id. Driver loop is control-plane only (one
-    * keyed join + min-agg per round; sum(label) strictly decreases, so one
-    * scalar action per round detects the fixpoint). The O(log n) large-star/
-    * small-star variant lives in operators/ConnectedComponents. */
+  /** Shared by e21/e25/e49/e59/e73: min-label components of the LSH
+    * candidate graph over the doc_id%10 sample — returns (node, label,
+    * depth) with label = the component's minimum doc_id and depth = the
+    * round the node's label LAST strictly decreased. Because the minimum
+    * label originates only at the canonical node and travels one hop per
+    * synchronous round, that last-decrease round IS the node's BFS
+    * distance from the canonical node — so the e73 eccentricity histogram
+    * falls out of this loop for free, with zero extra joins and no second
+    * candidate-graph build. Driver loop is control-plane only (one keyed
+    * join + min-agg per round; sum(label) strictly decreases, so one
+    * scalar action per round detects the fixpoint). The O(log n)
+    * large-star/small-star variant lives in operators/ConnectedComponents. */
   private def lshComponents(s: SparkSession, d: String): DataFrame = {
     val ck = operators.RoundCheckpointer.resolve(s, None)
     // persisted: the signature agg (tokenize + explode + groupBy) feeds
@@ -132,15 +138,27 @@ object Extensions {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val und = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b"))).persist()
-    var labels = sig.select(col("doc_id").as("node"), col("doc_id").as("label"))
+    var labels = sig.select(col("doc_id").as("node"), col("doc_id").as("label"),
+        lit(0).as("depth"))
       .persist()
     var checksum = labels.agg(sum(col("label"))).head().getLong(0)
+    var round = 0
     var done = false
     while (!done) {
-      val next = und.join(labels, col("a") === col("node"))
-        .select(col("b").as("node"), col("label"))
-        .unionByName(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      round += 1
+      // min incoming label per node, then one left join against the
+      // current labels: a label that strictly improves stamps this round
+      // as the node's depth (= BFS distance once the improving label is
+      // the component minimum, which is the last improvement by
+      // uniqueness of the minimum)
+      val incoming = und.join(labels.select(col("node").as("a"), col("label")), "a")
+        .groupBy(col("b")).agg(min(col("label")).as("in_label"))
+        .select(col("b").as("node"), col("in_label"))
+      val next = labels.join(incoming, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("in_label"), col("label"))).as("label"),
+          when(coalesce(col("in_label"), col("label")) < col("label"), lit(round))
+            .otherwise(col("depth")).as("depth"))
         .persist()
       val c2 = next.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist(); labels = next
@@ -918,56 +936,29 @@ object Extensions {
           (col("node") === col("label")).as("is_canonical"))
         .orderBy("doc_id")
     },
-    // E1 diagnostic — rounds-to-fixpoint, MEASURED: per-component BFS
+    // E1 diagnostic — rounds-to-fixpoint, MEASURED: per-component
     // eccentricity from the canonical node over the same LSH candidate
     // graph as e21, reported as a depth histogram (depth d ⇒ synchronous
     // min-label propagation reaches that component's fixpoint in d
     // rounds; max depth bounds the whole loop). This is the number an
     // operator reads before trusting the e21/e25 driver loop at a new
     // corpus: a densified near-dup graph shows up HERE as a growing max
-    // depth, before it shows up as wall-clock. The BFS driver loop is
-    // control-plane only (≤ max-depth rounds, one keyed join + anti-join
-    // + min-agg per round — the e21 dataflow class exactly).
+    // depth, before it shows up as wall-clock. The depth column comes
+    // straight from lshComponents' own fixpoint loop (round of last label
+    // improvement = BFS distance from the canonical node), so this query
+    // is a pure aggregation over the shared closure — no second
+    // candidate-graph build, no extra driver loop. Depths ≥ 64 fold into
+    // an explicit overflow bucket (depth = 64) rather than dropping
+    // nodes, mirrored in the oracle: truncation is visible, never silent.
     "e73_component_depth" -> { (s, d) =>
-      val ck = operators.RoundCheckpointer.resolve(s, None)
-      val labels = lshComponents(s, d).persist()
-      val cand = lshCandidates(s, d)
-      val und = cand.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(cand.select(col("d2").as("a"), col("d1").as("b")))
-        .persist()
-      var visited = labels.filter(col("node") === col("label"))
-        .select(col("node"), lit(0).as("depth")).persist()
-      var frontier = visited
-      var rounds = 0
-      var done = false
-      while (!done && rounds < 64) {
-        val next = und
-          .join(frontier.select(col("node").as("a"), col("depth")), "a")
-          .select(col("b").as("node"), (col("depth") + 1).as("depth"))
-          .join(visited.select(col("node")), Seq("node"), "left_anti")
-          .groupBy(col("node")).agg(min(col("depth")).as("depth"))
-          .persist()
-        if (next.isEmpty) { next.unpersist(); done = true }
-        else {
-          // materialize the union BEFORE releasing its cached child, or
-          // later rounds silently rebuild the whole visited lineage
-          val nv = visited.unionByName(next).persist()
-          nv.count()
-          visited.unpersist(); frontier.unpersist()
-          frontier = next; visited = nv
-          rounds += 1
-        }
-      }
-      val perComp = labels.join(visited, "node")
+      lshComponents(s, d)
         .groupBy(col("label"))
-        .agg(count(lit(1)).as("nn"), max(col("depth")).as("ecc"))
-      val out = ck.truncate(perComp.groupBy(col("ecc"))
+        .agg(count(lit(1)).as("nn"),
+          least(max(col("depth")), lit(64)).as("ecc"))
+        .groupBy(col("ecc"))
         .agg(count(lit(1)).as("n_components"), sum(col("nn")).as("n_nodes"))
         .select(col("ecc").as("depth"), col("n_components"), col("n_nodes"))
-        .orderBy("depth"))
-      labels.unpersist(); und.unpersist(); visited.unpersist()
-      frontier.unpersist()
-      out
+        .orderBy("depth")
     },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
@@ -2473,7 +2464,10 @@ object Extensions {
     // the oracle reruns the component closure (e21's CTE), then a
     // depth-tracked BFS from each canonical node — MIN(d) per node is the
     // propagation round that node settles in, MAX per component its
-    // fixpoint depth; the d < 64 guard mirrors the query's round cap
+    // fixpoint depth. Nodes the d < 64 BFS guard leaves unreached fold
+    // into the explicit depth=64 overflow bucket (LEFT JOIN + COALESCE),
+    // matching the Spark side's least(depth, 64) — truncation is visible
+    // in both engines, never a silent row drop
     "e73_component_depth" -> {
       val hs = String.format(tokenHashSql, "t")
       val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
@@ -2505,8 +2499,9 @@ object Extensions {
          |    SELECT u.b, bfs.d + 1 FROM bfs JOIN und u ON u.a = bfs.node
          |    WHERE bfs.d < 64),
          |dist AS (SELECT node, MIN(d) AS depth FROM bfs GROUP BY node),
-         |ce AS (SELECT comp.label AS comp_id, COUNT(*) AS nn, MAX(depth) AS ecc
-         |       FROM comp JOIN dist ON comp.node = dist.node
+         |ce AS (SELECT comp.label AS comp_id, COUNT(*) AS nn,
+         |         MAX(LEAST(COALESCE(dist.depth, 64), 64)) AS ecc
+         |       FROM comp LEFT JOIN dist ON comp.node = dist.node
          |       GROUP BY comp.label)
          |SELECT CAST(ecc AS INT) AS depth, COUNT(*) AS n_components,
          |  SUM(nn)::BIGINT AS n_nodes
