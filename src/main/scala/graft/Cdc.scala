@@ -778,6 +778,43 @@ object Cdc {
         .select(col("user_id"), col("pos").as("last_pos"),
           col("value").as("last_value"), col("event_type").as("last_event"))
         .orderBy("user_id")
+    },
+    // B21 durable catalog identity — the reference's replica is a warehouse
+    // table analysts address BY NAME from any session (reference
+    // main.tf:197-215: menagerie_reporting.pets exists independently of the
+    // job that wrote it). Same half-commit + MERGE flow as b20, but with NO
+    // register() call: the session carries only the two catalog confs, the
+    // name resolves through graft.plans.GraftCatalog from the store's own
+    // durable metadata, the MERGE routes through the same bucket-bounded
+    // GraftMergeCommand, and the final read is a literal
+    // SELECT … FROM <catalog>.cdc.users executing as a native parquet scan.
+    "b21_catalog_table" -> { (s, d) =>
+      val wh = scratch("b21_warehouse", d)
+      // one catalog name per fixture dir: the session's CatalogManager
+      // caches catalog instances by name, so a warm-up at another SF must
+      // not pin this SF's root
+      val cat = "graft_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.plans.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val rep = new graft.streaming.BucketedReplica(s"$wh/cdc/users", nBuckets = 8)
+      rep.destroy()
+      val ch = changelog(s, d)
+      val mid = ch.agg(expr("percentile(pos, 0.5)")).collect()(0).getDouble(0).toLong
+      rep.commit(ch.filter(col("pos") <= mid))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("pos").desc)
+      ch.filter(col("pos") > mid)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .createOrReplaceTempView("b21_staged")
+      s.sql(
+        s"""MERGE INTO $cat.cdc.users t USING b21_staged s ON t.user_id = s.user_id
+           |WHEN MATCHED AND s.op = 'DELETE' AND s.pos > t.pos THEN DELETE
+           |WHEN MATCHED AND s.pos > t.pos THEN UPDATE SET *
+           |WHEN NOT MATCHED AND s.op != 'DELETE' THEN INSERT *
+           |""".stripMargin)
+      s.sql(
+        s"""SELECT user_id, pos AS last_pos, value AS last_value,
+           |  event_type AS last_event
+           |FROM $cat.cdc.users ORDER BY user_id""".stripMargin)
     }
   )
 
@@ -1060,6 +1097,13 @@ object Cdc {
     // the half-commit + SQL-MERGE composition must land on global
     // latest-wins — deliberately the same oracle shape as b8
     "b20_merge_into_sql" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    // the catalog-addressed MERGE + SELECT must land on the same global
+    // latest-wins as the registered-view form — identical oracle to b20
+    "b21_catalog_table" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
          |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event

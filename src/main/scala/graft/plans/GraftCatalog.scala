@@ -1,0 +1,243 @@
+package graft.plans
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, MergeIntoTable, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.streaming.{BucketedReplica, StoreIO}
+
+/** Durable catalog identity for [[BucketedReplica]] stores — the reference's
+  * replica is a discoverable warehouse table analysts address BY NAME from
+  * any session (reference main.tf:197-215: `menagerie_reporting.pets` exists
+  * independently of any job that wrote it). This catalog gives the Spark
+  * replica the same property:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.plans.GraftCatalog
+  *   spark.sql.catalog.graft.root = hdfs://…/replicas   // or a local dir
+  *
+  *   SELECT * FROM graft.crm.users                       -- live rows
+  *   SELECT * FROM graft.crm.users VERSION AS OF 3       -- time travel
+  *   MERGE INTO graft.crm.users t USING staged s ON …    -- replica MERGE
+  * }}}
+  *
+  * No in-session `register` call: a COLD session with only the two confs
+  * resolves the name through [[GraftCatalog.loadTable]], which opens the
+  * replica from its own durable metadata (`_META`, manifest, schema files).
+  *
+  * Identity vs execution: the catalog provides the V2 IDENTITY surface
+  * (names, schemas, versions, create/drop); execution stays on the engine's
+  * native parquet scan. [[GraftTableReads]] replaces each resolved
+  * [[GraftTable]] relation with the replica's parquet plan during analysis,
+  * so reads get the full Catalyst treatment — column pruning and filter
+  * pushdown reach the files, AQE sees ordinary file partitions — rather
+  * than a bespoke DSv2 reader reimplementing (worse) what the parquet
+  * source already does. MERGE keeps the bucket-bounded rewrite: the
+  * intercepted command routes through [[GraftMergeCommand]], same as the
+  * registered-view surface, O(touched buckets) I/O never O(replica).
+  *
+  * Layout: `<root>/<namespace…>/<table>` — a table is any directory holding
+  * a replica `_META`; a namespace is any other directory. Multi-level
+  * namespaces map to nested directories.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private var io: StoreIO = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"catalog $name needs spark.sql.catalog.$name.root=<replica warehouse dir>"))
+    io = new StoreIO(root, StoreIO.sessionConf())
+  }
+
+  override def name(): String = catalogName
+
+  private def rel(parts: Seq[String]): String = {
+    require(parts.nonEmpty && parts.forall(p =>
+      p.nonEmpty && !p.contains("/") && !p.contains("..")),
+      s"illegal identifier ${parts.mkString(".")}")
+    parts.mkString("/")
+  }
+
+  private def tableDir(ident: Identifier): String =
+    rel(ident.namespace.toSeq :+ ident.name)
+
+  private def isTable(dir: String): Boolean =
+    io.exists(io.path(s"$dir/_META"))
+
+  // ---- TableCatalog ---------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = if (namespace.isEmpty) "" else rel(namespace.toSeq) + "/"
+    val p = if (namespace.isEmpty) io.root else io.path(rel(namespace.toSeq))
+    if (!io.exists(p)) throw new NoSuchNamespaceException(namespace)
+    io.listDirs(p).map(_.getName).filter(n => isTable(s"$nsDir$n"))
+      .sorted.map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    GraftTable(s"$catalogName.${ident.toString}", s"$root/$dir", None)
+  }
+
+  /** `VERSION AS OF v` — maps to the replica's retained-version read
+    * ([[BucketedReplica.readAt]]); non-retained versions fail there with
+    * the retention message. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catalogName versions are commit numbers; got '$version'")
+    }
+    GraftTable(s"$catalogName.${ident.toString}", s"$root/$dir", Some(v))
+  }
+
+  /** CREATE TABLE — provisions an EMPTY replica: writes `_META` (key +
+    * bucket layout, from table properties `pk` / `nBuckets`) and records the
+    * declared columns as the pre-first-commit schema contract. The first
+    * commit/MERGE then versions the schema durably. */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables are hash-bucketed by their primary key; PARTITIONED BY is not supported")
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val pk = Option(properties.get("pk")).getOrElse("user_id")
+    val n = Option(properties.get("nBuckets")).map(_.toInt).getOrElse(32)
+    require(schema.fieldNames.contains(pk),
+      s"declared columns must include the primary key '$pk' (set TBLPROPERTIES ('pk'='…'))")
+    io.mkdirs(io.path(dir))
+    io.writeString(io.path(s"$dir/_SCHEMA.json"), schema.json)
+    io.writeString(io.path(s"$dir/_META"), s"nBuckets=$n\npk=$pk\n")
+    GraftTable(s"$catalogName.${ident.toString}", s"$root/$dir", None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolves through commits (evolveSchema=true)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else { io.delete(io.path(dir)); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME is not supported: replica roots are addressed by durable path")
+
+  // ---- SupportsNamespaces ---------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    io.listDirs(io.root).map(_.getName).filterNot(n => isTable(n))
+      .sorted.map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = rel(namespace.toSeq)
+    if (!io.exists(io.path(dir))) throw new NoSuchNamespaceException(namespace)
+    io.listDirs(io.path(dir)).map(_.getName).filterNot(n => isTable(s"$dir/$n"))
+      .sorted.map(n => namespace :+ n).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (namespace.nonEmpty &&
+        (!io.exists(io.path(rel(namespace.toSeq))) || isTable(rel(namespace.toSeq))))
+      throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    io.mkdirs(io.path(rel(namespace.toSeq)))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = rel(namespace.toSeq)
+    if (!io.exists(io.path(dir))) false
+    else {
+      require(cascade || io.listDirs(io.path(dir)).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      io.delete(io.path(dir)); true
+    }
+  }
+}
+
+/** V2 identity of one replica (optionally pinned to a retained version).
+  * Capabilities are deliberately empty: [[GraftTableReads]] replaces the
+  * relation with the native parquet plan before any capability check runs,
+  * and MERGE interception consumes the relation without reading through it. */
+case class GraftTable(ident: String, root: String, pinnedVersion: Option[Long])
+    extends Table {
+
+  /** Opened lazily from durable metadata and cached per plan-node instance
+    * (a query resolves the table once; a new query re-resolves and sees
+    * the latest committed pointer). */
+  lazy val replica: BucketedReplica = BucketedReplica.open(root)
+
+  override def name(): String = ident
+  override def schema(): StructType =
+    pinnedVersion.map(replica.schemaAt).getOrElse(replica.storedSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("root", root)
+    m.put("pk", replica.pk)
+    pinnedVersion.foreach(v => m.put("version", v.toString))
+    m
+  }
+}
+
+/** Analysis rule (injected by [[GraftExtensions]]): every resolved
+  * [[GraftTable]] relation becomes the replica's live parquet plan (or the
+  * `VERSION AS OF` retained read), aliased onto the relation's attribute
+  * ids so parent operators are untouched. MERGE targets are exempt — the
+  * [[GraftMergeInto.InterceptRule]] consumes those relations itself and
+  * must still see the table identity. */
+case class GraftTableReads(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // relations serving as a MERGE *target* keep their identity: the MERGE
+    // command needs the replica handle, and rewriting the target to a scan
+    // would turn an updatable table into a read-only subquery
+    val mergeTargets = plan.collect { case m: MergeIntoTable =>
+      m.targetTable.collect {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+      }
+    }.flatten.toSet
+    plan.transformUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] && !mergeTargets.contains(r) =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val df = t.pinnedVersion match {
+          case Some(v) => t.replica.liveAt(spark, v)
+          case None    => t.replica.live(spark)
+        }
+        val child = df.queryExecution.analyzed
+        Project(r.output.map { a =>
+          val f = child.output.find(_.name == a.name).getOrElse(
+            throw new IllegalStateException(
+              s"replica at ${t.root} lost column ${a.name} the catalog schema carries"))
+          Alias(f, a.name)(exprId = a.exprId)
+        }, child)
+    }
+  }
+}

@@ -68,15 +68,30 @@ object GraftMergeInto {
 
   def unregister(name: String): Unit = { registry.remove(name.toLowerCase); () }
 
+  private[plans] def isRegistered(name: String): Boolean =
+    registry.contains(name.toLowerCase)
+
   /** Physical plan of the last MERGE's merged-result computation (test
     * observability: pins that the ON equality reaches a hash/sort-merge
     * join, never a nested-loop — the scale contract of the surface). */
   @volatile private[graft] var lastMergePlan: String = ""
 
+  /** MERGE targets come in two shapes: a registered temp view (the
+    * in-session surface) or a [[GraftCatalog]] table resolved by name (the
+    * durable surface — no registration call, the replica opens from the
+    * table's own metadata). A `VERSION AS OF` target is rejected: retained
+    * versions are immutable reads. */
   private[plans] def lookup(plan: LogicalPlan): Option[(String, BucketedReplica)] =
     plan.collectFirst {
       case SubqueryAlias(id, _) if registry.contains(id.name.toLowerCase) =>
         id.name -> registry(id.name.toLowerCase)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        require(t.pinnedVersion.isEmpty,
+          s"cannot MERGE INTO ${t.name} VERSION AS OF ${t.pinnedVersion.get}: " +
+            "retained versions are immutable")
+        t.name -> t.replica
     }
 
   /** Analyzer rule (injected by [[GraftExtensions]]): fully-resolved MERGE
@@ -302,8 +317,11 @@ case class GraftMergeCommand(
       .select(result.columns.map(col).toSeq: _*)
     rep.replaceTouched(result.unionByName(deadKept))
 
-    // refresh the analyst view to the new version
-    rep.live(spark).createOrReplaceTempView(viewName)
+    // refresh the analyst view to the new version (registered-view surface
+    // only; the catalog surface re-resolves loadTable per query, so the next
+    // SELECT reads the new pointer with nothing to refresh)
+    if (GraftMergeInto.isRegistered(viewName))
+      rep.live(spark).createOrReplaceTempView(viewName)
     Seq.empty
   }
 

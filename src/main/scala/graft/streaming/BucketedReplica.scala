@@ -501,3 +501,38 @@ final class BucketedReplica(
   /** Remove the replica entirely (test/scratch hygiene). */
   def destroy(): Unit = io.delete(io.root)
 }
+
+object BucketedReplica {
+
+  /** Open an EXISTING replica knowing only its root — the catalog path
+    * ([[graft.plans.GraftCatalog]]): a cold session resolves a table NAME to
+    * a root directory and everything else (key, layout, schema) must come
+    * from the replica's own durable metadata. Layout priority mirrors
+    * `effectiveBuckets`: current manifest header (`#n=`, authoritative after
+    * [[BucketedReplica.rebucket]]) → creation `_META` → default. The
+    * constructor-schema fallback (used only before the first commit writes a
+    * `schema-<v>.json`) comes from `_SCHEMA.json` when a catalog
+    * CREATE TABLE declared columns up front. */
+  def open(root: String): BucketedReplica = {
+    val io = new StoreIO(root, StoreIO.sessionConf())
+    val metaP = io.path("_META")
+    require(io.exists(metaP), s"no replica at $root (missing _META)")
+    val kv = io.readString(metaP).linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }.toMap
+    val pk = kv.getOrElse("pk", "user_id")
+    val curV = io.listFiles(io.root).map(_.getName)
+      .filter(_.startsWith("_PTR-")).map(_.stripPrefix("_PTR-").toLong)
+      .sorted.lastOption
+    val n = curV.flatMap { v =>
+      io.readString(io.path(s"manifest-$v.tsv")).linesIterator
+        .find(_.startsWith("#n=")).map(_.stripPrefix("#n=").trim.toInt)
+    }.orElse(kv.get("nBuckets").map(_.toInt)).getOrElse(32)
+    val schemaP = io.path("_SCHEMA.json")
+    val fallbackSchema =
+      if (io.exists(schemaP))
+        org.apache.spark.sql.types.DataType.fromJson(io.readString(schemaP))
+          .asInstanceOf[StructType]
+      else CdcStream.envelopeSchema
+    new BucketedReplica(root, pk, n, fallbackSchema)
+  }
+}
