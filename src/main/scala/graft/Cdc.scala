@@ -742,7 +742,9 @@ object Cdc {
           sum(dec(col("value"))).cast(DoubleType).as("sum_kept_value"))
         .crossJoin(broadcast(total))
         .withColumn("n_dropped_total",
-          col("n_total") - sum(col("n_kept")).over(Window.partitionBy()))
+          // lit(0): deliberate single partition over the per-op aggregate
+          // (≤3 rows) — avoids the WindowExec no-partition warning
+          col("n_total") - sum(col("n_kept")).over(Window.partitionBy(lit(0))))
         .select(col("op"), col("n_kept"), col("sum_kept_value"),
           col("n_dropped_total"))
         .orderBy("op")

@@ -357,14 +357,20 @@ object Multimodal {
     var data: Option[(Int, Int)] = None
     while ((fmt.isEmpty || data.isEmpty) && off + 8 <= b.length) {
       val id = new String(b, off, 4, "US-ASCII")
-      val len = le(b, off + 4, 4).toInt
+      // u32 length read as Long so a hostile >= 2^31 value can't wrap to a
+      // negative Int and stall (or rewind) the chunk walk below
+      val len = le(b, off + 4, 4)
+      require(len >= 0 && len <= Int.MaxValue - 16,
+        s"chunk '$id' length $len out of range")
       if (id == "fmt ") {
         require(le(b, off + 8, 2) == 1L, "not PCM")
         fmt = Some((le(b, off + 12, 4).toInt, le(b, off + 10, 2).toInt,
           le(b, off + 22, 2).toInt))
       }
-      if (id == "data") data = Some((off + 8, len))
-      off += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
+      if (id == "data") data = Some((off + 8, len.toInt))
+      val next = off + 8 + len.toInt + (len.toInt & 1) // RIFF chunks 2-byte aligned
+      require(next > off, s"chunk walk failed to advance at offset $off")
+      off = next
     }
     val (sr, ch, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("no fmt chunk"))
@@ -390,6 +396,21 @@ object Multimodal {
     }
     PcmStats(n, sum, sumSq, peak)
   }
+
+  /** Total variant of [[wavPcmStats]] for mixed-media dispatch: a payload
+    * that carries the RIFF/WAVE magic but is not well-formed 16-bit PCM
+    * (compressed audio, 24-bit, truncated or hostile chunk table) yields
+    * None so the caller can classify it opaque instead of killing the
+    * task — the property a streamed landing-bucket ingest needs, where one
+    * bad file must not fail the micro-batch. */
+  def wavPcmStatsOpt(b: Array[Byte]): Option[PcmStats] =
+    try {
+      val (_, _, bits, doff, dlen) = wavHeader(b)
+      if (bits != 16 || doff + dlen > b.length) None
+      else Some(wavPcmStats(b))
+    } catch {
+      case _: IllegalArgumentException | _: IndexOutOfBoundsException => None
+    }
 
   /** Encode a REAL canonical WAV: RIFF/WAVE + PCM "fmt " + "data", mono
     * 16-bit, samples a deterministic LCG of `seed` (the audio twin of

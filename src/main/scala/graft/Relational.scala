@@ -711,7 +711,12 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"))
       val z = graft.operators.ZorderLayout.zvalue(col("x"), col("y"))
+      // partitionBy(lit(0)) is semantically the empty partition spec (same
+      // single-partition execution the NOTE above documents as deliberate)
+      // but states the intent explicitly instead of emitting the WindowExec
+      // no-partition warning on every run
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0))
         .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
       li.withColumn("z", z)
         .withColumn("file_bin", ntile(16).over(w))
@@ -970,7 +975,10 @@ object Relational {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(dec(col("l_extendedprice"))).as("rev"))
       val wf = Window.partitionBy(col("l_returnflag"))
-      val wg = Window.partitionBy()
+      // lit(0): single deliberate partition over the 9-row aggregate —
+      // semantically identical to an empty partition spec but keeps the
+      // WindowExec "No Partition Defined" warning out of the log
+      val wg = Window.partitionBy(lit(0))
       g.select(col("l_returnflag"), col("l_linestatus"),
           col("rev").cast(DoubleType).as("revenue"),
           (col("rev").cast(DoubleType)

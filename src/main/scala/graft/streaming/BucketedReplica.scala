@@ -269,7 +269,8 @@ final class BucketedReplica(
     * still arrive). Untouched buckets GC when next written, or via
     * [[compactTombstones]]. */
   def commit(batch: DataFrame, tombstoneGcHorizon: Option[Long] = None,
-             tag: Option[Long] = None, evolveSchema: Boolean = false): Unit = {
+             tag: Option[Long] = None, evolveSchema: Boolean = false,
+             precomputedTouched: Option[Seq[Int]] = None): Unit = {
     val spark = batch.sparkSession
     val n = effectiveBuckets
     // Schema-drift tolerance (the reference's sink schemas are all-NULLABLE
@@ -303,9 +304,12 @@ final class BucketedReplica(
       else lit(null).cast(f.dataType).as(f.name)
     }: _*).filter(col(pk).isNotNull).persist()
     try {
-      val touched: Seq[Int] = batchRows
+      // callers that already probed this batch ([[touchedBuckets]]) hand the
+      // ids in and skip the duplicate driver action; the probe here runs on
+      // the CAST rows, which touchedBuckets' stored-type cast matches
+      val touched: Seq[Int] = precomputedTouched.getOrElse(batchRows
         .select(bucketExpr(n).as("__b")).distinct()
-        .collect().map(_.getLong(0).toInt).toSeq.sorted
+        .collect().map(_.getLong(0).toInt).toSeq.sorted)
       if (touched.isEmpty) return // empty batch: nothing to commit
 
       val man = currentVersion.map(readManifest).getOrElse(Map.empty)
@@ -365,19 +369,37 @@ final class BucketedReplica(
     } finally { r.unpersist(); () }
   }
 
+  /** Bucket ids the batch's keys hash into under the current layout — ONE
+    * driver action (a distinct over ≤ nBuckets longs). Merge-style consumers
+    * that read around a commit ([[graft.streaming.IncrementalAgg]],
+    * [[CdcStream.scd2Batch]]) call this once per micro-batch and pass the
+    * result to [[readBucketsOf]] and [[commit]], instead of each step
+    * re-running the identical probe — per-batch driver actions are the
+    * streaming path's scalability tax at high trigger rates. The pk is cast
+    * to its STORED type first so the hash agrees with what [[commit]]'s
+    * schema-coercion writes (an uncast probe over a drifted batch would
+    * bucket by the wrong hash). */
+  def touchedBuckets(batch: DataFrame): Seq[Int] = {
+    val pkType = storedSchema(pk).dataType
+    batch.filter(col(pk).isNotNull)
+      .select(pmod(xxhash64(col(pk).cast(pkType)), lit(layoutBuckets.toLong)).as("__b"))
+      .distinct()
+      .collect().map(_.getLong(0).toInt).toSeq.sorted
+  }
+
+  /** Stored rows of exactly `buckets` (ids from [[touchedBuckets]]) as of
+    * the current pointer — the probe-free half of [[readTouched]]. */
+  def readBucketsOf(spark: SparkSession, buckets: Seq[Int]): DataFrame =
+    readBuckets(spark, currentVersion.map(readManifest).getOrElse(Map.empty),
+      buckets, storedSchema)
+
   /** The stored rows sharing a bucket with any key in `batch` — the bounded
     * read for merge-style consumers (same touched-bucket arithmetic as
     * [[commit]]): I/O is O(touched buckets), never O(replica). Rows of
     * OTHER keys co-resident in a touched bucket are included; callers'
     * keyed windows/joins ignore them naturally. */
-  def readTouched(batch: DataFrame): DataFrame = {
-    val spark = batch.sparkSession
-    val touched = batch.filter(col(pk).isNotNull)
-      .select(bucketExpr(layoutBuckets).as("__b")).distinct()
-      .collect().map(_.getLong(0).toInt).toSeq.sorted
-    readBuckets(spark, currentVersion.map(readManifest).getOrElse(Map.empty),
-      touched, storedSchema)
-  }
+  def readTouched(batch: DataFrame): DataFrame =
+    readBucketsOf(batch.sparkSession, touchedBuckets(batch))
 
   /** Maintenance pass (the VACUUM analog of transactional table formats):
     * rewrite exactly the buckets still holding tombstones older than

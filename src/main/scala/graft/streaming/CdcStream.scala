@@ -370,10 +370,9 @@ object CdcStream {
   def scd2Batch(batch: DataFrame, batchId: Long, replicaDir: String,
                 historyDir: String, nBuckets: Int = 32): Unit = {
     val rep = new BucketedReplica(replicaDir, nBuckets = nBuckets)
-    // persisted: the batch feeds FOUR actions (touched-bucket probe, the
-    // history write, the commit's bucket probe, the commit write) — without
-    // the cache each one would redo the filter/cast/dropDuplicates shuffle
-    // from the source
+    // persisted: the batch feeds THREE actions (the shared touched-bucket
+    // probe, the history write, the commit write) — without the cache each
+    // one would redo the filter/cast/dropDuplicates shuffle from the source
     val good = batch.filter(col("user_id").isNotNull && col("pos").isNotNull)
       .select(envelopeSchema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)): _*)
@@ -383,15 +382,18 @@ object CdcStream {
       // the currently-open changes of touched buckets only (tombstones
       // included: a DELETE is an interval too, it just isn't current).
       // Untouched keys co-resident in a touched bucket pass through the
-      // window as single open rows and close nothing.
-      val open = rep.readTouched(good)
+      // window as single open rows and close nothing. One bucket probe,
+      // shared with the commit below (was two identical collects).
+      val touched = rep.touchedBuckets(good)
+      val open = rep.readBucketsOf(good.sparkSession, touched)
       val closed = graft.Cdc.scd2(
         open.unionByName(good).dropDuplicates("user_id", "pos"), Seq("user_id"))
         .filter(col("valid_to_pos").isNotNull)
         .drop("is_current") // recomputed on read; meaningless for closed rows
       closed.withColumn("batch_id", lit(batchId))
         .write.mode("append").partitionBy("batch_id").parquet(historyDir)
-      rep.commit(good) // latest-wins ⇒ exactly the still-open change per key
+      // latest-wins ⇒ exactly the still-open change per key
+      rep.commit(good, precomputedTouched = Some(touched))
     } finally { good.unpersist(); () }
   }
 

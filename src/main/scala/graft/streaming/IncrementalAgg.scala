@@ -70,8 +70,8 @@ final class IncrementalAgg(
 
   /** Commit `batch` to the replica and fold its effect into the aggregate. */
   def applyBatch(batch0: DataFrame): Unit = {
-    // the batch feeds five actions (key probe, two keyedLive reads, the
-    // replica commit's probe+write, the view write) — cache it once
+    // the batch feeds three actions (the shared bucket probe, the replica
+    // commit's write, the view write) — cache it once
     val batch = batch0.persist()
     try applyBatchCached(batch) finally { batch.unpersist(); () }
   }
@@ -79,14 +79,19 @@ final class IncrementalAgg(
   private def applyBatchCached(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val keys = batch.filter(col(pk).isNotNull).select(col(pk)).distinct()
+    // ONE bucket probe per micro-batch, shared by the before-read, the
+    // replica commit, and the after-read (each used to rerun the identical
+    // collect — 3 driver actions where 1 suffices; at high trigger rates
+    // per-batch actions are the streaming path's scalability tax)
+    val touched = rep.touchedBuckets(batch)
     // live state of the batch's keys; keys ≤ batch size, bounded per
     // micro-batch → broadcast the semi-join probe, never shuffle the buckets
-    def keyedLive(): DataFrame = rep.readTouched(batch)
+    def keyedLive(): DataFrame = rep.readBucketsOf(spark, touched)
       .filter(col(opCol) =!= "DELETE")
       .join(broadcast(keys), Seq(pk), "left_semi")
       .select(col(groupCol), col(valueCol).cast(DecimalType(18, 2)).as("__v"))
     val before = keyedLive() // resolves pre-commit paths now; files retained
-    rep.commit(batch)
+    rep.commit(batch, precomputedTouched = Some(touched))
     val after = keyedLive()
     // contributions as (count-delta, sum-delta) pairs: −1/−v per old row,
     // +1/+v per new row, n/s verbatim for the existing store

@@ -16,8 +16,13 @@ private object MediaStreamSpec {
       val px = Multimodal.decodePngPixels(b)
       ("png", px.foldLeft(0L)((a, v) => a + (v & 0xff)), px.length.toLong)
     } else if (Multimodal.isWavBytes(b)) {
-      val st = Multimodal.wavPcmStats(b)
-      ("wav", st.sum, st.n)
+      // total dispatch: a RIFF/WAVE payload that is not well-formed 16-bit
+      // PCM (compressed, 24-bit, hostile chunk table) classifies opaque
+      // instead of killing the task
+      Multimodal.wavPcmStatsOpt(b) match {
+        case Some(st) => ("wav", st.sum, st.n)
+        case None     => ("opaque", b.length.toLong, 0L)
+      }
     } else if (Multimodal.isGvidBytes(b)) {
       val (off, len) = Multimodal.gvidFrameAt(b, 0)
       val px = Multimodal.decodePngPixels(b.slice(off, off + len))

@@ -258,6 +258,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.wavPcmStats(spliced) === Multimodal.wavPcmStats(canonical))
   }
 
+  test("wavHeader rejects hostile chunk lengths instead of looping; " +
+    "wavPcmStatsOpt classifies non-PCM/non-16-bit as None") {
+    val canonical = Multimodal.encodeWav(100, 8000, seed = 1L)
+    // hostile: fmt chunk length u32 = 0xFFFFFFFF (wraps to -1 as Int; the
+    // pre-fix walk computed off += 8 + (-1) + 1 = off and spun forever)
+    val hostileLen = canonical.clone()
+    (0 until 4).foreach(i => hostileLen(16 + i) = 0xff.toByte)
+    intercept[IllegalArgumentException](Multimodal.wavHeader(hostileLen))
+    // hostile: chunk length exactly -8 after truncation (0xFFFFFFF8) would
+    // make the new offset EQUAL the old one — must throw, not stall
+    val stall = canonical.clone()
+    stall(16) = 0xf8.toByte; stall(17) = 0xff.toByte
+    stall(18) = 0xff.toByte; stall(19) = 0xff.toByte
+    intercept[IllegalArgumentException](Multimodal.wavHeader(stall))
+    // valid-but-unsupported: audioFormat = 3 (IEEE float) → None, no throw
+    val floatFmt = canonical.clone(); floatFmt(20) = 3
+    assert(Multimodal.wavPcmStatsOpt(floatFmt).isEmpty)
+    // valid-but-unsupported: 24-bit PCM → None
+    val deep = canonical.clone(); deep(34) = 24
+    assert(Multimodal.wavPcmStatsOpt(deep).isEmpty)
+    // data chunk claiming more bytes than the payload carries → None
+    val truncated = canonical.slice(0, canonical.length - 10)
+    assert(Multimodal.wavPcmStatsOpt(truncated).isEmpty)
+    // the happy path is unchanged
+    assert(Multimodal.wavPcmStatsOpt(canonical)
+      === Some(Multimodal.wavPcmStats(canonical)))
+  }
+
   test("WAV header column expressions agree with the JVM chunk walk") {
     import spark.implicits._
     val rows = Seq(0L, 3L, 9L).map(s =>
