@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, MergeIntoTable, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -215,17 +215,27 @@ case class GraftTable(ident: String, root: String, pinnedVersion: Option[Long])
 case class GraftTableReads(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // relations serving as a MERGE *target* keep their identity: the MERGE
-    // command needs the replica handle, and rewriting the target to a scan
-    // would turn an updatable table into a read-only subquery
-    val mergeTargets = plan.collect { case m: MergeIntoTable =>
-      m.targetTable.collect {
-        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
-      }
+    // relations serving as a MERGE or INSERT *target* keep their identity:
+    // the intercepted command needs the replica handle, and rewriting the
+    // target to a scan would turn an updatable table into a read-only
+    // subquery (the write rules consume these relations themselves)
+    val writeTargets = plan.collect {
+      case m: MergeIntoTable =>
+        m.targetTable.collect {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+        }
+      case i: InsertIntoStatement =>
+        i.table.collect {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+        }
+      case w: V2WriteCommand =>
+        w.table.collect {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+        }
     }.flatten.toSet
     plan.transformUp {
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftTable] && !mergeTargets.contains(r) =>
+          if r.table.isInstanceOf[GraftTable] && !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[GraftTable]
         val df = t.pinnedVersion match {
           case Some(v) => t.replica.liveAt(spark, v)

@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL surface) — intercepts the resolved MergeIntoTable in the
     // resolution fixed-point, before Spark's v2-only rewrite rejects it
     ext.injectResolutionRule(_ => GraftMergeInto.InterceptRule)
+    // ANSI INSERT INTO over GraftCatalog replica tables: the resolved
+    // AppendData routes through BucketedReplica.commit (latest-wins append)
+    ext.injectResolutionRule(_ => GraftInsertInto.InterceptRule)
     // GraftCatalog read path: resolved replica-table relations (including
     // VERSION AS OF) become the native parquet plan; MERGE targets stay
     // for the intercept rule above

@@ -134,6 +134,43 @@ class GraftCatalogSpec extends SparkSpecBase {
       s"expected an immutability refusal, got: ${e.getMessage}")
   }
 
+  test("INSERT INTO by name from a cold session ≡ the programmatic commit") {
+    val wh = tmpDir("cat_insert")
+    val repA = new BucketedReplica(s"$wh/crm/ins_a", nBuckets = 8)
+    val repB = new BucketedReplica(s"$wh/crm/ins_b", nBuckets = 8)
+    repA.commit(seed); repB.commit(seed)
+
+    repA.commit(staged) // programmatic path
+    val cold = coldSession(wh)
+    handOver(cold, "staged_batch", staged)
+    cold.sql("INSERT INTO graft.crm.ins_b SELECT * FROM staged_batch")
+
+    // INSERT of change rows = latest-wins fold, byte-identical to commit:
+    // newer positions replace, DELETE rows tombstone, new keys append
+    assert(rowsOf(repB.live(spark)) === rowsOf(repA.live(spark)),
+      "catalog INSERT and programmatic commit diverged")
+    assert(rowsOf(cold.sql("SELECT * FROM graft.crm.ins_b")) ===
+      rowsOf(repA.live(spark)))
+
+    // literal VALUES insert lands a single new key
+    cold.sql(
+      """INSERT INTO graft.crm.ins_b VALUES
+        |('UPSERT', 'events', 999999999999, 999999999999, 424242, 1.5, 'probe')
+        |""".stripMargin)
+    val got = cold.sql(
+      "SELECT op, value, event_type FROM graft.crm.ins_b WHERE user_id = 424242")
+      .collect()
+    assert(got.length === 1 && got(0).getString(0) === "UPSERT" &&
+      got(0).getDouble(1) === 1.5 && got(0).getString(2) === "probe")
+
+    // INSERT OVERWRITE is refused with the MERGE pointer
+    val e = intercept[Exception] {
+      cold.sql("INSERT OVERWRITE graft.crm.ins_b SELECT * FROM staged_batch")
+    }
+    assert(e.getMessage.contains("MERGE INTO"),
+      s"expected the overwrite refusal, got: ${e.getMessage}")
+  }
+
   test("CREATE TABLE provisions an empty replica a MERGE can then populate") {
     val wh = tmpDir("cat_ddl")
     val cold = coldSession(wh)
