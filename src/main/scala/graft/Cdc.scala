@@ -586,7 +586,11 @@ object Cdc {
     // same single-shuffle class as the merge.
     "b12_gap_detection" -> { (s, d) =>
       val applied = changelog(s, d).filter(col("pos") % 10 =!= 0)
-      val w = Window.partitionBy(col("tbl")).orderBy(col("pos"))
+      // pin: the fixture derives tbl from a literal, so FoldablePropagation
+      // would erase the (semantically real) partition key and the window
+      // would execute — and WARN — partition-less; graft_pin keeps it
+      val w = Window.partitionBy(graft.functions.PinnedKey.pin(col("tbl")))
+        .orderBy(col("pos"))
       applied.select(col("tbl"), col("pos"))
         .withColumn("prev", lag(col("pos"), 1).over(w))
         .filter(col("prev").isNotNull && col("pos") - col("prev") > 1)
@@ -737,14 +741,16 @@ object Cdc {
         .withColumn("rn", row_number().over(w))
       val kept = ranked.filter(col("rn") <= 2)
       val total = ranked.agg(count(lit(1)).as("n_total"))
+      // total kept is a 1-row aggregate broadcast onto the ≤3-row per-op
+      // report (a partition-less window over the aggregate would do the
+      // same work but leave a misleading "No Partition Defined" warning)
+      val keptTotal = kept.agg(count(lit(1)).as("n_kept_total"))
       kept.groupBy(col("op"))
         .agg(count(lit(1)).as("n_kept"),
           sum(dec(col("value"))).cast(DoubleType).as("sum_kept_value"))
         .crossJoin(broadcast(total))
-        .withColumn("n_dropped_total",
-          // lit(0): deliberate single partition over the per-op aggregate
-          // (≤3 rows) — avoids the WindowExec no-partition warning
-          col("n_total") - sum(col("n_kept")).over(Window.partitionBy(lit(0))))
+        .crossJoin(broadcast(keptTotal))
+        .withColumn("n_dropped_total", col("n_total") - col("n_kept_total"))
         .select(col("op"), col("n_kept"), col("sum_kept_value"),
           col("n_dropped_total"))
         .orderBy("op")

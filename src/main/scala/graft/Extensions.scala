@@ -1501,10 +1501,11 @@ object Extensions {
       val tf = load(s, d, "documents")
         .select(explode(toks(col("text"))).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("f"))
-      // lit(0): the window input is the 50-row sorted limit below, so the
-      // single partition is deliberate (and the warning-free way to say so)
+      // graft_pin(0): the window input is the 50-row sorted limit below, so
+      // the single partition is deliberate; the pin survives constant
+      // folding, which a bare lit(0) partition would not
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0))
+        .partitionBy(graft.functions.PinnedKey.pin(lit(0)))
         .orderBy(col("f").desc, col("t").asc)
       val top = tf.orderBy(col("f").desc, col("t").asc).limit(50)
         .withColumn("rank", row_number().over(w))

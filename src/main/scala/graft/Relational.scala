@@ -711,12 +711,12 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"))
       val z = graft.operators.ZorderLayout.zvalue(col("x"), col("y"))
-      // partitionBy(lit(0)) is semantically the empty partition spec (same
-      // single-partition execution the NOTE above documents as deliberate)
-      // but states the intent explicitly instead of emitting the WindowExec
-      // no-partition warning on every run
+      // graft_pin(0): the single-partition execution is the NOTE's deliberate
+      // oracle anchor; a plain lit(0) partition would be folded away by the
+      // optimizer and the window would still WARN "No Partition Defined" —
+      // the pinned constant keeps the declared partition in the plan
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0))
+        .partitionBy(graft.functions.PinnedKey.pin(lit(0)))
         .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
       li.withColumn("z", z)
         .withColumn("file_bin", ntile(16).over(w))
@@ -975,16 +975,17 @@ object Relational {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(dec(col("l_extendedprice"))).as("rev"))
       val wf = Window.partitionBy(col("l_returnflag"))
-      // lit(0): single deliberate partition over the 9-row aggregate —
-      // semantically identical to an empty partition spec but keeps the
-      // WindowExec "No Partition Defined" warning out of the log
-      val wg = Window.partitionBy(lit(0))
-      g.select(col("l_returnflag"), col("l_linestatus"),
+      // the grand total is a 1-row aggregate of the 9-row aggregate —
+      // broadcast-crossJoined instead of windowed, so no partition-less
+      // window exists to warn about (and the plan reads as what it is)
+      val grand = g.agg(sum(col("rev")).as("rev_total"))
+      g.crossJoin(broadcast(grand))
+        .select(col("l_returnflag"), col("l_linestatus"),
           col("rev").cast(DoubleType).as("revenue"),
           (col("rev").cast(DoubleType)
             / sum(col("rev")).over(wf).cast(DoubleType)).as("share_of_flag"),
           (col("rev").cast(DoubleType)
-            / sum(col("rev")).over(wg).cast(DoubleType)).as("share_of_total"))
+            / col("rev_total").cast(DoubleType)).as("share_of_total"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     // C55 market-basket affinity — pairwise co-occurrence lift over the

@@ -97,10 +97,12 @@ object Similarity {
                       iters: Int): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     var cents = sampledSeeds(emb, k)
-      // partitionBy(lit(0)): the input is the k sampled seeds (bounded, k
-      // rows), so the single-partition window is deliberate — the explicit
-      // constant partition documents that and silences the WindowExec warning
-      .select(row_number().over(Window.partitionBy(lit(0)).orderBy(col("vec_id")))
+      // graft_pin(0): the input is the k sampled seeds (bounded, k rows), so
+      // the single-partition window is deliberate — the pinned constant
+      // survives folding and keeps the WindowExec warning out of the log
+      .select(row_number().over(Window
+          .partitionBy(graft.functions.PinnedKey.pin(lit(0)))
+          .orderBy(col("vec_id")))
         .cast(LongType).as("cid"),
         col("embedding").as("cemb"))
     (0 until iters).foreach { _ =>
@@ -296,9 +298,11 @@ object Similarity {
         .select(col("probe_emb"), col("cid"),
           cosine(col("probe_emb"), col("cemb")).as("csim"))
         .withColumn("rn", row_number().over(
-          // bounded input: 1 probe × k centroids — the constant partition is
-          // deliberate and keeps the WindowExec warning out of the log
-          Window.partitionBy(lit(0)).orderBy(col("csim").desc, col("cid").asc)))
+          // bounded input: 1 probe × k centroids — the pinned constant
+          // partition is deliberate (and survives constant folding, which a
+          // bare lit(0) would not)
+          Window.partitionBy(graft.functions.PinnedKey.pin(lit(0)))
+            .orderBy(col("csim").desc, col("cid").asc)))
         .filter(col("rn") <= 2)
         .select(col("cid").as("probe_cid"), col("probe_emb"))
       assigned.join(broadcast(probeCids), col("cid") === col("probe_cid"))
