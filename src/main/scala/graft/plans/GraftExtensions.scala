@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // VERSION AS OF) become the native parquet plan; MERGE targets stay
     // for the intercept rule above
     ext.injectResolutionRule(session => GraftTableReads(session))
+    // SQL table functions over the catalog: graft_changes (version-diff
+    // change feed by name) and graft_versions (retained versions + tags)
+    GraftTvf.functions.foreach(ext.injectTableFunction)
+    ext.injectResolutionRule(session => GraftTvf.ResolveRule(session))
   }
 }

@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.streaming.BucketedReplica
+
+/** SQL table functions over the durable catalog — the CDC-read-back surface
+  * analysts use without touching the programmatic API:
+  *
+  * {{{
+  *   SELECT * FROM graft_versions('crm.users')        -- retained versions + tags
+  *   SELECT * FROM graft_changes('crm.users', 1, 2)   -- keyed diff v1 → v2
+  * }}}
+  *
+  * `graft_changes` is [[BucketedReplica.changeFeed]] by name: what a
+  * downstream consumer must apply to move between two RETAINED versions
+  * (INSERT / UPDATE / DELETE per changed key) — the SQL twin of the b10
+  * change-feed operator. `graft_versions` lists the versions a time-travel
+  * or change-feed read may name (current + previous, the bounded-staleness
+  * retention window) with their source-batch tags.
+  *
+  * HOW: `injectTableFunction` registers parse-time builders that return an
+  * UNRESOLVED leaf carrying the literal arguments; the session-aware
+  * resolution rule ([[GraftTvf.ResolveRule]], injected beside the catalog
+  * read rule) opens the replica from the catalog root conf and substitutes
+  * the real plan — a two-step needed because function builders run without
+  * a session. Table names resolve under `spark.sql.catalog.graft.root`,
+  * the same namespace the catalog serves (`ns.table` → `<root>/ns/table`).
+  */
+object GraftTvf {
+
+  /** Unresolved placeholder a TVF builder can emit without a session. */
+  case class UnresolvedGraftTvf(fn: String, args: Seq[Expression]) extends LeafNode {
+    override lazy val resolved: Boolean = false
+    override def output: Seq[Attribute] = Nil
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(classOf[UnresolvedGraftTvf].getName, "graft_changes"),
+      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_changes", exprs)),
+    (new FunctionIdentifier("graft_versions"),
+      new ExpressionInfo(classOf[UnresolvedGraftTvf].getName, "graft_versions"),
+      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_versions", exprs)))
+
+  private def stringArg(fn: String, args: Seq[Expression], i: Int): String =
+    args(i) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got ${other.sql}")
+    }
+
+  private def longArg(fn: String, args: Seq[Expression], i: Int): Long =
+    args(i) match {
+      case Literal(v, _: IntegerType) => v.asInstanceOf[Int].toLong
+      case Literal(v, _: LongType) => v.asInstanceOf[Long]
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer version, got ${other.sql}")
+    }
+
+  private def openByName(spark: SparkSession, name: String): BucketedReplica = {
+    val root = spark.conf.getOption("spark.sql.catalog.graft.root").getOrElse(
+      throw new IllegalArgumentException(
+        "graft table functions need spark.sql.catalog.graft.root " +
+          "(the catalog warehouse dir) to resolve table names"))
+    val parts = name.split('.')
+    require(parts.nonEmpty && parts.forall(p =>
+      p.nonEmpty && !p.contains("/") && !p.contains("..")),
+      s"illegal table name '$name'")
+    BucketedReplica.open((root +: parts.toSeq).mkString("/"))
+  }
+
+  private val versionsSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("tag", LongType, nullable = true),
+    StructField("is_current", BooleanType, nullable = false)))
+
+  /** Resolution rule: expand the placeholders with the session in hand. */
+  case class ResolveRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case UnresolvedGraftTvf("graft_changes", args) =>
+        require(args.length == 3,
+          "graft_changes(table_name, from_version, to_version)")
+        val rep = openByName(spark, stringArg("graft_changes", args, 0))
+        rep.changeFeed(spark, longArg("graft_changes", args, 1),
+          longArg("graft_changes", args, 2)).queryExecution.analyzed
+      case UnresolvedGraftTvf("graft_versions", args) =>
+        require(args.length == 1, "graft_versions(table_name)")
+        val rep = openByName(spark, stringArg("graft_versions", args, 0))
+        val cur = rep.currentVersion
+        // control plane: ≤2 retained rows, built driver-side like any DDL
+        val rows = rep.retainedTags.keySet
+          .union(cur.toSet).toSeq.sorted.map { v =>
+            InternalRow(v, rep.tagOf(v).map(Long.box).orNull, cur.contains(v))
+          }
+        LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(versionsSchema),
+          rows)
+      case u: UnresolvedGraftTvf => throw new IllegalStateException(
+        s"unknown graft table function ${u.fn}")
+    }
+  }
+}

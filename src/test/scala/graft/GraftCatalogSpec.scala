@@ -171,6 +171,43 @@ class GraftCatalogSpec extends SparkSpecBase {
       s"expected the overwrite refusal, got: ${e.getMessage}")
   }
 
+  test("graft_versions / graft_changes table functions read the replica by name") {
+    val wh = tmpDir("cat_tvf")
+    val rep = new BucketedReplica(s"$wh/crm/feed", nBuckets = 8)
+    rep.commit(seed, tag = Some(10L))   // v1
+    rep.commit(staged, tag = Some(11L)) // v2
+    val cold = coldSession(wh)
+
+    // retained versions: current + previous, with their source-batch tags
+    val vers = cold.sql("SELECT * FROM graft_versions('crm.feed')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(vers === Seq((1L, 10L, false), (2L, 11L, true)))
+
+    // the SQL change feed equals the programmatic changeFeed exactly
+    val got = rowsOf(cold.sql(
+      "SELECT * FROM graft_changes('crm.feed', 1, 2) ORDER BY user_id"))
+    val want = rowsOf(rep.changeFeed(spark, 1, 2).orderBy("user_id"))
+    assert(got === want, "SQL change feed diverged from changeFeed(1,2)")
+    // and it is non-trivial: the staged batch updated, deleted, and inserted
+    val kinds = cold.sql("SELECT DISTINCT change FROM graft_changes('crm.feed', 1, 2)")
+      .collect().map(_.getString(0)).toSet
+    assert(kinds === Set("INSERT", "UPDATE", "DELETE"))
+
+    // it composes as a relation: aggregate over the feed
+    val n = cold.sql(
+      "SELECT count(*) FROM graft_changes('crm.feed', 1, 2) WHERE change = 'DELETE'")
+      .head().getLong(0)
+    assert(n === rep.changeFeed(spark, 1, 2)
+      .filter(col("change") === "DELETE").count())
+
+    // naming a non-retained version fails with the retention message
+    val e = intercept[Exception] {
+      cold.sql("SELECT * FROM graft_changes('crm.feed', 0, 2)").collect()
+    }
+    assert(e.getMessage.contains("not retained"),
+      s"expected the retention refusal, got: ${e.getMessage}")
+  }
+
   test("CREATE TABLE provisions an empty replica a MERGE can then populate") {
     val wh = tmpDir("cat_ddl")
     val cold = coldSession(wh)
