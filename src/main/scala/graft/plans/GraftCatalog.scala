@@ -106,6 +106,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(s"$catalogName.${ident.toString}", s"$root/$dir", Some(v))
   }
 
+  /** `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds; resolve to the
+    * newest retained version committed at or before that instant
+    * ([[BucketedReplica.versionAt]]) and pin it, same read path as
+    * `VERSION AS OF`. Instants older than the retention window fail there
+    * with the bounded-retention message. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val rep = BucketedReplica.open(s"$root/$dir")
+    GraftTable(s"$catalogName.${ident.toString}", s"$root/$dir",
+      Some(rep.versionAt(timestampMicros / 1000L)))
+  }
+
   /** CREATE TABLE — provisions an EMPTY replica: writes `_META` (key +
     * bucket layout, from table properties `pk` / `nBuckets`) and records the
     * declared columns as the pre-first-commit schema contract. The first

@@ -144,6 +144,33 @@ final class BucketedReplica(
 
   private def tagPath(v: Long) = io.path(s"tag-$v.tsv")
 
+  private def timePath(v: Long) = io.path(s"time-$v.tsv")
+
+  /** Wall-clock commit time (epoch millis) of version `v`, if recorded —
+    * written at publish, the basis for `TIMESTAMP AS OF` resolution.
+    * Versions published before times were recorded have none. */
+  def commitTimeOf(v: Long): Option[Long] =
+    if (io.exists(timePath(v))) Some(io.readString(timePath(v)).trim.toLong)
+    else None
+
+  /** The RETAINED version in effect at wall-clock `tsMillis` — the newest
+    * retained version whose commit time is ≤ the asked instant (what
+    * `TIMESTAMP AS OF` names). Fails loudly when the instant predates every
+    * retained commit: like the consistent-cut reader, a bounded-retention
+    * store cannot distinguish "born later" from "evicted" for arbitrary
+    * timestamps, so guessing would be unsound. */
+  def versionAt(tsMillis: Long): Long = {
+    val retained = pointerVersions.sorted.flatMap(v => Seq(v - 1, v))
+      .filter(v => v > 0 && io.exists(manifestPath(v))).distinct
+    val timed = retained.flatMap(v => commitTimeOf(v).map(v -> _))
+    timed.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained version of the replica at $root committed at or before " +
+          s"epoch-millis $tsMillis (earliest retained: " +
+          s"${timed.map(_._2).minOption.getOrElse("none recorded")}) — " +
+          "older versions are past the cur+prev retention window"))
+  }
+
   /** Commit tag of version `v` (the source batch id the version reflects),
     * if one was recorded. */
   def tagOf(v: Long): Option[Long] =
@@ -470,13 +497,15 @@ final class BucketedReplica(
         newMan.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
           .mkString("", "\n", "\n"))
     io.writeString(schemaPath(newV), outSchema.json)
-    // tag before pointer: once the version is visible its tag is readable
+    // tag + commit time before pointer: once the version is visible its
+    // metadata is readable (commit time feeds TIMESTAMP AS OF)
     tag.foreach(t => io.writeString(tagPath(newV), s"$t\n"))
+    io.writeString(timePath(newV), s"${System.currentTimeMillis()}\n")
     commitPointer(newV)
     gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet)
     curV.foreach { v => // keep cur+prev
       io.delete(manifestPath(v - 1)); io.delete(tagPath(v - 1))
-      io.delete(schemaPath(v - 1))
+      io.delete(schemaPath(v - 1)); io.delete(timePath(v - 1))
     }
   }
 

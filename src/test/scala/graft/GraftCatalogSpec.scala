@@ -171,6 +171,37 @@ class GraftCatalogSpec extends SparkSpecBase {
       s"expected the overwrite refusal, got: ${e.getMessage}")
   }
 
+  test("TIMESTAMP AS OF resolves to the version in effect at that instant") {
+    val wh = tmpDir("cat_ts")
+    val rep = new BucketedReplica(s"$wh/crm/ts", nBuckets = 8)
+    rep.commit(seed)            // v1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    rep.commit(staged)          // v2
+    val cold = coldSession(wh)
+
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC")) // session TZ is UTC
+    val lit = fmt.format(new java.util.Date(between))
+
+    assert(rowsOf(cold.sql(
+      s"SELECT * FROM graft.crm.ts TIMESTAMP AS OF '$lit'")) ===
+      rowsOf(rep.liveAt(spark, 1)),
+      "an instant between the commits must read v1")
+    assert(rowsOf(cold.sql(
+      "SELECT * FROM graft.crm.ts TIMESTAMP AS OF current_timestamp()")) ===
+      rowsOf(rep.live(spark)),
+      "now must read the current version")
+    // an instant before every retained commit is refused, not guessed
+    val e = intercept[Exception] {
+      cold.sql("SELECT * FROM graft.crm.ts TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("retention") || e.getMessage.contains("retained"),
+      s"expected the bounded-retention refusal, got: ${e.getMessage}")
+  }
+
   test("graft_versions / graft_changes table functions read the replica by name") {
     val wh = tmpDir("cat_tvf")
     val rep = new BucketedReplica(s"$wh/crm/feed", nBuckets = 8)
