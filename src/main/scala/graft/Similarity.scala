@@ -405,8 +405,13 @@ object Similarity {
     // documents that text-level MinHash (e03) never pairs. The cluster is
     // the scale move: pairwise work is cluster-local (shuffle on cid), and
     // a real corpus raises k so cluster sizes stay bounded — pairs per
-    // cluster ≈ (N/k)², never N². Assignment distances are pure integer
-    // math; pair cosines are the fixed-fold doubles both engines share.
+    // cluster ≈ (N/k)², never N². Raise k as √N, not linearly: brute-force
+    // assignment costs N·k, so k ∝ N trades the pairwise quadratic for an
+    // assignment quadratic (measured — the 1x/3x/10x sizing triple in
+    // SCALE.md; k ∝ √N balances both terms at N^1.5, and beyond that the
+    // assignment itself gets indexed, the IvfIndex path). Assignment
+    // distances are pure integer math; pair cosines are the fixed-fold
+    // doubles both engines share.
     "e48_semantic_dedup" -> { (s, d) =>
       graft.functions.VectorExpressions.register(s)
       val qv = load(s, d, "embeddings").select(col("vec_id"), col("embedding"),
