@@ -823,6 +823,51 @@ object Cdc {
         s"""SELECT user_id, pos AS last_pos, value AS last_value,
            |  event_type AS last_event
            |FROM $cat.cdc.users ORDER BY user_id""".stripMargin)
+    },
+    // B22 ANSI DELETE FROM — the third analyst DML verb on the durable
+    // catalog surface (plans/GraftDeleteUpdate): the replica materializes
+    // from the full changelog, then a literal DELETE statement tombstones
+    // every live row the predicate names. The WHERE is arbitrary (not
+    // key-bounded) so the subject probe honestly costs one scan, but the
+    // write rewrites only the touched buckets. The live view afterwards
+    // must equal latest-wins minus the predicate — and because deletes are
+    // position-keeping tombstones, this composes with b3's out-of-order
+    // guarantees (pinned in DeleteUpdateSqlSpec).
+    "b22_delete_sql" -> { (s, d) =>
+      val wh = scratch("b22_warehouse", d)
+      val cat = "graftbdel_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.plans.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val rep = new graft.streaming.BucketedReplica(s"$wh/cdc/users", nBuckets = 8)
+      rep.destroy()
+      rep.commit(changelog(s, d))
+      s.sql(s"DELETE FROM $cat.cdc.users WHERE event_type = 'click' OR value < 20")
+      s.sql(
+        s"""SELECT user_id, pos AS last_pos, value AS last_value,
+           |  event_type AS last_event
+           |FROM $cat.cdc.users ORDER BY user_id""".stripMargin)
+    },
+    // B23 ANSI UPDATE — the fourth analyst DML verb: in-place rewrite of
+    // the subject rows (SET on the primary key or the op envelope column
+    // is refused — a pk change is rekeySplit's DELETE+INSERT). Same
+    // probe-then-rewrite economics as b22; the double arithmetic in SET is
+    // one IEEE multiply-add, bit-identical cross-engine.
+    "b23_update_sql" -> { (s, d) =>
+      val wh = scratch("b23_warehouse", d)
+      val cat = "graftbupd_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.plans.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val rep = new graft.streaming.BucketedReplica(s"$wh/cdc/users", nBuckets = 8)
+      rep.destroy()
+      rep.commit(changelog(s, d))
+      s.sql(
+        s"""UPDATE $cat.cdc.users
+           |SET value = value * 2 + 1, event_type = concat('adj_', event_type)
+           |WHERE value >= 50""".stripMargin)
+      s.sql(
+        s"""SELECT user_id, pos AS last_pos, value AS last_value,
+           |  event_type AS last_event
+           |FROM $cat.cdc.users ORDER BY user_id""".stripMargin)
     }
   )
 
@@ -1116,6 +1161,23 @@ object Cdc {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
          |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
          |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    // SQL DELETE tombstones every live latest-wins row the predicate names
+    "b22_delete_sql" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
+         |FROM r WHERE rn = 1 AND op <> 'DELETE'
+         |  AND NOT (event_type = 'click' OR value < 20)
+         |ORDER BY user_id""".stripMargin,
+    // SQL UPDATE rewrites the subject rows in place; one IEEE multiply-add
+    "b23_update_sql" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),
+         |live AS (SELECT * FROM r WHERE rn = 1 AND op <> 'DELETE')
+         |SELECT user_id, pos AS last_pos,
+         |  CASE WHEN value >= 50 THEN value * 2 + 1 ELSE value END AS last_value,
+         |  CASE WHEN value >= 50 THEN 'adj_' || event_type ELSE event_type END AS last_event
+         |FROM live ORDER BY user_id""".stripMargin,
     "b13_incremental_agg" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch),

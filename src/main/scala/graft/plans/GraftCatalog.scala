@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -243,6 +243,14 @@ case class GraftTableReads(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case w: V2WriteCommand =>
         w.table.collect {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+        }
+      case dl: DeleteFromTable =>
+        dl.table.collect {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+        }
+      case u: UpdateTable =>
+        u.table.collect {
           case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
         }
     }.flatten.toSet

@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ANSI INSERT INTO over GraftCatalog replica tables: the resolved
     // AppendData routes through BucketedReplica.commit (latest-wins append)
     ext.injectResolutionRule(_ => GraftInsertInto.InterceptRule)
+    // ANSI DELETE FROM / UPDATE over replica targets: resolved row-level
+    // commands route through the probe-then-rewrite bucket-bounded path
+    ext.injectResolutionRule(_ => GraftDeleteUpdate.InterceptRule)
     // GraftCatalog read path: resolved replica-table relations (including
     // VERSION AS OF) become the native parquet plan; MERGE targets stay
     // for the intercept rule above
