@@ -960,6 +960,44 @@ object Extensions {
         .select(col("ecc").as("depth"), col("n_components"), col("n_nodes"))
         .orderBy("depth")
     },
+    // E-sketch — count-min sketch frequency estimation, completing the
+    // mergeable-sketch family (e26 KMV = cardinality, e60 Bloom =
+    // membership, this = frequency): a depth-3 × width-128 CMS over the
+    // corpus token stream, audited against exact counts on the top-20
+    // heavy hitters. Like e60, the sketch is built in exact integer math
+    // over the shared cross-engine token hash, so even its COLLISIONS are
+    // bit-identical — the oracle audits the estimator itself, including
+    // the one-sided error (n_cms ≥ n_exact always; overcount = how much
+    // width-128 collisions inflate each hitter). Scale: the sketch is the
+    // 100 TB path — explode → groupBy over D·W = 384 cells with map-side
+    // combine (shuffle is 384 rows no matter the corpus, and cells merge
+    // associatively across shards/days); the exact count beside it is the
+    // bounded truth audit, same honesty move as e58's LSH recall.
+    "e74_cms_heavy_hitters" -> { (s, d) =>
+      val W = 128L
+      val D = 3
+      val tok = load(s, d, "documents")
+        .select(explode(toks(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .localCheckpoint() // sketch build + exact audit read it once; GC-released
+      def cell(j: Int, t: Column): Column =
+        pmod(tokenHash(concat(lit(s"$j:"), t)), lit(W))
+      def cellsOf(t: Column): Column = explode(array(
+        (0 until D).map(j => struct(lit(j).as("j"), cell(j, t).as("c"))): _*))
+      val cells = tok.select(cellsOf(col("t")).as("jc"))
+        .groupBy(col("jc.j").as("j"), col("jc.c").as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = tok.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+      val probe = exact.orderBy(col("n_exact").desc, col("t")).limit(20)
+      probe.select(col("t"), col("n_exact"), cellsOf(col("t")).as("jc"))
+        .join(broadcast(cells),
+          col("jc.j") === col("j") && col("jc.c") === col("c"))
+        .groupBy(col("t"), col("n_exact"))
+        .agg(min(col("cnt")).as("n_cms"))
+        .select(col("t").as("token"), col("n_exact"), col("n_cms"),
+          (col("n_cms") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("token"))
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -2510,6 +2548,32 @@ object Extensions {
          |SELECT CAST(ecc AS INT) AS depth, COUNT(*) AS n_components,
          |  SUM(nn)::BIGINT AS n_nodes
          |FROM ce GROUP BY ecc ORDER BY depth""".stripMargin
+    },
+    // the oracle rebuilds the depth-3 × width-128 sketch cell by cell from
+    // the same token hash, so the collision-inflated estimates match bitwise
+    "e74_cms_heavy_hitters" -> {
+      def cellSql(tExpr: String, j: Int): String =
+        String.format(tokenHashSql, s"concat('$j:', $tExpr)") + " % 128"
+      def cellsUnion(src: String, tExpr: String, extraCols: String): String =
+        (0 until 3).map(j =>
+          s"SELECT $extraCols$j AS j, ${cellSql(tExpr, j)} AS c FROM $src")
+          .mkString("\n  UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         |tk AS (SELECT t FROM tok WHERE t <> ''),
+         |jc AS (
+         |  ${cellsUnion("tk", "t", "")}),
+         |cells AS (SELECT j, c, COUNT(*) AS cnt FROM jc GROUP BY j, c),
+         |exact AS (SELECT t, COUNT(*) AS n_exact FROM tk GROUP BY t),
+         |probe AS (SELECT t, n_exact FROM exact
+         |          ORDER BY n_exact DESC, t LIMIT 20),
+         |pj AS (
+         |  ${cellsUnion("probe", "t", "t, n_exact, ")}),
+         |est AS (SELECT pj.t, pj.n_exact, MIN(cells.cnt) AS n_cms
+         |        FROM pj JOIN cells ON cells.j = pj.j AND cells.c = pj.c
+         |        GROUP BY pj.t, pj.n_exact)
+         |SELECT t AS token, n_exact, n_cms, n_cms - n_exact AS overcount
+         |FROM est ORDER BY n_exact DESC, token""".stripMargin
     },
     "e59_cluster_sizes" -> {
       val hs = String.format(tokenHashSql, "t")
