@@ -868,6 +868,32 @@ object Cdc {
         s"""SELECT user_id, pos AS last_pos, value AS last_value,
            |  event_type AS last_event
            |FROM $cat.cdc.users ORDER BY user_id""".stripMargin)
+    },
+    // B24 DDL evolution — ALTER TABLE ADD COLUMN on the catalog replica
+    // (GraftCatalog.alterTable → BucketedReplica.widenSchema): a
+    // metadata-only version flip appends the nullable column (zero data
+    // I/O — stored rows read NULL for it via the parquet reader's
+    // null-fill), then the next INSERT lands it physically. The read
+    // must show every pre-ALTER key with the column NULL beside the one
+    // post-ALTER row that carries it — the all-NULLABLE monotone
+    // evolution model of the reference's sink schemas (main.tf:197-215).
+    "b24_alter_evolution" -> { (s, d) =>
+      val wh = scratch("b24_warehouse", d)
+      val cat = "graftbalt_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.plans.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      val rep = new graft.streaming.BucketedReplica(s"$wh/cdc/users", nBuckets = 8)
+      rep.destroy()
+      rep.commit(changelog(s, d))
+      s.sql(s"ALTER TABLE $cat.cdc.users ADD COLUMN origin STRING")
+      s.sql(
+        s"""INSERT INTO $cat.cdc.users VALUES
+           |('UPSERT', 'users', 1000000000000000, 1000000000000000,
+           | 999999999, 42.5, 'signup', 'backfill')""".stripMargin)
+      s.sql(
+        s"""SELECT user_id, pos AS last_pos, value AS last_value,
+           |  event_type AS last_event, origin
+           |FROM $cat.cdc.users ORDER BY user_id""".stripMargin)
     }
   )
 
@@ -1168,6 +1194,17 @@ object Cdc {
          |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
          |FROM r WHERE rn = 1 AND op <> 'DELETE'
          |  AND NOT (event_type = 'click' OR value < 20)
+         |ORDER BY user_id""".stripMargin,
+    // post-ALTER read: every pre-evolution live row with the new column
+    // NULL, plus the one inserted row that carries it
+    "b24_alter_evolution" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value,
+         |  event_type AS last_event, CAST(NULL AS VARCHAR) AS origin
+         |FROM r WHERE rn = 1 AND op <> 'DELETE'
+         |UNION ALL
+         |SELECT 999999999, 1000000000000000, 42.5, 'signup', 'backfill'
          |ORDER BY user_id""".stripMargin,
     // SQL UPDATE rewrites the subject rows in place; one IEEE multiply-add
     "b23_update_sql" ->

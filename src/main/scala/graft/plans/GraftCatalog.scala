@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.streaming.{BucketedReplica, StoreIO}
@@ -140,9 +140,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(s"$catalogName.${ident.toString}", s"$root/$dir", None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves through commits (evolveSchema=true)")
+  /** `ALTER TABLE … ADD COLUMN(S)` — maps to the replica's monotone schema
+    * evolution ([[BucketedReplica.widenSchema]]): a metadata-only version
+    * flip appending nullable fields; stored rows read NULL for them, the
+    * next commit writes them physically, and every retained version keeps
+    * reading under the schema it committed with. Every other ALTER is
+    * refused with the reason: drops/renames/type changes would orphan rows
+    * already stored under the old contract (the supported full-rewrite
+    * path is `rebucket`/`compact`). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMN ${a.fieldNames.mkString(".")} is not supported: " +
+            "replica columns are flat envelope fields")
+        require(a.position == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported: evolution is " +
+            "append-only so stored files stay position-stable")
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames.head} must be nullable: " +
+            "previously-stored rows read NULL for it")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER ${other.getClass.getSimpleName} on replica " +
+          s"$catalogName.$ident: only nullable ADD COLUMN maps to the " +
+          "replica's monotone schema evolution — a drop/rename/retype " +
+          "would orphan rows stored under the old contract")
+    }
+    BucketedReplica.open(s"$root/$dir").widenSchema(adds)
+    GraftTable(s"$catalogName.${ident.toString}", s"$root/$dir", None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

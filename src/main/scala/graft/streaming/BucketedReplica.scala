@@ -380,6 +380,48 @@ final class BucketedReplica(
       firstTag.map(t => s"firstTag=$t\n").getOrElse(""))
   }
 
+  /** DDL schema widening with ZERO data I/O (`ALTER TABLE … ADD COLUMN`,
+    * graft.plans.GraftCatalog.alterTable): appends nullable fields to the
+    * stored contract by publishing a new version whose manifest re-points
+    * at the CURRENT version's bucket files untouched and whose schema file
+    * carries the widened struct. Previously-stored rows read NULL for the
+    * new columns (the parquet reader null-fills a declared-but-absent
+    * field — the same mechanism [[commit]]'s `evolveSchema` relies on);
+    * the next commit writes them physically. This is the only sound ALTER
+    * on a replica: drops/renames/type changes would orphan stored rows,
+    * and the evolution stays MONOTONE, so every retained version still
+    * reads under exactly the schema it committed with (`schemaAt`).
+    * Pre-first-commit tables have no version to flip — the declared
+    * `_SCHEMA.json` contract rewrites in place instead. */
+  def widenSchema(newFields: Seq[StructField]): Unit = {
+    require(newFields.nonEmpty, "widenSchema: no columns to add")
+    val base = storedSchema
+    val known = base.fieldNames.toSet
+    newFields.foreach(f => require(!known.contains(f.name),
+      s"column ${f.name} already exists on the replica at $root"))
+    val widened = StructType(base.fields ++
+      newFields.map(f => StructField(f.name, f.dataType, nullable = true)))
+    currentVersion match {
+      case None =>
+        io.writeString(io.path("_SCHEMA.json"), widened.json)
+      case Some(curV) =>
+        val newV = curV + 1
+        val man = readManifest(curV)
+        io.writeString(manifestPath(newV),
+          s"#n=$layoutBuckets\n" +
+            man.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
+              .mkString("", "\n", "\n"))
+        io.writeString(schemaPath(newV), widened.json)
+        tagOf(curV).foreach(t => io.writeString(tagPath(newV), s"$t\n"))
+        io.writeString(timePath(newV), s"${System.currentTimeMillis()}\n")
+        commitPointer(newV)
+        // same cur+prev metadata retention as publish; no data GC — every
+        // bucket file stays referenced by both retained manifests
+        io.delete(manifestPath(curV - 1)); io.delete(tagPath(curV - 1))
+        io.delete(schemaPath(curV - 1)); io.delete(timePath(curV - 1))
+    }
+  }
+
   /** SQL-MERGE write path (graft.plans.GraftMergeInto): `rows` is the FULL
     * new content of every bucket it covers (the caller carried co-resident
     * rows and applied the merge semantics); replace exactly those buckets —

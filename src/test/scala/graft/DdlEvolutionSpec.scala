@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.BucketedReplica
+
+/** `ALTER TABLE … ADD COLUMN` on catalog replica tables
+  * (GraftCatalog.alterTable → BucketedReplica.widenSchema): a
+  * metadata-only version flip that appends nullable fields. Pins the
+  * evolution invariants — stored rows read NULL for the new column, time
+  * travel keeps each retained version's own schema, the next
+  * INSERT/commit lands the column physically — and the refusals for
+  * every ALTER that would orphan stored rows. */
+class DdlEvolutionSpec extends SparkSpecBase {
+
+  private def coldSession(warehouse: String): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.root", warehouse)
+    s
+  }
+
+  private def seed: DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_ns").desc, col("event_id").desc)))
+      .filter(col("rn") === 1 && col("user_id") < 20)
+      .select(lit("UPSERT").as("op"), lit("events").as("tbl"),
+        col("ts_ns").as("pos"), col("ts_ns"), col("user_id"),
+        col("value"), col("event_type"))
+  }
+
+  test("ADD COLUMN is metadata-only; stored rows read NULL; next write lands it") {
+    val wh = tmpDir("ddl_add")
+    val root = s"$wh/cdc/users"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.destroy(); rep.commit(seed)
+    val vBefore = rep.currentVersion.get
+    val dataFiles = new java.io.File(s"$root/data/v$vBefore").listFiles().length
+    val cold = coldSession(wh)
+
+    cold.sql("ALTER TABLE graft.cdc.users ADD COLUMN note STRING")
+
+    // metadata-only: new version, same data directory untouched
+    assert(rep.currentVersion.get === vBefore + 1)
+    assert(!new java.io.File(s"$root/data/v${vBefore + 1}").exists(),
+      "ADD COLUMN must not rewrite data")
+    assert(new java.io.File(s"$root/data/v$vBefore").listFiles().length === dataFiles)
+    // stored rows read NULL for the new column
+    val read = cold.sql("SELECT * FROM graft.cdc.users")
+    assert(read.columns.contains("note"))
+    assert(read.filter(col("note").isNotNull).isEmpty)
+    assert(read.count() === rep.live(spark).count())
+
+    // time travel keeps the pre-ALTER version's own narrower schema
+    val old = cold.sql(s"SELECT * FROM graft.cdc.users VERSION AS OF $vBefore")
+    assert(!old.columns.contains("note"),
+      "a retained version must read under the schema it committed with")
+
+    // the next INSERT lands the evolved column physically
+    cold.sql(
+      """INSERT INTO graft.cdc.users
+        |VALUES ('UPSERT', 'events', 9999999999999, 9999999999999,
+        |        777, 1.5, 'signup', 'hello')""".stripMargin)
+    val noted = cold.sql(
+      "SELECT note FROM graft.cdc.users WHERE user_id = 777").collect()
+    assert(noted.map(_.getString(0)).toSeq === Seq("hello"))
+    // and old keys still read NULL beside it
+    assert(cold.sql("SELECT * FROM graft.cdc.users WHERE note IS NULL").count()
+      === rep.live(spark).count() - 1)
+  }
+
+  test("ADD COLUMN before the first commit widens the declared contract") {
+    val wh = tmpDir("ddl_pre")
+    val cold = coldSession(wh)
+    cold.sql(
+      """CREATE TABLE graft.crm.fresh (
+        |  op STRING, tbl STRING, pos BIGINT, ts_ns BIGINT,
+        |  user_id BIGINT, value DOUBLE, event_type STRING)
+        |TBLPROPERTIES ('pk' = 'user_id', 'nBuckets' = '4')""".stripMargin)
+    cold.sql("ALTER TABLE graft.crm.fresh ADD COLUMN origin STRING")
+    cold.sql(
+      """INSERT INTO graft.crm.fresh
+        |VALUES ('INSERT', 'fresh', 1, 1, 1, 2.0, 'signup', 'backfill')""".stripMargin)
+    val r = cold.sql("SELECT user_id, origin FROM graft.crm.fresh").collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1))).toSeq === Seq((1L, "backfill")))
+  }
+
+  test("refusals: drop, rename, retype, positioned add, non-nullable add") {
+    val wh = tmpDir("ddl_refuse")
+    val rep = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)
+    rep.destroy(); rep.commit(seed)
+    val cold = coldSession(wh)
+    def refuses(sql: String, why: String): Unit = {
+      val e = intercept[Exception](cold.sql(sql))
+      assert(e.getMessage.contains("orphan") || e.getMessage.contains("not supported") ||
+        e.getMessage.contains("nullable") || e.getMessage.contains("append-only"),
+        s"$why must refuse with rationale, got: ${e.getMessage}")
+    }
+    refuses("ALTER TABLE graft.cdc.users DROP COLUMN value", "DROP COLUMN")
+    refuses("ALTER TABLE graft.cdc.users RENAME COLUMN value TO v2", "RENAME COLUMN")
+    refuses("ALTER TABLE graft.cdc.users ALTER COLUMN value TYPE STRING", "retype")
+    refuses("ALTER TABLE graft.cdc.users ADD COLUMN early STRING FIRST", "positioned add")
+    refuses("ALTER TABLE graft.cdc.users ADD COLUMN strict STRING NOT NULL", "non-nullable add")
+    val e = intercept[Exception](
+      cold.sql("ALTER TABLE graft.cdc.users ADD COLUMN value DOUBLE"))
+    assert(e.getMessage.contains("already exists"))
+    // nothing mutated
+    assert(rep.storedSchema.fieldNames.toSeq ===
+      seed.schema.fieldNames.toSeq)
+  }
+
+  test("SHOW TABLES and DESCRIBE resolve through the catalog") {
+    val wh = tmpDir("ddl_show")
+    val rep = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)
+    rep.destroy(); rep.commit(seed)
+    val cold = coldSession(wh)
+    val shown = cold.sql("SHOW TABLES IN graft.cdc").collect()
+      .map(_.getString(1)).toSeq
+    assert(shown === Seq("users"))
+    val desc = cold.sql("DESCRIBE TABLE graft.cdc.users").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("user_id") === Some("bigint"))
+    assert(desc.get("value") === Some("double"))
+  }
+}
