@@ -417,6 +417,43 @@ object Cdc {
           col("length"), md5(col("content")).as("digest"))
         .orderBy("doc_id")
     },
+    // A18 JDBC warehouse sink — the reference's serving-table landing
+    // (Dataflow MERGEs staged changes into BigQuery; README.md:204-205)
+    // against a real transactional store: the changelog arrives in two
+    // micro-batches through streaming/JdbcSink's exactly-once
+    // staging-promote protocol (ledger-gated, crash/replay-safe — the
+    // protocol properties are pinned in JdbcSinkSpec), then the serving
+    // read comes BACK through the JDBC scan. The roundtripped live view
+    // must equal global latest-wins — the same oracle shape as b8's
+    // incremental merge, proving the two-batch JDBC path loses nothing.
+    "a18_jdbc_sink" -> { (s, d) =>
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val url = s"jdbc:derby:memory:graft_a18_$tag;create=true"
+      val sink = new graft.streaming.JdbcSink(url, "users")
+      // idempotent re-run (bench warm-up + timed run share the JVM): the
+      // in-memory db persists, so reset the three protocol tables
+      {
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          Seq("users", "users_staging", "users_ledger").foreach { t =>
+            try { c.createStatement().execute(s"DROP TABLE $t"); () }
+            catch { case _: java.sql.SQLException => () } // absent on first run
+          }
+        } finally c.close()
+      }
+      val ch = changelog(s, d)
+      val mid = ch.agg(expr("percentile(pos, 0.5)")).collect()(0).getDouble(0).toLong
+      sink.applyBatch(ch.filter(col("pos") <= mid), 0L)
+      sink.applyBatch(ch.filter(col("pos") > mid), 1L)
+      s.read.format("jdbc")
+        .option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("query", sink.liveSql)
+        .load()
+        .select(col("user_id"), col("pos").as("last_pos"),
+          col("value").as("last_value"), col("event_type").as("last_event"))
+        .orderBy("user_id")
+    },
     // A9 DDL / catalog registration — CREATE OR REPLACE TEMP VIEW + SQL over
     // the registered name (reference cr_pet_tbl.sql:3, main.tf:122-125).
     "a9_catalog_ddl" -> { (s, d) =>
@@ -996,6 +1033,13 @@ object Cdc {
     "a9_catalog_ddl" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the two-batch exactly-once JDBC roundtrip must land on global
+    // latest-wins — deliberately the same oracle shape as b8/b20
+    "a18_jdbc_sink" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
     "b1_insert_append" ->
       s"""WITH ch AS ($changelogSql)
          |SELECT user_id, COUNT(*) AS n_inserts,
