@@ -998,6 +998,56 @@ object Extensions {
           (col("n_cms") - col("n_exact")).as("overcount"))
         .orderBy(col("n_exact").desc, col("token"))
     },
+    // E-sketch — mergeable quantile estimation, the fourth sketch beside
+    // KMV (cardinality), Bloom (membership), and CMS (frequency): a
+    // 128-bin equi-width histogram sketch over the event value stream,
+    // its quantile estimates (smallest bin whose cumulative count reaches
+    // ⌈q·N⌉, reported as the bin's upper edge) audited side by side
+    // against exact percentile_disc — the clip-threshold/outlier-bound
+    // stat a training pipeline reads per shard. Scale: the sketch is the
+    // 100 TB path (fixed 128 cells, map-side combine, bins merge
+    // associatively across shards — the exact disc percentile beside it
+    // is the bounded truth audit); the cumulative pass is a deliberate
+    // single-partition window over the 128-row bin table (graft_pin).
+    "e75_quantile_sketch" -> { (s, d) =>
+      val B = 128
+      val v = Tables.events(s, d)
+        .select(col("value").cast(DoubleType).as("x"))
+        .filter(col("x").isNotNull)
+      val mm = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n"))
+      val bins = v.crossJoin(broadcast(mm))
+        .select(least(floor((col("x") - col("lo"))
+            / ((col("hi") - col("lo")) / lit(B))), lit((B - 1).toLong))
+          .cast(LongType).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.PinnedKey.pin(lit(0)))
+        .orderBy(col("bin"))
+      val cum = bins.withColumn("cum", sum(col("cnt")).over(wcum))
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      import s.implicits._
+      val est = qs.toDF("q").crossJoin(broadcast(mm))
+        .join(cum, col("cum") >= ceil(col("q") * col("n")))
+        .groupBy(col("q"), col("lo"), col("hi"), col("n"))
+        .agg(min(col("bin")).as("bin"))
+        .select(col("q"), col("n"),
+          (col("lo") + (col("bin") + 1) * ((col("hi") - col("lo")) / lit(B)))
+            .as("est_upper"))
+      val exactCols = qs.map(q =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY x)")
+          .as(s"p${(q * 100).toInt}"))
+      val exact = v.agg(exactCols.head, exactCols.tail: _*)
+      val exactCol = qs.tail.foldLeft(
+        when(col("q") === qs.head, col(s"p${(qs.head * 100).toInt}"))) {
+        (acc, q) => acc.when(col("q") === q, col(s"p${(q * 100).toInt}"))
+      }
+      est.crossJoin(broadcast(exact))
+        .select(col("q"), col("n").as("n_rows"), col("est_upper"),
+          exactCol.as("exact_disc"),
+          (col("est_upper") - exactCol).as("err"))
+        .orderBy("q")
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -2575,6 +2625,33 @@ object Extensions {
          |SELECT t AS token, n_exact, n_cms, n_cms - n_exact AS overcount
          |FROM est ORDER BY n_exact DESC, token""".stripMargin
     },
+    // the oracle rebuilds the 128-bin sketch with the identical IEEE
+    // binning arithmetic and compares the same disc percentiles
+    "e75_quantile_sketch" ->
+      """WITH v AS (SELECT value::DOUBLE AS x FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
+        |bins AS (SELECT CAST(least(floor((x - lo) / ((hi - lo) / 128)), 127) AS BIGINT) AS bin,
+        |           count(*) AS cnt
+        |         FROM v CROSS JOIN mm GROUP BY 1),
+        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]) AS q),
+        |est AS (SELECT q, n, lo + (min(bin) + 1) * ((hi - lo) / 128) AS est_upper
+        |        FROM qs CROSS JOIN mm JOIN cum ON cum.cum >= ceil(q * n)
+        |        GROUP BY q, n, lo, hi),
+        |ex AS (SELECT
+        |         percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS p25,
+        |         percentile_disc(0.5)  WITHIN GROUP (ORDER BY x) AS p50,
+        |         percentile_disc(0.75) WITHIN GROUP (ORDER BY x) AS p75,
+        |         percentile_disc(0.9)  WITHIN GROUP (ORDER BY x) AS p90,
+        |         percentile_disc(0.99) WITHIN GROUP (ORDER BY x) AS p99
+        |       FROM v),
+        |ec AS (SELECT q, n, est_upper,
+        |         CASE q WHEN 0.25 THEN p25 WHEN 0.5 THEN p50 WHEN 0.75 THEN p75
+        |                WHEN 0.9 THEN p90 ELSE p99 END AS exact_disc
+        |       FROM est CROSS JOIN ex)
+        |SELECT q, n AS n_rows, est_upper, exact_disc,
+        |  est_upper - exact_disc AS err
+        |FROM ec ORDER BY q""".stripMargin,
     "e59_cluster_sizes" -> {
       val hs = String.format(tokenHashSql, "t")
       val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
