@@ -931,6 +931,29 @@ object Cdc {
         s"""SELECT user_id, pos AS last_pos, value AS last_value,
            |  event_type AS last_event, origin
            |FROM $cat.cdc.users ORDER BY user_id""".stripMargin)
+    },
+    // B25 CREATE TABLE AS SELECT — the last DDL verb on the durable
+    // catalog (plans/GraftCtas): one statement materializes a SELECT over
+    // the raw changelog as a new replica, the query result landing as the
+    // table's first latest-wins commit. The statement IS the "materialize
+    // this query as a serving table" flow the reference's analysts run;
+    // the oracle is the same global-latest-wins shape as b21 because
+    // CTAS-from-changelog and commit-then-read must be the same thing.
+    "b25_ctas" -> { (s, d) =>
+      val wh = scratch("b25_warehouse", d)
+      val cat = "graftbcts_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.plans.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh)
+      new graft.streaming.BucketedReplica(s"$wh/cdc/snap", nBuckets = 8).destroy()
+      changelog(s, d).createOrReplaceTempView("b25_changelog")
+      s.sql(
+        s"""CREATE TABLE $cat.cdc.snap
+           |TBLPROPERTIES ('pk' = 'user_id', 'nBuckets' = '8')
+           |AS SELECT * FROM b25_changelog""".stripMargin)
+      s.sql(
+        s"""SELECT user_id, pos AS last_pos, value AS last_value,
+           |  event_type AS last_event
+           |FROM $cat.cdc.snap ORDER BY user_id""".stripMargin)
     }
   )
 
@@ -1227,6 +1250,12 @@ object Cdc {
     // the catalog-addressed MERGE + SELECT must land on the same global
     // latest-wins as the registered-view form — identical oracle to b20
     "b21_catalog_table" ->
+      s"""WITH ch AS ($changelogSql),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
+         |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event
+         |FROM r WHERE rn = 1 AND op <> 'DELETE' ORDER BY user_id""".stripMargin,
+    // CTAS-from-changelog ≡ commit-then-read: global latest-wins
+    "b25_ctas" ->
       s"""WITH ch AS ($changelogSql),
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM ch)
          |SELECT user_id, pos AS last_pos, value AS last_value, event_type AS last_event

@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ANSI DELETE FROM / UPDATE over replica targets: resolved row-level
     // commands route through the probe-then-rewrite bucket-bounded path
     ext.injectResolutionRule(_ => GraftDeleteUpdate.InterceptRule)
+    // CREATE TABLE AS SELECT on GraftCatalog: provision + first commit
+    ext.injectResolutionRule(_ => GraftCtas.InterceptRule)
     // GraftCatalog read path: resolved replica-table relations (including
     // VERSION AS OF) become the native parquet plan; MERGE targets stay
     // for the intercept rule above

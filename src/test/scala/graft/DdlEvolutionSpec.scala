@@ -31,6 +31,9 @@ class DdlEvolutionSpec extends SparkSpecBase {
         col("value"), col("event_type"))
   }
 
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
   test("ADD COLUMN is metadata-only; stored rows read NULL; next write lands it") {
     val wh = tmpDir("ddl_add")
     val root = s"$wh/cdc/users"
@@ -109,6 +112,43 @@ class DdlEvolutionSpec extends SparkSpecBase {
     // nothing mutated
     assert(rep.storedSchema.fieldNames.toSeq ===
       seed.schema.fieldNames.toSeq)
+  }
+
+  test("CTAS materializes the query's latest-wins fold as a new replica") {
+    val wh = tmpDir("ddl_ctas")
+    val cold = coldSession(wh)
+    val src = tmpDir("ddl_ctas_src")
+    seed.unionByName(seed.limit(3)
+        .withColumn("pos", col("pos") + 1).withColumn("value", col("value") * 2))
+      .write.mode("overwrite").parquet(src)
+    cold.read.parquet(src).createOrReplaceTempView("ctas_src")
+
+    cold.sql(
+      """CREATE TABLE graft.crm.snap TBLPROPERTIES ('pk' = 'user_id', 'nBuckets' = '4')
+        |AS SELECT * FROM ctas_src""".stripMargin)
+
+    val expected = Cdc.merge(spark.read.parquet(src), Seq("user_id"))
+      .collect().map(_.toString).toSet
+    assert(rowsOf(cold.sql("SELECT * FROM graft.crm.snap")) === expected,
+      "CTAS must land the query's latest-wins fold")
+    // the created table is a full replica: DML works on it immediately
+    cold.sql("DELETE FROM graft.crm.snap WHERE user_id % 2 = 0")
+    assert(cold.sql("SELECT * FROM graft.crm.snap WHERE user_id % 2 = 0").isEmpty)
+
+    // IF NOT EXISTS on an existing table: silent no-op, content untouched
+    cold.sql(
+      """CREATE TABLE IF NOT EXISTS graft.crm.snap TBLPROPERTIES ('pk' = 'user_id')
+        |AS SELECT * FROM ctas_src""".stripMargin)
+    assert(cold.sql("SELECT * FROM graft.crm.snap WHERE user_id % 2 = 0").isEmpty,
+      "IF NOT EXISTS CTAS must not replace an existing replica")
+    // without IF NOT EXISTS: refuse
+    intercept[Exception](cold.sql(
+      "CREATE TABLE graft.crm.snap AS SELECT * FROM ctas_src"))
+    // a CTAS that drops the envelope is refused with the reason
+    val e = intercept[Exception](cold.sql(
+      "CREATE TABLE graft.crm.bare AS SELECT user_id, value FROM ctas_src"))
+    assert(e.getMessage.contains("envelope"),
+      s"envelope-less CTAS must refuse with rationale, got: ${e.getMessage}")
   }
 
   test("SHOW TABLES and DESCRIBE resolve through the catalog") {
