@@ -147,6 +147,35 @@ class DeleteUpdateSqlSpec extends SparkSpecBase {
       s"single-key DELETE rewrote ${bucketDirs.size} buckets: $bucketDirs")
   }
 
+  test("a DELETE racing a CDC commit loses the pointer loudly; the retry converges") {
+    val root = tmpDir("dml_race") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.commit(seed)
+    val maxPos = seed.agg(max(col("pos"))).collect()(0).getLong(0)
+    val racing = seed.filter(col("user_id") === 2L)
+      .withColumn("pos", lit(maxPos + 10)).withColumn("value", lit(500.0))
+    GraftMergeInto.register(spark, "dml_race_view", rep)
+    try {
+      // the stream's commit lands INSIDE the DELETE's write-to-pointer window
+      rep.beforePointerCommit = () => {
+        rep.beforePointerCommit = () => ()
+        new BucketedReplica(root, nBuckets = 4).commit(racing)
+      }
+      intercept[java.io.IOException] {
+        spark.sql("DELETE FROM dml_race_view WHERE value >= 100")
+      }
+      // no partial delete: store = seed ⊎ racing commit, nothing tombstoned
+      assert(rowsOf(rep.live(spark)) ===
+        rowsOf(Cdc.merge(seed.unionByName(racing), Seq("user_id"))),
+        "a lost DML race must leave the store exactly as the winner committed it")
+      // the retry re-reads fresh and deletes the racing row too (value 500)
+      spark.sql("DELETE FROM dml_race_view WHERE value >= 100")
+      assert(rowsOf(rep.live(spark)) ===
+        rowsOf(Cdc.merge(seed.unionByName(racing), Seq("user_id"))
+          .filter(col("value") < 100)))
+    } finally GraftMergeInto.unregister("dml_race_view")
+  }
+
   test("refusals: SET pk, SET op, VERSION AS OF target, nondeterministic WHERE") {
     val wh = tmpDir("dml_refuse")
     val rep = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)
