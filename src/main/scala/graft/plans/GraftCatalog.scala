@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -49,7 +50,8 @@ import graft.streaming.{BucketedReplica, StoreIO}
   * a replica `_META`; a namespace is any other directory. Multi-level
   * namespaces map to nested directories.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -183,6 +185,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "RENAME is not supported: replica roots are addressed by durable path")
 
+  // ---- ProcedureCatalog -----------------------------------------------------
+  // The replica's maintenance verbs as SQL procedures — the operator runs
+  // storage upkeep from the same SQL session the analysts use, no JVM call
+  // required (the warehouse-table norm the rest of the catalog follows):
+  //
+  //   CALL graft.system.compact('cdc.users')
+  //   CALL graft.system.rebucket('cdc.users', 64)
+  //   CALL graft.system.compact_tombstones('cdc.users', <horizon_ns>)
+  //   CALL graft.system.record_first_tag('cdc.users', <tag>)
+  //
+  // Each maps 1:1 onto the programmatic maintenance op, so every protocol
+  // guarantee those carry (atomic pointer flip, loud loss of a race with a
+  // live commit, watermark-gated tombstone GC) holds verbatim.
+
+  private def repOf(table: String): graft.streaming.BucketedReplica = {
+    val dir = rel(table.split('.').toSeq)
+    if (!isTable(dir)) throw new NoSuchTableException(
+      Identifier.of(table.split('.').dropRight(1), table.split('.').last))
+    graft.streaming.BucketedReplica.open(s"$root/$dir")
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  private lazy val maintenanceProcs: Map[String, GraftProcedure] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    def P(n: String, t: org.apache.spark.sql.types.DataType) =
+      ProcedureParameter.in(n, t).build()
+    def tbl(in: org.apache.spark.sql.catalyst.InternalRow): String =
+      in.getUTF8String(0).toString
+    Seq(
+      GraftProcedure("compact",
+        "fold multi-file buckets back to one file per bucket (same content, " +
+          "fresh atomic version)",
+        Array(P("table", StringType)),
+        in => repOf(tbl(in)).compact(spark)),
+      GraftProcedure("rebucket",
+        "re-lay the replica across a new bucket count (the grown-100x fix); " +
+          "racing live commits lose loudly and retry on the new layout",
+        Array(P("table", StringType), P("n_buckets", IntegerType)),
+        in => repOf(tbl(in)).rebucket(spark, in.getInt(1))),
+      GraftProcedure("compact_tombstones",
+        "drop tombstones older than the watermark horizon (safe once no " +
+          "earlier position can still arrive)",
+        Array(P("table", StringType), P("horizon", LongType)),
+        in => repOf(tbl(in)).compactTombstones(spark, in.getLong(1))),
+      GraftProcedure("record_first_tag",
+        "durably backfill the birth tag of a pre-birth-tag replica " +
+          "(consistent-cut bookkeeping; refuses unsound claims)",
+        Array(P("table", StringType), P("tag", LongType)),
+        in => repOf(tbl(in)).recordFirstTag(in.getLong(1)))
+    ).map(p => p.name -> p).toMap
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      maintenanceProcs.keys.toSeq.sorted.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace: CALL $catalogName.system.<name>(…)")
+    maintenanceProcs.getOrElse(ident.name,
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name}; available: " +
+          maintenanceProcs.keys.toSeq.sorted.mkString(", ")))
+  }
+
   // ---- SupportsNamespaces ---------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] =
@@ -299,5 +368,24 @@ case class GraftTableReads(spark: SparkSession) extends Rule[LogicalPlan] {
           Alias(f, a.name)(exprId = a.exprId)
         }, child)
     }
+  }
+}
+
+/** One maintenance procedure: unbound and bound are the same object (the
+  * parameter list is static), `call` runs the side effect and produces no
+  * result set. */
+private[plans] case class GraftProcedure(
+    override val name: String,
+    override val description: String,
+    params: Array[ProcedureParameter],
+    run: org.apache.spark.sql.catalyst.InternalRow => Unit)
+    extends UnboundProcedure with BoundProcedure {
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params
+  override def isDeterministic: Boolean = false
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    run(input)
+    java.util.Collections.emptyIterator()
   }
 }

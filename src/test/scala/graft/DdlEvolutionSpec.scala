@@ -151,6 +151,52 @@ class DdlEvolutionSpec extends SparkSpecBase {
       s"envelope-less CTAS must refuse with rationale, got: ${e.getMessage}")
   }
 
+  test("maintenance runs as SQL procedures: CALL graft.system.*") {
+    val wh = tmpDir("ddl_call")
+    val root = s"$wh/cdc/users"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.destroy()
+    // a broad commit then a single-key commit: current bucket files now
+    // live in two different version dirs (the scatter compact folds)
+    val oneKey = seed.select(min(col("user_id"))).collect()(0).getLong(0)
+    rep.commit(seed.filter(col("user_id") =!= oneKey))
+    rep.commit(seed.filter(col("user_id") === oneKey))
+    val cold = coldSession(wh)
+    val before = rowsOf(rep.read(spark))
+
+    // two commits spread current bucket files across two version dirs;
+    // compact folds them into ONE fresh version (content unchanged)
+    val vBefore = rep.currentVersion.get
+    assert(rep.read(spark).inputFiles.map(_.split("/data/")(1).split("/")(0))
+      .toSet.size === 2, "precondition: bucket files scattered across versions")
+    cold.sql("CALL graft.system.compact('cdc.users')")
+    assert(rowsOf(rep.read(spark)) === before, "compact must not change content")
+    assert(rep.currentVersion.get === vBefore + 1)
+    assert(rep.read(spark).inputFiles.map(_.split("/data/")(1).split("/")(0))
+      .toSet.size === 1, "compact must fold the version scatter")
+
+    cold.sql("CALL graft.system.rebucket('cdc.users', 8)")
+    assert(rowsOf(new BucketedReplica(root, nBuckets = 8).read(spark)) === before,
+      "rebucket must relayout without changing content")
+
+    // SQL DELETE writes tombstones; the GC procedure drops provably-old ones
+    cold.sql("DELETE FROM graft.cdc.users WHERE user_id % 3 = 0")
+    val rep8 = new BucketedReplica(root, nBuckets = 8)
+    assert(rep8.read(spark).filter(col("op") === "DELETE").count() > 0)
+    val horizon = seed.agg(max(col("ts_ns"))).collect()(0).getLong(0) + 1
+    cold.sql(s"CALL graft.system.compact_tombstones('cdc.users', $horizon)")
+    assert(rep8.read(spark).filter(col("op") === "DELETE").count() === 0,
+      "past-watermark tombstones must be reclaimed")
+    assert(rowsOf(rep8.live(spark)) ===
+      rowsOf(rep8.read(spark)), "live content survives the GC")
+
+    val e = intercept[Exception](cold.sql("CALL graft.system.no_such_proc('x')"))
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("compact_tombstones"),
+      s"unknown procedure must list the available ones, got: $chain")
+  }
+
   test("SHOW TABLES and DESCRIBE resolve through the catalog") {
     val wh = tmpDir("ddl_show")
     val rep = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)
