@@ -14,6 +14,18 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-tag a computed batch DataFrame as a STREAMING one — the contract of
+    * the v1 `Source.getBatch` API (the execution engine asserts
+    * isStreaming; every in-tree v1 source builds its batches through the
+    * same `internalCreateDataFrame(…, isStreaming = true)`). Used by
+    * graft.sources.ReplicaChangeSource, whose batches are version-diff
+    * computations rather than file scans. */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** Column ⇄ Expression for custom scalar expressions that need no
     * function-registry round-trip (graft.functions.PinnedKey). */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
