@@ -86,6 +86,56 @@ object Extensions {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** BM25 (k1=1.2, b=0.75) per-doc scores for the fixed 3-term query,
+    * rounded to 6 dp — the lexical retrieval pipeline shared by e40 and the
+    * hybrid-retrieval fusion (Similarity's e76). Postings-only explode,
+    * broadcast df/corpus stats, fixed-order pivoted summation so scores
+    * are bit-stable cross-engine; no corpus-wide shuffle. */
+  private[graft] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    val dl = docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .filter(col("t").isin("spark", "merge", "vector"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("dft"))
+    val c = tf.join(broadcast(dft), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs"))
+      .withColumn("c",
+        log(lit(1.0) + (col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5)) *
+          ((col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+    c.groupBy(col("doc_id"))
+      .agg(max(when(col("t") === "spark", col("c"))).as("cs"),
+        max(when(col("t") === "merge", col("c"))).as("cm"),
+        max(when(col("t") === "vector", col("c"))).as("cv"))
+      .select(col("doc_id"),
+        round(coalesce(col("cs"), lit(0.0)) + coalesce(col("cm"), lit(0.0))
+          + coalesce(col("cv"), lit(0.0)), 6).as("score"))
+  }
+
+  /** DuckDB twin of [[bm25Scores]] (a CTE body yielding doc_id, score). */
+  private[graft] val bm25ScoresSql: String =
+    """dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |tf AS (SELECT doc_id, t, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |       WHERE t IN ('spark', 'merge', 'vector') GROUP BY doc_id, t),
+      |dft AS (SELECT t, count(*) AS dft FROM tf GROUP BY t),
+      |cc AS (SELECT tf.doc_id, tf.t,
+      |        ln(1.0 + (st.n_docs - dft.dft + 0.5) / (dft.dft + 0.5)) *
+      |          ((tf.tf * 2.2) /
+      |            (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (st.sum_dl::DOUBLE / st.n_docs)))) AS c
+      |      FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN st),
+      |bm25 AS (SELECT doc_id,
+      |  round(coalesce(max(CASE WHEN t = 'spark' THEN c END), 0.0)
+      |      + coalesce(max(CASE WHEN t = 'merge' THEN c END), 0.0)
+      |      + coalesce(max(CASE WHEN t = 'vector' THEN c END), 0.0), 6) AS score
+      |FROM cc GROUP BY doc_id)""".stripMargin
+
   /** Exact near-dup ground truth (dense unigram Jaccard ≥ 0.1 over the
     * %10 audit sample) — shared by the e58/e63 evaluation queries. The
     * quadratic join is the point: truth is only ever computed on the
@@ -1350,29 +1400,7 @@ object Extensions {
     // broadcast scalars, and the per-doc combine is one map-side-combined
     // groupBy(doc_id) — no corpus-wide shuffle beyond the postings.
     "e40_bm25" -> { (s, d) =>
-      val docs = load(s, d, "documents")
-      val dl = docs.select(col("doc_id"), size(toks(col("text"))).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = docs
-        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-        .filter(col("t").isin("spark", "merge", "vector"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("dft"))
-      val c = tf.join(broadcast(dft), "t")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs"))
-        .withColumn("c",
-          log(lit(1.0) + (col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5)) *
-            ((col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
-      c.groupBy(col("doc_id"))
-        .agg(max(when(col("t") === "spark", col("c"))).as("cs"),
-          max(when(col("t") === "merge", col("c"))).as("cm"),
-          max(when(col("t") === "vector", col("c"))).as("cv"))
-        .select(col("doc_id"),
-          round(coalesce(col("cs"), lit(0.0)) + coalesce(col("cm"), lit(0.0))
-            + coalesce(col("cv"), lit(0.0)), 6).as("score"))
+      bm25Scores(s, d)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
     },
@@ -3128,22 +3156,9 @@ object Extensions {
         |FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, n_occur DESC, span LIMIT 20""".stripMargin,
     "e40_bm25" ->
-      """WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-        |tf AS (SELECT doc_id, t, count(*) AS tf
-        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-        |       WHERE t IN ('spark', 'merge', 'vector') GROUP BY doc_id, t),
-        |dft AS (SELECT t, count(*) AS dft FROM tf GROUP BY t),
-        |c AS (SELECT tf.doc_id, tf.t,
-        |        ln(1.0 + (st.n_docs - dft.dft + 0.5) / (dft.dft + 0.5)) *
-        |          ((tf.tf * 2.2) /
-        |            (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (st.sum_dl::DOUBLE / st.n_docs)))) AS c
-        |      FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN st)
-        |SELECT doc_id,
-        |  round(coalesce(max(CASE WHEN t = 'spark' THEN c END), 0.0)
-        |      + coalesce(max(CASE WHEN t = 'merge' THEN c END), 0.0)
-        |      + coalesce(max(CASE WHEN t = 'vector' THEN c END), 0.0), 6) AS score
-        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+      s"""WITH $bm25ScoresSql
+         |SELECT doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "e41_bigram_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |ok AS (SELECT * FROM tok WHERE len(ts) >= 2),

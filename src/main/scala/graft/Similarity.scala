@@ -153,6 +153,46 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(10)
     },
+    // E2/E4 hybrid retrieval — reciprocal-rank fusion of the lexical and
+    // dense rankers (the standard two-tower retrieval composition: BM25
+    // top-20 from e40's shared pipeline ⊕ cosine top-20 from e06's, fused
+    // by RRF score Σ 1/(60 + rank)). Exactness: ranks are integers with
+    // full (score, id) tie-breaks; each reciprocal is one IEEE division
+    // CAST to DECIMAL(28,12) (deterministic round), so the two-system sum
+    // is exact decimal addition — order-free — and casts to DOUBLE once.
+    // Scale: both rankers are top-k heaps over their own bounded
+    // pipelines; the fusion joins two 20-row lists. The rank windows run
+    // over those bounded lists under graft_pin (deliberate single
+    // partition).
+    "e76_hybrid_rrf" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val pin = graft.functions.PinnedKey.pin(lit(0))
+      val dec = (c: Column) => c.cast(DecimalType(28, 12))
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 12))
+      val lex = graft.Extensions.bm25Scores(s, d)
+        .withColumn("lex_rank", row_number().over(
+          Window.partitionBy(pin).orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("lex_rank") <= 20)
+        .select(col("doc_id"), col("lex_rank").cast(LongType).as("lex_rank"))
+      val emb = load(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      val dense = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          cosine(col("embedding"), col("probe_emb")).as("cs"))
+        .withColumn("dense_rank", row_number().over(
+          Window.partitionBy(pin).orderBy(col("cs").desc, col("doc_id"))))
+        .filter(col("dense_rank") <= 20)
+        .select(col("doc_id"), col("dense_rank").cast(LongType).as("dense_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          (coalesce(dec(lit(1.0) / (col("lex_rank") + lit(60.0))), zero)
+            + coalesce(dec(lit(1.0) / (col("dense_rank") + lit(60.0))), zero))
+            .cast(DoubleType).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
     // E3 similarity self-join: all pairs above threshold, label-blocked to
     // bound the pair count (at 100 TB: LSH/IVF buckets replace the label).
     "e07_cosine_selfjoin" -> { (s, d) =>
@@ -501,6 +541,28 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both rankers re-derived verbatim (e40's shared BM25 CTE + e06's
+    // cosine fold); the RRF reciprocals round through DECIMAL(28,12) so
+    // the fusion sum is order-free and bit-identical
+    "e76_hybrid_rrf" ->
+      s"""WITH ${graft.Extensions.bm25ScoresSql},
+         |lexr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+         |         FROM bm25),
+         |lex AS (SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= 20),
+         |probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+         |dcos AS (SELECT vec_id AS doc_id, ${cosSql("embedding", "p")} AS cs
+         |         FROM embeddings, probe WHERE vec_id <> 0),
+         |denser AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS dense_rank
+         |           FROM dcos),
+         |dense AS (SELECT doc_id, dense_rank FROM denser WHERE dense_rank <= 20)
+         |SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+         |  lex.lex_rank, dense.dense_rank,
+         |  CAST(coalesce(CAST(1.0::DOUBLE / (lex.lex_rank + 60.0) AS DECIMAL(28,12)),
+         |                0::DECIMAL(28,12))
+         |     + coalesce(CAST(1.0::DOUBLE / (dense.dense_rank + 60.0) AS DECIMAL(28,12)),
+         |                0::DECIMAL(28,12)) AS DOUBLE) AS rrf
+         |FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "e06_cosine_topk" ->
       s"""WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, ${cosSql("embedding", "p")} AS cos_sim
