@@ -1098,6 +1098,37 @@ object Extensions {
           (col("est_upper") - exactCol).as("err"))
         .orderBy("q")
     },
+    // E4/cleaning — Unicode normalization + control-character scrub, the
+    // stage every web-corpus pipeline runs FIRST: canonically-equivalent
+    // spellings ("e"+U+0301 vs "é", U+212B vs "Å") are invisible to every
+    // exact-match operator downstream (fingerprints, shingles, exact
+    // dedup), so they must compose before any of it runs. NFC is a native
+    // codegen'd expression (functions/NormalizeNfc — no Spark built-in
+    // exists; the JDK and DuckDB implement the same Unicode canonical
+    // composition, so the oracle twins it exactly); the synthetic corpus
+    // is pure ASCII, so like e67 every class of dirty input is injected
+    // deterministically from doc_id. Exact-integer per-class report:
+    // byte counts prove composition shrank what it should (3-byte
+    // combining pairs → 2-byte composed) and the scrub dropped exactly
+    // the control bytes.
+    "e77_unicode_clean" -> { (s, d) =>
+      val raw = load(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 4).as("inject_class"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0, " cafe\u0301")   // e + COMBINING ACUTE
+              .when(col("doc_id") % 4 === 1, " \u212B")       // ANGSTROM SIGN (NFC: U+00C5)
+              .when(col("doc_id") % 4 === 2, "\u0001tab\u0007") // control bytes
+              .otherwise("")).as("raw"))
+      val cleaned = raw.withColumn("clean",
+        graft.functions.NormalizeNfc(
+          regexp_replace(col("raw"), "[\\x01-\\x1F\\x7F]", "")))
+      cleaned.groupBy(col("inject_class"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("clean") =!= col("raw")).cast(LongType)).as("n_changed"),
+          sum(octet_length(col("raw"))).as("bytes_raw"),
+          sum(octet_length(col("clean"))).as("bytes_clean"))
+        .orderBy("inject_class")
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -2653,6 +2684,27 @@ object Extensions {
          |SELECT t AS token, n_exact, n_cms, n_cms - n_exact AS overcount
          |FROM est ORDER BY n_exact DESC, token""".stripMargin
     },
+    // DuckDB's nfc_normalize implements the same Unicode canonical
+    // composition as the JDK Normalizer behind graft_nfc — injected
+    // combining pairs, compatibility codepoints, and control bytes clean
+    // identically, byte counts included
+    "e77_unicode_clean" ->
+      """WITH raw AS (
+        |  SELECT doc_id, doc_id % 4 AS inject_class,
+        |    text || CASE doc_id % 4
+        |      WHEN 0 THEN ' cafe' || chr(769)
+        |      WHEN 1 THEN ' ' || chr(8491)
+        |      WHEN 2 THEN chr(1) || 'tab' || chr(7)
+        |      ELSE '' END AS raw
+        |  FROM documents),
+        |c AS (SELECT inject_class, raw,
+        |        nfc_normalize(regexp_replace(raw, '[\x01-\x1f\x7f]', '', 'g')) AS clean
+        |      FROM raw)
+        |SELECT inject_class, count(*) AS n_docs,
+        |  sum((clean <> raw)::BIGINT)::BIGINT AS n_changed,
+        |  sum(strlen(raw))::BIGINT AS bytes_raw,
+        |  sum(strlen(clean))::BIGINT AS bytes_clean
+        |FROM c GROUP BY inject_class ORDER BY inject_class""".stripMargin,
     // the oracle rebuilds the 128-bin sketch with the identical IEEE
     // binning arithmetic and compares the same disc percentiles
     "e75_quantile_sketch" ->
