@@ -1129,6 +1129,240 @@ object Extensions {
           sum(octet_length(col("clean"))).as("bytes_clean"))
         .orderBy("inject_class")
     },
+    // E4/cleaning — HTML/markup boilerplate strip: the EXTRACTION stage a
+    // web-corpus pipeline runs on raw crawl payloads before any text
+    // operator sees them (script/style removal → tag strip → entity decode
+    // → whitespace collapse, in that fixed order — entities decode &amp;
+    // LAST so "&amp;lt;" cannot double-decode). The synthetic corpus is
+    // plain text, so like e67/e77 each doc is wrapped in a deterministic
+    // doc_id-derived HTML page — every strip stage fires on every row, and
+    // the content hash proves both engines produce byte-identical cleaned
+    // text. Scale: pure map-side regexp/replace column expressions, regex
+    // compiled once per task, no shuffle before the final sort.
+    "e78_markup_strip" -> { (s, d) =>
+      val html = concat(
+        lit("<html><body class=\"c"), pmod(col("doc_id"), lit(7L)),
+        lit("\"><h1>Doc "), col("doc_id"),
+        lit("</h1><script>var x="), col("doc_id"),
+        lit(";</script><p>"), col("text"),
+        lit("</p><div>&amp; &lt;tail&gt; &quot;q&quot;</div></body></html>"))
+      val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+      val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+      val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&amp;" -> "&").foldLeft(noTags) { case (c, (e, ch)) =>
+        replace(c, lit(e), lit(ch))
+      }
+      val clean = trim(regexp_replace(decoded, "\\s+", " "))
+      load(s, d, "documents")
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          regexp_count(col("html"), lit("<[^>]+>")).cast(LongType).as("n_tags"),
+          length(col("html")).cast(LongType).as("raw_len"))
+        .join(load(s, d, "documents")
+          .select(col("doc_id"),
+            length(clean).cast(LongType).as("clean_len"),
+            md5(clean).as("clean_md5")), "doc_id")
+        .orderBy("doc_id")
+    },
+    // E4/provenance — URL extraction + registrable-domain rollup: the
+    // per-domain accounting every web-corpus pipeline keys its curation
+    // decisions on (domain allow/deny lists, per-domain caps, URL-level
+    // dedup à la CCNet). URLs are injected deterministically from doc_id
+    // (two per doc, mixed schemes/hosts) since the corpus carries none;
+    // extraction is regexp_extract_all → host → last-two-label registrable
+    // domain, all engine-invariant regex. Scale: one generator explode
+    // (2 rows/doc) + one map-side-combined groupBy(domain) — shuffle is
+    // |distinct domains|, never |docs|.
+    "e79_url_domains" -> { (s, d) =>
+      val txt = concat(col("text"),
+        lit(" see https://www.site"), pmod(col("doc_id"), lit(20L)),
+        lit(".example"), pmod(col("doc_id"), lit(3L)),
+        lit(".com/p/"), col("doc_id"),
+        lit(" or http://cdn"), pmod(col("doc_id"), lit(5L)),
+        lit(".assets-net.io/f/"), pmod(col("doc_id"), lit(100L)))
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(txt, lit("https?://[^ ]+"), lit(0))).as("url"))
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"))
+        .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        .groupBy(col("domain"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          count(lit(1)).as("n_urls"),
+          sum(when(col("url").startsWith("https://"), 1L).otherwise(0L)).as("n_https"))
+        .orderBy("domain")
+    },
+    // E1/dedup — duplicated-span REMOVAL (the rewrite stage downstream of
+    // e39's scan and e42's coverage metric — the "dedup repeated substrings"
+    // pass of Lee et al.-style pipelines): every 8-token window recurring
+    // across ≥2 documents marks its positions dropped in EVERY document,
+    // and each doc is rebuilt from the surviving positions in order. The
+    // content hash proves both engines rebuild byte-identical scrubbed
+    // text; docs left empty stay in the report (n_kept=0). Scale shape:
+    // spans group on the window key with map-side combine (hash the
+    // 8-token string to 8 bytes at 100 TB), the position cover is a
+    // doc_id-keyed explode bounded by 8×|dup spans in doc|, and the
+    // rebuild is one groupBy(doc_id) over kept tokens — the merge's
+    // shuffle class, no all-pairs work anywhere.
+    "e80_span_scrub" -> { (s, d) =>
+      val tok = load(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ts")).persist()
+      // two consumers of the span stream (dup-span vote + position cover):
+      // persist so the tokenize+explode runs once
+      val spans = tok.filter(size(col("ts")) >= 8)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 7),
+            i => struct(i.as("p"),
+              array_join(slice(col("ts"), i, lit(8)), " ").as("span")))).as("sp"))
+        .select(col("doc_id"), col("sp.p").as("p"), col("sp.span").as("span"))
+        .persist()
+      val dup = spans.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("span")
+      val cov = spans.join(dup, "span")
+        .select(col("doc_id"), explode(sequence(col("p"), col("p") + 7)).as("p"))
+        .distinct()
+      val tokpos = tok
+        .select(col("doc_id"), posexplode(col("ts")).as(Seq("p0", "t")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("t"))
+      val keptAgg = tokpos.join(cov, Seq("doc_id", "p"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("t")))),
+            x => x.getField("t")), " ")).as("scrub_md5"))
+      tok.select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tok"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("scrub_md5"), md5(lit(""))).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+    // E4/quality — Gopher-style rule suite: the fixed repetition/shape
+    // rules (Rae et al.) a pre-training pipeline applies before any learned
+    // classifier — doc length bounds, mean-word-length band, minimum
+    // stop-word fraction, maximum single-token share. Every rule is an
+    // EXACT integer inequality (mean_wl ∈ [3.5, 10] ⇔ 2·Σlen ≥ 7·n ∧
+    // Σlen ≤ 10·n, and so on) so the report carries no float anywhere.
+    // Scale: per-doc signals are higher-order array folds (map-side, no
+    // explode) except the top-token count, which is one doc_id+token
+    // groupBy with map-side combine; the rollup shuffles |langs| rows.
+    "e81_gopher_rules" -> { (s, d) =>
+      val stop = Seq("the", "a", "of", "and")
+      val tk = toks(col("text"))
+      val base = load(s, d, "documents").select(col("doc_id"), col("lang"),
+        size(tk).cast(LongType).as("n_words"),
+        aggregate(tk, lit(0L), (acc, t) => acc + length(t)).as("sum_wl"),
+        size(filter(tk, t => t.isin(stop: _*))).cast(LongType).as("n_stop"))
+      val topw = load(s, d, "documents")
+        .select(col("doc_id"), explode(tk).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_wc"))
+      base.join(topw, "doc_id")
+        .select(col("lang"),
+          (col("n_words") < 30 || col("n_words") > 500).cast(LongType).as("f_len"),
+          (col("sum_wl") * 2 < col("n_words") * 7 ||
+            col("sum_wl") > col("n_words") * 10).cast(LongType).as("f_wl"),
+          (col("n_stop") * 50 < col("n_words") * 3).cast(LongType).as("f_stop"),
+          (col("max_wc") * 5 > col("n_words")).cast(LongType).as("f_rep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_len")).as("n_fail_len"),
+          sum(col("f_wl")).as("n_fail_wl"),
+          sum(col("f_stop")).as("n_fail_stop"),
+          sum(col("f_rep")).as("n_fail_rep"),
+          sum(when(col("f_len") + col("f_wl") + col("f_stop") + col("f_rep") === 0,
+            1L).otherwise(0L)).as("n_pass"))
+        .orderBy("lang")
+    },
+    // E4/cleaning — corpus-frequency line dedup (the C4/RefinedWeb rule:
+    // a LINE occurring in ≥5% of documents is boilerplate and is removed
+    // from every document). Docs are wrapped in deterministic header/footer
+    // boilerplate lines (doc_id-derived, 4+3 variants — each lands in
+    // ~25%/33% of docs, well over threshold) since the single-line corpus
+    // has none; the body line survives unless the whole text is an exact
+    // corpus-wide duplicate. The threshold compares against the corpus
+    // total through one broadcast scalar; the rebuild hash proves
+    // byte-identical output. Scale: line-frequency groupBy is map-side
+    // combined (shuffle = |distinct lines|), the verdict join is keyed by
+    // line, the rebuild by doc_id — never all-pairs, and the 1-row total
+    // broadcasts.
+    "e82_line_dedup" -> { (s, d) =>
+      val page = concat(
+        lit("menu home about contact v"), pmod(col("doc_id"), lit(4L)),
+        lit("\n"), col("text"), lit("\n"),
+        lit("copyright footer site v"), pmod(col("doc_id"), lit(3L)))
+      val docs = load(s, d, "documents")
+        .select(col("doc_id"), split(page, "\n").as("ls"))
+      val lines = docs
+        .select(col("doc_id"), posexplode(col("ls")).as(Seq("p0", "line")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"), col("line"))
+      val ldf = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("ldocs"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val keptAgg = lines.join(ldf, "line")
+        .crossJoin(broadcast(total))
+        .filter(col("ldocs") * 20 < col("n_total"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("line")))),
+            x => x.getField("line")), "\n")).as("clean_md5"))
+      docs.select(col("doc_id"), size(col("ls")).cast(LongType).as("n_lines"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    // E4/curation — per-host document cap (the RefinedWeb/C4 anti-spam
+    // rule: no single host may contribute more than K documents; the
+    // survivors are picked in deterministic hash order so the sample is
+    // reproducible on any engine/run/partitioning). Hosts derive from the
+    // e79 injected URL scheme (doc_id%20 × doc_id%3 → 60 hosts). Scale:
+    // one row_number window per host (WindowGroupLimit pushes the K-cap
+    // into the shuffle at scale) + a |hosts|-row rollup — the merge's
+    // shuffle class, no global sort.
+    "e83_host_cap" -> { (s, d) =>
+      val K = 5
+      val host = concat(lit("www.site"), pmod(col("doc_id"), lit(20L)),
+        lit(".example"), pmod(col("doc_id"), lit(3L)), lit(".com"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host"))
+        .orderBy(col("ord"), col("doc_id"))
+      load(s, d, "documents")
+        .select(col("doc_id"), host.as("host"),
+          tokenHash(col("doc_id").cast(StringType)).as("ord"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= K, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > K, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy("host")
+    },
+    // E4/tokenizer training — one BPE iteration: the adjacent-symbol pair
+    // counts a byte-pair-encoding trainer computes each round (pair
+    // frequency = Σ word_freq over each adjacency in each distinct word),
+    // surfacing the top-10 merge candidates. Exact integers end to end.
+    // Scale: the pair stream is |distinct words| × word length (vocab-
+    // bounded, NOT corpus-bounded — word frequencies collapse first, so a
+    // 100 TB corpus contributes exactly one row per distinct word to the
+    // character work), then one map-side-combined groupBy(pair).
+    "e84_bpe_step" -> { (s, d) =>
+      val words = load(s, d, "documents")
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      words.filter(length(col("w")) >= 2)
+        .select(col("w"), col("f"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(concat(col("w").substr(col("i"), lit(1)), lit(" "),
+          col("w").substr(col("i") + 1, lit(1))).as("pair"), col("f"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(10)
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -2705,6 +2939,136 @@ object Extensions {
         |  sum(strlen(raw))::BIGINT AS bytes_raw,
         |  sum(strlen(clean))::BIGINT AS bytes_clean
         |FROM c GROUP BY inject_class ORDER BY inject_class""".stripMargin,
+    // identical strip pipeline in RE2 — DuckDB regexp_replace needs the
+    // 'g' flag Spark applies implicitly; entity decode order matches
+    // (&amp; last)
+    "e78_markup_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><body class="c' || (doc_id % 7) || '"><h1>Doc ' || doc_id ||
+        |  '</h1><script>var x=' || doc_id || ';</script><p>' || text ||
+        |  '</p><div>&amp; &lt;tail&gt; &quot;q&quot;</div></body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, html,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(html,
+        |        '<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean FROM h)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(html, '<[^>]+>'))::BIGINT AS n_tags,
+        |  length(html)::BIGINT AS raw_len,
+        |  length(clean)::BIGINT AS clean_len,
+        |  md5(clean) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "e79_url_domains" ->
+      """WITH t AS (SELECT doc_id, text ||
+        |    ' see https://www.site' || (doc_id % 20) || '.example' ||
+        |    (doc_id % 3) || '.com/p/' || doc_id ||
+        |    ' or http://cdn' || (doc_id % 5) ||
+        |    '.assets-net.io/f/' || (doc_id % 100) AS txt FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://[^ ]+')) AS url
+        |      FROM t),
+        |h AS (SELECT doc_id, url,
+        |        regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u),
+        |d AS (SELECT doc_id, url, host,
+        |        regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h)
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs,
+        |  count(DISTINCT host) AS n_hosts, count(*) AS n_urls,
+        |  sum(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END)::BIGINT AS n_https
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+    // the oracle re-marks the duplicated positions and rebuilds each doc
+    // with an ORDER BY p string_agg — md5 equality IS the rewrite check
+    "e80_span_scrub" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |spans AS (SELECT doc_id, i.i AS p,
+        |            array_to_string(ts[i.i : i.i + 7], ' ') AS span
+        |          FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS i(i)
+        |          WHERE len(ts) >= 8),
+        |dup AS (SELECT span FROM spans GROUP BY span
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT s.doc_id, u.u AS p
+        |        FROM spans s JOIN dup USING (span),
+        |             UNNEST(generate_series(s.p, s.p + 7)) AS u(u)),
+        |tp AS (SELECT doc_id, i.i AS p, ts[i.i] AS t
+        |       FROM tok, UNNEST(generate_series(1, len(ts))) AS i(i)),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.t FROM tp
+        |         LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+        |         WHERE cov.p IS NULL),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |         md5(string_agg(t, ' ' ORDER BY p)) AS scrub_md5
+        |       FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.ts)::BIGINT AS n_tok,
+        |  coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(ka.scrub_md5, md5('')) AS scrub_md5
+        |FROM tok t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // every rule is the same exact integer inequality — no float crosses
+    // the engine boundary anywhere in this query
+    "e81_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |           FROM documents),
+        |per AS (SELECT doc_id, lang, count(*)::BIGINT AS n_words,
+        |          sum(length(t))::BIGINT AS sum_wl,
+        |          sum(CASE WHEN t IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END)::BIGINT
+        |            AS n_stop
+        |        FROM w GROUP BY doc_id, lang),
+        |mx AS (SELECT doc_id, max(c)::BIGINT AS max_wc FROM
+        |         (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t)
+        |       GROUP BY doc_id),
+        |f AS (SELECT lang,
+        |        (per.n_words < 30 OR per.n_words > 500)::BIGINT AS f_len,
+        |        (sum_wl * 2 < n_words * 7 OR sum_wl > n_words * 10)::BIGINT AS f_wl,
+        |        (n_stop * 50 < n_words * 3)::BIGINT AS f_stop,
+        |        (max_wc * 5 > n_words)::BIGINT AS f_rep
+        |      FROM per JOIN mx USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(f_len)::BIGINT AS n_fail_len, sum(f_wl)::BIGINT AS n_fail_wl,
+        |  sum(f_stop)::BIGINT AS n_fail_stop, sum(f_rep)::BIGINT AS n_fail_rep,
+        |  sum(CASE WHEN f_len + f_wl + f_stop + f_rep = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_pass
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "e83_host_cap" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    'www.site' || (doc_id % 20) || '.example' || (doc_id % 3) || '.com' AS host,
+         |    ${String.format(tokenHashSql, "doc_id::VARCHAR")} AS ord
+         |  FROM documents),
+         |r AS (SELECT host,
+         |        row_number() OVER (PARTITION BY host ORDER BY ord, doc_id) AS rn
+         |      FROM h)
+         |SELECT host, count(*) AS n_docs,
+         |  sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+         |FROM r GROUP BY host ORDER BY host""".stripMargin,
+    "e84_bpe_step" ->
+      """WITH w AS (SELECT t AS w, count(*) AS f FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |    WHERE t <> '' GROUP BY t),
+        |p AS (SELECT substr(w, i.i, 1) || ' ' || substr(w, i.i + 1, 1) AS pair, f
+        |      FROM w, UNNEST(generate_series(1, length(w) - 1)) AS i(i)
+        |      WHERE length(w) >= 2)
+        |SELECT pair, sum(f)::BIGINT AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 10""".stripMargin,
+    "e82_line_dedup" ->
+      """WITH pg AS (SELECT doc_id,
+        |    'menu home about contact v' || (doc_id % 4) || chr(10) || text ||
+        |    chr(10) || 'copyright footer site v' || (doc_id % 3) AS page
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pg),
+        |ln AS (SELECT doc_id, i.i AS p, ls[i.i] AS line
+        |       FROM ls, UNNEST(generate_series(1, len(ls))) AS i(i)),
+        |ldf AS (SELECT line, count(DISTINCT doc_id) AS ldocs FROM ln GROUP BY line),
+        |tot AS (SELECT count(*) AS n_total FROM documents),
+        |kept AS (SELECT ln.doc_id, ln.p, ln.line
+        |         FROM ln JOIN ldf USING (line), tot
+        |         WHERE ldocs * 20 < n_total),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |         md5(string_agg(line, chr(10) ORDER BY p)) AS clean_md5
+        |       FROM kept GROUP BY doc_id)
+        |SELECT l.doc_id, len(l.ls)::BIGINT AS n_lines,
+        |  coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(ka.clean_md5, md5('')) AS clean_md5
+        |FROM ls l LEFT JOIN ka USING (doc_id) ORDER BY l.doc_id""".stripMargin,
     // the oracle rebuilds the 128-bin sketch with the identical IEEE
     // binning arithmetic and compares the same disc percentiles
     "e75_quantile_sketch" ->

@@ -537,6 +537,79 @@ object Similarity {
         .filter(col("rn") === least(lit(3), col("nn")))
         .select(col("v1").as("vec_id"), col("label"), col("cs").as("knn3_cos"))
         .orderBy(col("knn3_cos").asc, col("vec_id")).limit(15)
+    },
+    // E2-audit — matryoshka truncation evaluation: how much of the
+    // full-dimension (64) cosine top-10 does the 16-dim PREFIX cosine
+    // retrieve? The measurement behind MRL-style dimension-truncated
+    // serving: if overlap@10 holds, the index can store (and the first
+    // probe pass can scan) a quarter of the bytes. Output is ALL-INTEGER
+    // (overlap counts + top-1 ids); ranks come from the shared
+    // bit-identical cosine fold so no float crosses the engine boundary.
+    // Scale: this is the audit form (3 probes × full scan, two ranks per
+    // probe); production serving uses the truncated ANN index (e09c) with
+    // this query as its periodic honesty check.
+    "e85_mrl_overlap" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id").isin(0L, 17L, 42L))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine(col("embedding"), col("p")).as("cs_full"),
+          cosine(slice(col("embedding"), 1, 16), slice(col("p"), 1, 16))
+            .as("cs_pre"))
+      val wf = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cs_full").desc, col("vec_id"))
+      val wp = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cs_pre").desc, col("vec_id"))
+      scored
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rp", row_number().over(wp))
+        .groupBy(col("probe_id"))
+        .agg(max(when(col("rf") === 1, col("vec_id"))).as("top1_full"),
+          max(when(col("rp") === 1, col("vec_id"))).as("top1_prefix"),
+          sum(when(col("rf") <= 10 && col("rp") <= 10, 1L).otherwise(0L))
+            .as("n_overlap10"))
+        .orderBy("probe_id")
+    },
+    // E2-audit — per-label embedding diversity via the centroid trick:
+    // mean pairwise cosine within a label = (‖Σv̂‖² − Σ‖v̂‖²) / n(n−1)
+    // over UNIT-normalized vectors — the redundancy/collapse health
+    // metric (a label whose mean pairwise similarity approaches 1 is a
+    // degenerate cluster; near 0, a diffuse one), computed WITHOUT any
+    // pairwise join. Determinism: each normalized component rounds once
+    // into DECIMAL(18,9); per-dim sums, their squares, and the per-row
+    // norm terms then add EXACTLY (order-free on any partitioning), with
+    // one IEEE division at the end. Scale: one explode (64 rows/vector)
+    // + two map-side-combined label-keyed aggregates — linear in the
+    // corpus where the naive form is quadratic per label.
+    "e86_label_diversity" -> { (s, d) =>
+      val emb = load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      val comps = emb
+        .select(col("vec_id"), col("label"), col("nrm"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          (col("x").cast(DoubleType) / col("nrm"))
+            .cast(DecimalType(18, 9)).as("c"))
+      val perDim = comps.groupBy(col("label"), col("dim"))
+        .agg(sum(col("c")).as("sd"))
+        .groupBy(col("label"))
+        .agg(sum((col("sd").cast(DoubleType) * col("sd").cast(DoubleType))
+          .cast(DecimalType(28, 9))).as("s1"))
+      val perRow = comps.groupBy(col("label"), col("vec_id"))
+        .agg(sum((col("c") * col("c")).cast(DecimalType(38, 18))).as("r2"))
+        .groupBy(col("label"))
+        .agg(sum(col("r2").cast(DecimalType(28, 9))).as("s2"),
+          count(lit(1)).as("n"))
+      perDim.join(perRow, "label")
+        .select(col("label"), col("n"),
+          round((col("s1") - col("s2")).cast(DoubleType)
+            / (col("n") * (col("n") - 1)).cast(DoubleType), 6)
+            .as("mean_pairwise_cos"))
+        .orderBy("label")
     }
   )
 
@@ -728,6 +801,55 @@ object Similarity {
          |        COUNT(*) OVER (PARTITION BY v1) AS nn FROM p)
          |SELECT v1 AS vec_id, label, cs AS knn3_cos FROM r
          |WHERE rn = least(3, nn)
-         |ORDER BY knn3_cos ASC, vec_id LIMIT 15""".stripMargin
+         |ORDER BY knn3_cos ASC, vec_id LIMIT 15""".stripMargin,
+    // 16-dim prefix cosine re-derived with the same ascending fold the
+    // sliced graft_cosine uses — bit-identical ranks, all-integer output
+    "e85_mrl_overlap" -> {
+      def dotN(a: String, b: String, n: Int): String =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+          s"generate_series(1, $n), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))," +
+          s" (acc, v) -> acc + v)"
+      def cosN(a: String, b: String, n: Int): String =
+        s"(${dotN(a, b, n)} / (sqrt(${dotN(a, a, n)}) * sqrt(${dotN(b, b, n)})))"
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS p
+         |            FROM embeddings WHERE vec_id IN (0, 17, 42)),
+         |s AS (SELECT probe_id, e.vec_id,
+         |        ${cosN("e.embedding", "p", 64)} AS cs_full,
+         |        ${cosN("e.embedding", "p", 16)} AS cs_pre
+         |      FROM embeddings e, pr WHERE e.vec_id <> probe_id),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY probe_id
+         |          ORDER BY cs_full DESC, vec_id) AS rf,
+         |        ROW_NUMBER() OVER (PARTITION BY probe_id
+         |          ORDER BY cs_pre DESC, vec_id) AS rp FROM s)
+         |SELECT probe_id,
+         |  max(CASE WHEN rf = 1 THEN vec_id END) AS top1_full,
+         |  max(CASE WHEN rp = 1 THEN vec_id END) AS top1_prefix,
+         |  sum(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_overlap10
+         |FROM r GROUP BY probe_id ORDER BY probe_id""".stripMargin
+    },
+    // the same centroid-trick algebra in exact decimals: per-component
+    // normalized values round ONCE into DECIMAL(18,9), every later sum is
+    // exact and order-free, one IEEE division at the end
+    "e86_label_diversity" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |c AS (SELECT vec_id, label, i.i AS dim,
+         |        CAST(embedding[i.i]::DOUBLE / nrm AS DECIMAL(18,9)) AS c
+         |      FROM e, UNNEST(generate_series(1, 64)) AS i(i)),
+         |pd AS (SELECT label, dim, sum(c) AS sd FROM c GROUP BY label, dim),
+         |s1 AS (SELECT label,
+         |         sum(CAST(sd::DOUBLE * sd::DOUBLE AS DECIMAL(28,9))) AS s1
+         |       FROM pd GROUP BY label),
+         |pr AS (SELECT label, vec_id, sum(CAST(c * c AS DECIMAL(38,18))) AS r2
+         |       FROM c GROUP BY label, vec_id),
+         |s2 AS (SELECT label, sum(CAST(r2 AS DECIMAL(28,9))) AS s2,
+         |         count(*) AS n FROM pr GROUP BY label)
+         |SELECT s1.label, n,
+         |  round((s1.s1 - s2.s2)::DOUBLE / (n * (n - 1))::DOUBLE, 6)
+         |    AS mean_pairwise_cos
+         |FROM s1 JOIN s2 USING (label) ORDER BY s1.label""".stripMargin
   )
 }
