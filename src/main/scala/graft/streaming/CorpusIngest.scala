@@ -37,7 +37,8 @@ import org.apache.spark.sql.types._
   * probe cost tracks the batch, not the corpus (the same move LshIndex
   * makes for its postings).
   */
-final class CorpusIngest(root: String, nHp: Int = 16) {
+final class CorpusIngest(root: String, nHp: Int = 16,
+                         cleanInput: Boolean = false) {
 
   private val io = new StoreIO(root, StoreIO.sessionConf())
   val lsh = new LshIndex(s"$root/lsh")
@@ -77,8 +78,14 @@ final class CorpusIngest(root: String, nHp: Int = 16) {
 
   /** Fold one micro-batch of documents into the corpus. Idempotent under
     * retries of the same (docs, batchId). */
-  def ingestBatch(docs: DataFrame, batchId: Long): Unit = {
-    val spark = docs.sparkSession
+  def ingestBatch(rawDocs: DataFrame, batchId: Long): Unit = {
+    val spark = rawDocs.sparkSession
+    // ---- canonicalization (opt-in; the e77/e78 stages, per-row form) ---
+    // Cleaning MUST precede dedup: a markup-wrapped or NFC-decomposed
+    // duplicate of a stored doc hashes differently raw and identically
+    // clean — running it here is what makes the content-hash store and
+    // the LSH signatures see through representation noise.
+    val docs = if (cleanInput) CorpusIngest.clean(rawDocs) else rawDocs
     // ---- quality gate (the e15 predicate, per-row form) ----------------
     val reason = when(col("text").isNull || length(col("text")) === 0, "empty_text")
       .when(col("n_chars") =!= length(col("text")), "length_mismatch")
@@ -165,4 +172,33 @@ final class CorpusIngest(root: String, nHp: Int = 16) {
       .start()
 
   def destroy(): Unit = io.delete(io.root)
+}
+
+object CorpusIngest {
+  import org.apache.spark.sql.Column
+
+  /** Canonicalization of one text column — the e78 markup strip (script
+    * removal → tag strip → entity decode with &amp; LAST → whitespace
+    * collapse) composed with the e77 scrub+NFC (control bytes dropped,
+    * canonical composition via the native [[graft.functions.NormalizeNfc]]
+    * expression). Idempotent by construction: a second application finds
+    * no tags, no entities, no control bytes, and already-composed text.
+    * Pure map-side column expressions — the stage adds zero shuffles to
+    * the ingest. */
+  def cleanText(c: Column): Column = {
+    val noScript = regexp_replace(c, "<script[^>]*>.*?</script>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&amp;" -> "&").foldLeft(noTags) { case (x, (e, ch)) =>
+      replace(x, lit(e), lit(ch))
+    }
+    val scrubbed = regexp_replace(decoded, "[\\x01-\\x1F\\x7F]", "")
+    trim(regexp_replace(graft.functions.NormalizeNfc(scrubbed), "\\s+", " "))
+  }
+
+  /** Apply [[cleanText]] to a document frame, recomputing `n_chars` so the
+    * downstream quality gate's length contract holds on the CLEANED text. */
+  def clean(df: DataFrame): DataFrame = df
+    .withColumn("text", cleanText(col("text")))
+    .withColumn("n_chars", length(col("text")).cast(LongType))
 }

@@ -136,6 +136,42 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(corpus === batchTwin(fixture.unionByName(dupRow)))
   }
 
+  test("canonicalization stage: dirty duplicates collapse onto clean twins") {
+    // the cleanInput=true pipeline: markup-wrapped / NFC-decomposed /
+    // control-byte-ridden representations of the SAME content must land as
+    // ONE corpus doc — cleaning runs before hashing, so the content-hash
+    // store sees through representation noise
+    val root = tmpDir("ci_clean") + "/s"
+    val ing = new CorpusIngest(root, cleanInput = true)
+    val cleanText = "hello café world" // é composed (NFC)
+    def row(id: Long, t: String) = Row(id, t, "en", "srcX", t.length.toLong)
+    val dirty = Seq(
+      row(1L, cleanText), // already clean
+      row(2L, "<p>hello</p> <b>café</b> world"),              // markup twin
+      row(3L, "hello café world"),                           // NFC twin
+      row(4L, "hello café  world"),                     // ctrl + dbl space
+      row(5L, "<script>x=1</script>hello café world"),        // script twin
+      row(6L, "totally different text"))
+    ing.ingestBatch(
+      spark.createDataFrame(java.util.Arrays.asList(dirty: _*), inSchema), 0L)
+    val corpus = ing.corpus(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corpus.keySet === Set(1L, 6L), s"got ${corpus.keySet}")
+    assert(corpus(1L) === cleanText)
+    // n_chars contract holds on the cleaned text (the gate rejected nothing)
+    assert(ing.rejects(spark).count() === 0)
+    // idempotent: re-cleaning the stored corpus changes nothing
+    val stored = ing.corpus(spark).select("doc_id", "text", "lang", "source", "n_chars")
+    val twice = CorpusIngest.clean(stored)
+    assert(twice.select("doc_id", "text").collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap === corpus)
+    // a LATER batch carrying yet another dirty twin still dedups against
+    // the STORE (not just within its own batch)
+    ing.ingestBatch(spark.createDataFrame(java.util.Arrays.asList(
+      row(7L, "<em>hello</em>  café world")), inSchema), 1L)
+    assert(ing.corpus(spark).collect().map(_.getLong(0)).toSet === Set(1L, 6L))
+  }
+
   test("the exact-dedup probe reads only hp partitions the batch touches") {
     val root = tmpDir("ci_prune") + "/s"
     val ing = new CorpusIngest(root)
