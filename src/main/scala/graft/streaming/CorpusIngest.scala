@@ -38,7 +38,8 @@ import org.apache.spark.sql.types._
   * makes for its postings).
   */
 final class CorpusIngest(root: String, nHp: Int = 16,
-                         cleanInput: Boolean = false) {
+                         cleanInput: Boolean = false,
+                         nearDupMinSig: Option[Int] = None) {
 
   private val io = new StoreIO(root, StoreIO.sessionConf())
   val lsh = new LshIndex(s"$root/lsh")
@@ -68,6 +69,14 @@ final class CorpusIngest(root: String, nHp: Int = 16,
 
   /** The content-hash store backing exact dedup. */
   def seen(spark: SparkSession): DataFrame = dirReader(spark, "seen", seenReadSchema)
+
+  /** Online near-dup rejects (audit sink; only written when
+    * `nearDupMinSig` is set): one row per rejected doc with its earliest
+    * surviving partner and the signature agreement that condemned it. */
+  def nearDupRejects(spark: SparkSession): DataFrame =
+    dirReader(spark, "neardup", StructType(Seq(
+      StructField("doc_id", LongType), StructField("partner", LongType),
+      StructField("n_sig_match", IntegerType), StructField("batch_id", LongType))))
 
   /** Deterministic training-shard view of the accepted corpus: shard is a
     * pure function of doc_id (reproducible under any partitioning; no
@@ -120,7 +129,34 @@ final class CorpusIngest(root: String, nHp: Int = 16,
           .join(stored, col("content_hash") === col("seen_hash"), "left_anti")
           .persist() // consumers: corpus write, seen write, lsh banding
         try {
-          fresh.select(docCols.map(col): _*)
+          // ---- online near-dup REJECTION (opt-in) -----------------------
+          // First-arrival wins: a doc is rejected when a verified partner
+          // (>= minSig of 8 MinHash components agreeing) exists in the
+          // committed index — which holds every exact-dedup survivor seen
+          // so far, accepted OR rejected — or earlier (smaller doc_id) in
+          // this same batch. Keeping REJECTED docs' signatures in the
+          // index is what makes the rule batch-composition-invariant: a
+          // chain A~B, B~C (A≁C) rejects C no matter how the stream
+          // chunks, because B stays probe-visible after its own
+          // rejection. The probe is read-only and bp-pruned; the decision
+          // adds no new shuffle class to the batch path.
+          val accepted = nearDupMinSig match {
+            case None => fresh
+            case Some(m) =>
+              val verdicts = lsh.probeNearDups(
+                fresh.select(col("doc_id"), col("text")), m, Some(batchId))
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("doc_id"))
+                .orderBy(col("partner"), col("n_sig_match").desc)
+              verdicts.withColumn("rn", row_number().over(w))
+                .filter(col("rn") === 1).drop("rn", "stored")
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .parquet(s"$root/neardup/batch_id=$batchId")
+              fresh.join(verdicts.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+          }
+          accepted.select(docCols.map(col): _*)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").parquet(s"$root/corpus/batch_id=$batchId")
           fresh.select(col("content_hash"), col("doc_id"), col("hp"))
@@ -128,6 +164,8 @@ final class CorpusIngest(root: String, nHp: Int = 16,
             .write.mode("overwrite").partitionBy("hp")
             .parquet(s"$root/seen/batch_id=$batchId")
           // ---- near-dup candidates, incrementally -----------------------
+          // the index ingests ALL exact-dedup survivors (the SEEN graph);
+          // the corpus holds only the accepted ones (the curated output)
           lsh.addBatch(fresh.select(col("doc_id"), col("text")), batchId)
         } finally { fresh.unpersist(); () }
       } finally { firstInBatch.unpersist(); () }

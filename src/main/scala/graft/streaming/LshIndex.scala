@@ -162,6 +162,75 @@ final class LshIndex(root: String, nBp: Int = 16) {
     log.commitAppend(st.version, batchId, () => batchDirs(batchId).foreach(io.delete))
   }
 
+  /** Read-only near-dup probe of a batch of (doc_id, text) documents
+    * against the COMMITTED index — the verification side of [[addBatch]]
+    * with no writes and no commit, for callers that must DECIDE on a doc
+    * (accept/reject) before folding it in. Returns one row per verified
+    * pair: (doc_id = the probed doc, partner, n_sig_match, stored), where
+    * `stored=true` partners come from the committed index and
+    * `stored=false` partners are SMALLER-id docs of the same probe batch.
+    * Verification is signature agreement: n_sig_match of the 8 MinHash
+    * components equal — the estimator the banding exists to serve, so no
+    * document text is ever re-read. For minSigMatch >= 6 the 2x4 banding
+    * is LOSSLESS as a candidate filter (2 mismatching components can break
+    * at most 2 of the 4 bands, leaving a fully-matching band), so the
+    * bucket join misses nothing the verifier would pass. Bounded read:
+    * stored postings are bp-partition-pruned to the batch's buckets, and
+    * stored signatures are joined only for surfaced candidates. */
+  def probeNearDups(docs: DataFrame, minSigMatch: Int = 6,
+                    excludeBatchId: Option[Long] = None): DataFrame = {
+    require(minSigMatch >= 6 && minSigMatch <= 8,
+      s"minSigMatch=$minSigMatch: below 6 the 2x4 banding is no longer " +
+        "a lossless candidate filter for the signature-agreement verifier")
+    val spark = docs.sparkSession
+    val st = log.state
+    val (r, b) = bandingOf(st)
+    // retry fence: a foreachBatch replay of an ALREADY-COMMITTED batch
+    // must not see that batch's own postings as "stored" (every doc would
+    // be its own 8/8 partner and the whole batch would self-reject) — the
+    // caller passes its in-flight batch id and the probe excludes it,
+    // the same discipline as the ingest's seen-store probe
+    val excl: Column = excludeBatchId
+      .map(id => col("batch_id") =!= id).getOrElse(lit(true))
+    val sig = graft.Extensions.minhashSigs(docs).persist()
+    val bands = graft.Extensions.bandsFromSigs(sig, r, b).withColumn("bp", bpCol)
+    try {
+      val touchedBp = bands.select(col("bp")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val storedPost = readDir(spark, "postings", postingsDir, postingsReadSchema)
+        .filter(idFilter(st.validIds) && excl && col("bp").isin(touchedBp: _*))
+        .select(col("band"), col("bucket"), col("doc_id").as("partner"))
+      val nMatch = (0 until 8).map(i =>
+        when(col(s"sig$i") === col(s"p$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val storedSig = readDir(spark, "sigs", sigsDir, sigsReadSchema)
+        .filter(idFilter(st.auxIds) && excl)
+        .select(col("doc_id").as("partner") +:
+          (0 until 8).map(i => col(s"sig$i").as(s"p$i")): _*)
+      val vsStored = bands.join(storedPost, Seq("band", "bucket"))
+        .filter(col("doc_id") =!= col("partner"))
+        .select(col("doc_id"), col("partner")).distinct()
+        .join(sig, "doc_id").join(storedSig, "partner")
+        .select(col("doc_id"), col("partner"), nMatch.as("n_sig_match"),
+          lit(true).as("stored"))
+      val vsBatch = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") > col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner"))
+        .distinct()
+        .join(sig, "doc_id")
+        .join(sig.select(col("doc_id").as("partner") +:
+          (0 until 8).map(i => col(s"sig$i").as(s"p$i")): _*), "partner")
+        .select(col("doc_id"), col("partner"), nMatch.as("n_sig_match"),
+          lit(false).as("stored"))
+      val out = vsStored.unionByName(vsBatch)
+        .filter(col("n_sig_match") >= minSigMatch)
+      // materialize before releasing the signature cache: callers hold a
+      // lazy plan over `sig` through both branches
+      out.localCheckpoint(true)
+    } finally { sig.unpersist(); () }
+  }
+
   /** Switch the index to a NEW (r, b) banding — e63's sweep measures which
     * banding a corpus wants; this applies it WITHOUT re-reading the corpus.
     * Postings and pairs are recomputed wholesale from the stored signatures
