@@ -1363,6 +1363,82 @@ object Extensions {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(10)
     },
+    // E4/tokenizer — fertility per language: BPE-ish tokens per word and
+    // characters per token, the efficiency metric multilingual teams size
+    // vocabularies by (a language whose fertility drifts high is paying
+    // more sequence length for the same text). Exact integer sums per
+    // lang, two rounded divisions at the end. Scale: both token counters
+    // are row-local regexp/split sizes; the rollup shuffles |langs| rows.
+    "e87_fertility" -> { (s, d) =>
+      load(s, d, "documents")
+        .select(col("lang"),
+          size(toks(col("text"))).cast(LongType).as("w"),
+          size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"))
+            .cast(LongType).as("bpe"),
+          length(regexp_replace(col("text"), " ", "")).cast(LongType).as("ch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("bpe")).as("n_bpe"),
+          round(sum(col("bpe")).cast(DoubleType) / sum(col("w")), 6)
+            .as("fertility"),
+          round(sum(col("ch")).cast(DoubleType) / sum(col("bpe")), 6)
+            .as("chars_per_tok"))
+        .orderBy("lang")
+    },
+    // E4/retrieval evaluation — recall@10 and MRR of the e40 BM25 ranker
+    // against a derivable relevance set (docs containing >= 2 distinct
+    // query terms): the honesty check a retrieval stack ships with, in the
+    // e58/e63 measured-not-asserted tradition. Ranks are integers with
+    // full tie-breaks over the shared bit-stable scores; the two ratios
+    // are single IEEE divisions of exact integers. Scale: the ranking is
+    // already postings-bounded (e40); relevance is one more pass over the
+    // same postings; the final aggregate is one row.
+    "e88_retrieval_eval" -> { (s, d) =>
+      val rel = load(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+        .filter(col("t").isin("spark", "merge", "vector"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("t")).as("nq"))
+        .filter(col("nq") >= 2)
+        .select(col("doc_id"), lit(1L).as("rel"))
+      val pin = graft.functions.PinnedKey.pin(lit(0))
+      bm25Scores(s, d)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(pin)
+            .orderBy(col("score").desc, col("doc_id"))))
+        .join(rel, Seq("doc_id"), "left")
+        .agg(sum(coalesce(col("rel"), lit(0L))).as("n_relevant"),
+          sum(when(col("rank") <= 10 && col("rel") === 1L, 1L).otherwise(0L))
+            .as("hits_at_10"),
+          min(when(col("rel") === 1L, col("rank"))).cast(LongType)
+            .as("first_rel_rank"))
+        .select(col("n_relevant"), col("hits_at_10"), col("first_rel_rank"),
+          round(lit(1.0) / col("first_rel_rank"), 6).as("mrr"),
+          round(col("hits_at_10").cast(DoubleType)
+            / least(lit(10L), col("n_relevant")), 6).as("recall_at_10"))
+    },
+    // E1/governance — train/test split LEAKAGE audit: near-dup candidate
+    // pairs (the e03b bucket-local stream over the %10 audit sample)
+    // crossing the e22 deterministic split boundaries — the
+    // contamination-by-duplication check a release gate runs AFTER
+    // splitting, because hash-splitting documents does nothing to keep
+    // near-duplicates on one side. Output: pair counts per unordered
+    // split pair; every off-diagonal row is leaked supervision. Scale:
+    // e03b's candidate economics + two broadcastable split maps.
+    "e89_split_leakage" -> { (s, d) =>
+      val b = tokenHash(col("doc_id").cast(StringType)) % 100
+      val splits = load(s, d, "documents")
+        .select(col("doc_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            .as("split"))
+      lshCandidates(s, d)
+        .join(splits.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+        .join(splits.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+        .groupBy(least(col("s1"), col("s2")).as("split_a"),
+          greatest(col("s1"), col("s2")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -3028,6 +3104,67 @@ object Extensions {
         |  sum(CASE WHEN f_len + f_wl + f_stop + f_rep = 0 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_pass
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "e87_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_words,
+        |  sum(len(regexp_extract_all(text, '[a-z]{1,4}')))::BIGINT AS n_bpe,
+        |  round(sum(len(regexp_extract_all(text, '[a-z]{1,4}')))::DOUBLE
+        |    / sum(len(string_split(text, ' '))), 6) AS fertility,
+        |  round(sum(length(replace(text, ' ', '')))::DOUBLE
+        |    / sum(len(regexp_extract_all(text, '[a-z]{1,4}'))), 6)
+        |    AS chars_per_tok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e88_retrieval_eval" ->
+      s"""WITH $bm25ScoresSql,
+         |rel AS (SELECT doc_id, 1::BIGINT AS rel FROM (
+         |    SELECT doc_id, count(DISTINCT t) AS nq FROM (
+         |      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |      FROM documents)
+         |    WHERE t IN ('spark', 'merge', 'vector') GROUP BY doc_id)
+         |  WHERE nq >= 2),
+         |rk AS (SELECT bm25.doc_id, rel.rel,
+         |         row_number() OVER (ORDER BY score DESC, bm25.doc_id) AS rank
+         |       FROM bm25 LEFT JOIN rel ON bm25.doc_id = rel.doc_id),
+         |ag AS (SELECT sum(coalesce(rel, 0))::BIGINT AS n_relevant,
+         |         sum(CASE WHEN rank <= 10 AND rel = 1 THEN 1 ELSE 0 END)::BIGINT
+         |           AS hits_at_10,
+         |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank
+         |       FROM rk)
+         |SELECT n_relevant, hits_at_10, first_rel_rank,
+         |  round(1.0 / first_rel_rank, 6) AS mrr,
+         |  round(hits_at_10::DOUBLE / least(10, n_relevant), 6) AS recall_at_10
+         |FROM ag""".stripMargin,
+    "e89_split_leakage" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val hid = String.format(tokenHashSql, "doc_id::VARCHAR")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN $hid % 100 < 80 THEN 'train'
+         |              WHEN $hid % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents)
+         |SELECT least(a.split, b.split) AS split_a,
+         |  greatest(a.split, b.split) AS split_b,
+         |  COUNT(*) AS n_pairs
+         |FROM cand JOIN sp a ON cand.d1 = a.doc_id
+         |          JOIN sp b ON cand.d2 = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "e83_host_cap" ->
       s"""WITH h AS (SELECT doc_id,
          |    'www.site' || (doc_id % 20) || '.example' || (doc_id % 3) || '.com' AS host,
