@@ -215,11 +215,18 @@ final class BucketedReplica(
   /** Schema of the replica as of the current pointer. */
   def storedSchema: StructType = currentVersion.map(schemaAt).getOrElse(schema)
 
+  /** Resolve a manifest data reference: ordinary entries are relative to
+    * THIS replica's root; `ext:` entries (written by [[cloneShallow]])
+    * carry the absolute path of a bucket file still owned by the clone
+    * SOURCE — zero-copy until a commit rewrites that bucket locally. */
+  private def dataPath(rel: String): String =
+    if (rel.startsWith("ext:")) rel.stripPrefix("ext:") else s"$root/$rel"
+
   /** The stored replica (tombstones included) as of the current pointer. */
   def read(spark: SparkSession): DataFrame = {
     val sch = storedSchema
     val paths = currentVersion.map(readManifest).getOrElse(Map.empty)
-      .values.map(rel => s"$root/$rel").toSeq.sorted
+      .values.map(dataPath).toSeq.sorted
     if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
     else spark.read.schema(sch).parquet(paths: _*)
@@ -239,7 +246,7 @@ final class BucketedReplica(
       s"version $v of replica at $root is not retained " +
         s"(current=${currentVersion.getOrElse(-1L)}; current+previous kept)")
     val sch = schemaAt(v) // the schema in effect when v was committed
-    val paths = readManifest(v).values.map(rel => s"$root/$rel").toSeq.sorted
+    val paths = readManifest(v).values.map(dataPath).toSeq.sorted
     if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
     else spark.read.schema(sch).parquet(paths: _*)
@@ -393,6 +400,104 @@ final class BucketedReplica(
     * reads under exactly the schema it committed with (`schemaAt`).
     * Pre-first-commit tables have no version to flip — the declared
     * `_SCHEMA.json` contract rewrites in place instead. */
+  /** Zero-copy SHALLOW CLONE of the current version into a fresh replica
+    * root — the table-clone operation of the reference's warehouse
+    * (BigQuery table clones; Delta/Snowflake shallow clone): the clone is
+    * a full independent replica from its first read, but its manifest
+    * references the SOURCE's bucket files (`ext:` absolute entries), so
+    * creation moves zero data bytes. Commits to either side never affect
+    * the other; a clone commit rewrites only its touched buckets LOCALLY,
+    * so the clone materializes copy-on-write.
+    *
+    * Where Delta documents "vacuum on the source breaks shallow clones",
+    * this clone is GC-SAFE by protocol: creation registers the clone root
+    * in the source's `_META`, and every source GC pass unions the bucket
+    * files referenced by registered clones' retained manifests into its
+    * keep set. [[detachClone]] (after the clone is destroyed or fully
+    * materialized — see [[externalRefs]]) lifts the protection.
+    *
+    * A clone whose own manifest still holds `ext:` references refuses to
+    * be shallow-cloned again: a grandchild would reference the ORIGINAL
+    * root's files while registering only with the middle clone, and the
+    * original could not see it. Materialize first ([[compact]] rewrites
+    * every bucket locally). */
+  def cloneShallow(destRoot: String): BucketedReplica = {
+    val curV = currentVersion.getOrElse(throw new IllegalStateException(
+      s"replica at $root has no committed version to clone"))
+    val man = readManifest(curV)
+    require(man.values.forall(!_.startsWith("ext:")),
+      s"replica at $root still references external files (itself a fresh " +
+        "shallow clone) — materialize it (compact) before cloning again")
+    val dio = new StoreIO(destRoot, StoreIO.sessionConf())
+    require(!dio.exists(dio.path("_META")) && !dio.exists(dio.path("_PTR-1")),
+      s"clone target $destRoot already holds a replica")
+    val n = layoutBuckets
+    dio.writeString(dio.path("_META"), s"nBuckets=$n\npk=$pk\n" +
+      firstTag.map(t => s"firstTag=$t\n").getOrElse(""))
+    dio.writeString(dio.path("manifest-1.tsv"),
+      s"#n=$n\n" + man.toSeq.sortBy(_._1)
+        .map { case (b, rel) => s"$b\text:$root/$rel" }
+        .mkString("", "\n", "\n"))
+    dio.writeString(dio.path("schema-1.json"), schemaAt(curV).json)
+    tagOf(curV).foreach(t => dio.writeString(dio.path("tag-1.tsv"), s"$t\n"))
+    dio.writeString(dio.path("time-1.tsv"), s"${System.currentTimeMillis()}\n")
+    // register BEFORE the clone's pointer lands: from the instant the
+    // clone is readable, source GC must already be protecting its refs
+    registerClone(destRoot)
+    dio.createExclusive(dio.path("_PTR-1"), "1")
+    new BucketedReplica(destRoot, pk, n, schemaAt(curV), posCol, opCol, tsCol)
+  }
+
+  /** Clone roots registered for GC protection on this source. */
+  def registeredClones: Seq[String] =
+    metaKv.toSeq.filter(_._1.startsWith("clone."))
+      .sortBy(_._1).map(_._2)
+
+  /** Count of `ext:` (source-owned) bucket references still in this
+    * replica's current manifest — 0 means the clone has fully
+    * materialized and may be detached from its source. */
+  def externalRefs: Int = currentVersion.map(readManifest).getOrElse(Map.empty)
+    .values.count(_.startsWith("ext:"))
+
+  /** Lift GC protection for a clone (operator action, after the clone is
+    * destroyed or [[externalRefs]] reached 0). */
+  def detachClone(destRoot: String): Unit = {
+    val kept = metaKv.toSeq
+      .filterNot { case (k, v) => k.startsWith("clone.") && v == destRoot }
+    io.writeString(io.path("_META"),
+      kept.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
+  }
+
+  private def registerClone(destRoot: String): Unit = {
+    val kv = metaKv
+    val next = kv.keys.filter(_.startsWith("clone."))
+      .map(_.stripPrefix("clone.").toInt).foldLeft(0)(_ max _) + 1
+    io.writeString(io.path("_META"),
+      (kv.toSeq :+ (s"clone.$next" -> destRoot)).sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
+  }
+
+  /** Local bucket rels referenced by registered clones' RETAINED manifests
+    * — unioned into every GC keep set, which is what makes shallow clones
+    * safe against source GC (control-plane reads only: a few KB per clone
+    * per commit). A registered clone root that no longer exists (destroyed
+    * without detach) simply contributes nothing. */
+  private def cloneProtectedRels: Set[String] = {
+    val prefix = s"ext:$root/"
+    registeredClones.flatMap { croot =>
+      val cio = new StoreIO(croot, StoreIO.sessionConf())
+      val rootPath = cio.path(".")
+      if (!cio.exists(rootPath)) Seq.empty[String]
+      else cio.listFiles(rootPath)
+        .filter(_.getName.matches("manifest-\\d+\\.tsv"))
+        .flatMap(p => cio.readString(p).linesIterator
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(_.split("\t", 2)(1))
+          .filter(_.startsWith(prefix))
+          .map(_.stripPrefix(prefix)).toSeq)
+    }.toSet
+  }
+
   def widenSchema(newFields: Seq[StructField]): Unit = {
     require(newFields.nonEmpty, "widenSchema: no columns to add")
     val base = storedSchema
@@ -496,7 +601,7 @@ final class BucketedReplica(
 
   private def readBuckets(spark: SparkSession, man: Map[Int, String],
                           buckets: Seq[Int], sch: StructType): DataFrame = {
-    val paths = buckets.flatMap(man.get).map(rel => s"$root/$rel")
+    val paths = buckets.flatMap(man.get).map(dataPath)
     if (paths.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
     else spark.read.schema(sch).parquet(paths: _*)
@@ -544,7 +649,8 @@ final class BucketedReplica(
     tag.foreach(t => io.writeString(tagPath(newV), s"$t\n"))
     io.writeString(timePath(newV), s"${System.currentTimeMillis()}\n")
     commitPointer(newV)
-    gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet)
+    gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet
+      ++ cloneProtectedRels)
     curV.foreach { v => // keep cur+prev
       io.delete(manifestPath(v - 1)); io.delete(tagPath(v - 1))
       io.delete(schemaPath(v - 1)); io.delete(timePath(v - 1))
