@@ -234,7 +234,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "durably backfill the birth tag of a pre-birth-tag replica " +
           "(consistent-cut bookkeeping; refuses unsound claims)",
         Array(P("table", StringType), P("tag", LongType)),
-        in => repOf(tbl(in)).recordFirstTag(in.getLong(1)))
+        in => repOf(tbl(in)).recordFirstTag(in.getLong(1))),
+      GraftProcedure("clone",
+        "zero-copy shallow clone of the table's current version into a " +
+          "new catalog table (manifest-only; GC-safe — the source protects " +
+          "clone-referenced files until detach_clone)",
+        Array(P("source_table", StringType), P("dest_table", StringType)),
+        in => {
+          val destDir = rel(in.getUTF8String(1).toString.split('.').toSeq)
+          // visibility = any pointer: a crashed half-clone (no _PTR-*) may
+          // be retried; cloneShallow itself refuses live replicas and
+          // provisioned empty tables
+          require(!io.exists(io.path(destDir)) ||
+            !io.listFiles(io.path(destDir)).exists(_.getName.startsWith("_PTR-")),
+            s"clone target ${in.getUTF8String(1)} already exists")
+          repOf(tbl(in)).cloneShallow(s"$root/$destDir"); ()
+        }),
+      GraftProcedure("detach_clone",
+        "lift GC protection for a clone after it is destroyed or fully " +
+          "materialized (externalRefs = 0); a detached live clone fails " +
+          "loudly once the source GC rolls past it",
+        Array(P("source_table", StringType), P("dest_table", StringType)),
+        in => repOf(tbl(in)).detachClone(
+          s"$root/${rel(in.getUTF8String(1).toString.split('.').toSeq)}"))
     ).map(p => p.name -> p).toMap
   }
 

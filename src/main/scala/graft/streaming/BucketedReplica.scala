@@ -429,8 +429,20 @@ final class BucketedReplica(
       s"replica at $root still references external files (itself a fresh " +
         "shallow clone) — materialize it (compact) before cloning again")
     val dio = new StoreIO(destRoot, StoreIO.sessionConf())
-    require(!dio.exists(dio.path("_META")) && !dio.exists(dio.path("_PTR-1")),
+    // retryable creation: a clone is VISIBLE only once `_PTR-1` lands
+    // (write-once, last step). A crashed earlier attempt leaves
+    // _META + manifest-1 with no pointer — never readable, safe to
+    // overwrite on retry. Anything with ANY pointer (a live replica may
+    // have advanced past v1) refuses, and _META WITHOUT a clone manifest
+    // is a provisioned (CREATE TABLE) empty table — refuses too.
+    val destRootPath = dio.path(".")
+    require(!dio.exists(destRootPath) ||
+      !dio.listFiles(destRootPath).exists(_.getName.startsWith("_PTR-")),
       s"clone target $destRoot already holds a replica")
+    require(!dio.exists(dio.path("_META")) ||
+      dio.exists(dio.path("manifest-1.tsv")),
+      s"clone target $destRoot is a provisioned empty table — " +
+        "drop it first or clone to a fresh name")
     val n = layoutBuckets
     dio.writeString(dio.path("_META"), s"nBuckets=$n\npk=$pk\n" +
       firstTag.map(t => s"firstTag=$t\n").getOrElse(""))
@@ -470,6 +482,8 @@ final class BucketedReplica(
 
   private def registerClone(destRoot: String): Unit = {
     val kv = metaKv
+    if (kv.exists { case (k, v) => k.startsWith("clone.") && v == destRoot })
+      return // crashed-attempt retry: already registered
     val next = kv.keys.filter(_.startsWith("clone."))
       .map(_.stripPrefix("clone.").toInt).foldLeft(0)(_ max _) + 1
     io.writeString(io.path("_META"),

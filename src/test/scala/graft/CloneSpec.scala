@@ -105,6 +105,34 @@ class CloneSpec extends SparkSpecBase {
         "lifted protection (destroy or materialize before detaching)")
   }
 
+  test("clone creation is crash-retryable; provisioned tables are protected") {
+    val src = new BucketedReplica(tmpDir("cl_cr_s") + "/rep", nBuckets = 4)
+    src.commit(mkBatch((1L to 10L).map(k => row("INSERT", k, k, k, k * 1.0))))
+    val destRoot = tmpDir("cl_cr_d") + "/rep"
+    // simulate a first attempt that crashed AFTER meta+manifest+register
+    // but BEFORE the pointer landed: never readable, retry must succeed
+    val dio = new graft.streaming.StoreIO(destRoot,
+      graft.streaming.StoreIO.sessionConf())
+    dio.writeString(dio.path("_META"), "nBuckets=4\npk=user_id\n")
+    dio.writeString(dio.path("manifest-1.tsv"), "#n=4\n")
+    // ... and had already registered on the source before crashing
+    val metaF = java.nio.file.Paths.get(src.root, "_META")
+    java.nio.file.Files.writeString(metaF,
+      java.nio.file.Files.readString(metaF) + s"clone.1=$destRoot\n")
+    val clone = src.cloneShallow(destRoot)
+    assert(state(clone) === state(src))
+    // registration did not duplicate across the retry
+    assert(src.registeredClones.count(_ == destRoot) === 1)
+    // a PROVISIONED empty table (meta, no clone manifest) refuses clobber
+    val provRoot = tmpDir("cl_cr_p") + "/rep"
+    val pio = new graft.streaming.StoreIO(provRoot,
+      graft.streaming.StoreIO.sessionConf())
+    pio.writeString(pio.path("_META"), "nBuckets=4\npk=user_id\n")
+    intercept[IllegalArgumentException](src.cloneShallow(provRoot))
+    // a LIVE replica refuses too
+    intercept[IllegalArgumentException](src.cloneShallow(clone.root))
+  }
+
   test("a clone with live external refs refuses to be cloned again") {
     val src = new BucketedReplica(tmpDir("cl_cc_s") + "/rep", nBuckets = 4)
     src.commit(mkBatch((1L to 10L).map(k => row("INSERT", k, k, k, k * 1.0))))

@@ -197,6 +197,33 @@ class DdlEvolutionSpec extends SparkSpecBase {
       s"unknown procedure must list the available ones, got: $chain")
   }
 
+  test("CALL graft.system.clone creates a queryable zero-copy table") {
+    val wh = tmpDir("ddl_clone")
+    val root = s"$wh/cdc/users"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.destroy(); rep.commit(seed)
+    val cold = coldSession(wh)
+    val before = rowsOf(rep.live(spark))
+
+    cold.sql("CALL graft.system.clone('cdc.users', 'cdc.users_dev')")
+    // discoverable by name from the cold session, content identical
+    assert(rowsOf(cold.sql(
+      "SELECT * FROM graft.cdc.users_dev WHERE op <> 'DELETE'")) === before)
+    // zero data bytes under the clone root
+    assert(!new java.io.File(s"$wh/cdc/users_dev/data").exists(),
+      "shallow clone wrote data files")
+    // SQL DML on the clone diverges it; the source never moves
+    cold.sql("DELETE FROM graft.cdc.users_dev WHERE user_id % 2 = 0")
+    assert(rowsOf(rep.live(spark)) === before, "clone DML leaked to source")
+    assert(cold.sql("SELECT * FROM graft.cdc.users_dev " +
+      "WHERE op <> 'DELETE' AND user_id % 2 = 0").isEmpty)
+    // collision refused; detach deregisters
+    intercept[Exception](
+      cold.sql("CALL graft.system.clone('cdc.users', 'cdc.users_dev')"))
+    cold.sql("CALL graft.system.detach_clone('cdc.users', 'cdc.users_dev')")
+    assert(new BucketedReplica(root, nBuckets = 4).registeredClones.isEmpty)
+  }
+
   test("SHOW TABLES and DESCRIBE resolve through the catalog") {
     val wh = tmpDir("ddl_show")
     val rep = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)

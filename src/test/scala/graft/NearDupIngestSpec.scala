@@ -117,6 +117,27 @@ class NearDupIngestSpec extends SparkSpecBase {
     assert(before._1 === Set(1L, 50L))
   }
 
+  test("stream(): cleaning + rejection compose through Structured Streaming") {
+    val in = tmpDir("nd_str_in"); val root = tmpDir("nd_str") + "/s"
+    val ckpt = tmpDir("nd_str_ck")
+    import org.apache.spark.sql.SaveMode
+    // file 1: the clean base; file 2: a MARKUP-wrapped exact twin of A
+    // (cleans to identical text → exact-dedup drop) and the near-dup B
+    df(A, E).coalesce(1).write.mode(SaveMode.Append).parquet(in)
+    df(doc(60L, "<p>" + base + "</p>"), B).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(in)
+    val ing = new CorpusIngest(root, cleanInput = true, nearDupMinSig = Some(6))
+    val q = ing.stream(
+      spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q.awaitTermination()
+    assert(ing.corpus(spark).collect().map(_.getLong(0)).toSet === Set(1L, 50L))
+    // doc 60 fell to EXACT dedup (post-clean twin of A), doc 10 to NEAR-dup
+    val rej = ing.nearDupRejects(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rej === Set((10L, 1L)))
+  }
+
   test("rejected docs are still exact-dedup barriers for later copies") {
     val root = tmpDir("nd_exact") + "/s"
     val ing = new CorpusIngest(root, nearDupMinSig = Some(6))
