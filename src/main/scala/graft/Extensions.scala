@@ -1439,6 +1439,41 @@ object Extensions {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("split_a", "split_b")
     },
+    // E1/ingest-rule — the ONLINE near-dup rejection rule as a one-shot
+    // oracle-gated query (the batch twin of CorpusIngest(nearDupMinSig):
+    // NearDupIngestSpec proves stream ≡ this rule under any chunking;
+    // THIS query proves the rule itself against an independent engine).
+    // A doc is rejected when ≥6 of its 8 MinHash components agree with
+    // any SMALLER-id doc; report per-lang kept/rejected counts. Same %10
+    // audit-slice economics as the e03 family; the agreement check reads
+    // 16 longs per candidate pair.
+    "e90_reject_rule" -> { (s, d) =>
+      val sig = minhashSigs(load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text")))
+        .persist()
+      val bands = bandsFromSigs(sig, 2, 4)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      val nMatch = (0 until 8).map(i =>
+        when(col(s"sig$i") === col(s"p$i"), 1).otherwise(0)).reduce(_ + _)
+      val verified = cand
+        .join(sig.select(col("doc_id").as("d1") +:
+          (0 until 8).map(i => col(s"sig$i").as(s"p$i")): _*), "d1")
+        .join(sig.select(col("doc_id").as("d2") +:
+          (0 until 8).map(i => col(s"sig$i")): _*), "d2")
+        .filter(nMatch >= 6)
+        .select(col("d1"), col("d2"))
+      val rejected = verified.select(col("d2").as("doc_id")).distinct()
+      load(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        .join(rejected.withColumn("rej", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rej").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(coalesce(col("rej"), lit(0L))).as("n_rejected"))
+        .orderBy("lang")
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -3104,6 +3139,41 @@ object Extensions {
         |  sum(CASE WHEN f_len + f_wl + f_stop + f_rep = 0 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_pass
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // the oracle rebuilds candidates AND the 8-component agreement check,
+    // so the acceptance rule the streaming ingest enforces is itself
+    // cross-engine verified
+    "e90_reject_rule" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      val agree = (0 until 8).map(i =>
+        s"(CASE WHEN s1.sig$i = s2.sig$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |ver AS (SELECT d1, d2 FROM cand
+         |        JOIN sig s1 ON cand.d1 = s1.doc_id
+         |        JOIN sig s2 ON cand.d2 = s2.doc_id
+         |        WHERE $agree >= 6),
+         |rej AS (SELECT DISTINCT d2 AS doc_id FROM ver)
+         |SELECT lang, count(*) AS n_docs,
+         |  sum(CASE WHEN rej.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN rej.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_rejected
+         |FROM documents LEFT JOIN rej USING (doc_id)
+         |WHERE doc_id % 10 = 0
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "e87_fertility" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(string_split(text, ' ')))::BIGINT AS n_words,

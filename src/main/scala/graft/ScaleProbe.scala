@@ -163,7 +163,12 @@ object ScaleProbe {
       "e21_dedup_components" -> SparkEntry.queries("e21_dedup_components"),
       "e55_jaccard_prefix" -> SparkEntry.queries("e55_jaccard_prefix"),
       "e09c_ann_ivf_partitioned" -> SparkEntry.queries("e09c_ann_ivf_partitioned"),
-      "e48_semantic_dedup" -> SparkEntry.queries("e48_semantic_dedup"))
+      "e48_semantic_dedup" -> SparkEntry.queries("e48_semantic_dedup"),
+      // the round-7 rewrite passes: span scrub groups on the 8-token window
+      // key, line dedup on the line key — both should ride |corpus| lines,
+      // since suffixed-replica spans/lines never collide across replicas
+      "e80_span_scrub" -> SparkEntry.queries("e80_span_scrub"),
+      "e82_line_dedup" -> SparkEntry.queries("e82_line_dedup"))
     val bytes = new Bytes
     spark.sparkContext.addSparkListener(bytes)
     val dirs = scales.map(sc => sc -> synthDir(spark, baseDir, sc)).toMap
