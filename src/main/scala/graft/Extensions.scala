@@ -1474,6 +1474,129 @@ object Extensions {
           sum(coalesce(col("rej"), lit(0L))).as("n_rejected"))
         .orderBy("lang")
     },
+    // E5×E1 — IMAGE near-dup via perceptual hash: the dedup pillar at the
+    // image modality. Executors REALLY decode each PNG (inflate+unfilter),
+    // compute a 64-bit dHash (9×8 NN-grayscale grid, row-adjacent
+    // comparisons), and near-dup candidates come from 16-bit band equality
+    // over the hash — the text LSH design transplanted: band buckets make
+    // the candidate join bucket-local (collision odds 4·2^-16 for
+    // unrelated images), and only candidates pay the XOR-hamming verify.
+    // The fixture plants controlled near-dup twins (every 997th pixel byte
+    // bumped — exact hashes differ, perceptual distance ~0) and the oracle
+    // rederives decode→resample→hash→band→hamming entirely in closed-form
+    // integer SQL. Scale: per image ONE 2-long row leaves the decode;
+    // shuffle = 4 band rows/image; never all-pairs.
+    "e91_image_dhash" -> { (s, d) =>
+      import s.implicits._
+      val path = writeDhashFixtures(s, d)
+      val hashes = s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "png_(\\d+)\\.png$", 1)
+            .cast(LongType).as("doc_id"),
+          col("content").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, b) =>
+            val (w, h, _, _) = Multimodal.pngHeader(b)
+            val px = Multimodal.decodePngPixels(b)
+            val (hi, lo) = Multimodal.dhash64(px, w, h)
+            (id, hi, lo)
+          }
+        }
+        .toDF("doc_id", "hi", "lo")
+      val bands = hashes.select(col("doc_id"),
+        explode(array(
+          struct(lit(0).as("band"), (col("hi") % 65536).as("key")),
+          struct(lit(1).as("band"), shiftright(col("hi"), 16).as("key")),
+          struct(lit(2).as("band"), (col("lo") % 65536).as("key")),
+          struct(lit(3).as("band"), shiftright(col("lo"), 16).as("key"))))
+          .as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val hamming =
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).cast(LongType)
+      cand
+        .join(hashes.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(hashes.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+        .filter(col("hamming") <= 12)
+        .orderBy("doc_a", "doc_b")
+    },
+    // E4 — Unicode script composition profile: the multilingual-corpus
+    // audit that runs before language-ID is trusted (a doc whose declared
+    // lang disagrees with its dominant script is mis-tagged or mixed).
+    // Injected non-ASCII classes (Cyrillic / CJK / Latin-1-accented by
+    // doc_id mod 4) give the ASCII fixture real script structure; counts
+    // are codepoint-exact via regexp class erasure, classification is a
+    // deterministic disjoint CASE. Scale: pure map-side derivation + a
+    // |langs×classes|-row rollup — the scan never shuffles data rows.
+    "e92_script_mix" -> { (s, d) =>
+      val m4 = pmod(col("doc_id"), lit(4L))
+      val t = concat(col("text"),
+        when(m4 === 0, lit(" привет мир"))
+          .when(m4 === 1, lit(" 你好世界"))
+          .when(m4 === 2, lit(" café résumé"))
+          .otherwise(lit("")))
+      def cnt(cls: String) =
+        (length(t) - length(regexp_replace(t, cls, ""))).cast(LongType)
+      val nCyr = cnt("[\\x{0400}-\\x{04FF}]")
+      val nCjk = cnt("[\\x{4E00}-\\x{9FFF}]")
+      val nAcc = cnt("[\\x{00C0}-\\x{00FF}]")
+      load(s, d, "documents")
+        .select(col("lang"),
+          when(nCyr > 0, "cyrillic").when(nCjk > 0, "cjk")
+            .when(nAcc > 0, "accented").otherwise("ascii").as("script_class"),
+          cnt("[a-zA-Z]").as("lat"), nCyr.as("cyr"), nCjk.as("cjk"),
+          nAcc.as("acc"),
+          (length(t) - cnt("[\\x{0000}-\\x{007F}]")).as("nonascii"))
+        .groupBy(col("lang"), col("script_class"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("lat")).as("n_latin"),
+          sum(col("cyr")).as("n_cyr"), sum(col("cjk")).as("n_cjk"),
+          sum(col("acc")).as("n_accented"),
+          sum(col("nonascii")).as("n_nonascii"))
+        .orderBy("lang", "script_class")
+    },
+    // E5×E1 — AUDIO near-dup via window-energy fingerprint: executors
+    // REALLY decode the PCM stream, cut it into 64-sample windows, and
+    // keep only the SIGN of each window-to-window energy delta (≤56 bits,
+    // positive BIGINT) — robust to the fixture's planted dropout twins
+    // (every 101st sample zeroed) because sparse dropout barely moves a
+    // window's |amplitude| sum. Matching requires equal window counts
+    // (length-compatible) + XOR-hamming ≤ 8; the oracle rederives
+    // stream→windows→fingerprint→pairs in closed-form integer SQL.
+    // Scale: ONE 3-long row per file leaves the decode; the candidate
+    // join keys on n_windows (a length bucket), never sample data.
+    "e93_audio_fp" -> { (s, d) =>
+      import s.implicits._
+      val path = writeWavFpFixtures(s, d)
+      val fps = s.read.format("binaryFile").load(path)
+        .filter(Multimodal.isWav(col("content")))
+        .select(
+          regexp_extract(col("path"), "wav_(\\d+)\\.wav$", 1)
+            .cast(LongType).as("doc_id"),
+          col("content").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, b) =>
+            val (n, nw, fp) = Multimodal.audioFingerprint(b)
+            (id, n, nw, fp)
+          }
+        }
+        .toDF("doc_id", "n_samples", "n_windows", "fp")
+      val hamming = bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast(LongType)
+      fps.as("a").join(fps.as("b"),
+          col("a.n_windows") === col("b.n_windows") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_windows").as("n_windows"), hamming.as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -2671,6 +2794,62 @@ object Extensions {
     path
   }
 
+  /** e91's PNG near-dup fixture dir: for each base doc a REAL encoded PNG
+    * (seed = doc_id) plus its perturbed twin (png_{1000+doc_id}, same
+    * dims/seed, every 997th pixel byte bumped by one mod 256) — the
+    * controlled near-duplicate pair a perceptual-hash dedup must link.
+    * Same SF-keyed + late-bound discipline as the other media fixtures. */
+  private def writeDhashFixtures(s: SparkSession, d: String): String = {
+    val t = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_png_e91_$t"
+    val dir = new java.io.File(path); dir.mkdirs()
+    Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".png")).foreach(_.delete())
+    load(s, d, "documents").filter(col("doc_id").isin(0L, 5L, 10L, 15L, 20L))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        val w = (r.getLong(1) % 120 + 16).toInt
+        val h = (r.getLong(1) * 3 % 90 + 16).toInt
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"png_$id.png"),
+          Multimodal.encodePng(w, h, seed = id))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"png_${1000 + id}.png"),
+          Multimodal.encodePngPerturbed(w, h, seed = id, mod = 997))
+      }
+    pngFixturePaths("e91") = path
+    path
+  }
+
+  /** e93's WAV near-dup fixture dir: per base doc the closed-form PCM
+    * stream (seed = doc_id) plus its dropout twin (wav_{1000+doc_id},
+    * every 101st sample zeroed) — same late-bound oracle discipline. */
+  @volatile private var wavFpFixturePath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_wavfp_fixture_default"
+  private def writeWavFpFixtures(s: SparkSession, d: String): String = {
+    val t = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_wavfp_fixture_$t"
+    wavFpFixturePath = path
+    val dir = new java.io.File(path); dir.mkdirs()
+    Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".wav")).foreach(_.delete())
+    load(s, d, "documents").filter(col("doc_id").isin(0L, 10L, 20L))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        val n = (r.getLong(1) % 1500 + 400).toInt
+        val sr = (8000 + (id % 3) * 4000).toInt
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"wav_$id.wav"),
+          Multimodal.encodeWav(n, sr, seed = id))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"wav_${1000 + id}.wav"),
+          Multimodal.encodeWavDropout(n, sr, seed = id, dropMod = 101))
+      }
+    path
+  }
+
   /** DuckDB spelling of a little-endian unsigned read of `n` bytes at
     * 0-based `off` over read_blob's `content` — per-byte hex reads
     * recombined by place value, the oracle twin of [[Multimodal.leInt]]. */
@@ -3558,6 +3737,48 @@ object Extensions {
          |FROM hdr h JOIN st ON h.doc_id = st.doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    // the oracle rederives stream → dropout → 64-sample window energies →
+    // sign-of-delta fingerprint → hamming pairs in exact integer SQL
+    "e93_audio_fp" -> {
+      s"""WITH f AS (
+         |  SELECT CAST(regexp_extract(filename, 'wav_(\\d+)\\.wav', 1) AS BIGINT) AS doc_id,
+         |    content
+         |  FROM read_blob('$wavFpFixturePath/*.wav')
+         |  WHERE substring(hex(content), 1, 8) = '52494646'),
+         |hdr AS (
+         |  SELECT doc_id, ${leBlobSql(40, 4)} // 2 AS n_samples,
+         |    doc_id % 1000 AS seed,
+         |    CASE WHEN doc_id >= 1000 THEN 101 ELSE 0 END AS dm
+         |  FROM f),
+         |sm AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN dm > 0 AND i % dm = 0 THEN 0
+         |         WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+         |  FROM (
+         |    SELECT doc_id, dm, t.i AS i,
+         |      ((seed + t.i) * 1103515245 + 12345) // 65536 % 65536 AS v
+         |    FROM hdr,
+         |      LATERAL unnest(generate_series(0, (n_samples // 64) * 64 - 1)) AS t(i))),
+         |wn AS (
+         |  SELECT doc_id, i // 64 AS w, SUM(abs(s)) AS e
+         |  FROM sm GROUP BY doc_id, i // 64),
+         |bits AS (
+         |  SELECT a.doc_id, a.w AS idx,
+         |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+         |  FROM wn a JOIN wn b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+         |  WHERE a.w < 56),
+         |fp AS (
+         |  SELECT h.doc_id, h.n_samples // 64 AS nw,
+         |    coalesce(SUM(bit * (1::BIGINT << idx)), 0)::BIGINT AS fpv
+         |  FROM hdr h LEFT JOIN bits ON h.doc_id = bits.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.nw::BIGINT AS n_windows,
+         |  bit_count(xor(a.fpv, b.fpv))::BIGINT AS hamming
+         |FROM fp a JOIN fp b ON a.nw = b.nw AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fpv, b.fpv)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // dims from the fixture's IHDR bytes, target geometry by the same
     // integer floor math as fitBox, and the resized checksum from the
     // closed-form pixel stream sampled at (ty*h//rh, tx*w//rw) — the
@@ -3626,6 +3847,83 @@ object Extensions {
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  px_sum, px_sum::DOUBLE / cnt AS mean_px
         |FROM px ORDER BY doc_id, frame_idx""".stripMargin),
+    // the oracle rederives the ENTIRE perceptual pipeline in closed-form
+    // integer SQL — perturbed pixel stream, 9×8 NN grayscale grid, bit
+    // comparisons, band buckets, XOR hamming — from the same header bytes
+    "e91_image_dhash" ->
+      ("""WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'png_(\d+)\.png', 1) AS BIGINT) AS doc_id,
+        |    CAST('0x' || substring(hex(content), 33, 8) AS BIGINT) AS w,
+        |    CAST('0x' || substring(hex(content), 41, 8) AS BIGINT) AS h
+        |  FROM read_blob('""".stripMargin + pngPathFor("e91") + """/*.png')),
+        |p AS (
+        |  SELECT doc_id, w, h, doc_id % 1000 AS seed,
+        |    CASE WHEN doc_id >= 1000 THEN 997 ELSE 0 END AS pm
+        |  FROM f),
+        |g AS (
+        |  SELECT doc_id, ty, tx, SUM(pxv) // 3 AS gray
+        |  FROM (
+        |    SELECT doc_id, a.ty AS ty, b.tx AS tx,
+        |      ((((seed + (a.ty * h // 8) * 7919 + ((b.tx * w // 9) * 3 + cc.c))
+        |         * 1103515245 + 12345) // 65536 % 256)
+        |       + CASE WHEN pm > 0 AND
+        |           ((a.ty * h // 8) * (w * 3) + (b.tx * w // 9) * 3 + cc.c) % pm = 0
+        |         THEN 1 ELSE 0 END) % 256 AS pxv
+        |    FROM p,
+        |      LATERAL unnest(generate_series(0, 7)) AS a(ty),
+        |      LATERAL unnest(generate_series(0, 8)) AS b(tx),
+        |      LATERAL unnest(generate_series(0, 2)) AS cc(c))
+        |  GROUP BY 1, 2, 3),
+        |bits AS (
+        |  SELECT g1.doc_id, (g1.ty * 8 + g1.tx) AS idx,
+        |    CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+        |  FROM g g1 JOIN g g2
+        |    ON g1.doc_id = g2.doc_id AND g1.ty = g2.ty AND g2.tx = g1.tx + 1
+        |  WHERE g1.tx < 8),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END)::BIGINT AS hi,
+        |    SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END)::BIGINT AS lo
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id,
+        |    unnest([0, 1, 2, 3]) AS band,
+        |    unnest([hi % 65536, hi // 65536, lo % 65536, lo // 65536]) AS bkey
+        |  FROM hsh),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |  (bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)))::BIGINT AS hamming
+        |FROM cand c
+        |JOIN hsh ha ON ha.doc_id = c.doc_a
+        |JOIN hsh hb ON hb.doc_id = c.doc_b
+        |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // codepoint-exact class counts via regexp erasure ('g' = replace ALL,
+    // Spark's default); the injected suffixes must stay byte-identical
+    // with the Spark literals
+    "e92_script_mix" ->
+      """WITH t AS (SELECT lang,
+        |  text || CASE doc_id % 4
+        |    WHEN 0 THEN ' привет мир' WHEN 1 THEN ' 你好世界'
+        |    WHEN 2 THEN ' café résumé' ELSE '' END AS s
+        |  FROM documents),
+        |c AS (SELECT lang,
+        |  length(s) - length(regexp_replace(s, '[a-zA-Z]', '', 'g')) AS lat,
+        |  length(s) - length(regexp_replace(s, '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr,
+        |  length(s) - length(regexp_replace(s, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk,
+        |  length(s) - length(regexp_replace(s, '[\x{00C0}-\x{00FF}]', '', 'g')) AS acc,
+        |  length(regexp_replace(s, '[\x{0000}-\x{007F}]', '', 'g')) AS nonascii
+        |  FROM t)
+        |SELECT lang,
+        |  CASE WHEN cyr > 0 THEN 'cyrillic' WHEN cjk > 0 THEN 'cjk'
+        |       WHEN acc > 0 THEN 'accented' ELSE 'ascii' END AS script_class,
+        |  count(*) AS n_docs, SUM(lat)::BIGINT AS n_latin,
+        |  SUM(cyr)::BIGINT AS n_cyr, SUM(cjk)::BIGINT AS n_cjk,
+        |  SUM(acc)::BIGINT AS n_accented, SUM(nonascii)::BIGINT AS n_nonascii
+        |FROM c GROUP BY 1, 2 ORDER BY lang, script_class""".stripMargin,
     "e24_lexicon_scrub" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |k AS (SELECT doc_id, lang, tk,

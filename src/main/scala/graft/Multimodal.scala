@@ -179,7 +179,36 @@ object Multimodal {
     * zlib-deflated IDAT, IEND, every chunk CRC32'd. Decodable by any PNG
     * reader (MultimodalSpec cross-checks against the JDK's own ImageIO).
     * Driver-side fixture writer: bounded file counts only. */
-  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] =
+    pngFromRaw(width, height, rawScanlines(width, height, seed))
+
+  /** [[encodePng]]'s near-duplicate twin: the same closed-form pixel
+    * stream with a sparse deterministic perturbation — every pixel byte
+    * whose row-major index (y*width*3 + x) is ≡ 0 (mod `mod`) is bumped
+    * by one, mod 256. ~1/mod of the bytes change by ±255 at most, so the
+    * perceptual hash of the twin stays within a few bits of the original
+    * while the exact bytes (and any exact content hash) differ — the
+    * controlled near-dup generator for the e91 dHash query, whose oracle
+    * rederives the identical perturbed stream in closed form. */
+  def encodePngPerturbed(width: Int, height: Int, seed: Long, mod: Int): Array[Byte] = {
+    require(mod > 0, s"encodePngPerturbed mod=$mod")
+    val raw = rawScanlines(width, height, seed)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width * 3) {
+        if ((y.toLong * width * 3 + x) % mod == 0) {
+          val i = y * (1 + width * 3) + 1 + x
+          raw(i) = (((raw(i) & 0xff) + 1) % 256).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    pngFromRaw(width, height, raw)
+  }
+
+  private def pngFromRaw(width: Int, height: Int, raw: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0, s"encodePng($width x $height)")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
@@ -196,7 +225,6 @@ object Multimodal {
       .putInt(width).putInt(height)
       .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (truecolor)
       .put(0.toByte).put(0.toByte).put(0.toByte).array())
-    val raw = rawScanlines(width, height, seed)
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zout = new java.io.ByteArrayOutputStream()
@@ -433,6 +461,98 @@ object Multimodal {
       bb.putShort(pcmSample(seed, i).toShort)
     }
     bb.array()
+  }
+
+  /** [[encodeWav]]'s near-duplicate twin: the identical sample stream with
+    * every `dropMod`-th sample zeroed — deterministic dropout noise, the
+    * audio analogue of [[encodePngPerturbed]]. Window-energy fingerprints
+    * of the twin stay within a few bits of the original while the exact
+    * sample bytes differ; the e93 oracle rederives the dropout in closed
+    * form. */
+  def encodeWavDropout(nSamples: Int, sampleRate: Int, seed: Long,
+      dropMod: Int): Array[Byte] = {
+    require(dropMod > 0, s"encodeWavDropout dropMod=$dropMod")
+    val b = encodeWav(nSamples, sampleRate, seed)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nSamples by dropMod).foreach(i => bb.putShort(44 + 2 * i, 0.toShort))
+    b
+  }
+
+  /** 64-bit perceptual difference hash (dHash) over decoded RGB pixels:
+    * NN-downsample to a 9×8 grayscale grid with the same integer-floor
+    * geometry as [[resizeNearest]] (src = tgt*dim/tgtDim), gray =
+    * (r+g+b)/3 integer, bit(ty,i) = grid(ty,i+1) > grid(ty,i) — 8
+    * comparisons × 8 rows. Packed as two unsigned 32-bit halves in
+    * BIGINTs (bit idx = ty*8+i; hi holds idx<32) so band slicing and
+    * XOR-hamming stay in positive integer math on any engine. Executor
+    * math only — per image ONE (hi, lo) pair crosses the exchange, and
+    * near-dup candidates come from 16-bit band equality, never pixel
+    * comparison. */
+  def dhash64(px: Array[Byte], w: Int, h: Int): (Long, Long) = {
+    require(w > 0 && h > 0 && px.length >= w * h * 3, s"dhash64($w x $h)")
+    val g = Array.ofDim[Int](8, 9)
+    var ty = 0
+    while (ty < 8) {
+      var tx = 0
+      while (tx < 9) {
+        val sx = tx * w / 9
+        val sy = ty * h / 8
+        val base = (sy * w + sx) * 3
+        g(ty)(tx) = ((px(base) & 0xff) + (px(base + 1) & 0xff) +
+          (px(base + 2) & 0xff)) / 3
+        tx += 1
+      }
+      ty += 1
+    }
+    var hi = 0L; var lo = 0L
+    ty = 0
+    while (ty < 8) {
+      var i = 0
+      while (i < 8) {
+        if (g(ty)(i + 1) > g(ty)(i)) {
+          val idx = ty * 8 + i
+          if (idx < 32) hi |= 1L << idx else lo |= 1L << (idx - 32)
+        }
+        i += 1
+      }
+      ty += 1
+    }
+    (hi, lo)
+  }
+
+  /** Window-energy audio fingerprint over the REAL decoded PCM stream:
+    * the sample stream is cut into full 64-sample windows, each window's
+    * energy is the exact integer sum of |sample|, and bit w of the
+    * fingerprint is energy(w+1) > energy(w) — the spectral-free cousin of
+    * chromaprint's band-energy derivative, robust to sparse dropout and
+    * DC-ish perturbations because only the SIGN of the window-to-window
+    * energy delta is kept. At most 56 bits (idx < 56) so the value stays
+    * a positive BIGINT on any engine. Returns (nSamples, nWindows, fp). */
+  def audioFingerprint(b: Array[Byte]): (Long, Long, Long) = {
+    val (_, _, bits, doff, dlen) = wavHeader(b)
+    require(bits == 16, s"unsupported bit depth $bits")
+    val n = dlen / 2
+    val nw = n / 64
+    val en = new Array[Long](nw)
+    var w = 0
+    while (w < nw) {
+      var i = 0
+      var e = 0L
+      while (i < 64) {
+        val s = (le(b, doff + 2 * (w * 64 + i), 2).toInt << 16) >> 16
+        e += math.abs(s.toLong)
+        i += 1
+      }
+      en(w) = e
+      w += 1
+    }
+    var fp = 0L
+    w = 0
+    while (w < nw - 1 && w < 56) {
+      if (en(w + 1) > en(w)) fp |= 1L << w
+      w += 1
+    }
+    (n.toLong, nw.toLong, fp)
   }
 
   /** The closed-form sample stream [[encodeWav]] writes: signed int16 from

@@ -362,4 +362,60 @@ class MultimodalSpec extends SparkSpecBase {
       .select(Multimodal.gvidFrameCount(col("payload"))).head().getLong(0)
     assert(n === 4L)
   }
+
+  test("dhash64: exact duplicate → hamming 0; perturbed twin stays close; " +
+    "different image far; halves stay positive") {
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    def hashOf(bytes: Array[Byte]): (Long, Long) = {
+      val (w, h, _, _) = Multimodal.pngHeader(bytes)
+      Multimodal.dhash64(Multimodal.decodePngPixels(bytes), w, h)
+    }
+    val base = hashOf(Multimodal.encodePng(40, 30, seed = 9L))
+    val dup = hashOf(Multimodal.encodePng(40, 30, seed = 9L))
+    val near = hashOf(Multimodal.encodePngPerturbed(40, 30, seed = 9L, mod = 997))
+    val other = hashOf(Multimodal.encodePng(40, 30, seed = 10L))
+    assert(ham(base, dup) === 0)
+    assert(ham(base, near) <= 6, s"perturbed twin drifted: ${ham(base, near)}")
+    // LCG images are perceptual noise — an unrelated one is ~32 bits away
+    assert(ham(base, other) > 12, s"unrelated image too close: ${ham(base, other)}")
+    Seq(base, near, other).foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    }
+  }
+
+  test("encodePngPerturbed changes exact bytes but still decodes; exactly " +
+    "the mod-indexed pixel bytes differ by +1 mod 256") {
+    val a = Multimodal.encodePng(25, 19, seed = 3L)
+    val b = Multimodal.encodePngPerturbed(25, 19, seed = 3L, mod = 997)
+    assert(!java.util.Arrays.equals(a, b))
+    val pa = Multimodal.decodePngPixels(a)
+    val pb = Multimodal.decodePngPixels(b)
+    assert(pa.length === pb.length)
+    pa.indices.foreach { i =>
+      val expect =
+        if (i % 997 == 0) ((pa(i) & 0xff) + 1) % 256 else pa(i) & 0xff
+      assert((pb(i) & 0xff) === expect, s"pixel byte $i")
+    }
+  }
+
+  test("audioFingerprint: dropout twin within a few bits, value positive, " +
+    "window count exact") {
+    val base = Multimodal.encodeWav(1200, 8000, seed = 5L)
+    val twin = Multimodal.encodeWavDropout(1200, 8000, seed = 5L, dropMod = 101)
+    val other = Multimodal.encodeWav(1200, 8000, seed = 6L)
+    val (n1, nw1, f1) = Multimodal.audioFingerprint(base)
+    val (n2, nw2, f2) = Multimodal.audioFingerprint(twin)
+    val (_, _, f3) = Multimodal.audioFingerprint(other)
+    assert(n1 === 1200L && nw1 === 1200L / 64)
+    assert((n1, nw1) === ((n2, nw2)))
+    assert(f1 >= 0 && f1 < (1L << 56) && f2 >= 0)
+    assert(java.lang.Long.bitCount(f1 ^ f2) <= 4,
+      s"dropout twin drifted: ${java.lang.Long.bitCount(f1 ^ f2)}")
+    // twins differ in raw samples even though fingerprints agree
+    assert(!java.util.Arrays.equals(base, twin))
+    // an unrelated stream needn't be far on few bits, but must be a
+    // DIFFERENT deterministic value in general: recompute twice, stable
+    assert(f3 === Multimodal.audioFingerprint(other)._3)
+  }
 }
