@@ -1597,6 +1597,73 @@ object Extensions {
         .filter(col("hamming") <= 8)
         .orderBy("doc_a", "doc_b")
     },
+    // E5 — landing-bucket format triage: the FIRST op a multimodal ingest
+    // runs over an untyped blob bucket — classify every file by magic
+    // bytes (PNG/JPEG/WAV/GVID/opaque) and report per-kind volume, so
+    // downstream decode stages route by kind instead of trying codecs.
+    // Pure codegen'd column predicates over the payload prefix (the same
+    // isPng/isJpeg/isWav/isGvid expressions the decode queries gate on);
+    // the fixture mixes real encodings of all four kinds plus junk.
+    // Scale: classification is a prefix read per file, the rollup is
+    // |kinds| rows — the scan cost IS the listing.
+    "e94_format_detect" -> { (s, d) =>
+      val path = writeMixedMediaFixtures(s, d)
+      val kind = when(Multimodal.isPng(col("content")), "png")
+        .when(Multimodal.isJpeg(col("content")), "jpeg")
+        .when(Multimodal.isWav(col("content")), "wav")
+        .when(Multimodal.isGvid(col("content")), "video")
+        .otherwise("opaque")
+      s.read.format("binaryFile").load(path)
+        .select(kind.as("kind"), col("length").as("n_bytes"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("total_bytes"),
+          min(col("n_bytes")).as("min_bytes"), max(col("n_bytes")).as("max_bytes"))
+        .orderBy("kind")
+    },
+    // E5 — per-channel normalization constants: the dataset-statistics
+    // pass every vision pipeline runs before training (channel means/stds
+    // for the normalize transform). Executors really decode each PNG and
+    // fold per-channel n/Σv/Σv²/min/max as exact integers; the corpus
+    // variance numerator n·Σv²−(Σv)² is exact too, so the only float in
+    // the result is one IEEE division. Scale: THREE rows per image leave
+    // the decode, the rollup is 3 rows total — decode-bound, shuffle-free
+    // in any real sense.
+    "e95_channel_stats" -> { (s, d) =>
+      import s.implicits._
+      val path = writePngFixtures(s, d, "e95")
+      s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "png_(\\d+)\\.png$", 1)
+            .cast(LongType).as("doc_id"),
+          col("content").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (_, b) =>
+          val px = Multimodal.decodePngPixels(b)
+          val n = new Array[Long](3); val sm = new Array[Long](3)
+          val sq = new Array[Long](3)
+          val mn = Array.fill(3)(255L); val mx = new Array[Long](3)
+          var i = 0
+          while (i < px.length) {
+            val c = i % 3; val v = (px(i) & 0xff).toLong
+            n(c) += 1; sm(c) += v; sq(c) += v * v
+            if (v < mn(c)) mn(c) = v
+            if (v > mx(c)) mx(c) = v
+            i += 1
+          }
+          Seq("r", "g", "b").zipWithIndex.map { case (ch, c) =>
+            (ch, n(c), sm(c), sq(c), mn(c), mx(c))
+          }
+        }
+        .toDF("channel", "n_px", "sum_v", "sum_sq", "min_v", "max_v")
+        .groupBy(col("channel"))
+        .agg(sum(col("n_px")).as("n_px"), sum(col("sum_v")).as("sum_v"),
+          sum(col("sum_sq")).as("sum_sq"), min(col("min_v")).as("min_v"),
+          max(col("max_v")).as("max_v"))
+        .withColumn("var_num",
+          col("n_px") * col("sum_sq") - col("sum_v") * col("sum_v"))
+        .withColumn("mean_v", col("sum_v").cast(DoubleType) / col("n_px"))
+        .orderBy("channel")
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -2850,6 +2917,47 @@ object Extensions {
     path
   }
 
+  /** e94's mixed landing bucket: real encodings of all four media kinds
+    * plus opaque junk in ONE dir — the untyped-blob-bucket shape a
+    * multimodal ingest triages first. Same SF-keyed + late-bound oracle
+    * discipline as the per-kind fixtures. */
+  @volatile private var mixedFixturePath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_mixed_fixture_default"
+  private def writeMixedMediaFixtures(s: SparkSession, d: String): String = {
+    val t = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_mixed_fixture_$t"
+    mixedFixturePath = path
+    val dir = new java.io.File(path); dir.mkdirs()
+    Option(dir.listFiles).getOrElse(Array.empty).foreach(_.delete())
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path, name), bytes)
+    load(s, d, "documents")
+      .filter(col("doc_id").isin(0L, 5L, 10L, 15L, 20L, 25L, 30L, 40L, 45L))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .foreach { r =>
+        val id = r.getLong(0); val nc = r.getLong(1)
+        id match {
+          case 0 | 5 =>
+            put(s"f_$id.png", Multimodal.encodePng(
+              (nc % 120 + 16).toInt, (nc * 3 % 90 + 16).toInt, seed = id))
+          case 10 | 15 =>
+            put(s"f_$id.jpg", Multimodal.encodeJpeg(
+              (nc % 480 + 16).toInt, (nc * 3 % 360 + 16).toInt, seed = id))
+          case 20 | 25 =>
+            put(s"f_$id.wav", Multimodal.encodeWav(
+              (nc % 1500 + 400).toInt, (8000 + (id % 3) * 4000).toInt, seed = id))
+          case 30 =>
+            put(s"f_$id.gvid", Multimodal.encodeVideo(
+              (nc % 5 + 2).toInt, (nc % 20 + 12).toInt, (nc % 14 + 8).toInt,
+              seed = id))
+          case _ =>
+            put(s"f_$id.bin",
+              s"opaque payload $id / $nc".getBytes("UTF-8"))
+        }
+      }
+    path
+  }
+
   /** DuckDB spelling of a little-endian unsigned read of `n` bytes at
     * 0-based `off` over read_blob's `content` — per-byte hex reads
     * recombined by place value, the oracle twin of [[Multimodal.leInt]]. */
@@ -3901,6 +4009,48 @@ object Extensions {
         |JOIN hsh hb ON hb.doc_id = c.doc_b
         |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // the oracle re-classifies the IDENTICAL bytes by the same magic
+    // prefixes the Spark column predicates read
+    "e94_format_detect" -> {
+      s"""WITH f AS (
+         |  SELECT content, octet_length(content) AS n_bytes
+         |  FROM read_blob('$mixedFixturePath/*')),
+         |k AS (
+         |  SELECT CASE
+         |    WHEN substring(hex(content), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+         |    WHEN substring(hex(content), 1, 4) = 'FFD8' THEN 'jpeg'
+         |    WHEN substring(hex(content), 1, 8) = '52494646'
+         |      AND substring(hex(content), 17, 8) = '57415645' THEN 'wav'
+         |    WHEN substring(hex(content), 1, 8) = '47564944' THEN 'video'
+         |    ELSE 'opaque' END AS kind, n_bytes
+         |  FROM f)
+         |SELECT kind, count(*) AS n_files, SUM(n_bytes)::BIGINT AS total_bytes,
+         |  MIN(n_bytes)::BIGINT AS min_bytes, MAX(n_bytes)::BIGINT AS max_bytes
+         |FROM k GROUP BY kind ORDER BY kind""".stripMargin
+    },
+    // the oracle rederives every channel's exact integer moments from the
+    // closed-form pixel stream (channel = byte index mod 3)
+    "e95_channel_stats" ->
+      ("""WITH f AS (
+        |  SELECT CAST(regexp_extract(filename, 'png_(\d+)\.png', 1) AS BIGINT) AS doc_id,
+        |    CAST('0x' || substring(hex(content), 33, 8) AS BIGINT) AS w,
+        |    CAST('0x' || substring(hex(content), 41, 8) AS BIGINT) AS h
+        |  FROM read_blob('""".stripMargin + pngPathFor("e95") + """/*.png')),
+        |px AS (
+        |  SELECT x % 3 AS c,
+        |    ((doc_id + y * 7919 + x) * 1103515245 + 12345) // 65536 % 256 AS v
+        |  FROM f,
+        |    LATERAL unnest(generate_series(0, h - 1)) AS ys(y),
+        |    LATERAL unnest(generate_series(0, w * 3 - 1)) AS xs(x)),
+        |agg AS (
+        |  SELECT CASE c WHEN 0 THEN 'r' WHEN 1 THEN 'g' ELSE 'b' END AS channel,
+        |    count(*) AS n_px, SUM(v)::BIGINT AS sum_v, SUM(v * v)::BIGINT AS sum_sq,
+        |    MIN(v)::BIGINT AS min_v, MAX(v)::BIGINT AS max_v
+        |  FROM px GROUP BY 1)
+        |SELECT channel, n_px, sum_v, sum_sq, min_v, max_v,
+        |  (n_px * sum_sq - sum_v * sum_v)::BIGINT AS var_num,
+        |  sum_v::DOUBLE / n_px AS mean_v
+        |FROM agg ORDER BY channel""".stripMargin),
     // codepoint-exact class counts via regexp erasure ('g' = replace ALL,
     // Spark's default); the injected suffixes must stay byte-identical
     // with the Spark literals
