@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ONLINE image near-dup rejection at ingest — the multimodal twin of the
+  * text pipeline's `LshIndex.probeNearDups` (see the reference's merge
+  * stage only ever deduplicating rows by key: perceptual dedup is an
+  * engine extension, reference has no counterpart). A micro-batch of
+  * image files is really decoded on executors, each image collapses to a
+  * 64-bit perceptual dHash ([[graft.Multimodal.dhash64]]), and a doc is
+  * REJECTED when a hamming-≤-t partner exists among (a) images stored by
+  * EARLIER committed batches or (b) smaller-id images of the same batch —
+  * which makes the accepted set equal to the one-shot batch rule "reject
+  * iff a smaller-id near-partner exists", independent of how the stream
+  * chunks arrivals (the store keeps EVERY probed hash, accepted or not,
+  * exactly like the text ingest keeps every exact-dedup survivor).
+  *
+  * Candidate generation is 16-bit banding over the hash halves: by
+  * pigeonhole, h flipped bits break at most h of the 4 bands, so for the
+  * default threshold t ≤ 3 the band join is a LOSSLESS candidate filter —
+  * every pair the hamming verifier would reject shares at least one
+  * intact band. Never all-pairs: at 100 TB the probe joins the batch's
+  * band keys against a store partitioned the same way.
+  *
+  * Exactly-once: batch output lands as `batch_id=N` partition overwrites
+  * (replay rewrites the same files), and the probe's retry fence excludes
+  * the in-flight batch's own stored hashes — a foreachBatch replay of an
+  * already-committed batch would otherwise see every doc as its own 0-bit
+  * partner and self-reject the whole batch.
+  */
+object ImageDedup {
+
+  /** Decode a (doc_id, payload) batch to one dHash row per image:
+    * (doc_id, hi, lo) — hi/lo the two positive 32-bit halves. Decode
+    * parallelism = partitions; ONE 2-long row per image leaves the
+    * executor. Non-PNG payloads are dropped (triage upstream, e94). */
+  def hashes(batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          if (!graft.Multimodal.isPngBytes(b)) Iterator.empty
+          else {
+            val (w, h, _, _) = graft.Multimodal.pngHeader(b)
+            val px = graft.Multimodal.decodePngPixels(b)
+            val (hi, lo) = graft.Multimodal.dhash64(px, w, h)
+            Iterator((id, hi, lo))
+          }
+        }
+      }
+      .toDF("doc_id", "hi", "lo")
+  }
+
+  /** 4×16-bit band rows (doc_id, band, bkey) of a hash frame. */
+  def bands(h: DataFrame): DataFrame =
+    h.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), (col("hi") % 65536).as("bkey")),
+        struct(lit(1).as("band"), shiftright(col("hi"), 16).as("bkey")),
+        struct(lit(2).as("band"), (col("lo") % 65536).as("bkey")),
+        struct(lit(3).as("band"), shiftright(col("lo"), 16).as("bkey"))))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+
+  private def hamming(a: String, b: String): Column =
+    (bit_count(col(s"$a.hi").bitwiseXOR(col(s"$b.hi"))) +
+      bit_count(col(s"$a.lo").bitwiseXOR(col(s"$b.lo")))).cast(LongType)
+
+  /** Rejected doc_ids of `batchHashes` against `storedHashes` (earlier
+    * batches) plus smaller-id same-batch partners, at hamming ≤ maxHam.
+    * Returns (doc_id, partner, hamming). maxHam ≤ 3 keeps the
+    * band filter lossless (see object doc). */
+  def rejections(batchHashes: DataFrame, storedHashes: DataFrame,
+                 maxHam: Int = 3): DataFrame = {
+    require(maxHam >= 0 && maxHam <= 3,
+      s"maxHam=$maxHam: above 3 the 4-band filter is no longer lossless")
+    val bb = bands(batchHashes)
+    val vsStored = bb.join(bands(storedHashes).withColumnRenamed("doc_id", "partner"),
+        Seq("band", "bkey"))
+      .select(col("doc_id"), col("partner")).distinct()
+    val vsBatch = bb.as("x").join(bb.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("partner"))
+      .distinct()
+    val all = vsStored.unionByName(vsBatch)
+      .select(col("doc_id").as("d"), col("partner").as("p"))
+    all
+      .join(batchHashes.as("a"), col("d") === col("a.doc_id"))
+      .join(batchHashes.unionByName(storedHashes).as("b"),
+        col("p") === col("b.doc_id"))
+      .select(col("d").as("doc_id"), col("p").as("partner"),
+        hamming("a", "b").as("hamming"))
+      .filter(col("hamming") <= maxHam)
+  }
+
+  private def readStore(spark: SparkSession, dir: String,
+                        excludeBatchId: Long): DataFrame = {
+    if (!new java.io.File(dir).isDirectory)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("hi", LongType), StructField("lo", LongType))))
+    else
+      spark.read.option("basePath", dir).parquet(dir)
+        .filter(col("batch_id") =!= excludeBatchId)
+        .select(col("doc_id"), col("hi"), col("lo"))
+  }
+
+  /** One foreachBatch step: decode → probe committed store (retry-fenced
+    * against this batch's own partition) → land ALL hashes + the accepted
+    * subset as batch_id-partition overwrites. Replay-idempotent. */
+  def ingestBatch(root: String, batch: DataFrame, batchId: Long,
+                  maxHam: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val h = hashes(batch).localCheckpoint(true)
+    val stored = readStore(spark, s"$root/hashes", excludeBatchId = batchId)
+    val rej = rejections(h, stored, maxHam)
+      .select(col("doc_id")).distinct().localCheckpoint(true)
+    h.write.mode("overwrite").parquet(s"$root/hashes/batch_id=$batchId")
+    h.join(rej, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$root/accepted/batch_id=$batchId")
+  }
+
+  /** The accepted corpus so far: (doc_id, hi, lo). */
+  def accepted(spark: SparkSession, root: String): DataFrame =
+    readStore(spark, s"$root/accepted", excludeBatchId = -1L)
+
+  /** One-shot batch twin of the streamed rule, for stream ≡ batch
+    * equivalence: reject iff a smaller-id partner within maxHam exists. */
+  def batchDedup(all: DataFrame, maxHam: Int = 3): DataFrame = {
+    val h = hashes(all)
+    val empty = h.filter(lit(false))
+    val rej = rejections(h, empty, maxHam).select(col("doc_id")).distinct()
+    h.join(rej, Seq("doc_id"), "left_anti")
+  }
+}
