@@ -250,6 +250,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"clone target ${in.getUTF8String(1)} already exists")
           repOf(tbl(in)).cloneShallow(s"$root/$destDir"); ()
         }),
+      GraftProcedure("add_check",
+        "declare a CHECK constraint (ANSI: only FALSE violates, tombstones " +
+          "exempt); validates existing live rows, then every later commit " +
+          "rejects violating batches loudly before any write",
+        Array(P("table", StringType), P("name", StringType),
+          P("expression", StringType)),
+        in => repOf(tbl(in)).addCheck(spark,
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString)),
+      GraftProcedure("drop_check",
+        "drop a declared CHECK constraint by name",
+        Array(P("table", StringType), P("name", StringType)),
+        in => repOf(tbl(in)).dropCheck(in.getUTF8String(1).toString)),
       GraftProcedure("detach_clone",
         "lift GC protection for a clone after it is destroyed or fully " +
           "materialized (externalRefs = 0); a detached live clone fails " +

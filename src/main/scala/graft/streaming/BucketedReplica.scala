@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 import org.apache.hadoop.fs.Path
 
 /** Incremental keyed replica with bucket-granular rewrites and atomic
@@ -101,6 +101,74 @@ final class BucketedReplica(
     io.writeString(io.path("_META"),
       (kv.toSeq.sortBy(_._1) :+ ("firstTag" -> t.toString))
         .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
+  }
+
+  private def writeMetaKv(kv: Map[String, String]): Unit =
+    io.writeString(io.path("_META"),
+      kv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n"))
+
+  /** Declared CHECK constraints (name → SQL boolean expression over the
+    * stored schema), recorded durably in `_META` as `check.<name>=<expr>`
+    * lines — like the rest of the table contract, they survive cold
+    * sessions and are discovered by any writer that opens the root. */
+  def checkConstraints: Map[String, String] =
+    metaKv.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }
+
+  /** Declare a CHECK constraint. ANSI semantics: a row violates only when
+    * the expression evaluates FALSE (UNKNOWN/NULL passes), and DELETE
+    * tombstones are exempt (their non-key columns are legitimately NULL —
+    * a constraint must never make a key undeletable). Declaration
+    * validates the EXISTING live rows in one scan and refuses if any
+    * violate — so a reader may assume every live row of every later
+    * version satisfies every declared constraint. */
+  def addCheck(spark: SparkSession, name: String, exprSql: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
+    require(!checkConstraints.contains(name),
+      s"constraint '$name' already declared as: ${checkConstraints(name)}")
+    require(!exprSql.contains("\n") && !exprSql.contains("\r"),
+      "constraint expression must be single-line (stored in _META)")
+    val violating = live(spark)
+      .filter(expr(exprSql).cast(BooleanType) === false).count()
+    require(violating == 0,
+      s"cannot add CHECK '$name' ($exprSql): $violating existing live " +
+        "rows violate it — clean the data first (the constraint would " +
+        "otherwise claim a guarantee the stored table does not meet)")
+    writeMetaKv(metaKv + (s"check.$name" -> exprSql))
+  }
+
+  /** Drop a declared CHECK constraint. */
+  def dropCheck(name: String): Unit = {
+    require(checkConstraints.contains(name),
+      s"no CHECK constraint named '$name'; declared: " +
+        checkConstraints.keys.toSeq.sorted.mkString(", "))
+    writeMetaKv(metaKv - s"check.$name")
+  }
+
+  /** Commit-side CHECK enforcement: counts violating non-tombstone rows
+    * per constraint in ONE batch-sized action and fails loudly naming
+    * every violated constraint — nothing is published, so the version
+    * chain stays untouched (reject-the-batch, the CDC analogue of a
+    * transactional CHECK). Costs zero extra actions when no constraints
+    * are declared. */
+  private def enforceChecks(batchRows: DataFrame): Unit = {
+    val checks = checkConstraints.toSeq.sortBy(_._1)
+    if (checks.isEmpty) return
+    val counters = checks.map { case (nm, ex) =>
+      sum(when(!(col(opCol) <=> "DELETE") &&
+        expr(ex).cast(BooleanType) === false, 1L).otherwise(0L)).as(nm)
+    }
+    val row = batchRows.agg(counters.head, counters.tail: _*).head()
+    val violated = checks.indices
+      .map(i => checks(i)._1 -> row.getLong(i)).filter(_._2 > 0)
+    if (violated.nonEmpty) throw new IllegalArgumentException(
+      "CHECK constraint violation — batch rejected, nothing committed: " +
+        violated.map { case (nm, c) =>
+          s"'$nm' (${checkConstraints(nm)}) fails on $c rows"
+        }.mkString("; "))
   }
 
   private def effectiveBuckets: Int = {
@@ -345,6 +413,7 @@ final class BucketedReplica(
         .select(bucketExpr(n).as("__b")).distinct()
         .collect().map(_.getLong(0).toInt).toSeq.sorted)
       if (touched.isEmpty) return // empty batch: nothing to commit
+      enforceChecks(batchRows) // reject-the-batch BEFORE any data write
 
       val man = currentVersion.map(readManifest).getOrElse(Map.empty)
       val merged = graft.Cdc.merge(
