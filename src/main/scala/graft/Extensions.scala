@@ -1664,6 +1664,60 @@ object Extensions {
         .withColumn("mean_v", col("sum_v").cast(DoubleType) / col("n_px"))
         .orderBy("channel")
     },
+    // E-series monitoring — per-key EWMA smoothing + spike flag over the
+    // event stream, with α = 1/2 so every smoothed value is a DYADIC
+    // rational: (acc+x)/2 folds are exact-by-IEEE in both engines when the
+    // fold ORDER is pinned (ts_ns, event_id — unique), so the float
+    // crosses the engine boundary bit-identical without any decimal
+    // rounding. The online-metric primitive behind rate-of-change alerts.
+    // Scale: one groupBy(user) carrying each key's event list — the same
+    // shuffle class as sessionization; at 100 TB the fold runs inside
+    // mapGroups per key, never materializing a global sort.
+    "e96_ewma" -> { (s, d) =>
+      val ewma = aggregate(
+        transform(col("xs"), x => x.getField("value")),
+        lit(0.0), (acc, v) => (acc + v) / 2.0)
+      Tables.events(s, d).filter(col("user_id") < 40)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(
+          col("ts_ns"), col("event_id"), col("value")))).as("xs"))
+        .select(col("user_id"),
+          size(col("xs")).cast(LongType).as("n_events"),
+          ewma.as("ewma"),
+          element_at(col("xs"), -1).getField("value").as("last_value"))
+        .withColumn("is_spike", col("last_value") > col("ewma") * 2)
+        .orderBy("user_id")
+    },
+    // E-series monitoring — population-stability-index drift between the
+    // first and second time halves of the event stream (the
+    // training-serving-skew / dataset-shift monitor an ML pipeline runs
+    // per snapshot): categorical PSI over event_type with Laplace +1
+    // smoothing so empty cells stay defined, each (p−q)·ln(p/q) term
+    // rounded through DECIMAL(28,9) (the e41/e46 discipline — ulp-level
+    // libm drift cannot cross the engine boundary) so the total is an
+    // exact order-free decimal sum. Scale: two scans collapse to
+    // |types|-row frames; the split point and totals broadcast.
+    "e97_psi_drift" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("tmid"))
+      val counts = ev.crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          when(col("ts_ns") <= col("tmid"), 1L).otherwise(0L).as("r"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("r")).as("a"), sum(lit(1L) - col("r")).as("b"))
+      val tot = counts.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+        count(lit(1)).as("k"))
+      val terms = counts.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("a").as("n_ref"), col("b").as("n_cur"),
+          ((col("a") + 1).cast(DoubleType) / (col("ta") + col("k")).cast(DoubleType)).as("p"),
+          ((col("b") + 1).cast(DoubleType) / (col("tb") + col("k")).cast(DoubleType)).as("q"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(col("p"), 9).as("p_share"), round(col("q"), 9).as("q_share"),
+          ((col("p") - col("q")) * (log(col("p")) - log(col("q"))))
+            .cast(DecimalType(28, 9)).as("psi_term"))
+      terms.crossJoin(broadcast(terms.agg(sum(col("psi_term")).as("psi_total"))))
+        .orderBy("event_type")
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -4009,6 +4063,46 @@ object Extensions {
         |JOIN hsh hb ON hb.doc_id = c.doc_b
         |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // the fold order is pinned by (epoch ns, unique event_id) and every
+    // (acc+x)/2 step is the identical IEEE op — bit-exact doubles with no
+    // rounding
+    "e96_ewma" ->
+      """WITH g AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_events,
+        |    list(value ORDER BY epoch_ns(ts), event_id) AS vs
+        |  FROM events WHERE user_id < 40 GROUP BY user_id),
+        |e AS (
+        |  SELECT user_id, n_events,
+        |    list_reduce(list_prepend(0.0::DOUBLE, vs),
+        |      (acc, x) -> (acc + x) / 2.0::DOUBLE) AS ewma,
+        |    vs[-1] AS last_value
+        |  FROM g)
+        |SELECT user_id, n_events, ewma, last_value,
+        |  last_value > ewma * 2 AS is_spike
+        |FROM e ORDER BY user_id""".stripMargin,
+    // ln (natural log — DuckDB's log is base 10), per-term DECIMAL(28,9)
+    // rounding as in e41/e46
+    "e97_psi_drift" ->
+      """WITH bounds AS (
+        |  SELECT (MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2 AS tmid FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN epoch_ns(ts) <= tmid THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    SUM(CASE WHEN epoch_ns(ts) <= tmid THEN 0 ELSE 1 END)::BIGINT AS b
+        |  FROM events, bounds GROUP BY event_type),
+        |t AS (SELECT SUM(a) AS ta, SUM(b) AS tb, COUNT(*) AS k FROM c),
+        |terms AS (
+        |  SELECT event_type, a AS n_ref, b AS n_cur,
+        |    (a + 1)::DOUBLE / (ta + k)::DOUBLE AS p,
+        |    (b + 1)::DOUBLE / (tb + k)::DOUBLE AS q
+        |  FROM c, t),
+        |tt AS (
+        |  SELECT event_type, n_ref, n_cur,
+        |    round(p, 9) AS p_share, round(q, 9) AS q_share,
+        |    CAST((p - q) * (ln(p) - ln(q)) AS DECIMAL(28,9)) AS psi_term
+        |  FROM terms)
+        |SELECT tt.*, (SELECT SUM(psi_term) FROM tt) AS psi_total
+        |FROM tt ORDER BY event_type""".stripMargin,
     // the oracle re-classifies the IDENTICAL bytes by the same magic
     // prefixes the Spark column predicates read
     "e94_format_detect" -> {
