@@ -1664,6 +1664,52 @@ object Extensions {
         .withColumn("mean_v", col("sum_v").cast(DoubleType) / col("n_px"))
         .orderBy("channel")
     },
+    // E4/curation — URL canonicalization + URL-level dedup (the CCNet
+    // crawl-dedup key): raw URLs differ in case, default ports, trailing
+    // slashes, tracking queries, and fragments while naming the SAME
+    // resource, so exact-URL dedup without canonicalization silently keeps
+    // duplicates. Injected variants (uppercase host+scheme+:443, tracking
+    // query+fragment, and the clean form — all from doc_id, so docs
+    // sharing id mod the host/path periods collide cross-doc) collapse via
+    // lower → strip query/fragment → strip default port → strip trailing
+    // slash, all engine-invariant regexp/string ops. Per-domain rollup:
+    // how many raw URLs, how many canonical ones, how many canonical keys
+    // had >1 raw variant / appeared in >1 doc. Scale: map-side generate +
+    // canonicalize, one groupBy(canon) then one groupBy(domain) — shuffle
+    // = |distinct canon| then |domains|, never |docs|.
+    "e98_url_canonical" -> { (s, d) =>
+      val txt = concat(col("text"),
+        lit(" HTTPS://WWW.Site"), pmod(col("doc_id"), lit(20L)),
+        lit(".Example"), pmod(col("doc_id"), lit(3L)),
+        lit(".COM:443/p/"), pmod(col("doc_id"), lit(7L)),
+        lit("/ and https://www.site"), pmod(col("doc_id"), lit(20L)),
+        lit(".example"), pmod(col("doc_id"), lit(3L)),
+        lit(".com/p/"), pmod(col("doc_id"), lit(7L)),
+        lit("?utm_source=feed&ref="), col("doc_id"),
+        lit("#sec and http://cdn"), pmod(col("doc_id"), lit(5L)),
+        lit(".assets-net.io/f/"), pmod(col("doc_id"), lit(100L)))
+      val urls = load(s, d, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(txt, lit("(?i)https?://[^ ]+"), lit(0)))
+            .as("url"))
+      val lurl = lower(col("url"))
+      val host = regexp_replace(
+        regexp_extract(lurl, "^[a-z]+://([^/?#]+)", 1), ":(443|80)$", "")
+      val path0 = regexp_extract(lurl, "^[a-z]+://[^/?#]+([^?#]*)", 1)
+      val canon = concat(host,
+        when(rtrim(path0, "/") === "", "/").otherwise(rtrim(path0, "/")))
+      urls
+        .select(col("doc_id"), canon.as("canon"),
+          regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+        .groupBy(col("domain"), col("canon"))
+        .agg(count(lit(1)).as("n_raw"), countDistinct(col("doc_id")).as("n_docs"))
+        .groupBy(col("domain"))
+        .agg(sum(col("n_raw")).as("n_urls"),
+          count(lit(1)).as("n_canonical"),
+          sum(when(col("n_raw") > 1, 1L).otherwise(0L)).as("n_collapsed"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_crossdoc"))
+        .orderBy("domain")
+    },
     // E-series monitoring — per-key EWMA smoothing + spike flag over the
     // event stream, with α = 1/2 so every smoothed value is a DYADIC
     // rational: (acc+x)/2 folds are exact-by-IEEE in both engines when the
@@ -4063,6 +4109,38 @@ object Extensions {
         |JOIN hsh hb ON hb.doc_id = c.doc_b
         |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // identical canonicalization chain in DuckDB's RE2 — lower, query/
+    // fragment strip via the path capture, default-port strip, trailing
+    // slash strip
+    "e98_url_canonical" ->
+      """WITH txt AS (SELECT doc_id, text ||
+        |    ' HTTPS://WWW.Site' || (doc_id % 20) || '.Example' || (doc_id % 3) ||
+        |    '.COM:443/p/' || (doc_id % 7) ||
+        |    '/ and https://www.site' || (doc_id % 20) || '.example' || (doc_id % 3) ||
+        |    '.com/p/' || (doc_id % 7) || '?utm_source=feed&ref=' || doc_id ||
+        |    '#sec and http://cdn' || (doc_id % 5) || '.assets-net.io/f/' ||
+        |    (doc_id % 100) AS s
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(s, '(?i)https?://[^ ]+', 0)) AS url
+        |  FROM txt),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(regexp_extract(lower(url), '^[a-z]+://([^/?#]+)', 1),
+        |      ':(443|80)$', '') AS host,
+        |    regexp_extract(lower(url), '^[a-z]+://[^/?#]+([^?#]*)', 1) AS p
+        |  FROM u),
+        |k AS (SELECT doc_id,
+        |    host || CASE WHEN rtrim(p, '/') = '' THEN '/' ELSE rtrim(p, '/') END AS canon,
+        |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM c),
+        |g AS (SELECT domain, canon, COUNT(*) AS n_raw,
+        |    COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM k GROUP BY 1, 2)
+        |SELECT domain, SUM(n_raw)::BIGINT AS n_urls,
+        |  COUNT(*)::BIGINT AS n_canonical,
+        |  SUM(CASE WHEN n_raw > 1 THEN 1 ELSE 0 END)::BIGINT AS n_collapsed,
+        |  SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_crossdoc
+        |FROM g GROUP BY domain ORDER BY domain""".stripMargin,
     // the fold order is pinned by (epoch ns, unique event_id) and every
     // (acc+x)/2 step is the identical IEEE op — bit-exact doubles with no
     // rounding

@@ -48,7 +48,10 @@ object GraftTvf {
       (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_changes", exprs)),
     (new FunctionIdentifier("graft_versions"),
       new ExpressionInfo(classOf[UnresolvedGraftTvf].getName, "graft_versions"),
-      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_versions", exprs)))
+      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_versions", exprs)),
+    (new FunctionIdentifier("graft_fsck"),
+      new ExpressionInfo(classOf[UnresolvedGraftTvf].getName, "graft_fsck"),
+      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_fsck", exprs)))
 
   private def stringArg(fn: String, args: Seq[Expression], i: Int): String =
     args(i) match {
@@ -103,6 +106,12 @@ object GraftTvf {
         LocalRelation(
           org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(versionsSchema),
           rows)
+      case UnresolvedGraftTvf("graft_fsck", args) =>
+        require(args.length == 1, "graft_fsck(table_name)")
+        // integrity audit (pk uniqueness, placement, CHECK conformity,
+        // manifest/file presence) — one table scan + control-plane reads
+        openByName(spark, stringArg("graft_fsck", args, 0))
+          .fsck(spark).queryExecution.analyzed
       case u: UnresolvedGraftTvf => throw new IllegalStateException(
         s"unknown graft table function ${u.fn}")
     }

@@ -433,6 +433,99 @@ final class BucketedReplica(
     } finally { batchRows.unpersist(); () }
   }
 
+  /** Structural + semantic integrity audit — the fsck of the replica: one
+    * report row per invariant the store's protocol is supposed to hold,
+    * so an operator can verify a table after an incident (partial restore,
+    * manual file surgery, suspected bit rot) instead of trusting it.
+    * Control-plane checks (pointer, manifest parse, file presence, bucket
+    * ids in layout range) run driver-side; the row-level checks (pk
+    * uniqueness, bucket placement under the CURRENT layout hash, declared
+    * CHECK conformity) fold into ONE distributed scan over the stored
+    * buckets — cost = one table read regardless of how many constraints
+    * are declared. SQL surface: `SELECT * FROM graft_fsck('ns.t')`. */
+  def fsck(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    val reportSchema = StructType(Seq(
+      StructField("check", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("observed", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("details", org.apache.spark.sql.types.StringType, nullable = false)))
+    val rows = scala.collection.mutable.Buffer[Row]()
+    currentVersion match {
+      case None =>
+        rows += Row("pointer", true, "none",
+          "no committed version — an empty table is consistent")
+      case Some(v) =>
+        val man = readManifest(v)
+        val n = layoutBuckets
+        rows += Row("pointer", true, s"v$v",
+          s"${man.size} bucket entries, layout n=$n")
+        val badIds = man.keys.filter(b => b < 0 || b >= n).toSeq.sorted
+        rows += Row("bucket_ids", badIds.isEmpty, s"${man.size} entries",
+          if (badIds.isEmpty) s"all bucket ids in [0, $n)"
+          else s"out of layout range: ${badIds.mkString(",")}")
+        // a referenced path must exist AND carry data: bucket DIRS whose
+        // part files were lost still "exist" but read empty
+        def hasData(rel: String): Boolean = {
+          val p = new Path(dataPath(rel))
+          io.exists(p) &&
+            (try io.listFiles(p).exists(!_.getName.startsWith("_"))
+            catch { case _: java.io.IOException => true })
+        }
+        val missing = man.toSeq.sortBy(_._1)
+          .filterNot { case (_, rel) => hasData(rel) }
+        rows += Row("files_present", missing.isEmpty,
+          s"${man.size - missing.size}/${man.size}",
+          if (missing.isEmpty) "every manifest-referenced file exists and has data"
+          else s"missing/empty: ${missing.map(_._2).take(3).mkString(", ")}")
+        val present = man.toSeq.sortBy(_._1)
+          .filter { case (_, rel) => hasData(rel) }
+        if (present.nonEmpty) {
+          val sch = schemaAt(v)
+          // footer-only conformity: stored fields must match the declared
+          // contract by name+type (a schema-enforced read would coerce and
+          // hide drift)
+          val footer = spark.read.parquet(present.map(p => dataPath(p._2)): _*).schema
+          val declared = sch.fields.map(f => f.name -> f.dataType).toMap
+          val drifted = footer.fields
+            .filterNot(f => declared.get(f.name).contains(f.dataType))
+          rows += Row("schema", drifted.isEmpty,
+            s"${footer.fields.length} stored fields",
+            if (drifted.isEmpty) "stored fields match the declared contract"
+            else s"drifted: ${drifted.map(_.name).take(3).mkString(", ")}")
+          // ONE distributed scan for every row-level invariant
+          val data = present.map { case (b, rel) =>
+            spark.read.schema(sch).parquet(dataPath(rel))
+              .withColumn("__expected", lit(b))
+          }.reduce(_ unionByName _)
+          val checks = checkConstraints.toSeq.sortBy(_._1)
+          val aggs = Seq(
+            count(lit(1)).as("n"),
+            countDistinct(col(pk)).as("nk"),
+            sum(when(bucketExpr(n) =!= col("__expected"), 1L).otherwise(0L))
+              .as("misplaced")) ++
+            checks.map { case (nm, ex) =>
+              sum(when(!(col(opCol) <=> "DELETE") &&
+                expr(ex).cast(BooleanType) === false, 1L).otherwise(0L))
+                .as(s"chk_$nm")
+            }
+          val r = data.agg(aggs.head, aggs.tail: _*).head()
+          val (nRows, nKeys, mis) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          rows += Row("pk_unique", nRows == nKeys, s"$nRows rows / $nKeys keys",
+            if (nRows == nKeys) s"one stored row per $pk (tombstones included)"
+            else s"${nRows - nKeys} duplicate-key rows — latest-wins invariant broken")
+          rows += Row("bucket_placement", mis == 0, s"$mis misplaced",
+            s"pmod(xxhash64($pk), $n) must match the manifest bucket per row")
+          checks.zipWithIndex.foreach { case ((nm, ex), i) =>
+            val bad = r.getLong(3 + i)
+            rows += Row(s"check_$nm", bad == 0, s"$bad violating", ex)
+          }
+        }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
+  }
+
   /** Change the bucket count — the maintenance op a long-lived replica
     * eventually needs (the day-one n is wrong once the table grows 100×:
     * buckets become multi-GB rewrite units). Rewrites EVERY live bucket
