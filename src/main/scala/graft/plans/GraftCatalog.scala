@@ -262,6 +262,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "drop a declared CHECK constraint by name",
         Array(P("table", StringType), P("name", StringType)),
         in => repOf(tbl(in)).dropCheck(in.getUTF8String(1).toString)),
+      GraftProcedure("add_fk",
+        "declare a FOREIGN KEY (column → parent catalog table's pk; NULL " +
+          "passes, tombstones exempt); validates existing rows, then every " +
+          "commit anti-joins the batch against the parent's live keys",
+        Array(P("table", StringType), P("name", StringType),
+          P("column", StringType), P("parent_table", StringType)),
+        in => repOf(tbl(in)).addForeignKey(spark,
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          s"$root/${rel(in.getUTF8String(3).toString.split('.').toSeq)}")),
+      GraftProcedure("drop_fk",
+        "drop a declared FOREIGN KEY constraint by name",
+        Array(P("table", StringType), P("name", StringType)),
+        in => repOf(tbl(in)).dropForeignKey(in.getUTF8String(1).toString)),
       GraftProcedure("detach_clone",
         "lift GC protection for a clone after it is destroyed or fully " +
           "materialized (externalRefs = 0); a detached live clone fails " +

@@ -148,6 +148,68 @@ final class BucketedReplica(
     writeMetaKv(metaKv - s"check.$name")
   }
 
+  /** Declared FOREIGN KEY constraints: name → (local column, parent
+    * replica root). Stored as `fk.<name>=<column>\t<parentRoot>` meta
+    * lines (tab-separated — roots may contain '='). */
+  def fkConstraints: Map[String, (String, String)] =
+    metaKv.collect {
+      case (k, v) if k.startsWith("fk.") =>
+        val Array(c, r) = v.split("\t", 2)
+        k.stripPrefix("fk.") -> ((c, r))
+    }
+
+  /** Declare a FOREIGN KEY: every non-NULL value of `column` in a
+    * committed upsert row must exist as a live key of the parent replica
+    * at `parentRoot` (tombstones exempt, NULL passes — ANSI MATCH SIMPLE).
+    * Declaration validates the existing live rows with one anti-join.
+    * Enforcement is ONE batch-sized anti-join per commit against the
+    * parent's live keys — at scale the batch's distinct fk values are the
+    * small side, and the parent read prunes to the buckets those keys
+    * hash to. Checked at THIS table's commits only: deleting parent rows
+    * does not cascade (the CDC stream owns ordering across tables — the
+    * consistent-cut machinery, not the constraint, governs that). */
+  def addForeignKey(spark: SparkSession, name: String, column: String,
+                    parentRoot: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
+    require(!fkConstraints.contains(name),
+      s"foreign key '$name' already declared")
+    require(storedSchema.fieldNames.contains(column),
+      s"no column '$column' in the stored schema")
+    val parent = BucketedReplica.open(parentRoot)
+    val orphans = live(spark).filter(col(column).isNotNull)
+      .join(parent.live(spark).select(col(parent.pk).as(column)),
+        Seq(column), "left_anti").count()
+    require(orphans == 0,
+      s"cannot add FOREIGN KEY '$name' ($column → $parentRoot): $orphans " +
+        "existing live rows reference no live parent key")
+    writeMetaKv(metaKv + (s"fk.$name" -> s"$column\t$parentRoot"))
+  }
+
+  /** Drop a declared FOREIGN KEY constraint. */
+  def dropForeignKey(name: String): Unit = {
+    require(fkConstraints.contains(name),
+      s"no FOREIGN KEY constraint named '$name'; declared: " +
+        fkConstraints.keys.toSeq.sorted.mkString(", "))
+    writeMetaKv(metaKv - s"fk.$name")
+  }
+
+  /** Commit-side FK enforcement: one anti-join per declared FK over the
+    * batch's non-tombstone rows; reject-the-batch like [[enforceChecks]].
+    * Zero extra actions when no FKs are declared. */
+  private def enforceForeignKeys(spark: SparkSession, batchRows: DataFrame): Unit =
+    fkConstraints.toSeq.sortBy(_._1).foreach { case (nm, (column, parentRoot)) =>
+      val parent = BucketedReplica.open(parentRoot)
+      val orphans = batchRows
+        .filter(!(col(opCol) <=> "DELETE") && col(column).isNotNull)
+        .join(parent.live(spark).select(col(parent.pk).as(column)),
+          Seq(column), "left_anti").count()
+      if (orphans > 0) throw new IllegalArgumentException(
+        s"FOREIGN KEY violation — batch rejected, nothing committed: " +
+          s"'$nm' ($column → $parentRoot) fails on $orphans rows " +
+          "referencing no live parent key")
+    }
+
   /** Commit-side CHECK enforcement: counts violating non-tombstone rows
     * per constraint in ONE batch-sized action and fails loudly naming
     * every violated constraint — nothing is published, so the version
@@ -414,6 +476,7 @@ final class BucketedReplica(
         .collect().map(_.getLong(0).toInt).toSeq.sorted)
       if (touched.isEmpty) return // empty batch: nothing to commit
       enforceChecks(batchRows) // reject-the-batch BEFORE any data write
+      enforceForeignKeys(spark, batchRows)
 
       val man = currentVersion.map(readManifest).getOrElse(Map.empty)
       val merged = graft.Cdc.merge(
@@ -519,6 +582,15 @@ final class BucketedReplica(
           checks.zipWithIndex.foreach { case ((nm, ex), i) =>
             val bad = r.getLong(3 + i)
             rows += Row(s"check_$nm", bad == 0, s"$bad violating", ex)
+          }
+          // FK conformity: one anti-join per declared FK over live rows
+          fkConstraints.toSeq.sortBy(_._1).foreach { case (nm, (c, pr)) =>
+            val parent = BucketedReplica.open(pr)
+            val orphans = live(spark).filter(col(c).isNotNull)
+              .join(parent.live(spark).select(col(parent.pk).as(c)),
+                Seq(c), "left_anti").count()
+            rows += Row(s"fk_$nm", orphans == 0, s"$orphans orphans",
+              s"$c → $pr")
           }
         }
     }

@@ -74,6 +74,42 @@ class CheckConstraintSpec extends SparkSpecBase {
     assert(rep.live(spark).filter(col("user_id") === 9L).count() === 1)
   }
 
+  test("FOREIGN KEY: orphan batches are rejected against the parent's " +
+    "live keys; NULL and tombstones pass; declaration validates existing " +
+    "rows; fsck reports conformity") {
+    val base = tmpDir("fk")
+    val parent = new BucketedReplica(base + "/parent", nBuckets = 4)
+    parent.commit(mkBatch(Seq(row("INSERT", 1L, 100L, 1.0),
+      row("INSERT", 2L, 200L, 2.0))))
+    val child = new BucketedReplica(base + "/child", nBuckets = 4)
+    // child rows reference parent keys through the `pos` column
+    child.commit(mkBatch(Seq(Row("INSERT", "users", 100L, 1L, 11L, 1.0, "evt"))))
+    child.addForeignKey(spark, "pos_ref", "pos", base + "/parent")
+    assert(child.fkConstraints === Map("pos_ref" -> (("pos", base + "/parent"))))
+    val v = child.currentVersion.get
+    val ex = intercept[IllegalArgumentException] {
+      child.commit(mkBatch(Seq(Row("INSERT", "users", 999L, 2L, 12L, 2.0, "evt"))))
+    }
+    assert(ex.getMessage.contains("pos_ref") && ex.getMessage.contains("1 rows"))
+    assert(child.currentVersion.get === v)
+    // NULL fk passes (MATCH SIMPLE); a tombstone with a dangling fk passes
+    child.commit(mkBatch(Seq(Row("INSERT", "users", null, 3L, 13L, 3.0, "evt"))))
+    child.commit(mkBatch(Seq(Row("DELETE", "users", 999L, 4L, 11L, null, "evt"))))
+    // a valid reference commits
+    child.commit(mkBatch(Seq(Row("INSERT", "users", 200L, 5L, 14L, 4.0, "evt"))))
+    val fsckRow = child.fsck(spark).collect()
+      .find(_.getString(0) == "fk_pos_ref").get
+    assert(fsckRow.getBoolean(1), "fsck must report FK conformity")
+    // declaring over violating existing rows refuses: delete parent key 200,
+    // then try a fresh FK on a new child carrying an orphan
+    val ex2 = intercept[IllegalArgumentException] {
+      val c2 = new BucketedReplica(base + "/child2", nBuckets = 4)
+      c2.commit(mkBatch(Seq(Row("INSERT", "users", 777L, 1L, 21L, 1.0, "evt"))))
+      c2.addForeignKey(spark, "p", "pos", base + "/parent")
+    }
+    assert(ex2.getMessage.contains("1 existing live rows"))
+  }
+
   test("SQL surface: CALL graft.system.add_check enforces on catalog " +
     "INSERT; drop_check lifts it") {
     val wh = tmpDir("chk_cat")
@@ -96,5 +132,22 @@ class CheckConstraintSpec extends SparkSpecBase {
     s.sql("INSERT INTO graft.lake.users VALUES " +
       "('INSERT', 'users', 2, 2, 2, -3.0, 'evt')")
     assert(s.sql("SELECT count(*) FROM graft.lake.users").head().getLong(0) === 2L)
+
+    // FK via SQL: pos must reference a live parent user_id
+    s.sql("""CREATE TABLE graft.lake.parent (
+      op STRING, tbl STRING, pos BIGINT, ts_ns BIGINT,
+      user_id BIGINT, value DOUBLE, event_type STRING)""")
+    s.sql("INSERT INTO graft.lake.parent VALUES " +
+      "('INSERT', 'p', 1, 1, 1, 0.0, 'evt'), ('INSERT', 'p', 2, 2, 2, 0.0, 'evt')")
+    s.sql("CALL graft.system.add_fk('lake.users', 'pos_ref', 'pos', 'lake.parent')")
+    val exFk = intercept[Exception] {
+      s.sql("INSERT INTO graft.lake.users VALUES " +
+        "('INSERT', 'users', 42, 9, 9, 1.0, 'evt')")
+    }
+    assert(exFk.getMessage.contains("pos_ref"))
+    s.sql("CALL graft.system.drop_fk('lake.users', 'pos_ref')")
+    s.sql("INSERT INTO graft.lake.users VALUES " +
+      "('INSERT', 'users', 42, 9, 9, 1.0, 'evt')")
+    assert(s.sql("SELECT count(*) FROM graft.lake.users").head().getLong(0) === 3L)
   }
 }
