@@ -51,7 +51,10 @@ object GraftTvf {
       (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_versions", exprs)),
     (new FunctionIdentifier("graft_fsck"),
       new ExpressionInfo(classOf[UnresolvedGraftTvf].getName, "graft_fsck"),
-      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_fsck", exprs)))
+      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_fsck", exprs)),
+    (new FunctionIdentifier("graft_constraints"),
+      new ExpressionInfo(classOf[UnresolvedGraftTvf].getName, "graft_constraints"),
+      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_constraints", exprs)))
 
   private def stringArg(fn: String, args: Seq[Expression], i: Int): String =
     args(i) match {
@@ -80,6 +83,11 @@ object GraftTvf {
     BucketedReplica.open((root +: parts.toSeq).mkString("/"))
   }
 
+  private val constraintsSchema = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("definition", StringType, nullable = false)))
+
   private val versionsSchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("tag", LongType, nullable = true),
@@ -106,6 +114,22 @@ object GraftTvf {
         LocalRelation(
           org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(versionsSchema),
           rows)
+      case UnresolvedGraftTvf("graft_constraints", args) =>
+        require(args.length == 1, "graft_constraints(table_name)")
+        // SHOW CONSTRAINTS analog: the declared contract, control-plane only
+        val rep = openByName(spark, stringArg("graft_constraints", args, 0))
+        val rows =
+          rep.checkConstraints.toSeq.sortBy(_._1).map { case (nm, ex) =>
+            InternalRow(UTF8String.fromString("CHECK"),
+              UTF8String.fromString(nm), UTF8String.fromString(ex))
+          } ++
+          rep.fkConstraints.toSeq.sortBy(_._1).map { case (nm, (c, pr)) =>
+            InternalRow(UTF8String.fromString("FOREIGN KEY"),
+              UTF8String.fromString(nm), UTF8String.fromString(s"$c -> $pr"))
+          }
+        LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .toAttributes(constraintsSchema), rows)
       case UnresolvedGraftTvf("graft_fsck", args) =>
         require(args.length == 1, "graft_fsck(table_name)")
         // integrity audit (pk uniqueness, placement, CHECK conformity,

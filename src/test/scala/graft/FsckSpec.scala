@@ -86,5 +86,14 @@ class FsckSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(rpt.nonEmpty && rpt.values.forall(identity), s"cold fsck failed: $rpt")
     assert(rpt.contains("pk_unique") && rpt.contains("bucket_placement"))
+
+    // the declared contract lists via SQL too (SHOW CONSTRAINTS analog)
+    s.sql("CALL graft.system.add_check('lake.users', 'v_pos', 'value >= 0')")
+    val cons = s.sql("SELECT * FROM graft_constraints('lake.users')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(cons.toSeq === Seq(("CHECK", "v_pos", "value >= 0")))
+    // and the fsck report now carries the conformity row
+    assert(s.sql("SELECT ok FROM graft_fsck('lake.users') " +
+      "WHERE `check` = 'check_v_pos'").head().getBoolean(0))
   }
 }

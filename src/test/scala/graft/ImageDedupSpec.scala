@@ -74,6 +74,35 @@ class ImageDedupSpec extends SparkSpecBase {
     assert(results.head === Seq(0L, 2L, 3L, 5L))
   }
 
+  test("binaryFile STREAM wrapper: foreachBatch ingest over a landing dir " +
+    "accepts the same set as the one-shot rule, across micro-batch cuts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("imgdedup_in")
+    val ckpt = tmpDir("imgdedup_ckpt")
+    val root = tmpDir("imgdedup_store")
+    corpus.foreach { case (id, b) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"img_$id%04d.png"), b)
+    }
+    val schema = spark.read.format("binaryFile").load(dir).schema
+    val q = spark.readStream.format("binaryFile").schema(schema)
+      .option("maxFilesPerTrigger", 2).load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        ImageDedup.ingestBatch(root, df, id)
+      }
+      .start()
+    q.awaitTermination(120000)
+    // lexicographic file order = id order, 2 files per micro-batch — a
+    // chunking of the arrival order, so acceptance must match the batch rule
+    assert(acceptedIds(root) === Seq(0L, 2L, 3L, 5L))
+  }
+
   test("band candidate filter is lossless at hamming <= 3: rejection pairs " +
     "carry the verified hamming and the twin pair is within threshold") {
     val h = ImageDedup.hashes(df(corpus))
