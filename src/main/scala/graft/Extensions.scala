@@ -1664,6 +1664,78 @@ object Extensions {
         .withColumn("mean_v", col("sum_v").cast(DoubleType) / col("n_px"))
         .orderBy("channel")
     },
+    // E5×E1 — VIDEO near-dup via sampled-frame perceptual hashes: the
+    // fourth and last modality of the dedup family (text e03, image e91,
+    // audio e93). Each video is fingerprinted by the dHash of its
+    // index-sampled first/middle/last frames (the e72 seek-don't-scan
+    // contract: 3 frames decode per file regardless of length); two
+    // videos are near-dups when ≥2 sampled positions match within
+    // hamming ≤ 3, candidates surfaced by per-position 16-bit band
+    // equality (lossless at that threshold). The fixture plants
+    // per-frame perturbed twins — a re-encoded copy whose every byte
+    // differs; the oracle rederives index-seek → per-frame decode →
+    // hash → band → pair verdict in closed-form integer SQL. Scale:
+    // 3 hash rows per video leave the decode, candidates are
+    // (position, band)-bucket-local — never frame-by-frame comparison.
+    "e99_video_neardup" -> { (s, d) =>
+      import s.implicits._
+      val path = writeGvidDupFixtures(s, d)
+      val hashes = s.read.format("binaryFile").load(path)
+        .filter(Multimodal.isGvid(col("content")))
+        .select(
+          regexp_extract(col("path"), "vid_(\\d+)\\.gvid$", 1)
+            .cast(LongType).as("vid_id"),
+          col("content").as("payload"),
+          Multimodal.gvidFrameCount(col("content")).as("n_frames"))
+        .withColumn("pos_k", explode(array_distinct(array(
+          lit(0L), expr("n_frames div 2"), col("n_frames") - 1))))
+        .withColumn("off",
+          Multimodal.beIntAt(col("payload"), lit(6L) + col("pos_k") * 8, 4))
+        .withColumn("len",
+          Multimodal.beIntAt(col("payload"), lit(10L) + col("pos_k") * 8, 4))
+        .select(col("vid_id"), col("pos_k"),
+          expr("substring(payload, cast(off + 1 as int), cast(len as int))")
+            .as("frame"))
+        .as[(Long, Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (vid, k, fb) =>
+            val (w, h, _, _) = Multimodal.pngHeader(fb)
+            val px = Multimodal.decodePngPixels(fb)
+            val (hi, lo) = Multimodal.dhash64(px, w, h)
+            (vid, k, hi, lo)
+          }
+        }
+        .toDF("vid_id", "pos_k", "hi", "lo")
+      val bands = hashes.select(col("vid_id"), col("pos_k"),
+        explode(array(
+          struct(lit(0).as("band"), (col("hi") % 65536).as("bkey")),
+          struct(lit(1).as("band"), shiftright(col("hi"), 16).as("bkey")),
+          struct(lit(2).as("band"), (col("lo") % 65536).as("bkey")),
+          struct(lit(3).as("band"), shiftright(col("lo"), 16).as("bkey"))))
+          .as("bk"))
+        .select(col("vid_id"), col("pos_k"), col("bk.band"), col("bk.bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.pos_k") === col("y.pos_k") && col("x.band") === col("y.band") &&
+            col("x.bkey") === col("y.bkey") && col("x.vid_id") < col("y.vid_id"))
+        .select(col("x.vid_id").as("vid_a"), col("y.vid_id").as("vid_b"),
+          col("x.pos_k").as("pos_k"))
+        .distinct()
+      val hamming =
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).cast(LongType)
+      cand.as("c")
+        .join(hashes.as("a"),
+          col("c.vid_a") === col("a.vid_id") && col("c.pos_k") === col("a.pos_k"))
+        .join(hashes.as("b"),
+          col("c.vid_b") === col("b.vid_id") && col("c.pos_k") === col("b.pos_k"))
+        .select(col("c.vid_a").as("vid_a"), col("c.vid_b").as("vid_b"),
+          hamming.as("hm"))
+        .filter(col("hm") <= 3)
+        .groupBy(col("vid_a"), col("vid_b"))
+        .agg(count(lit(1)).as("n_pos_matched"), max(col("hm")).as("max_hamming"))
+        .filter(col("n_pos_matched") >= 2)
+        .orderBy("vid_a", "vid_b")
+    },
     // E4/curation — URL canonicalization + URL-level dedup (the CCNet
     // crawl-dedup key): raw URLs differ in case, default ports, trailing
     // slashes, tracking queries, and fragments while naming the SAME
@@ -3058,6 +3130,34 @@ object Extensions {
     path
   }
 
+  /** e99's GVID near-dup fixture: per base doc a real indexed video
+    * (seed = doc_id) plus its perturbed twin (vid_{1000+doc_id}, every
+    * frame the +1-mod-997 pixel twin) — the re-encoded-copy pair a video
+    * dedup must link. */
+  @volatile private var gvidDupFixturePath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_gviddup_fixture_default"
+  private def writeGvidDupFixtures(s: SparkSession, d: String): String = {
+    val t = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_gviddup_fixture_$t"
+    gvidDupFixturePath = path
+    val dir = new java.io.File(path); dir.mkdirs()
+    Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".gvid")).foreach(_.delete())
+    load(s, d, "documents").filter(col("doc_id").isin(0L, 10L, 20L))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .foreach { r =>
+        val id = r.getLong(0); val nc = r.getLong(1)
+        val (nf, w, h) = ((nc % 5 + 2).toInt, (nc % 20 + 12).toInt, (nc % 14 + 8).toInt)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"vid_$id.gvid"),
+          Multimodal.encodeVideo(nf, w, h, seed = id))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"vid_${1000 + id}.gvid"),
+          Multimodal.encodeVideoPerturbed(nf, w, h, seed = id, mod = 997))
+      }
+    path
+  }
+
   /** DuckDB spelling of a little-endian unsigned read of `n` bytes at
     * 0-based `off` over read_blob's `content` — per-byte hex reads
     * recombined by place value, the oracle twin of [[Multimodal.leInt]]. */
@@ -4109,6 +4209,75 @@ object Extensions {
         |JOIN hsh hb ON hb.doc_id = c.doc_b
         |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // e72's index-seek CTEs composed with e91's closed-form hash pipeline,
+    // frame-keyed seeds (vid%1000)*100 + frame_idx, per-frame perturbation
+    "e99_video_neardup" -> {
+      s"""WITH f AS (
+         |  SELECT CAST(regexp_extract(filename, 'vid_(\\d+)\\.gvid', 1) AS BIGINT) AS vid_id,
+         |    content, CAST('0x' || substring(hex(content), 9, 4) AS BIGINT) AS n_frames
+         |  FROM read_blob('$gvidDupFixturePath/*.gvid')
+         |  WHERE substring(hex(content), 1, 8) = '47564944'),
+         |sampled AS (
+         |  SELECT vid_id, content, unnest(list_distinct(
+         |    [0, n_frames // 2, n_frames - 1])) AS pos_k
+         |  FROM f),
+         |idx AS (
+         |  SELECT vid_id, content, pos_k,
+         |    CAST('0x' || substring(hex(content), (6 + pos_k * 8) * 2 + 1, 8) AS BIGINT) AS off
+         |  FROM sampled),
+         |hdr AS (
+         |  SELECT vid_id, pos_k,
+         |    (vid_id % 1000) * 100 + pos_k AS seed,
+         |    CASE WHEN vid_id >= 1000 THEN 997 ELSE 0 END AS pm,
+         |    CAST('0x' || substring(hex(content), (off + 16) * 2 + 1, 8) AS BIGINT) AS w,
+         |    CAST('0x' || substring(hex(content), (off + 20) * 2 + 1, 8) AS BIGINT) AS h
+         |  FROM idx),
+         |g AS (
+         |  SELECT vid_id, pos_k, ty, tx, SUM(pxv) // 3 AS gray
+         |  FROM (
+         |    SELECT vid_id, pos_k, a.ty AS ty, b.tx AS tx,
+         |      ((((seed + (a.ty * h // 8) * 7919 + ((b.tx * w // 9) * 3 + cc.c))
+         |         * 1103515245 + 12345) // 65536 % 256)
+         |       + CASE WHEN pm > 0 AND
+         |           ((a.ty * h // 8) * (w * 3) + (b.tx * w // 9) * 3 + cc.c) % pm = 0
+         |         THEN 1 ELSE 0 END) % 256 AS pxv
+         |    FROM hdr,
+         |      LATERAL unnest(generate_series(0, 7)) AS a(ty),
+         |      LATERAL unnest(generate_series(0, 8)) AS b(tx),
+         |      LATERAL unnest(generate_series(0, 2)) AS cc(c))
+         |  GROUP BY 1, 2, 3, 4),
+         |bits AS (
+         |  SELECT g1.vid_id, g1.pos_k, (g1.ty * 8 + g1.tx) AS idx,
+         |    CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+         |  FROM g g1 JOIN g g2 ON g1.vid_id = g2.vid_id AND g1.pos_k = g2.pos_k
+         |    AND g1.ty = g2.ty AND g2.tx = g1.tx + 1
+         |  WHERE g1.tx < 8),
+         |hsh AS (
+         |  SELECT vid_id, pos_k,
+         |    SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END)::BIGINT AS hi,
+         |    SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END)::BIGINT AS lo
+         |  FROM bits GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT vid_id, pos_k,
+         |    unnest([0, 1, 2, 3]) AS band,
+         |    unnest([hi % 65536, hi // 65536, lo % 65536, lo // 65536]) AS bkey
+         |  FROM hsh),
+         |cand AS (
+         |  SELECT DISTINCT x.vid_id AS vid_a, y.vid_id AS vid_b, x.pos_k AS pos_k
+         |  FROM bands x JOIN bands y ON x.pos_k = y.pos_k AND x.band = y.band
+         |    AND x.bkey = y.bkey AND x.vid_id < y.vid_id),
+         |hm AS (
+         |  SELECT c.vid_a, c.vid_b,
+         |    bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS hm
+         |  FROM cand c
+         |  JOIN hsh ha ON ha.vid_id = c.vid_a AND ha.pos_k = c.pos_k
+         |  JOIN hsh hb ON hb.vid_id = c.vid_b AND hb.pos_k = c.pos_k
+         |  WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 3)
+         |SELECT vid_a, vid_b, COUNT(*)::BIGINT AS n_pos_matched,
+         |  MAX(hm)::BIGINT AS max_hamming
+         |FROM hm GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY vid_a, vid_b""".stripMargin
+    },
     // identical canonicalization chain in DuckDB's RE2 — lower, query/
     // fragment strip via the path capture, default-port strip, trailing
     // slash strip

@@ -596,9 +596,21 @@ object Multimodal {
   /** Encode a GVID container of `nFrames` REAL PNG frames; frame `f`'s
     * pixel stream uses seed `seed * 100 + f` (the oracle's closed form).
     * Driver-side fixture writer: bounded file counts only. */
-  def encodeVideo(nFrames: Int, width: Int, height: Int, seed: Long): Array[Byte] = {
+  def encodeVideo(nFrames: Int, width: Int, height: Int, seed: Long): Array[Byte] =
+    videoFromFrames(
+      (0 until nFrames).map(f => encodePng(width, height, seed * 100 + f)))
+
+  /** [[encodeVideo]]'s near-duplicate twin: every frame is the
+    * [[encodePngPerturbed]] twin of the original's frame (same per-frame
+    * seeds) — the re-encoded-copy shape a video dedup must link. */
+  def encodeVideoPerturbed(nFrames: Int, width: Int, height: Int, seed: Long,
+      mod: Int): Array[Byte] =
+    videoFromFrames((0 until nFrames)
+      .map(f => encodePngPerturbed(width, height, seed * 100 + f, mod)))
+
+  private def videoFromFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = frames.length
     require(nFrames > 0 && nFrames < 65536, s"encodeVideo($nFrames frames)")
-    val frames = (0 until nFrames).map(f => encodePng(width, height, seed * 100 + f))
     val headLen = 6 + nFrames * 8
     val bb = java.nio.ByteBuffer.allocate(headLen + frames.map(_.length).sum)
     bb.put("GVID".getBytes("US-ASCII")).putShort(nFrames.toShort)
