@@ -1736,6 +1736,62 @@ object Extensions {
         .filter(col("n_pos_matched") >= 2)
         .orderBy("vid_a", "vid_b")
     },
+    // E4/evaluation — n-gram NOVELTY of held-out documents against the
+    // training corpus (the memorization complement of e29's decontam
+    // overlap: Lee et al. report % novel n-grams to show dedup reduces
+    // verbatim regurgitation). Train = doc_id%10!=0, eval = %10==0;
+    // per eval doc the fraction of its distinct 3-grams absent from the
+    // ENTIRE train corpus, rolled up per lang in exact integers. Scale:
+    // the train 3-gram set collapses to DISTINCT hashes once (map-side
+    // combined), the eval side left-anti-joins on the hash — shuffle =
+    // |distinct train 3-grams| + |eval 3-grams|, never docs × grams.
+    "e100_ngram_novelty" -> { (s, d) =>
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(transform(sequence(lit(0), size(col("tk")) - 3),
+            i => concat_ws(" ", element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2), element_at(col("tk"), i + 3)))))
+            .as("g"))
+        .withColumn("h", tokenHash(col("g")))
+      val docs = load(s, d, "documents")
+      val train = grams(docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("h")).distinct()
+      val eval = grams(docs.filter(col("doc_id") % 10 === 0))
+      val perDoc = eval
+        .join(train.withColumn("seen", lit(1L)), Seq("h"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("n_grams"),
+          sum(col("n_novel")).as("n_novel"),
+          sum(when(col("n_novel") * 2 < col("n_grams"), 1L).otherwise(0L))
+            .as("n_memorized_docs"))
+        .orderBy("lang")
+    },
+    // E1/training prep — duplication-aware sampling weights: every doc in
+    // a near-dup cluster of size k carries weight 1/k, so duplicated
+    // content contributes ONE unit of training signal no matter how many
+    // copies survive upstream filters (the soft alternative to e25's hard
+    // removal). Weights are exact integers in units of 1e-9 (floor of
+    // 1e9/k), so the per-lang effective-dataset-size sums are engine- and
+    // order-invariant with zero float/decimal-division semantics in play.
+    // Scale: the e21 component labels + one |clusters|-row size agg + a
+    // doc-keyed join — the merge's shuffle class.
+    "e101_dup_weights" -> { (s, d) =>
+      val comp = lshComponents(s, d).select(col("node").as("doc_id"), col("label"))
+      val sizes = comp.groupBy(col("label")).agg(count(lit(1)).as("k"))
+      load(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"))
+        .join(comp, "doc_id").join(broadcast(sizes), "label")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_in_clusters"),
+          sum(expr("1000000000L div k")).as("effective_docs_e9"),
+          max(col("k")).as("max_cluster"))
+        .orderBy("lang")
+    },
     // E4/curation — URL canonicalization + URL-level dedup (the CCNet
     // crawl-dedup key): raw URLs differ in case, default ports, trailing
     // slashes, tracking queries, and fragments while naming the SAME
@@ -4209,6 +4265,65 @@ object Extensions {
         |JOIN hsh hb ON hb.doc_id = c.doc_b
         |WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // same shared token hash; the train gram set is DISTINCT-collapsed
+    // before the anti-join, mirroring the Spark plan
+    "e100_ngram_novelty" -> {
+      val hs = String.format(tokenHashSql, "g")
+      s"""WITH t3 AS (
+         |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(string_split(text, ' ')) - 2),
+         |    i -> string_split(text, ' ')[i] || ' ' ||
+         |         string_split(text, ' ')[i + 1] || ' ' ||
+         |         string_split(text, ' ')[i + 2]))) AS g
+         |  FROM documents),
+         |tr AS (SELECT DISTINCT $hs AS h FROM t3 WHERE doc_id % 10 <> 0),
+         |ev AS (SELECT doc_id, lang, $hs AS h FROM t3 WHERE doc_id % 10 = 0),
+         |pd AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_grams,
+         |    SUM(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+         |  FROM ev LEFT JOIN tr ON ev.h = tr.h GROUP BY 1, 2)
+         |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(n_grams)::BIGINT AS n_grams, SUM(n_novel)::BIGINT AS n_novel,
+         |  SUM(CASE WHEN n_novel * 2 < n_grams THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_memorized_docs
+         |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // e21's recursive closure reused verbatim; weights are floor(1e9/k)
+    // integers so no division semantics cross the engine boundary
+    "e101_dup_weights" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM sig
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |lab AS (SELECT node AS doc_id, MIN(label) AS comp FROM reach GROUP BY node),
+         |sz AS (SELECT comp, COUNT(*) AS k FROM lab GROUP BY comp)
+         |SELECT d.lang, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT AS n_in_clusters,
+         |  SUM(1000000000 // k)::BIGINT AS effective_docs_e9,
+         |  MAX(k)::BIGINT AS max_cluster
+         |FROM documents d JOIN lab ON d.doc_id = lab.doc_id JOIN sz USING (comp)
+         |WHERE d.doc_id % 10 = 0
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
     // e72's index-seek CTEs composed with e91's closed-form hash pipeline,
     // frame-keyed seeds (vid%1000)*100 + frame_idx, per-frame perturbation
     "e99_video_neardup" -> {
