@@ -1792,6 +1792,31 @@ object Extensions {
           max(col("k")).as("max_cluster"))
         .orderBy("lang")
     },
+    // E1/training prep — near-dup-cluster-aware SHARD assignment: shards
+    // are keyed by the cluster LABEL's hash, not the doc's, so every
+    // member of a near-dup cluster lands in the SAME training shard —
+    // without this, interleaved near-dups leak across shard boundaries
+    // and defeat per-shard dedup/packing. The report carries its own
+    // evidence: n_split_clusters counts clusters spanning >1 shard and
+    // must be 0 by construction. Scale: e21 labels + one map-side shard
+    // derivation + a |shards|-row rollup.
+    "e102_cluster_shards" -> { (s, d) =>
+      val comp = lshComponents(s, d).select(col("node").as("doc_id"), col("label"))
+      val docs = load(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("n_tok"))
+        .join(comp, "doc_id")
+        .withColumn("shard",
+          pmod(tokenHash(col("label").cast(StringType)), lit(8L)))
+      val split = docs.groupBy(col("label"))
+        .agg(countDistinct(col("shard")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_split_clusters"))
+      docs.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("label")).as("n_clusters"),
+          sum(col("n_tok")).as("n_tokens"))
+        .crossJoin(broadcast(split))
+        .orderBy("shard")
+    },
     // E4/curation — URL canonicalization + URL-level dedup (the CCNet
     // crawl-dedup key): raw URLs differ in case, default ports, trailing
     // slashes, tracking queries, and fragments while naming the SAME
@@ -4287,6 +4312,48 @@ object Extensions {
          |  SUM(CASE WHEN n_novel * 2 < n_grams THEN 1 ELSE 0 END)::BIGINT
          |    AS n_memorized_docs
          |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // e21's closure + the shared hash of the component label; the
+    // split-cluster invariant is recomputed, not assumed
+    "e102_cluster_shards" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val lh = String.format(tokenHashSql, "CAST(comp AS VARCHAR)")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM sig
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |lab AS (SELECT node AS doc_id, MIN(label) AS comp FROM reach GROUP BY node),
+         |sharded AS (
+         |  SELECT d.doc_id, lab.comp, ($lh) % 8 AS shard,
+         |    len(string_split(d.text, ' '))::BIGINT AS n_tok
+         |  FROM documents d JOIN lab ON d.doc_id = lab.doc_id
+         |  WHERE d.doc_id % 10 = 0),
+         |split AS (
+         |  SELECT SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS n_split_clusters
+         |  FROM (SELECT comp, COUNT(DISTINCT shard) AS ns FROM sharded GROUP BY comp))
+         |SELECT shard, COUNT(*)::BIGINT AS n_docs,
+         |  COUNT(DISTINCT comp)::BIGINT AS n_clusters,
+         |  SUM(n_tok)::BIGINT AS n_tokens, split.n_split_clusters
+         |FROM sharded, split
+         |GROUP BY shard, split.n_split_clusters ORDER BY shard""".stripMargin
     },
     // e21's recursive closure reused verbatim; weights are floor(1e9/k)
     // integers so no division semantics cross the engine boundary
