@@ -1792,6 +1792,42 @@ object Extensions {
           max(col("k")).as("max_cluster"))
         .orderBy("lang")
     },
+    // E-series monitoring — two-sample Kolmogorov–Smirnov distance between
+    // two sources' length distributions, in EXACT integer arithmetic: the
+    // ECDF difference is compared through the cross-multiplied form
+    // |cumA·nB − cumB·nA| (numerator over the common denominator nA·nB),
+    // so the sup and its argmax are engine-exact with no float until the
+    // single final division. The nonparametric complement of e97's
+    // binned PSI — it needs no binning choice at all. Scale: lengths
+    // collapse to |distinct lengths| counted rows map-side; the running
+    // sum is a deliberate single-partition window over that bounded
+    // table (graft_pin), totals broadcast.
+    "e103_ks_drift" -> { (s, d) =>
+      val docs = load(s, d, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars"))
+      val counts = docs.groupBy(col("n_chars"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.PinnedKey.pin(lit(0)))
+        .orderBy(col("n_chars"))
+        .rowsBetween(Long.MinValue, 0)
+      val tot = docs.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("na"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("nb"))
+      counts
+        .select(col("n_chars"), sum(col("ca")).over(w).as("cuma"),
+          sum(col("cb")).over(w).as("cumb"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_chars"), col("na"), col("nb"),
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("diff"))
+        .orderBy(col("diff").desc, col("n_chars").asc)
+        .limit(1)
+        .select(col("na"), col("nb"), col("n_chars").as("arg_len"),
+          col("diff").as("ks_num"), (col("na") * col("nb")).as("ks_den"),
+          (col("diff").cast(DoubleType) / (col("na") * col("nb"))).as("ks"))
+    },
     // E1/training prep — near-dup-cluster-aware SHARD assignment: shards
     // are keyed by the cluster LABEL's hash, not the doc's, so every
     // member of a near-dup cluster lands in the SAME training shard —
@@ -4313,6 +4349,29 @@ object Extensions {
          |    AS n_memorized_docs
          |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
     },
+    // the sup and argmax resolve on exact integers; ORDER BY diff DESC,
+    // n_chars ASC picks the same row in both engines
+    "e103_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents
+        |           WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT n_chars,
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM d GROUP BY n_chars),
+        |t AS (SELECT
+        |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS nb
+        |  FROM d),
+        |cum AS (SELECT n_chars,
+        |    SUM(ca) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    SUM(cb) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM c),
+        |diffs AS (SELECT n_chars, na, nb,
+        |    abs(cuma * nb - cumb * na)::BIGINT AS diff
+        |  FROM cum, t)
+        |SELECT na, nb, n_chars AS arg_len, diff AS ks_num,
+        |  (na * nb)::BIGINT AS ks_den, diff::DOUBLE / (na * nb) AS ks
+        |FROM diffs ORDER BY diff DESC, n_chars ASC LIMIT 1""".stripMargin,
     // e21's closure + the shared hash of the component label; the
     // split-cluster invariant is recomputed, not assumed
     "e102_cluster_shards" -> {
