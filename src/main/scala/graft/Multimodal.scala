@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.LongType
   * pure Catalyst column expressions over the header bytes (codegen'd, no
   * UDF), and [[decodePngPixels]] inflates + unfilters 8-bit truecolor
   * scanlines (all five PNG filter types). [[encodePng]] writes complete
-  * valid PNGs for fixtures. Other modalities keep the deterministic
-  * `decodeStub` — no audio/video codec ships in this container, and faking
-  * one would be dishonest; the plumbing around it is real and tested.
+  * valid PNGs for fixtures. Audio and video are real too where the format
+  * is JDK-expressible: WAV PCM sample decode (e70/e93) and the indexed
+  * GVID container's frame seek-and-sample over embedded PNG frames
+  * (e72/e99). Only codecs with no public JDK-only decode path (JPEG
+  * entropy decode beyond the SOF header walk) stay at metadata depth.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no driver
   * materialization); header-only metadata extraction never touches pixel

@@ -66,8 +66,8 @@ final class BucketedReplica(
     * with the current layout or fails loudly. */
   private def metaKv: Map[String, String] = {
     val meta = io.path("_META")
-    if (!io.exists(meta)) Map.empty
-    else io.readString(meta)
+    if (!io.existsSafe(meta)) Map.empty
+    else io.readSafe(meta)
       .linesIterator.filter(_.contains("=")).map { l =>
         val Array(k, v) = l.split("=", 2); k -> v
       }.toMap
@@ -98,13 +98,13 @@ final class BucketedReplica(
         s"firstTag=$t is after retained tag $minTag — a version tagged " +
           s"$minTag proves the table existed by then"))
     val kv = metaKv
-    io.writeString(io.path("_META"),
+    io.overwriteSafe(io.path("_META"),
       (kv.toSeq.sortBy(_._1) :+ ("firstTag" -> t.toString))
         .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
   }
 
   private def writeMetaKv(kv: Map[String, String]): Unit =
-    io.writeString(io.path("_META"),
+    io.overwriteSafe(io.path("_META"),
       kv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
         .mkString("", "\n", "\n"))
 
@@ -254,8 +254,8 @@ final class BucketedReplica(
 
   private def writeMetaIfAbsent(n: Int, tag: Option[Long]): Unit = {
     val meta = io.path("_META")
-    if (!io.exists(meta))
-      io.writeString(meta, s"nBuckets=$n\npk=$pk\n" +
+    if (!io.existsSafe(meta))
+      io.overwriteSafe(meta, s"nBuckets=$n\npk=$pk\n" +
         tag.map(t => s"firstTag=$t\n").getOrElse(""))
   }
 
@@ -528,21 +528,33 @@ final class BucketedReplica(
           if (badIds.isEmpty) s"all bucket ids in [0, $n)"
           else s"out of layout range: ${badIds.mkString(",")}")
         // a referenced path must exist AND carry data: bucket DIRS whose
-        // part files were lost still "exist" but read empty
-        def hasData(rel: String): Boolean = {
+        // part files were lost still "exist" but read empty. A listing
+        // that THROWS is its own failure class — an integrity audit that
+        // defaulted an unreadable bucket to "has data" would mask exactly
+        // the I/O faults it exists to surface.
+        def stateOf(rel: String): Either[String, Boolean] = {
           val p = new Path(dataPath(rel))
-          io.exists(p) &&
-            (try io.listFiles(p).exists(!_.getName.startsWith("_"))
-            catch { case _: java.io.IOException => true })
+          try Right(io.exists(p) &&
+            io.listFiles(p).exists(!_.getName.startsWith("_")))
+          catch { case e: java.io.IOException =>
+            Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         }
-        val missing = man.toSeq.sortBy(_._1)
-          .filterNot { case (_, rel) => hasData(rel) }
-        rows += Row("files_present", missing.isEmpty,
-          s"${man.size - missing.size}/${man.size}",
-          if (missing.isEmpty) "every manifest-referenced file exists and has data"
-          else s"missing/empty: ${missing.map(_._2).take(3).mkString(", ")}")
-        val present = man.toSeq.sortBy(_._1)
-          .filter { case (_, rel) => hasData(rel) }
+        val states = man.toSeq.sortBy(_._1).map { case (b, rel) =>
+          (b, rel, stateOf(rel)) }
+        val missing = states.collect { case (_, rel, Right(false)) => rel }
+        val unreadable = states.collect { case (_, rel, Left(e)) => (rel, e) }
+        rows += Row("files_present", missing.isEmpty && unreadable.isEmpty,
+          s"${states.size - missing.size - unreadable.size}/${man.size}",
+          if (missing.isEmpty && unreadable.isEmpty)
+            "every manifest-referenced file exists and has data"
+          else Seq(
+            if (missing.nonEmpty)
+              Some(s"missing/empty: ${missing.take(3).mkString(", ")}") else None,
+            if (unreadable.nonEmpty)
+              Some("unreadable: " + unreadable.take(3)
+                .map { case (r, e) => s"$r ($e)" }.mkString(", ")) else None
+          ).flatten.mkString("; "))
+        val present = states.collect { case (b, rel, Right(true)) => (b, rel) }
         if (present.nonEmpty) {
           val sch = schemaAt(v)
           // footer-only conformity: stored fields must match the declared
@@ -617,7 +629,7 @@ final class BucketedReplica(
     // refresh the creation-meta fallback so pre-header readers and error
     // messages cite the live layout; placement truth is the manifest header,
     // so a crash before this line costs nothing
-    io.writeString(io.path("_META"), s"nBuckets=$newBuckets\npk=$pk\n" +
+    io.overwriteSafe(io.path("_META"), s"nBuckets=$newBuckets\npk=$pk\n" +
       firstTag.map(t => s"firstTag=$t\n").getOrElse(""))
   }
 
@@ -673,12 +685,12 @@ final class BucketedReplica(
     require(!dio.exists(destRootPath) ||
       !dio.listFiles(destRootPath).exists(_.getName.startsWith("_PTR-")),
       s"clone target $destRoot already holds a replica")
-    require(!dio.exists(dio.path("_META")) ||
+    require(!dio.existsSafe(dio.path("_META")) ||
       dio.exists(dio.path("manifest-1.tsv")),
       s"clone target $destRoot is a provisioned empty table — " +
         "drop it first or clone to a fresh name")
     val n = layoutBuckets
-    dio.writeString(dio.path("_META"), s"nBuckets=$n\npk=$pk\n" +
+    dio.overwriteSafe(dio.path("_META"), s"nBuckets=$n\npk=$pk\n" +
       firstTag.map(t => s"firstTag=$t\n").getOrElse(""))
     dio.writeString(dio.path("manifest-1.tsv"),
       s"#n=$n\n" + man.toSeq.sortBy(_._1)
@@ -710,7 +722,7 @@ final class BucketedReplica(
   def detachClone(destRoot: String): Unit = {
     val kept = metaKv.toSeq
       .filterNot { case (k, v) => k.startsWith("clone.") && v == destRoot }
-    io.writeString(io.path("_META"),
+    io.overwriteSafe(io.path("_META"),
       kept.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
   }
 
@@ -720,7 +732,7 @@ final class BucketedReplica(
       return // crashed-attempt retry: already registered
     val next = kv.keys.filter(_.startsWith("clone."))
       .map(_.stripPrefix("clone.").toInt).foldLeft(0)(_ max _) + 1
-    io.writeString(io.path("_META"),
+    io.overwriteSafe(io.path("_META"),
       (kv.toSeq :+ (s"clone.$next" -> destRoot)).sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
   }
@@ -963,8 +975,8 @@ object BucketedReplica {
   def open(root: String): BucketedReplica = {
     val io = new StoreIO(root, StoreIO.sessionConf())
     val metaP = io.path("_META")
-    require(io.exists(metaP), s"no replica at $root (missing _META)")
-    val kv = io.readString(metaP).linesIterator.filter(_.contains("="))
+    require(io.existsSafe(metaP), s"no replica at $root (missing _META)")
+    val kv = io.readSafe(metaP).linesIterator.filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }.toMap
     val pk = kv.getOrElse("pk", "user_id")
     val curV = io.listFiles(io.root).map(_.getName)

@@ -99,7 +99,13 @@ object ImageDedup {
 
   private def readStore(spark: SparkSession, dir: String,
                         excludeBatchId: Long): DataFrame = {
-    if (!new java.io.File(dir).isDirectory)
+    // existence goes through the Hadoop FS resolved from the path itself —
+    // writes land via Spark's Hadoop layer, so a java.io.File check would
+    // read "absent" forever on any non-local root (hdfs://, s3a://) and
+    // silently no-op the cross-batch dedup
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType),

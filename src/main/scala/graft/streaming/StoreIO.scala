@@ -65,6 +65,32 @@ final class StoreIO(rootStr: String, conf: Configuration) {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Crash-safe overwrite of a small mutable control file (`_META`): the
+    * new content lands COMPLETELY at `<name>.next` first, then flips onto
+    * the primary name by rename. The write-once pointer stays the commit
+    * primitive ([[createExclusive]]); this exists for mutable singletons
+    * that a plain create/overwrite could leave TORN mid-write — e.g. a
+    * crash during `add_check` truncating the table's pk/layout contract.
+    * The flip's worst case (FileContext's local rename-overwrite is
+    * delete-then-rename) leaves the primary briefly absent with the side
+    * file complete, which [[readSafe]]/[[existsSafe]] cover — so readers
+    * see the old or the new complete content, never a prefix. */
+  def overwriteSafe(p: Path, s: String): Unit = {
+    val side = new Path(p.getParent, p.getName + ".next")
+    writeString(side, s)
+    fc.rename(side, p, Options.Rename.OVERWRITE)
+  }
+
+  /** Read a file maintained by [[overwriteSafe]], falling back to the
+    * completed `.next` side copy if a crash hit the flip's gap. */
+  def readSafe(p: Path): String =
+    if (exists(p)) readString(p)
+    else readString(new Path(p.getParent, p.getName + ".next"))
+
+  /** Existence for [[overwriteSafe]]-maintained files (primary or side). */
+  def existsSafe(p: Path): Boolean =
+    exists(p) || exists(new Path(p.getParent, p.getName + ".next"))
+
   /** Immediate child FILES of `p` (empty if `p` doesn't exist). */
   def listFiles(p: Path): Seq[Path] =
     if (!exists(p)) Seq.empty
