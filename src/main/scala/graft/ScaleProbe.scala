@@ -148,6 +148,11 @@ object ScaleProbe {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val scales = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
       else Seq(1, 3, 10)
+    // SPARK_GRAFT_ONLY=e03b,e21 probes just the named prefixes — the
+    // 30×/100× decade runs target the steepest curves without paying for
+    // the (by-design quadratic) e48 sizing triple at 100×
+    val onlyQ = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def sel(n: String): Boolean = onlyQ.forall(_.exists(n.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -176,14 +181,14 @@ object ScaleProbe {
     val variants = (sc: Int) => Seq(
       "e48_k_scaled" -> e48Scaled(8 * sc) _,
       "e48_k_sqrt" -> e48Scaled(8 * math.ceil(math.sqrt(sc)).toInt) _)
-    (queries ++ variants(1)).foreach { case (_, fn) =>
+    (queries ++ variants(1)).filter(q => sel(q._1)).foreach { case (_, fn) =>
       try fn(spark, dirs(scales.head)).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
     scales.foreach { sc =>
       val d = dirs(sc)
-      (queries ++ variants(sc)).foreach { case (name, fn) =>
+      (queries ++ variants(sc)).filter(q => sel(q._1)).foreach { case (name, fn) =>
         val b0 = bytes.stable()
         val t0 = System.nanoTime()
         fn(spark, d).write.format("noop").mode("overwrite").save()

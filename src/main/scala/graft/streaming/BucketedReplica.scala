@@ -16,7 +16,10 @@ import org.apache.hadoop.fs.Path
   *   _PTR-<v>                  // write-once pointer file: version v is
   *                             // committed; readers resolve max(v)
   *   manifest-<v>.tsv          // bucket \t relative-data-dir, one per bucket
-  *   data/v<v>/bucket=<k>/part-….parquet
+  *   data/v<v>-<attempt>/bucket=<k>/part-….parquet
+  *                             // attempt-unique per commit try, so a
+  *                             // defeated concurrent committer can never
+  *                             // overwrite a committed version's files
   * }}}
   *
   * Scale design (the 100 TB story):
@@ -880,11 +883,18 @@ final class BucketedReplica(
     val curV = currentVersion
     val newV = curV.getOrElse(0L) + 1
     val man = curV.map(readManifest).getOrElse(Map.empty)
-    val versionDir = s"$root/data/v$newV"
-    // one task per bucket → exactly one right-sized file per bucket dir.
-    // mode=overwrite: a writer that crashed after writing this version dir
-    // but before flipping the pointer leaves an orphan with this same
-    // version number — clobber it, never fail the recovery commit.
+    // ATTEMPT-UNIQUE data dir (multi-writer hardening, proven by
+    // CrossJvmCommitSpec): two independent drivers racing the same next
+    // version each write their own `v<N>-<attempt>` directory, so the
+    // loser's minutes-long data job can never overwrite files the
+    // winner's committed manifest references — the old shared `v<N>` dir
+    // left exactly that window open between the winner's pointer flip and
+    // the loser's create-exclusive failure. A crashed or defeated
+    // attempt's dir is referenced by no manifest and is swept by
+    // gcUnreferenced at the next successful commit.
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val versionDir = s"$root/data/v$newV-$attempt"
+    // one task per bucket → exactly one right-sized file per bucket dir
     rows.withColumn("bucket", bucketExpr(layoutN))
       .repartition(if (replaceAll) layoutN
                    else math.min(layoutN, touched.size.max(1)), col("bucket"))
@@ -895,9 +905,20 @@ final class BucketedReplica(
     // leave the manifest; everything else re-points at the new version
     val written = io.listDirs(new Path(versionDir))
       .filter(_.getName.startsWith("bucket="))
-      .map(p => p.getName.stripPrefix("bucket=").toInt -> s"data/v$newV/${p.getName}")
+      .map(p => p.getName.stripPrefix("bucket=").toInt ->
+        s"data/v$newV-$attempt/${p.getName}")
       .toMap
     val newMan = if (replaceAll) written else (man -- touched) ++ written
+
+    // multi-writer guard on the version-NAMED control files: if another
+    // driver already committed this version while our data job ran, abort
+    // before overwriting the winner's manifest/schema/tag — we were going
+    // to lose at the pointer anyway; failing here keeps even the
+    // (millisecond) control-file window from clobbering committed state.
+    if (io.exists(io.path(s"_PTR-$newV")))
+      throw new StoreIO.ConcurrentCommit(
+        s"version $newV was committed by another writer during this " +
+          "commit's data write — re-read and retry")
 
     io.writeString(manifestPath(newV),
       s"#n=$layoutN\n" +

@@ -28,13 +28,13 @@ class BucketedReplicaSpec extends SparkSpecBase {
     val ch = Cdc.changelog(spark, "/root/testdata/sf0.01")
     rep.commit(ch)
     val v1Bytes = dirBytes(new File(root, "data"))
-    val v1Dirs = Option(new File(root, "data/v1").listFiles()).get
+    val v1Dirs = Option(versionDataDir(root, 1L).listFiles()).get
       .count(_.getName.startsWith("bucket="))
     assert(v1Dirs > 16, s"seed should populate most buckets, got $v1Dirs")
 
     // tiny batch: ONE key updated
     rep.commit(mkBatch(Seq(row("UPDATE", 999999L, 999L, 7L, 123.45))))
-    val v2 = new File(root, "data/v2")
+    val v2 = versionDataDir(root, 2L)
     val v2Dirs = Option(v2.listFiles()).get.filter(_.getName.startsWith("bucket="))
     assert(v2Dirs.length === 1, "a one-key batch must rewrite exactly one bucket")
     // written bytes for the commit ≪ replica bytes (bucket-granular, not full)
@@ -91,7 +91,7 @@ class BucketedReplicaSpec extends SparkSpecBase {
 
     // simulate a writer that died mid-commit: the NEXT version dir (v2) is
     // fully written — poison update included — but the pointer never flipped
-    val orphan = new File(root, "data/v2/bucket=0")
+    val orphan = new File(root, "data/v2-deadcafe/bucket=0")
     orphan.mkdirs()
     mkBatch(Seq(row("UPDATE", 777L, 1L, 1L, 9.9)))
       .coalesce(1).write.mode("overwrite").parquet(orphan.getAbsolutePath)
@@ -248,7 +248,7 @@ class BucketedReplicaSpec extends SparkSpecBase {
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(root, s"manifest-$cur.tsv")), "UTF-8")
     assert(manifest.linesIterator.filterNot(_.startsWith("#")) // layout header
-      .forall(_.contains(s"data/v$cur/")),
+      .forall(_.contains(s"data/v$cur-")),
       s"manifest still references pre-compaction versions:\n$manifest")
   }
 
@@ -280,7 +280,7 @@ class BucketedReplicaSpec extends SparkSpecBase {
     val vNew = rep16.currentVersion.get
     assert(rep16.tagOf(vNew) === Some(2L), "rebucket must carry the tag forward")
     rep16.commit(mkBatch(Seq(row("UPDATE", 200L, 990L, 1L, 11.0))), tag = Some(3L))
-    val v3 = new File(root, s"data/v${rep16.currentVersion.get}")
+    val v3 = versionDataDir(root, rep16.currentVersion.get)
     assert(Option(v3.listFiles()).get.count(_.getName.startsWith("bucket=")) === 1,
       "post-rebucket one-key commit must still rewrite exactly one bucket")
     val got = rep16.live(spark).filter(col("user_id") === 1L).select("pos").head()

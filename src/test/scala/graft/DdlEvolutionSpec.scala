@@ -40,16 +40,16 @@ class DdlEvolutionSpec extends SparkSpecBase {
     val rep = new BucketedReplica(root, nBuckets = 4)
     rep.destroy(); rep.commit(seed)
     val vBefore = rep.currentVersion.get
-    val dataFiles = new java.io.File(s"$root/data/v$vBefore").listFiles().length
+    val dataFiles = versionDataDir(root, vBefore).listFiles().length
     val cold = coldSession(wh)
 
     cold.sql("ALTER TABLE graft.cdc.users ADD COLUMN note STRING")
 
     // metadata-only: new version, same data directory untouched
     assert(rep.currentVersion.get === vBefore + 1)
-    assert(!new java.io.File(s"$root/data/v${vBefore + 1}").exists(),
+    assert(!versionDataDir(root, vBefore + 1).exists(),
       "ADD COLUMN must not rewrite data")
-    assert(new java.io.File(s"$root/data/v$vBefore").listFiles().length === dataFiles)
+    assert(versionDataDir(root, vBefore).listFiles().length === dataFiles)
     // stored rows read NULL for the new column
     val read = cold.sql("SELECT * FROM graft.cdc.users")
     assert(read.columns.contains("note"))

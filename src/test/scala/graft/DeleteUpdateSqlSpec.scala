@@ -141,7 +141,7 @@ class DeleteUpdateSqlSpec extends SparkSpecBase {
     val key = seed.select(max(col("user_id"))).collect()(0).getLong(0)
     coldSession(wh).sql(s"DELETE FROM graft.cdc.users WHERE user_id = $key")
     val newV = rep.currentVersion.get
-    val bucketDirs = new java.io.File(s"$root/data/v$newV").listFiles()
+    val bucketDirs = versionDataDir(root, newV).listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName).toSeq
     assert(bucketDirs.size === 1,
       s"single-key DELETE rewrote ${bucketDirs.size} buckets: $bucketDirs")

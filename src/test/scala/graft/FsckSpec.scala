@@ -49,7 +49,7 @@ class FsckSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(rogueDir)
     val part = Option(new File(rogueDir).listFiles()).get
       .filter(_.getName.endsWith(".parquet")).head
-    val bucketDirs = Option(new File(root, "data/v1").listFiles()).get
+    val bucketDirs = Option(versionDataDir(root, 1L).listFiles()).get
       .filter(_.getName.startsWith("bucket=")).sortBy(_.getName).take(2)
     assert(bucketDirs.length === 2, "need two populated buckets to tamper")
     bucketDirs.zipWithIndex.foreach { case (d, i) =>
@@ -64,7 +64,7 @@ class FsckSpec extends SparkSpecBase {
 
     // delete an untampered bucket's data files → presence fails (the dir
     // survives, so existence alone would not catch it)
-    val victimDir = Option(new File(root, "data/v1").listFiles()).get
+    val victimDir = Option(versionDataDir(root, 1L).listFiles()).get
       .filter(_.getName.startsWith("bucket=")).sortBy(_.getName).drop(2).head
     Option(victimDir.listFiles()).get
       .filter(_.getName.endsWith(".parquet")).foreach(_.delete())

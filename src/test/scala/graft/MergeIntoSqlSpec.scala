@@ -104,7 +104,7 @@ class MergeIntoSqlSpec extends SparkSpecBase {
     small.createOrReplaceTempView("staged_batch")
     spark.sql(mergeSql.format("replica_bd"))
     val newV = rep.currentVersion.get
-    val bucketDirs = new java.io.File(s"$root/data/v$newV").listFiles()
+    val bucketDirs = versionDataDir(root, newV).listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName).toSeq
     assert(bucketDirs.size === 1,
       s"single-key MERGE rewrote ${bucketDirs.size} buckets: $bucketDirs")

@@ -11,6 +11,20 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** The committed data directory of replica version v. Data dirs are
+    * attempt-suffixed (`data/v<v>-<attempt>`) since the multi-writer
+    * hardening; once v is committed, exactly one referenced dir survives
+    * (defeated/crashed attempts are GC'd). Returns a non-existent
+    * `data/v<v>` placeholder when no attempt dir exists, so
+    * `.exists()` assertions read naturally. */
+  def versionDataDir(root: String, v: Long): java.io.File = {
+    val d = new java.io.File(s"$root/data")
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName == s"v$v" || f.getName.startsWith(s"v$v-"))
+      .sortBy(_.getName).headOption
+      .getOrElse(new java.io.File(d, s"v$v"))
+  }
 }
 
 object SparkSpecBase {
