@@ -168,7 +168,14 @@ object Bench {
       "mid-round) drift uniformly +20-30% vs the same round's 171.8s " +
       "record with no plan changes and e21/e47/c52 still at their " +
       "recovered levels - same environmental signature as r5; compare " +
-      "records within one host session, not across."
+      "records within one host session, not across. r8 closes r7's two " +
+      "flagged items with ONE change (the shared LSH-label artifact): the " +
+      "six consumers drop ~35s->~6s (e49 9.8->0.6, e101 7.8->0.6, e59 " +
+      "6.9->0.3, e25/e73 <0.5; the first consumer in run order carries " +
+      "the one-time ~3.5s build), and e20_top_ngrams returns 1.76->0.47s " +
+      "with its code untouched - r7's regression was localCheckpoint/GC " +
+      "pressure from the 7x fixpoint rebuilds running before it, exactly " +
+      "the suite-pressure class the isolated_worst3 gap already suggested."
     val envJson =
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_worst3":${qJson(isolated)},"gc_sec_total":${r3(gcByQuery.map(_._2).sum)}"""
     val full =

@@ -2012,6 +2012,101 @@ object Extensions {
           sum(col("psi_term")).cast(DecimalType(28, 6)).as("psi_total"))))
         .orderBy("event_type")
     },
+    // E1-eval/leakage — CLUSTER-level split leakage: e89 counts cross-split
+    // candidate PAIRS; this audits the TRANSITIVE closure — a val/test doc
+    // whose near-dup cluster contains any train member is leaked even when
+    // its own candidate edge reaches train only indirectly (A~B~C with A
+    // in train, C in test, B bridging). One row per observed split-set
+    // ('test+train', 'train+val', …): clusters spanning exactly that set
+    // and the docs inside them. Scale: the shared labels artifact + one
+    // map-side hash-split derivation + two |clusters|-row aggs.
+    "e104_split_leak_clusters" -> { (s, d) =>
+      val hid = tokenHash(col("doc_id").cast(StringType)) % 100
+      val comp = lshComponentsArtifact(s, d)
+        .select(col("node").as("doc_id"), col("label"))
+        .withColumn("split",
+          when(hid < 80, "train").when(hid < 90, "val").otherwise("test"))
+      comp.groupBy(col("label"))
+        .agg(count(lit(1)).as("nd"),
+          concat_ws("+", sort_array(collect_set(col("split")))).as("split_set"))
+        .groupBy(col("split_set"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("nd")).as("n_docs"))
+        .orderBy("split_set")
+    },
+    // E4/training prep — curriculum deciles: rank-based quality binning
+    // (NTILE(10) over the e33 classifier logit) with per-bin volume and
+    // score bounds — the curriculum-ordering artifact ("train easy→hard")
+    // and the calibration table for a quality-threshold sweep. Rank-based
+    // on purpose: deciles stay exact and engine-invariant even though the
+    // score is a float (the logit itself is bit-identical per e33's
+    // audit; ties break by doc_id on both engines). The single-partition
+    // window is pinned deliberately (graft_pin survives constant
+    // folding); at 100 TB the same artifact comes from a c44-style
+    // histogram — boundary quantiles from a map-side sketch, broadcast,
+    // then map-side binning — with this window form as the
+    // exact-semantics anchor.
+    "e105_quality_deciles" -> { (s, d) =>
+      val tk = toks(col("text"))
+      val n = size(tk)
+      val ttr = size(array_distinct(tk)).cast(DoubleType) / n
+      val stopRatio = size(filter(tk, t => t === "the" || t === "a"))
+        .cast(DoubleType) / n
+      val scored = load(s, d, "documents")
+        .select(col("doc_id"), n.cast(LongType).as("n_tok"),
+          (lit(-1.5) + lit(2.0) * ttr
+            + lit(0.01) * least(n.cast(DoubleType), lit(100.0))
+            + lit(3.0) * stopRatio).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.PinnedKey.pin(lit(0)))
+        .orderBy(col("score").asc, col("doc_id").asc)
+      scored.withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy("decile")
+    },
+    // E2/E4 decontamination, SEMANTIC form: e29/e32 catch verbatim overlap
+    // via 3-grams; paraphrased eval leakage needs the embedding space.
+    // Train vectors with cosine ≥ 0.25 against ANY eval vector (vec_id%97,
+    // the e29 eval convention) are contaminated. Exactness: the threshold
+    // test runs in INTEGERS — q = round(100·x) per dim, keep iff dot > 0
+    // and 10000·dot² ≥ 625·‖qa‖²·‖qb‖² (0.25² = 625/10000) — no float
+    // crosses the engine boundary until the round-6 report cosine. Scale:
+    // eval benches are small by nature → the eval side BROADCASTS and the
+    // train scan never shuffles (the e29 economics transplanted to
+    // vectors); a large eval set graduates to LSH-bucketing both sides.
+    "e106_semantic_decontam" -> { (s, d) =>
+      val q = transform(col("embedding"),
+        x => round(x.cast(DoubleType) * 100).cast(LongType))
+      val n2of = (c: Column) =>
+        aggregate(transform(c, v => v * v), lit(0L), (acc, v) => acc + v)
+      val base = load(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), q.as("q"))
+        .withColumn("n2", n2of(col("q")))
+      val ev = base.filter(col("vec_id") % 97 === 0)
+        .select(col("q").as("qe"), col("n2").as("n2e"))
+      val tr = base.filter(col("vec_id") % 97 =!= 0)
+      val dot = aggregate(zip_with(col("q"), col("qe"), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+      tr.crossJoin(broadcast(ev))
+        .select(col("vec_id"), col("label"), dot.as("dot"),
+          col("n2"), col("n2e"))
+        .select(col("vec_id"), col("label"),
+          (col("dot") > 0 &&
+            col("dot") * col("dot") * 10000 >=
+              lit(625L) * col("n2") * col("n2e")).as("hit"),
+          when(col("n2") > 0 && col("n2e") > 0,
+            col("dot").cast(DoubleType)
+              / (sqrt(col("n2").cast(DoubleType))
+                * sqrt(col("n2e").cast(DoubleType)))).as("cs"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("hit"), 1L).otherwise(0L)).as("c"),
+          max(col("cs")).as("m"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_train"), sum(col("c")).as("n_contaminated"),
+          round(max(col("m")), 6).as("max_cos"))
+        .orderBy("label")
+    },
     // E1 end-to-end near-dup removal — the full pass an LLM pipeline runs:
     // LSH candidate graph → components → keep ONE canonical doc per
     // cluster → corpus before/after audit per language. Everything upstream
@@ -4670,6 +4765,97 @@ object Extensions {
         |SELECT tt.*,
         |  (SELECT CAST(SUM(psi_term) AS DECIMAL(28,6)) FROM tt) AS psi_total
         |FROM tt ORDER BY event_type""".stripMargin,
+    // the oracle re-derives the component closure (e21/e73's recursive
+    // CTE), splits each node by the same doc_id hash, and folds the
+    // per-cluster distinct split list into the set string
+    "e104_split_leak_clusters" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val hid = String.format(tokenHashSql, "node::VARCHAR")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |edges AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM sig
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+         |sp AS (SELECT node, label,
+         |         CASE WHEN $hid % 100 < 80 THEN 'train'
+         |              WHEN $hid % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM comp),
+         |ls AS (SELECT DISTINCT label, split FROM sp),
+         |sets AS (SELECT label, string_agg(split, '+' ORDER BY split) AS split_set
+         |         FROM ls GROUP BY label),
+         |sizes AS (SELECT label, COUNT(*) AS nd FROM sp GROUP BY label)
+         |SELECT split_set, COUNT(*) AS n_clusters, SUM(nd)::BIGINT AS n_docs
+         |FROM sets JOIN sizes USING (label)
+         |GROUP BY split_set ORDER BY split_set""".stripMargin
+    },
+    // NTILE is rank-based (SQL standard: larger groups first), so the
+    // binning is exact on both engines; the decile casts to INT to match
+    // Spark's ntile type
+    "e105_quality_deciles" ->
+      """WITH f AS (SELECT doc_id, len(string_split(text,' ')) AS n,
+        |    len(list_distinct(string_split(text,' ')))::DOUBLE
+        |      / len(string_split(text,' ')) AS ttr,
+        |    len(list_filter(string_split(text,' '), t -> t = 'the' OR t = 'a'))::DOUBLE
+        |      / len(string_split(text,' ')) AS stop_ratio
+        |  FROM documents),
+        |sc AS (SELECT doc_id, n::BIGINT AS n_tok,
+        |    -1.5 + 2.0 * ttr + 0.01 * least(n::DOUBLE, 100.0)
+        |      + 3.0 * stop_ratio AS score
+        |  FROM f),
+        |t AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY score ASC, doc_id ASC) AS INT)
+        |        AS decile FROM sc)
+        |SELECT decile, count(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+        |  MIN(score) AS min_score, MAX(score) AS max_score
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+    // same integer quantization + integer threshold test as the Spark
+    // side; the report cosine is the only float and rounds at 6
+    "e106_semantic_decontam" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 100) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, q,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(q, v -> v * v)),
+        |      (a, x) -> a + x) AS n2
+        |  FROM q),
+        |ev AS (SELECT q AS qe, n2 AS n2e FROM n WHERE vec_id % 97 = 0),
+        |tr AS (SELECT * FROM n WHERE vec_id % 97 <> 0),
+        |pairs AS (
+        |  SELECT t.vec_id, t.label,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 64), i -> t.q[i] * e.qe[i])),
+        |      (a, x) -> a + x) AS dot,
+        |    t.n2 AS n2t, e.n2e
+        |  FROM tr t CROSS JOIN ev e),
+        |scp AS (SELECT vec_id, label,
+        |    dot > 0 AND dot * dot * 10000 >= 625 * n2t * n2e AS hit,
+        |    CASE WHEN n2t > 0 AND n2e > 0
+        |      THEN dot::DOUBLE / (sqrt(n2t::DOUBLE) * sqrt(n2e::DOUBLE)) END AS cs
+        |  FROM pairs),
+        |per AS (SELECT vec_id, label,
+        |    MAX(CASE WHEN hit THEN 1 ELSE 0 END) AS c, MAX(cs) AS m
+        |  FROM scp GROUP BY vec_id, label)
+        |SELECT label, count(*) AS n_train, SUM(c)::BIGINT AS n_contaminated,
+        |  round(MAX(m), 6) AS max_cos
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
     // the oracle re-classifies the IDENTICAL bytes by the same magic
     // prefixes the Spark column predicates read
     "e94_format_detect" -> {
