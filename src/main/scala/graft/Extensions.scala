@@ -1404,6 +1404,61 @@ object Extensions {
         .orderBy(col("cnt").desc, col("pair"))
         .limit(10)
     },
+    // E4/tokenizer training — ITERATED BPE: e84 surfaces one round's merge
+    // candidates; this RUNS the trainer for 3 rounds — count adjacent
+    // symbol pairs over the distinct-word vocabulary, pick the most
+    // frequent (ties by symbol pair, exact integers), rewrite every word
+    // with the merge applied, repeat — reporting each round's merged pair,
+    // its count, and the corpus token count after the merge (the
+    // compression curve a tokenizer team actually reads). Words are
+    // pipe-delimited symbol strings ("|c|a|t|"); one merge application is
+    // literal replace("|a|b|", "|ab|") iterated 6× — a single left-to-right
+    // non-overlapping replace pass is IDENTICAL on both engines (verified
+    // java.lang.String.replace ≡ DuckDB replace), so the 6-pass fold is
+    // engine-invariant by construction, and 6 passes exceed the fixpoint
+    // depth for any ≤64-symbol word chain. Scale: everything runs on the
+    // |distinct words| vocabulary (corpus collapses to one weighted row
+    // per word first — the e84 economics); each round is one vocab-sized
+    // agg + a 1-row broadcast; rounds checkpoint so round k+1 never
+    // replays round k's plan.
+    "e107_bpe_merges" -> { (s, d) =>
+      val words0 = load(s, d, "documents")
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .withColumn("ws", concat(lit("|"),
+          array_join(filter(split(col("w"), ""), c => c =!= ""), "|"), lit("|")))
+        .select(col("f"), col("ws"))
+        .localCheckpoint() // 3 rounds re-read the vocab; GC-released
+      def syms(ws: Column) = filter(split(ws, "\\|"), x => x =!= "")
+      def pairCounts(df: DataFrame) = df
+        .select(col("f"), syms(col("ws")).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("f"),
+          explode(transform(sequence(lit(1), size(col("sy")) - 1),
+            i => struct(element_at(col("sy"), i).as("s1"),
+              element_at(col("sy"), i + 1).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("f")).as("cnt"))
+      var cur = words0
+      val rounds = (1 to 3).map { step =>
+        val best = pairCounts(cur)
+          .orderBy(col("cnt").desc, col("s1").asc, col("s2").asc).limit(1)
+          .localCheckpoint() // 1 row; feeds the report AND the rewrite
+        val pat = concat(lit("|"), col("s1"), lit("|"), col("s2"), lit("|"))
+        val rep = concat(lit("|"), col("s1"), col("s2"), lit("|"))
+        cur = cur.crossJoin(broadcast(best))
+          .select(col("f"),
+            (1 to 6).foldLeft(col("ws"))((c, _) => replace(c, pat, rep)).as("ws"))
+          .localCheckpoint() // pin the round: later rounds read data, not plan
+        best.crossJoin(broadcast(cur.agg(
+            sum(col("f") * size(syms(col("ws")))).as("corpus_symbols_after"))))
+          .select(lit(step).as("step"),
+            concat(col("s1"), lit(" "), col("s2")).as("merged_pair"),
+            col("cnt"), col("corpus_symbols_after"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("step")
+    },
     // E4/tokenizer — fertility per language: BPE-ish tokens per word and
     // characters per token, the efficiency metric multilingual teams size
     // vocabularies by (a language whose fertility drifts high is paying
@@ -4020,6 +4075,38 @@ object Extensions {
          |  sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
          |  sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
          |FROM r GROUP BY host ORDER BY host""".stripMargin,
+    // 3 unrolled rounds of the same vocab → pair-count → argmax → 6×
+    // literal-replace rewrite the Spark side folds; DuckDB's replace is
+    // pass-identical to java.lang.String.replace, so every intermediate
+    // word string matches bitwise
+    "e107_bpe_merges" -> {
+      def rep6(base: String): String =
+        (1 to 6).foldLeft(base)((c, _) =>
+          s"replace($c, '|' || s1 || '|' || s2 || '|', '|' || s1 || s2 || '|')")
+      def round(i: Int, prev: String): String =
+        s"""p$i AS (SELECT sy[i.i] AS s1, sy[i.i + 1] AS s2, SUM(f)::BIGINT AS cnt
+           |  FROM (SELECT f, list_filter(string_split(ws, '|'), x -> x <> '') AS sy
+           |        FROM $prev) v,
+           |       UNNEST(generate_series(1, len(sy) - 1)) AS i(i)
+           |  WHERE len(sy) >= 2 GROUP BY s1, s2),
+           |b$i AS (SELECT s1, s2, cnt FROM p$i ORDER BY cnt DESC, s1, s2 LIMIT 1),
+           |w$i AS (SELECT f, ${rep6("ws")} AS ws FROM $prev CROSS JOIN b$i),
+           |a$i AS (SELECT SUM(f * len(list_filter(string_split(ws, '|'),
+           |          x -> x <> '')))::BIGINT AS cs FROM w$i)""".stripMargin
+      s"""WITH w0 AS (SELECT count(*) AS f,
+         |    '|' || array_to_string(list_filter(string_split(t, ''), c -> c <> ''),
+         |      '|') || '|' AS ws
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |  WHERE t <> '' GROUP BY t),
+         |${round(1, "w0")},
+         |${round(2, "w1")},
+         |${round(3, "w2")}
+         |SELECT 1 AS step, s1 || ' ' || s2 AS merged_pair, cnt,
+         |  (SELECT cs FROM a1) AS corpus_symbols_after FROM b1
+         |UNION ALL SELECT 2, s1 || ' ' || s2, cnt, (SELECT cs FROM a2) FROM b2
+         |UNION ALL SELECT 3, s1 || ' ' || s2, cnt, (SELECT cs FROM a3) FROM b3
+         |ORDER BY step""".stripMargin
+    },
     "e84_bpe_step" ->
       """WITH w AS (SELECT t AS w, count(*) AS f FROM
         |    (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -294,4 +294,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // 8-row centroids
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("e106 semantic decontam: the eval side broadcasts — the train scan " +
+    "never shuffles") {
+    val p = finalPlan(q("e106_semantic_decontam"))
+    // eval benches are small by nature: |eval| = corpus/97 rows broadcast
+    // once; a SortMergeJoin or CartesianProduct here would shuffle the
+    // whole train corpus per eval probe
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }
