@@ -1459,6 +1459,78 @@ object Extensions {
       }
       rounds.reduce(_ unionByName _).orderBy("step")
     },
+    // E4/quality diagnostics — per-language Pearson correlation between
+    // document length and lexical diversity (TTR): the length-bias check
+    // a quality-filter team runs before trusting a TTR threshold (TTR
+    // falls mechanically with length; a strongly negative r means a flat
+    // TTR cutoff IS a length cutoff in disguise). Exactness is the
+    // c31/e53 recipe: x is an exact integer, y an exact one-division
+    // double, every product rounds through DECIMAL(28,12) so the five
+    // regression sums are order-free, and r divides once at the end
+    // (round 6). One partial+final aggregate; |langs| rows out.
+    "e108_len_ttr_corr" -> { (s, d) =>
+      val tk = toks(col("text"))
+      val dec = (c: Column) => c.cast(DecimalType(28, 12))
+      val base = load(s, d, "documents")
+        .select(col("lang"), size(tk).cast(DoubleType).as("x"),
+          (size(array_distinct(tk)).cast(DoubleType) / size(tk)).as("y"))
+      base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x") * col("x"))).as("sxx"),
+          sum(dec(col("y") * col("y"))).as("syy"),
+          sum(dec(col("x") * col("y"))).as("sxy"))
+        .select(col("lang"), col("n_docs"),
+          round((col("n_docs") * col("sxy").cast(DoubleType)
+              - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+            / (sqrt(col("n_docs") * col("sxx").cast(DoubleType)
+                - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+              * sqrt(col("n_docs") * col("syy").cast(DoubleType)
+                - col("sy").cast(DoubleType) * col("sy").cast(DoubleType))),
+            6).as("corr_len_ttr"))
+        .orderBy("lang")
+    },
+    // E4/quality — HELD-OUT bigram-LM scoring (the CCNet perplexity-filter
+    // pattern done honestly): the LM trains on the doc_id%10≠0 split only,
+    // then scores the held-out %10 split — e41 scores in-sample, which
+    // flatters every memorized document. Laplace +1 over the train vocab
+    // keeps unseen bigrams finite: lp = ln((c2+1)/(c1+V)), all three
+    // inputs exact integers so libm sees identical rationals on both
+    // engines; per-term DECIMAL(28,12), per-language average rounds at 6
+    // (the e41/e97 margin discipline). Scale: count tables are
+    // vocab-bounded (broadcast here, hash join keyed on the bigram at
+    // 100 TB); the val-side pass is one explode + map-side-combined agg.
+    "e110_heldout_lm" -> { (s, d) =>
+      def bigrams(df: DataFrame) = df
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              concat(element_at(col("ts"), i), lit(" "),
+                element_at(col("ts"), i + 1)).as("bg")))).as("x"))
+        .select(col("doc_id"), col("lang"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+      val docs = load(s, d, "documents")
+      val train = bigrams(docs.filter(col("doc_id") % 10 =!= 0))
+      val c2 = train.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(explode(toks(col("text"))).as("t"))
+        .agg(countDistinct(col("t")).as("vv"))
+      bigrams(docs.filter(col("doc_id") % 10 === 0))
+        .join(broadcast(c2), Seq("bg"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("lang"), col("doc_id"),
+          log((coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType)
+              / (coalesce(col("c1"), lit(0L)) + col("vv")).cast(DoubleType))
+            .cast(DecimalType(28, 12)).as("lp"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_bigrams"),
+          round(sum(col("lp")).cast(DoubleType) / count(lit(1)), 6).as("avg_lp"))
+        .orderBy("lang")
+    },
     // E4/tokenizer — fertility per language: BPE-ish tokens per word and
     // characters per token, the efficiency metric multilingual teams size
     // vocabularies by (a language whose fertility drifts high is paying
@@ -4075,6 +4147,47 @@ object Extensions {
          |  sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
          |  sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
          |FROM r GROUP BY host ORDER BY host""".stripMargin,
+    // the c31/e53 exact-moments recipe per language; r divides once
+    "e108_len_ttr_corr" ->
+      """WITH b AS (SELECT lang,
+        |    len(string_split(text, ' '))::DOUBLE AS x,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS y
+        |  FROM documents),
+        |s AS (SELECT lang, count(*) AS n_docs,
+        |    sum(CAST(x AS DECIMAL(28,12))) AS sx,
+        |    sum(CAST(y AS DECIMAL(28,12))) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(28,12))) AS syy,
+        |    sum(CAST(x * y AS DECIMAL(28,12))) AS sxy
+        |  FROM b GROUP BY lang)
+        |SELECT lang, n_docs,
+        |  round((n_docs * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (sqrt(n_docs * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      * sqrt(n_docs * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+        |    AS corr_len_ttr
+        |FROM s ORDER BY lang""".stripMargin,
+    // LM counts from the train split only; Laplace (c2+1)/(c1+V) feeds
+    // ln identical integers on both engines
+    "e110_heldout_lm" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+        |ok AS (SELECT * FROM tok WHERE len(ts) >= 2),
+        |bg AS (SELECT doc_id, lang, ts[i.i] AS w1,
+        |         ts[i.i] || ' ' || ts[i.i + 1] AS bg
+        |       FROM ok, UNNEST(generate_series(1, len(ts) - 1)) AS i(i)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bg WHERE doc_id % 10 <> 0 GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE doc_id % 10 <> 0 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT t) AS vv FROM
+        |       (SELECT unnest(string_split(text, ' ')) AS t
+        |        FROM documents WHERE doc_id % 10 <> 0)),
+        |lp AS (SELECT b.lang, b.doc_id,
+        |    CAST(ln((COALESCE(c2.c2, 0) + 1)::DOUBLE
+        |      / (COALESCE(c1.c1, 0) + v.vv)::DOUBLE) AS DECIMAL(28,12)) AS lp
+        |  FROM bg b LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1) CROSS JOIN v
+        |  WHERE b.doc_id % 10 = 0)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_lp
+        |FROM lp GROUP BY lang ORDER BY lang""".stripMargin,
     // 3 unrolled rounds of the same vocab → pair-count → argmax → 6×
     // literal-replace rewrite the Spark side folds; DuckDB's replace is
     // pass-identical to java.lang.String.replace, so every intermediate
