@@ -58,6 +58,57 @@ class CrossJvmCommitSpec extends SparkSpecBase {
     new ProcessBuilder(cmd: _*).inheritIO().start()
   }
 
+  test("OpLog across processes: two JVMs appending to one LSH index " +
+    "serialize through the write-once log; the loser's data is swept " +
+    "and its retry converges") {
+    val dir = tmpDir("xjvm_lsh")
+    val root = s"$dir/idx"
+    val hold = Paths.get(dir, "hold")
+    Files.createFile(hold)
+    val sf = "/root/testdata/sf0.001"
+
+    // seed batch 0 from the parent JVM
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = new graft.streaming.LshIndex(root)
+    idx.addBatch(docs.filter(col("doc_id") >= 60 && col("doc_id") < 90), 0L)
+
+    // child A writes batch 3's partitions, parks before its log commit
+    val a = launch("graft.CrossJvmLshMain", Seq(root, dir, "A", "0", "3", hold.toString))
+    try {
+      await(Paths.get(dir, "window-A"), 120000L, "A to reach the log window")
+      // B commits batch 2 wholesale while A is parked in the window
+      val b = launch("graft.CrossJvmLshMain", Seq(root, dir, "B", "30", "2", "-"))
+      try {
+        await(Paths.get(dir, "done-B"), 120000L, "B to commit")
+        Files.delete(hold)
+        await(Paths.get(dir, "done-A"), 120000L, "A to recover")
+      } finally { b.destroyForcibly(); () }
+    } finally { a.destroyForcibly(); () }
+    val doneA = new String(Files.readAllBytes(Paths.get(dir, "done-A")))
+    assert(doneA.contains("lost=1"), s"A must lose the log race once: $doneA")
+
+    // the log linearized: versions 1..3, batch ids {0, 2, 3} all committed
+    val reopened = new graft.streaming.LshIndex(root)
+    val kinds = reopened.log.entries.map { case (v, kv) =>
+      v -> kv.getOrElse("batch", "?") }
+    assert(kinds === Seq(1L -> "0", 2L -> "2", 3L -> "3"), s"log: $kinds")
+    // and the emitted pairs equal the one-shot rule over ALL three batches
+    val all = docs.filter(col("doc_id") < 90)
+    val got = reopened.pairs(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bands = Extensions.bandsFromSigs(Extensions.minhashSigs(all), 2, 4)
+    val want = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "cross-process appends diverged from the one-shot rule")
+  }
+
   test("two independent driver JVMs racing one version: exactly one " +
     "pointer winner, loser recomputes on top of the winner") {
     val dir = tmpDir("xjvm")
@@ -132,6 +183,53 @@ class CrossJvmCommitSpec extends SparkSpecBase {
   * parent can schedule a second committer into the race window
   * deterministically. Writes `window-<id>` on reaching the window and
   * `done-<id>` with `lost=<n> version=<v>` on exit. */
+/** Child-process entry for the OpLog race: appends 30 docs starting at
+  * `start` as `batchId` to the LSH index at `root`, optionally parking in
+  * the `beforeAppendCommit` window until the parent deletes the hold
+  * file. On a lost race ([[graft.streaming.StoreIO.ConcurrentCommit]])
+  * the append retries — the contract every foreachBatch caller follows. */
+object CrossJvmLshMain {
+  def main(args: Array[String]): Unit = {
+    val Array(root, dir, id, startS, batchIdS, holdS) = args
+    val (start, batchId) = (startS.toLong, batchIdS.toLong)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import org.apache.spark.sql.functions.col
+      val idx = new graft.streaming.LshIndex(root)
+      if (holdS != "-") {
+        val hold = Paths.get(holdS)
+        idx.log.beforeAppendCommit = () => {
+          val w = Paths.get(dir, s"window-$id")
+          if (!Files.exists(w)) {
+            Files.write(w, "at-window\n".getBytes)
+            while (Files.exists(hold)) Thread.sleep(25)
+          }
+        }
+      }
+      val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("doc_id") >= start && col("doc_id") < start + 30)
+        .select(col("doc_id"), col("text"))
+      var lost = 0
+      var committed = false
+      var attempts = 0
+      while (!committed && attempts < 5) {
+        attempts += 1
+        try { idx.addBatch(docs, batchId); committed = true }
+        catch { case _: graft.streaming.StoreIO.ConcurrentCommit => lost += 1 }
+      }
+      Files.write(Paths.get(dir, s"done-$id"),
+        s"lost=$lost committed=$committed\n".getBytes)
+      if (!committed) sys.exit(2)
+    } finally spark.stop()
+  }
+}
+
 object CrossJvmCommitterMain {
   def main(args: Array[String]): Unit = {
     val Array(root, dir, id, keyBaseS, holdS) = args
