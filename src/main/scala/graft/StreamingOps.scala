@@ -216,6 +216,47 @@ object StreamingOps {
         .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
           max(col("ts_us")).as("max_ts_us"))
         .orderBy("src_part")
+    },
+    // D-series monitoring — WINDOWED drift: per event-time hour, the PSI
+    // of that window's event_type distribution against the whole stream's
+    // reference distribution — e97's drift statistic turned into the
+    // per-window monitor a pipeline alerts on ("which hour drifted?").
+    // Same engine-invariance recipe as e97: Laplace +1 shares as exact
+    // BIGINT parts-per-billion, ln over identical integer-valued doubles,
+    // per-term round 6 into DECIMAL(18,6), order-free window sum. Absent
+    // (window, type) cells still contribute their smoothed term — the
+    // window×type frame is a cross join of two tiny dimension sets.
+    // Scale: one (hour, type) count agg over the stream + |windows|·|types|
+    // frame math; reference totals broadcast. The TRUE streaming form
+    // (single-aggregate, reference broadcast as literals) is
+    // [[graft.streaming.CdcStream.psiDrift]], spec-driven through
+    // MemoryStream; this batch form is the oracle-gated semantics anchor.
+    "d13_window_psi" -> { (s, d) =>
+      val HOUR = 3600L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, d)
+        .select(expr(s"ts_ns div $HOUR").as("hb"), col("event_type"))
+      val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("g"))
+      val tot = ref.agg(sum(col("g")).as("gt"), count(lit(1)).as("k"))
+      val wn = ev.groupBy(col("hb")).agg(count(lit(1)).as("n_events"))
+      val frame = wn.crossJoin(broadcast(ref.select(col("event_type"))))
+      val wc = ev.groupBy(col("hb"), col("event_type")).agg(count(lit(1)).as("c"))
+      frame.join(wc, Seq("hb", "event_type"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .join(broadcast(ref), "event_type")
+        .crossJoin(broadcast(tot))
+        .select(col("hb"), col("n_events"),
+          expr("(c + 1) * 1000000000L div (n_events + k)").as("p_ppb"),
+          expr("(g + 1) * 1000000000L div (gt + k)").as("q_ppb"))
+        .select(col("hb"), col("n_events"),
+          round(((col("p_ppb") - col("q_ppb")).cast(DoubleType) / lit(1e9))
+              * (log(col("p_ppb").cast(DoubleType))
+                - log(col("q_ppb").cast(DoubleType))), 6)
+            .cast(DecimalType(18, 6)).as("t"))
+        .groupBy(col("hb"))
+        .agg(max(col("n_events")).as("n_events"),
+          sum(col("t")).cast(DecimalType(28, 6)).as("psi"))
+        .select(col("hb").as("window_hour"), col("n_events"), col("psi"))
+        .orderBy("window_hour")
     }
   )
 
@@ -310,6 +351,32 @@ object StreamingOps {
         |  SUM(CASE WHEN ts_us < run_max - 600000000 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_late,
         |  MAX(ts_us) AS max_ts_us
-        |FROM r GROUP BY src_part ORDER BY src_part""".stripMargin
+        |FROM r GROUP BY src_part ORDER BY src_part""".stripMargin,
+    // e97's exact-ppb recipe per hour window; absent cells contribute
+    // their smoothed term via the window x type cross frame
+    "d13_window_psi" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 3600000000000 AS hb, event_type
+        |            FROM events),
+        |ref AS (SELECT event_type, COUNT(*)::BIGINT AS g FROM ev GROUP BY event_type),
+        |tot AS (SELECT SUM(g)::BIGINT AS gt, COUNT(*) AS k FROM ref),
+        |wn AS (SELECT hb, COUNT(*)::BIGINT AS n_events FROM ev GROUP BY hb),
+        |wc AS (SELECT hb, event_type, COUNT(*)::BIGINT AS c
+        |       FROM ev GROUP BY hb, event_type),
+        |fr AS (SELECT wn.hb, wn.n_events, ref.event_type, ref.g,
+        |         COALESCE(wc.c, 0) AS c
+        |       FROM wn CROSS JOIN ref
+        |       LEFT JOIN wc ON wc.hb = wn.hb AND wc.event_type = ref.event_type),
+        |t AS (SELECT hb, n_events,
+        |        (c + 1) * 1000000000 // (n_events + (SELECT k FROM tot)) AS p_ppb,
+        |        (g + 1) * 1000000000 // ((SELECT gt FROM tot) + (SELECT k FROM tot)) AS q_ppb
+        |      FROM fr),
+        |s AS (SELECT hb, n_events,
+        |        CAST(round((p_ppb - q_ppb)::DOUBLE / 1000000000.0
+        |          * (ln(p_ppb::DOUBLE) - ln(q_ppb::DOUBLE)), 6)
+        |          AS DECIMAL(18,6)) AS t
+        |      FROM t)
+        |SELECT hb AS window_hour, MAX(n_events) AS n_events,
+        |  CAST(SUM(t) AS DECIMAL(28,6)) AS psi
+        |FROM s GROUP BY hb ORDER BY window_hour""".stripMargin
   )
 }

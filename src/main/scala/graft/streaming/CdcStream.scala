@@ -464,4 +464,48 @@ object CdcStream {
     * within the watermark horizon. */
   def dedupStream(changes: DataFrame): DataFrame =
     withEventTime(changes).dropDuplicates("pos")
+
+  /** D13 streaming form — per-window PSI drift against a FIXED reference
+    * distribution (the d13_window_psi statistic as a live monitor: the
+    * reference comes from a committed corpus snapshot; the stream alerts
+    * on the windows whose event_type mix drifts from it).
+    *
+    * Structured Streaming permits ONE aggregation per query, so the
+    * relational two-level shape of the batch twin (per-(window,type)
+    * counts, then a window rollup) is folded into a single windowed
+    * aggregate: the reference's type universe is finite and known, so
+    * each type's count is one conditional sum COLUMN and the PSI is a
+    * stateless projection over the aggregate row — the reference shares
+    * inline as exact ppb literals. Same e97 exactness discipline, and the
+    * same function runs in batch mode (StreamingDriftSpec pins
+    * stream ≡ batch on identical rows). Types outside the reference
+    * count toward `n_events` only — they dilute every share, which IS
+    * drift, and the monitor sees it.
+    *
+    * Scale: state = one row per open window (bounded by the watermark);
+    * the conditional-sum columns partial-aggregate map-side, so the
+    * exchange carries |open windows| rows of |types|+1 longs per trigger
+    * regardless of stream volume. */
+  def psiDrift(changes: DataFrame, reference: Seq[(String, Long)],
+               windowDur: String = "1 hour", watermark: String = "10 minutes",
+               alertAt: Double = 0.25): DataFrame = {
+    require(reference.nonEmpty, "psiDrift needs a non-empty reference")
+    val k = reference.size
+    val refTotal = reference.map(_._2).sum
+    val counts = reference.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$i")
+    }
+    val wc = withEventTime(changes, watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_events"), counts: _*)
+    val terms = reference.zipWithIndex.map { case ((_, g), i) =>
+      val p = expr(s"(c_$i + 1) * 1000000000L div (n_events + $k)")
+      val q = (g + 1) * 1000000000L / (refTotal + k) // exact, driver-side
+      ((p - lit(q)).cast(DoubleType) / lit(1e9)) *
+        (log(p.cast(DoubleType)) - log(lit(q.toDouble)))
+    }
+    wc.select(col("window.start").cast(LongType).as("window_start_s"),
+        col("n_events"), round(terms.reduce(_ + _), 6).as("psi"))
+      .withColumn("alert", col("psi") > alertAt)
+  }
 }
