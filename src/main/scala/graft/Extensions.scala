@@ -1490,6 +1490,44 @@ object Extensions {
             6).as("corr_len_ttr"))
         .orderBy("lang")
     },
+    // E-series monitoring — hour-of-day seasonality profile per event
+    // type: peak hour and a chi-square statistic against the uniform
+    // profile (the ingest-cadence diagnostic that separates "organic
+    // traffic" from "batch replays land at 03:00"). Exactness: counts are
+    // integers, the frame includes EMPTY hours (an absent hour is signal,
+    // (0·24−n)² = n²), chi² = Σ(24·n_h − n)² / (24n) is one division of
+    // two exact integers — bit-identical with no rounding at all. Scale:
+    // one (type, hod) agg; the frame is |types|·24 rows.
+    "e109_seasonality" -> { (s, d) =>
+      val HOUR = 3600L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), expr(s"(ts_ns div $HOUR) % 24").as("hod"))
+      val counts = ev.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("c"))
+      val frame = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(23L))).as("hod"))
+      val fl = frame.join(counts, Seq("event_type", "hod"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val tot = fl.groupBy(col("event_type")).agg(sum(col("c")).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("c").desc, col("hod").asc)
+      val peak = fl.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("hod").as("peak_hod"), col("c").as("peak_n"))
+      fl.join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("n_events"),
+          ((col("c") * 24 - col("n_events"))
+            * (col("c") * 24 - col("n_events"))).as("d2"))
+        .groupBy(col("event_type"), col("n_events"))
+        .agg(sum(col("d2")).as("chi2_num"))
+        .join(broadcast(peak), "event_type")
+        .select(col("event_type"), col("n_events"), col("peak_hod"),
+          col("peak_n"),
+          (col("chi2_num").cast(DoubleType)
+            / (col("n_events") * 24).cast(DoubleType)).as("chi2_uniform"))
+        .orderBy("event_type")
+    },
     // E4/quality — HELD-OUT bigram-LM scoring (the CCNet perplexity-filter
     // pattern done honestly): the LM trains on the doc_id%10≠0 split only,
     // then scores the held-out %10 split — e41 scores in-sample, which
@@ -4147,6 +4185,29 @@ object Extensions {
          |  sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
          |  sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
          |FROM r GROUP BY host ORDER BY host""".stripMargin,
+    // empty hours stay in the frame on both sides; chi2 is one exact
+    // integer division, no rounding anywhere
+    "e109_seasonality" ->
+      """WITH ev AS (SELECT event_type,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hod FROM events),
+        |tys AS (SELECT DISTINCT event_type FROM ev),
+        |fr AS (SELECT event_type, h.h AS hod
+        |       FROM tys, UNNEST(generate_series(0, 23)) AS h(h)),
+        |c AS (SELECT event_type, hod, COUNT(*)::BIGINT AS c
+        |      FROM ev GROUP BY 1, 2),
+        |fl AS (SELECT fr.event_type, fr.hod, COALESCE(c.c, 0) AS c
+        |       FROM fr LEFT JOIN c USING (event_type, hod)),
+        |tot AS (SELECT event_type, SUM(c)::BIGINT AS n_events FROM fl GROUP BY 1),
+        |pk AS (SELECT event_type, hod AS peak_hod, c AS peak_n FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY c DESC, hod ASC) AS rn FROM fl) WHERE rn = 1),
+        |chi AS (SELECT f.event_type, t.n_events,
+        |          SUM((f.c * 24 - t.n_events) * (f.c * 24 - t.n_events))::BIGINT
+        |            AS chi2_num
+        |        FROM fl f JOIN tot t USING (event_type) GROUP BY 1, 2)
+        |SELECT chi.event_type, chi.n_events, pk.peak_hod, pk.peak_n,
+        |  chi.chi2_num::DOUBLE / (chi.n_events * 24)::DOUBLE AS chi2_uniform
+        |FROM chi JOIN pk USING (event_type) ORDER BY event_type""".stripMargin,
     // the c31/e53 exact-moments recipe per language; r divides once
     "e108_len_ttr_corr" ->
       """WITH b AS (SELECT lang,
