@@ -172,7 +172,7 @@ object Extensions {
     * join + min-agg per round; sum(label) strictly decreases, so one
     * scalar action per round detects the fixpoint). The O(log n)
     * large-star/small-star variant lives in operators/ConnectedComponents. */
-  private def lshComponents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshComponents(s: SparkSession, d: String): DataFrame = {
     val ck = operators.RoundCheckpointer.resolve(s, None)
     // persisted: the signature agg (tokenize + explode + groupBy) feeds
     // three branches — both edge sides and the initial labels — and would
@@ -237,7 +237,7 @@ object Extensions {
     * a stale label set. Concurrency: compute lands in a tmp dir renamed
     * into place — first writer wins, losers discard and read the winner
     * (the same one-shot pattern StoreIO uses for replica versions). */
-  private def lshComponentsArtifact(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshComponentsArtifact(s: SparkSession, d: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val hconf = s.sparkContext.hadoopConfiguration
     val src = new Path(s"$d/documents.parquet")
