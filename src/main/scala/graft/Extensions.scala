@@ -365,6 +365,29 @@ object Extensions {
     // economics as e03b (containment is only ever computed on pairs LSH
     // already surfaced, never all-pairs); exact small-integer division.
     // Emitted per ORDERED pair (both directions), worst containment first.
+    // E1-eval — Jaccard HISTOGRAM over the LSH candidates: how many
+    // candidate pairs fall in each exact-similarity decile — the
+    // threshold-calibration table read before choosing the dedup cutoff
+    // (e63 sweeps BANDINGS at one threshold; this sweeps the threshold
+    // axis from one candidate+verify pass). Bin = (10·|A∩B|) div
+    // (|A|+|B|−|A∩B|) — exact integer floor division, so bin membership
+    // is engine-invariant with no float anywhere; a Jaccard of exactly
+    // 1.0 folds into the top bin (9) so bins stay 0..9. Scale: candidates
+    // are bucket-local (never all-pairs); the histogram is a 10-row agg.
+    "e112_jaccard_histogram" -> { (s, d) =>
+      val cand = lshCandidates(s, d)
+      val sets = load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+      cand.join(sets.select(col("doc_id").as("d1"), col("tk").as("tk1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("tk").as("tk2")), "d2")
+        .select(size(array_intersect(col("tk1"), col("tk2"))).as("nc"),
+          size(col("tk1")).as("n1"), size(col("tk2")).as("n2"))
+        .select(least(expr("(10 * nc) div (n1 + n2 - nc)"), lit(9))
+          .cast(LongType).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bin")
+    },
     "e43_containment" -> { (s, d) =>
       val cand = lshCandidates(s, d)
       val sets = load(s, d, "documents")
@@ -3669,6 +3692,34 @@ object Extensions {
          |    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
          |FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id
          |ORDER BY d1, d2""".stripMargin
+    },
+    // exact integer floor-div binning over the same candidate CTE
+    "e112_jaccard_histogram" -> {
+      val hs = String.format(tokenHashSql, "t")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, $hs AS h FROM tk),
+         |sig AS (SELECT doc_id, $sigExprs FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+         |         FROM documents WHERE doc_id % 10 = 0),
+         |j AS (SELECT len(list_intersect(a.tk, b.tk)) AS nc,
+         |        len(a.tk) AS n1, len(b.tk) AS n2
+         |      FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
+         |SELECT LEAST((10 * nc) // (n1 + n2 - nc), 9) AS bin,
+         |  COUNT(*) AS n_pairs
+         |FROM j GROUP BY bin ORDER BY bin""".stripMargin
     },
     "e43_containment" -> {
       val hs = String.format(tokenHashSql, "t")
