@@ -1439,7 +1439,17 @@ object Extensions {
     // non-overlapping replace pass is IDENTICAL on both engines (verified
     // java.lang.String.replace ≡ DuckDB replace), so the 6-pass fold is
     // engine-invariant by construction, and 6 passes exceed the fixpoint
-    // depth for any ≤64-symbol word chain. Scale: everything runs on the
+    // depth for any ≤64-symbol word chain. Merge semantics, precisely:
+    // iterated leftmost non-overlapping replace TO FIXPOINT, which equals
+    // textbook greedy except on runs of a SELF-adjacent pair ≥5 long
+    // ("aaaaa" with pair (a,a): abutting matches share a delimiter, so
+    // the first pass takes alternate occurrences and isolated leftovers
+    // can't pair) — a deliberate, documented variant; real BPE trainers
+    // themselves differ on run/tie handling, natural-language symbol
+    // streams essentially lack such runs, and BpePropertySpec pins this
+    // distributed form against an independent sequential reference of the
+    // same rule on random corpora INCLUDING adversarial runs. Scale:
+    // everything runs on the
     // |distinct words| vocabulary (corpus collapses to one weighted row
     // per word first — the e84 economics); each round is one vocab-sized
     // agg + a 1-row broadcast; rounds checkpoint so round k+1 never
