@@ -246,9 +246,14 @@ object Extensions {
     val parts =
       if (st.isDirectory) sfs.listStatus(src).toSeq.sortBy(_.getPath.getName)
       else Seq(st)
-    val key = java.lang.Integer.toHexString(
-      parts.map(p => s"${p.getPath.getName}:${p.getLen}:${p.getModificationTime}")
-        .mkString("|").hashCode)
+    // md5 of the full listing signature, not hashCode: a 32-bit key
+    // colliding across corpus regenerations would silently serve stale
+    // labels to six queries — 64 bits of a cryptographic digest can't
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts
+        .map(p => s"${p.getPath.getName}:${p.getLen}:${p.getModificationTime}")
+        .mkString("|").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
     val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
     val root = new Path(
       s"${System.getProperty("java.io.tmpdir")}/graft_$tag/lsh_components_$key")
