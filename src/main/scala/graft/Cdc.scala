@@ -118,10 +118,17 @@ object Cdc {
   }
 
   /** Deterministic per-query scratch dir (A3/A6/A7 write-then-read;
-    * shared with Relational's c52 partitioned layout). */
+    * shared with Relational's c52 partitioned layout). Root resolves via
+    * [[graft.operators.ArtifactRoot]] off the active session — local
+    * tmpdir by default, `graft.artifact.dir` for cluster-shared storage;
+    * the oracle SQL builders call this same function at dump time so both
+    * engines always name the same absolute layout. */
   private[graft] def scratch(name: String, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_$tag/$name"
+    val root = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(operators.ArtifactRoot.resolve)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    s"$root/graft_$tag/$name"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -234,11 +234,19 @@ object Extensions {
     * closure in SQL); e25/e49/e59/e73/e101/e102 probe this artifact.
     * Content key: the signature (name:length:mtime) of every part of the
     * SF dir's documents.parquet, so a regenerated corpus can never serve
-    * a stale label set. Concurrency: compute lands in a tmp dir renamed
-    * into place — first writer wins, losers discard and read the winner
-    * (the same one-shot pattern StoreIO uses for replica versions). */
+    * a stale label set. Concurrency: compute lands in a tmp dir committed
+    * via FileContext.rename WITHOUT Options.Rename.OVERWRITE — unlike
+    * FileSystem.rename, which on both HDFS and the local FS "succeeds"
+    * against an existing destination by moving tmp INSIDE it (nesting a
+    * duplicate parquet tree the readers would double-count), FileContext
+    * throws FileAlreadyExistsException when the destination exists, so
+    * losing the race is an explicit signal: the loser deletes its tmp and
+    * reads the winner. Post-commit we verify _SUCCESS exists and no
+    * nested __tmp_* child appeared, failing loudly rather than serving a
+    * corrupt artifact. Root: [[graft.operators.ArtifactRoot]] — local
+    * tmpdir by default, `graft.artifact.dir` for a cluster-shared FS. */
   private[graft] def lshComponentsArtifact(s: SparkSession, d: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Path}
     val hconf = s.sparkContext.hadoopConfiguration
     val src = new Path(s"$d/documents.parquet")
     val sfs = src.getFileSystem(hconf)
@@ -256,13 +264,23 @@ object Extensions {
       .take(8).map("%02x".format(_)).mkString
     val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
     val root = new Path(
-      s"${System.getProperty("java.io.tmpdir")}/graft_$tag/lsh_components_$key")
+      s"${operators.ArtifactRoot.resolve(s)}/graft_$tag/lsh_components_$key")
     val rfs = root.getFileSystem(hconf)
     if (!rfs.exists(new Path(root, "_SUCCESS"))) {
       val tmp = new Path(root.getParent,
         root.getName + "__tmp_" + java.util.UUID.randomUUID().toString)
       lshComponents(s, d).write.mode("overwrite").parquet(tmp.toString)
-      if (!rfs.rename(tmp, root)) rfs.delete(tmp, true)
+      val fc = FileContext.getFileContext(rfs.getUri, hconf)
+      try fc.rename(tmp, root) // no OVERWRITE: existing root => exception
+      catch {
+        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+          () // lost the race — the winner's committed artifact stands
+      }
+      finally if (rfs.exists(tmp)) rfs.delete(tmp, true)
+      require(rfs.exists(new Path(root, "_SUCCESS")),
+        s"lshComponentsArtifact commit left no complete artifact at $root")
+      require(!rfs.listStatus(root).exists(_.getPath.getName.startsWith("__tmp_")),
+        s"lshComponentsArtifact commit nested a tmp tree inside $root")
     }
     s.read.parquet(root.toString)
   }
@@ -1572,8 +1590,10 @@ object Extensions {
     // flatters every memorized document. Laplace +1 over the train vocab
     // keeps unseen bigrams finite: lp = ln((c2+1)/(c1+V)), all three
     // inputs exact integers so libm sees identical rationals on both
-    // engines; per-term DECIMAL(28,12), per-language average rounds at 6
-    // (the e41/e97 margin discipline). Scale: count tables are
+    // engines; the ln output rounds at 9 BEFORE the per-term
+    // DECIMAL(28,12) cast (the e41/e97 round-before-cast discipline —
+    // a 1-ulp cross-build ln drift is ~1e-15 on values ~-10, six orders
+    // under the round-9 granularity), per-language average rounds at 6. Scale: count tables are
     // vocab-bounded (broadcast here, hash join keyed on the bigram at
     // 100 TB); the val-side pass is one explode + map-side-combined agg.
     "e110_heldout_lm" -> { (s, d) =>
@@ -1598,8 +1618,8 @@ object Extensions {
         .join(broadcast(c1), Seq("w1"), "left")
         .crossJoin(broadcast(v))
         .select(col("lang"), col("doc_id"),
-          log((coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType)
-              / (coalesce(col("c1"), lit(0L)) + col("vv")).cast(DoubleType))
+          round(log((coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType)
+              / (coalesce(col("c1"), lit(0L)) + col("vv")).cast(DoubleType)), 9)
             .cast(DecimalType(28, 12)).as("lp"))
         .groupBy(col("lang"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -2186,10 +2206,18 @@ object Extensions {
     // psi_term, fed the SAME integer-valued doubles on both engines, and
     // its output is rounded at 6 digits (≥9 orders of margin over a 1-ulp
     // log drift) before the DECIMAL(18,6) cast that makes the total an
-    // order-free exact sum. Scale: two scans collapse to |types|-row
-    // frames; the split point and totals broadcast. (ppb in BIGINT holds
-    // to ~9e9 events; past that the shares graduate to DECIMAL
-    // arithmetic.)
+    // order-free exact sum. The DECIMAL stays INTERNAL: the output casts
+    // psi_term/psi_total back to DOUBLE (decimal→double is correctly
+    // rounded from the same exact decimal on both engines), keeping the
+    // output surface on the canonical types every other query uses —
+    // r7/r8 showed the driver's gate diverges on decimal-typed OUTPUT
+    // columns specifically, while the arithmetic was bit-exact. The ppb
+    // shares clamp at 1 (GREATEST) so an absent type under a >1e9-event
+    // half-total floors to ppb=1 instead of ln(0) = -Inf — the clamp
+    // preserves exactness and the Laplace intent; past ~9e18/1e9 events
+    // the shares graduate to DECIMAL arithmetic. Scale: two scans
+    // collapse to |types|-row frames; the split point and totals
+    // broadcast.
     "e97_psi_drift" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val mid = ev.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("tmid"))
@@ -2202,8 +2230,8 @@ object Extensions {
         count(lit(1)).as("k"))
       val terms = counts.crossJoin(broadcast(tot))
         .select(col("event_type"), col("a").as("n_ref"), col("b").as("n_cur"),
-          expr("(a + 1) * 1000000000L div (ta + k)").as("p_ppb"),
-          expr("(b + 1) * 1000000000L div (tb + k)").as("q_ppb"))
+          expr("greatest((a + 1) * 1000000000L div (ta + k), 1L)").as("p_ppb"),
+          expr("greatest((b + 1) * 1000000000L div (tb + k), 1L)").as("q_ppb"))
         .select(col("event_type"), col("n_ref"), col("n_cur"),
           (col("p_ppb").cast(DoubleType) / lit(1e9)).as("p_share"),
           (col("q_ppb").cast(DoubleType) / lit(1e9)).as("q_share"),
@@ -2213,6 +2241,10 @@ object Extensions {
             .cast(DecimalType(18, 6)).as("psi_term"))
       terms.crossJoin(broadcast(terms.agg(
           sum(col("psi_term")).cast(DecimalType(28, 6)).as("psi_total"))))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          col("p_share"), col("q_share"),
+          col("psi_term").cast(DoubleType).as("psi_term"),
+          col("psi_total").cast(DoubleType).as("psi_total"))
         .orderBy("event_type")
     },
     // E1-eval/leakage — CLUSTER-level split leakage: e89 counts cross-split
@@ -2289,8 +2321,12 @@ object Extensions {
       val ev = base.filter(col("vec_id") % 97 === 0)
         .select(col("q").as("qe"), col("n2").as("n2e"))
       val tr = base.filter(col("vec_id") % 97 =!= 0)
-      val dot = aggregate(zip_with(col("q"), col("qe"), (a, b) => a * b),
-        lit(0L), (acc, v) => acc + v)
+      // dim guard mirrors the oracle's: zip_with null-pads a truncated
+      // vector into a silent partial dot — fail loudly instead
+      val dot = when(size(col("q")) === size(col("qe")),
+        aggregate(zip_with(col("q"), col("qe"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+        .otherwise(raise_error(lit("e106: train/eval embedding dims differ")))
       tr.crossJoin(broadcast(ev))
         .select(col("vec_id"), col("label"), dot.as("dot"),
           col("n2"), col("n2e"))
@@ -4308,8 +4344,8 @@ object Extensions {
         |       (SELECT unnest(string_split(text, ' ')) AS t
         |        FROM documents WHERE doc_id % 10 <> 0)),
         |lp AS (SELECT b.lang, b.doc_id,
-        |    CAST(ln((COALESCE(c2.c2, 0) + 1)::DOUBLE
-        |      / (COALESCE(c1.c1, 0) + v.vv)::DOUBLE) AS DECIMAL(28,12)) AS lp
+        |    CAST(round(ln((COALESCE(c2.c2, 0) + 1)::DOUBLE
+        |      / (COALESCE(c1.c1, 0) + v.vv)::DOUBLE), 9) AS DECIMAL(28,12)) AS lp
         |  FROM bg b LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1) CROSS JOIN v
         |  WHERE b.doc_id % 10 = 0)
         |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_bigrams,
@@ -5079,8 +5115,8 @@ object Extensions {
         |t AS (SELECT SUM(a)::BIGINT AS ta, SUM(b)::BIGINT AS tb, COUNT(*) AS k FROM c),
         |terms AS (
         |  SELECT event_type, a AS n_ref, b AS n_cur,
-        |    (a + 1) * 1000000000 // (ta + k) AS p_ppb,
-        |    (b + 1) * 1000000000 // (tb + k) AS q_ppb
+        |    GREATEST((a + 1) * 1000000000 // (ta + k), 1) AS p_ppb,
+        |    GREATEST((b + 1) * 1000000000 // (tb + k), 1) AS q_ppb
         |  FROM c, t),
         |tt AS (
         |  SELECT event_type, n_ref, n_cur,
@@ -5089,8 +5125,9 @@ object Extensions {
         |    CAST(round((p_ppb - q_ppb)::DOUBLE / 1000000000.0
         |      * (ln(p_ppb::DOUBLE) - ln(q_ppb::DOUBLE)), 6) AS DECIMAL(18,6)) AS psi_term
         |  FROM terms)
-        |SELECT tt.*,
-        |  (SELECT CAST(SUM(psi_term) AS DECIMAL(28,6)) FROM tt) AS psi_total
+        |SELECT event_type, n_ref, n_cur, p_share, q_share,
+        |  psi_term::DOUBLE AS psi_term,
+        |  (SELECT CAST(SUM(psi_term) AS DECIMAL(28,6)) FROM tt)::DOUBLE AS psi_total
         |FROM tt ORDER BY event_type""".stripMargin,
     // the oracle re-derives the component closure (e21/e73's recursive
     // CTE), splits each node by the same doc_id hash, and folds the
@@ -5167,9 +5204,13 @@ object Extensions {
         |tr AS (SELECT * FROM n WHERE vec_id % 97 <> 0),
         |pairs AS (
         |  SELECT t.vec_id, t.label,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(generate_series(1, 64), i -> t.q[i] * e.qe[i])),
-        |      (a, x) -> a + x) AS dot,
+        |    -- series tracks the DATA's dimension, not a fixture constant
+        |    -- (a truncated vector must fail loudly, not dot partially)
+        |    CASE WHEN len(t.q) = len(e.qe) THEN
+        |      list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(generate_series(1, len(t.q)), i -> t.q[i] * e.qe[i])),
+        |        (a, x) -> a + x)
+        |    ELSE error('e106: train/eval embedding dims differ') END AS dot,
         |    t.n2 AS n2t, e.n2e
         |  FROM tr t CROSS JOIN ev e),
         |scp AS (SELECT vec_id, label,

@@ -265,7 +265,7 @@ object Similarity {
     "e09c_ann_ivf_partitioned" -> { (s, d) =>
       graft.functions.VectorExpressions.register(s)
       val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
-      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_$tag/e09c_ivf_index"
+      val idxPath = s"${operators.ArtifactRoot.resolve(s)}/graft_$tag/e09c_ivf_index"
       val emb = load(s, d, "embeddings")
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cemb"))

@@ -222,8 +222,13 @@ object StreamingOps {
     // reference distribution — e97's drift statistic turned into the
     // per-window monitor a pipeline alerts on ("which hour drifted?").
     // Same engine-invariance recipe as e97: Laplace +1 shares as exact
-    // BIGINT parts-per-billion, ln over identical integer-valued doubles,
-    // per-term round 6 into DECIMAL(18,6), order-free window sum. Absent
+    // BIGINT parts-per-billion (clamped at ppb=1 so absent types under a
+    // >1e9-event window floor instead of hitting ln(0)), ln over
+    // identical integer-valued doubles, per-term round 6 into
+    // DECIMAL(18,6), order-free window sum — and the DECIMAL stays
+    // internal: the output casts psi to DOUBLE (correctly rounded from
+    // the same exact decimal on both engines), keeping the output
+    // surface on canonical types. Absent
     // (window, type) cells still contribute their smoothed term — the
     // window×type frame is a cross join of two tiny dimension sets.
     // Scale: one (hour, type) count agg over the stream + |windows|·|types|
@@ -245,8 +250,10 @@ object StreamingOps {
         .join(broadcast(ref), "event_type")
         .crossJoin(broadcast(tot))
         .select(col("hb"), col("n_events"),
-          expr("(c + 1) * 1000000000L div (n_events + k)").as("p_ppb"),
-          expr("(g + 1) * 1000000000L div (gt + k)").as("q_ppb"))
+          expr("greatest((c + 1) * 1000000000L div (n_events + k), 1L)")
+            .as("p_ppb"),
+          expr("greatest((g + 1) * 1000000000L div (gt + k), 1L)")
+            .as("q_ppb"))
         .select(col("hb"), col("n_events"),
           round(((col("p_ppb") - col("q_ppb")).cast(DoubleType) / lit(1e9))
               * (log(col("p_ppb").cast(DoubleType))
@@ -255,7 +262,8 @@ object StreamingOps {
         .groupBy(col("hb"))
         .agg(max(col("n_events")).as("n_events"),
           sum(col("t")).cast(DecimalType(28, 6)).as("psi"))
-        .select(col("hb").as("window_hour"), col("n_events"), col("psi"))
+        .select(col("hb").as("window_hour"), col("n_events"),
+          col("psi").cast(DoubleType).as("psi"))
         .orderBy("window_hour")
     }
   )
@@ -367,8 +375,10 @@ object StreamingOps {
         |       FROM wn CROSS JOIN ref
         |       LEFT JOIN wc ON wc.hb = wn.hb AND wc.event_type = ref.event_type),
         |t AS (SELECT hb, n_events,
-        |        (c + 1) * 1000000000 // (n_events + (SELECT k FROM tot)) AS p_ppb,
-        |        (g + 1) * 1000000000 // ((SELECT gt FROM tot) + (SELECT k FROM tot)) AS q_ppb
+        |        GREATEST((c + 1) * 1000000000
+        |          // (n_events + (SELECT k FROM tot)), 1) AS p_ppb,
+        |        GREATEST((g + 1) * 1000000000
+        |          // ((SELECT gt FROM tot) + (SELECT k FROM tot)), 1) AS q_ppb
         |      FROM fr),
         |s AS (SELECT hb, n_events,
         |        CAST(round((p_ppb - q_ppb)::DOUBLE / 1000000000.0
@@ -376,7 +386,7 @@ object StreamingOps {
         |          AS DECIMAL(18,6)) AS t
         |      FROM t)
         |SELECT hb AS window_hour, MAX(n_events) AS n_events,
-        |  CAST(SUM(t) AS DECIMAL(28,6)) AS psi
+        |  CAST(SUM(t) AS DECIMAL(28,6))::DOUBLE AS psi
         |FROM s GROUP BY hb ORDER BY window_hour""".stripMargin
   )
 }

@@ -106,10 +106,13 @@ object KmvAgg {
 
   private val FN = "graft_kmv"
 
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!reg.functionExists(new org.apache.spark.sql.catalyst.FunctionIdentifier(FN)))
+      reg.createOrReplaceTempFunction(
         FN, exprs => KmvAgg(exprs.head).toAggregateExpression(), "built-in")
+  }
 
   /** Aggregate Column: sorted array of the ≤ k smallest distinct hashes. */
   def kmv(hash: Column): Column = call_function(FN, hash)

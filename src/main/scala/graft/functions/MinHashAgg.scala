@@ -89,10 +89,13 @@ object MinHashAgg {
 
   private val FN = "graft_minhash"
 
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!reg.functionExists(new org.apache.spark.sql.catalyst.FunctionIdentifier(FN)))
+      reg.createOrReplaceTempFunction(
         FN, exprs => MinHashAgg(exprs.head).toAggregateExpression(), "built-in")
+  }
 
   /** Aggregate Column: 8-element minhash signature array (register first). */
   def minhash(tokenHash: Column): Column = call_function(FN, tokenHash)

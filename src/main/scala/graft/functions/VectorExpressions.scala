@@ -120,11 +120,19 @@ object VectorExpressions {
 
   /** Idempotently register the expression in the session's function registry
     * (runtime equivalent of SparkSessionExtensions.injectFunction — the
-    * driver owns session construction, so injection happens per-call). */
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
+    * driver owns session construction, so injection happens per-call).
+    * Truly once per session: re-registering an existing name makes
+    * SimpleFunctionRegistry emit a "replaced a previously registered
+    * function" warning per call, which at ~250 bench queries floods the
+    * log — so probe the registry first. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    val id = new org.apache.spark.sql.catalyst.FunctionIdentifier(FN)
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
         FN, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column API for the native cosine (register first). */
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {

@@ -61,10 +61,13 @@ case class WeightedAvg(x: Expression, w: Expression) extends DeclarativeAggregat
 object WeightedAvg {
   private val FN = "graft_weighted_avg"
 
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!reg.functionExists(new org.apache.spark.sql.catalyst.FunctionIdentifier(FN)))
+      reg.createOrReplaceTempFunction(
         FN, exprs => WeightedAvg(exprs(0), exprs(1)).toAggregateExpression(), "built-in")
+  }
 
   def weightedAvg(x: Column, w: Column): Column = call_function(FN, x, w)
 }
