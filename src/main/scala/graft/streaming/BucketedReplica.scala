@@ -14,13 +14,27 @@ import org.apache.hadoop.fs.Path
   * Layout (all paths under `root`):
   * {{{
   *   _PTR-<v>                  // write-once pointer file: version v is
-  *                             // committed; readers resolve max(v)
-  *   manifest-<v>.tsv          // bucket \t relative-data-dir, one per bucket
+  *                             // committed; readers resolve max(v). Content
+  *                             // names the winning attempt (`attempt=`) and
+  *                             // the previous version's (`prev=`), which is
+  *                             // how readers find the control files below.
+  *   manifest-<v>-<attempt>.tsv // bucket \t relative-data-dir, one per bucket
   *   data/v<v>-<attempt>/bucket=<k>/part-….parquet
   *                             // attempt-unique per commit try, so a
   *                             // defeated concurrent committer can never
   *                             // overwrite a committed version's files
   * }}}
+  *
+  * EVERY version-scoped artifact — the data dirs AND the control files
+  * (manifest/schema/tag/time) — is attempt-suffixed and write-once; the
+  * `_PTR-<v>` create-new-key is the single serialization point, and its
+  * CONTENT names which attempt won. A defeated committer therefore cannot
+  * clobber anything the winner's pointer references, closing the r8
+  * check-then-act window where a loser's plain `manifest-<v>` overwrite
+  * landed after the winner's but before the loser's pointer loss.
+  * (Legacy pointers whose content is just the bare version resolve to the
+  * unsuffixed control names — the pre-r9 format, still written by
+  * [[cloneShallow]] where v1 has a single writer by construction.)
   *
   * Scale design (the 100 TB story):
   *  - rows are hash-bucketed by primary key (`pmod(xxhash64(pk), n)`), so a
@@ -273,11 +287,45 @@ final class BucketedReplica(
   /** Highest committed version, if the replica exists. */
   def currentVersion: Option[Long] = pointerVersions.sorted.lastOption
 
-  private def manifestPath(v: Long) = io.path(s"manifest-$v.tsv")
+  /** version → winning control-file attempt token, resolved from the
+    * CURRENT pointer's content: `attempt=` names its own version's winner,
+    * `prev=` the previous version's (whose pointer is GC'd but whose
+    * control files are retained). Absent versions — and legacy pointers
+    * whose content is the bare version number — resolve to the unsuffixed
+    * pre-r9 control names. Retried once against a re-listed pointer: the
+    * list-then-read can race a concurrent flip's old-pointer GC. */
+  private def attemptTokens: Map[Long, String] = {
+    var tries = 0
+    while (tries < 3) {
+      tries += 1
+      currentVersion match {
+        case None => return Map.empty
+        case Some(v) =>
+          try {
+            val kv = io.readString(io.path(s"_PTR-$v")).linesIterator
+              .filter(_.contains("=")).map { l =>
+                val Array(k, s) = l.split("=", 2); k -> s.trim
+              }.toMap
+            return (kv.get("attempt").map(v -> _).toSeq ++
+              kv.get("prev").filter(_ != "-").map(v - 1 -> _).toSeq).toMap
+          } catch { case _: java.io.IOException => () } // pointer advanced
+      }
+    }
+    Map.empty
+  }
 
-  private def tagPath(v: Long) = io.path(s"tag-$v.tsv")
+  private def ctlPath(base: String, v: Long, ext: String,
+                      tokens: Map[Long, String]): Path =
+    tokens.get(v) match {
+      case Some(a) => io.path(s"$base-$v-$a.$ext")
+      case None    => io.path(s"$base-$v.$ext")
+    }
 
-  private def timePath(v: Long) = io.path(s"time-$v.tsv")
+  private def manifestPath(v: Long) = ctlPath("manifest", v, "tsv", attemptTokens)
+
+  private def tagPath(v: Long) = ctlPath("tag", v, "tsv", attemptTokens)
+
+  private def timePath(v: Long) = ctlPath("time", v, "tsv", attemptTokens)
 
   /** Wall-clock commit time (epoch millis) of version `v`, if recorded —
     * written at publish, the basis for `TIMESTAMP AS OF` resolution.
@@ -331,7 +379,7 @@ final class BucketedReplica(
     io.readString(manifestPath(v)).linesIterator
       .find(_.startsWith("#n=")).map(_.stripPrefix("#n=").trim.toInt)
 
-  private def schemaPath(v: Long) = io.path(s"schema-$v.json")
+  private def schemaPath(v: Long) = ctlPath("schema", v, "json", attemptTokens)
 
   /** Stored schema in effect at version `v` — the widest schema any commit
     * through `v` declared. Bucket files written by EARLIER (narrower)
@@ -752,7 +800,9 @@ final class BucketedReplica(
       val rootPath = cio.path(".")
       if (!cio.exists(rootPath)) Seq.empty[String]
       else cio.listFiles(rootPath)
-        .filter(_.getName.matches("manifest-\\d+\\.tsv"))
+        // both naming generations, and defensively ALL attempts (an extra
+        // keep is safe; a missed reference is data loss)
+        .filter(_.getName.matches("manifest-\\d+(-[0-9a-f]{8})?\\.tsv"))
         .flatMap(p => cio.readString(p).linesIterator
           .filter(l => l.nonEmpty && !l.startsWith("#"))
           .map(_.split("\t", 2)(1))
@@ -775,18 +825,23 @@ final class BucketedReplica(
       case Some(curV) =>
         val newV = curV + 1
         val man = readManifest(curV)
-        io.writeString(manifestPath(newV),
+        // same attempt-suffixed write-once discipline as publish: a DDL
+        // racing a live commit serializes at the pointer, clobbering nothing
+        val attempt = java.util.UUID.randomUUID().toString.take(8)
+        val prevToken = attemptTokens.get(curV)
+        io.writeString(io.path(s"manifest-$newV-$attempt.tsv"),
           s"#n=$layoutBuckets\n" +
             man.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
               .mkString("", "\n", "\n"))
-        io.writeString(schemaPath(newV), widened.json)
-        tagOf(curV).foreach(t => io.writeString(tagPath(newV), s"$t\n"))
-        io.writeString(timePath(newV), s"${System.currentTimeMillis()}\n")
-        commitPointer(newV)
+        io.writeString(io.path(s"schema-$newV-$attempt.json"), widened.json)
+        tagOf(curV).foreach(t =>
+          io.writeString(io.path(s"tag-$newV-$attempt.tsv"), s"$t\n"))
+        io.writeString(io.path(s"time-$newV-$attempt.tsv"),
+          s"${System.currentTimeMillis()}\n")
+        commitPointer(newV, attempt, prevToken)
         // same cur+prev metadata retention as publish; no data GC — every
         // bucket file stays referenced by both retained manifests
-        io.delete(manifestPath(curV - 1)); io.delete(tagPath(curV - 1))
-        io.delete(schemaPath(curV - 1)); io.delete(timePath(curV - 1))
+        sweepControlFiles(Map(newV -> Some(attempt), curV -> prevToken))
     }
   }
 
@@ -910,33 +965,61 @@ final class BucketedReplica(
       .toMap
     val newMan = if (replaceAll) written else (man -- touched) ++ written
 
-    // multi-writer guard on the version-NAMED control files: if another
-    // driver already committed this version while our data job ran, abort
-    // before overwriting the winner's manifest/schema/tag — we were going
-    // to lose at the pointer anyway; failing here keeps even the
-    // (millisecond) control-file window from clobbering committed state.
+    // fast-fail (not a guard the protocol relies on): another driver
+    // already committed this version while our data job ran — we'd lose at
+    // the pointer anyway, so skip the control-file writes entirely.
     if (io.exists(io.path(s"_PTR-$newV")))
       throw new StoreIO.ConcurrentCommit(
         s"version $newV was committed by another writer during this " +
           "commit's data write — re-read and retry")
 
-    io.writeString(manifestPath(newV),
+    // the control files are ATTEMPT-SUFFIXED write-once, like the data dir:
+    // a concurrent committer racing this version writes its OWN files, and
+    // only the pointer's content decides whose become version newV's. No
+    // overwrite of version-named state ever happens, so there is no window
+    // (however small) where a defeated writer clobbers the winner's
+    // manifest/schema after the winner's pointer flip (the r8 advisor's
+    // check-then-act hole in the old plain-named writes).
+    val prevToken = curV.flatMap(attemptTokens.get)
+    io.writeString(io.path(s"manifest-$newV-$attempt.tsv"),
       s"#n=$layoutN\n" +
         newMan.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
           .mkString("", "\n", "\n"))
-    io.writeString(schemaPath(newV), outSchema.json)
+    io.writeString(io.path(s"schema-$newV-$attempt.json"), outSchema.json)
     // tag + commit time before pointer: once the version is visible its
     // metadata is readable (commit time feeds TIMESTAMP AS OF)
-    tag.foreach(t => io.writeString(tagPath(newV), s"$t\n"))
-    io.writeString(timePath(newV), s"${System.currentTimeMillis()}\n")
-    commitPointer(newV)
+    tag.foreach(t => io.writeString(io.path(s"tag-$newV-$attempt.tsv"), s"$t\n"))
+    io.writeString(io.path(s"time-$newV-$attempt.tsv"),
+      s"${System.currentTimeMillis()}\n")
+    commitPointer(newV, attempt, prevToken)
     gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet
       ++ cloneProtectedRels)
-    curV.foreach { v => // keep cur+prev
-      io.delete(manifestPath(v - 1)); io.delete(tagPath(v - 1))
-      io.delete(schemaPath(v - 1)); io.delete(timePath(v - 1))
-    }
+    // keep cur+prev control files (the winning attempts only); sweep
+    // everything older plus any defeated/crashed attempt's leftovers
+    sweepControlFiles(Map(newV -> Some(attempt)) ++
+      curV.map(v => v -> prevToken))
   }
+
+  /** Control-file retention: keep exactly the winning attempt's files for
+    * the versions in `winning` (None = the version's files are legacy
+    * unsuffixed), delete every other manifest/schema/tag/time file —
+    * older versions past the cur+prev window, and defeated or crashed
+    * attempts at any version. Write-once naming makes this safe against a
+    * still-running loser: its files are referenced by no pointer. */
+  private val ctlFileRe =
+    "(manifest|schema|tag|time)-(\\d+)(-[0-9a-f]{8})?\\.(tsv|json)".r
+
+  private def sweepControlFiles(winning: Map[Long, Option[String]]): Unit =
+    io.listFiles(io.root).foreach { p =>
+      p.getName match {
+        case ctlFileRe(_, vS, suffix, _) =>
+          val keep = winning.get(vS.toLong).exists { tok =>
+            Option(suffix).map(_.stripPrefix("-")) == tok
+          }
+          if (!keep) io.delete(p)
+        case _ => ()
+      }
+    }
 
   /** Test seam for deterministic race interleavings: invoked after a
     * version's data+manifest are fully written, immediately before the
@@ -955,9 +1038,11 @@ final class BucketedReplica(
     * (effectiveBuckets re-reads the manifest header): the same
     * optimistic-concurrency discipline as [[OpLog]], which is what makes
     * rebucket safe against a LIVE stream. */
-  private def commitPointer(v: Long): Unit = {
+  private def commitPointer(v: Long, attempt: String,
+                            prev: Option[String]): Unit = {
     beforePointerCommit()
-    io.createExclusive(io.path(s"_PTR-$v"), v.toString)
+    io.createExclusive(io.path(s"_PTR-$v"),
+      s"$v\nattempt=$attempt\nprev=${prev.getOrElse("-")}\n")
     pointerVersions.filter(_ < v).foreach(o => io.delete(io.path(s"_PTR-$o")))
   }
 
@@ -1004,7 +1089,13 @@ object BucketedReplica {
       .filter(_.startsWith("_PTR-")).map(_.stripPrefix("_PTR-").toLong)
       .sorted.lastOption
     val n = curV.flatMap { v =>
-      io.readString(io.path(s"manifest-$v.tsv")).linesIterator
+      // the pointer content names the winning attempt (bare-version
+      // content = legacy unsuffixed manifest)
+      val attempt = io.readString(io.path(s"_PTR-$v")).linesIterator
+        .find(_.startsWith("attempt=")).map(_.stripPrefix("attempt=").trim)
+      val manName = attempt.map(a => s"manifest-$v-$a.tsv")
+        .getOrElse(s"manifest-$v.tsv")
+      io.readString(io.path(manName)).linesIterator
         .find(_.startsWith("#n=")).map(_.stripPrefix("#n=").trim.toInt)
     }.orElse(kv.get("nBuckets").map(_.toInt)).getOrElse(32)
     val schemaP = io.path("_SCHEMA.json")

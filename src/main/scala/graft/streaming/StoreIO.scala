@@ -74,22 +74,54 @@ final class StoreIO(rootStr: String, conf: Configuration) {
     * The flip's worst case (FileContext's local rename-overwrite is
     * delete-then-rename) leaves the primary briefly absent with the side
     * file complete, which [[readSafe]]/[[existsSafe]] cover — so readers
-    * see the old or the new complete content, never a prefix. */
+    * see the old or the new complete content, never a prefix.
+    *
+    * Content CONTRACT: `s` must end with `\n`. The terminator is the side
+    * file's completeness witness — a crash mid-write of `.next` (including
+    * the first-ever write, when no primary exists to fall back to) leaves
+    * a torn side file that [[readSafe]]/[[existsSafe]] must treat as
+    * ABSENT, and "ends with the terminator" is how they tell a completed
+    * side copy from a prefix. Enforced here so the probe stays sound. */
   def overwriteSafe(p: Path, s: String): Unit = {
+    require(s.endsWith("\n"),
+      s"overwriteSafe content for $p must end with the \\n terminator " +
+        "(the side file's completeness witness)")
     val side = new Path(p.getParent, p.getName + ".next")
     writeString(side, s)
     fc.rename(side, p, Options.Rename.OVERWRITE)
   }
 
-  /** Read a file maintained by [[overwriteSafe]], falling back to the
-    * completed `.next` side copy if a crash hit the flip's gap. */
-  def readSafe(p: Path): String =
-    if (exists(p)) readString(p)
-    else readString(new Path(p.getParent, p.getName + ".next"))
+  /** The side file's content iff it exists AND is complete (carries the
+    * [[overwriteSafe]] terminator). A torn `.next` — crash mid-write, no
+    * terminator — reads as absent, which is exactly what makes the
+    * fallback sound for the FIRST-ever overwriteSafe (no primary yet). */
+  private def sideComplete(p: Path): Option[String] = {
+    val side = new Path(p.getParent, p.getName + ".next")
+    try {
+      val s = readString(side)
+      if (s.endsWith("\n")) Some(s) else None
+    } catch { case _: java.io.IOException => None }
+  }
 
-  /** Existence for [[overwriteSafe]]-maintained files (primary or side). */
+  /** Read a file maintained by [[overwriteSafe]], falling back to the
+    * completed `.next` side copy if a crash (or a concurrent flip — the
+    * local rename-overwrite is delete-then-rename) hit the primary's gap.
+    * Open-first, not exists-then-open: the existence probe would race the
+    * flip. One primary retry covers the flip completing between the two
+    * reads (side renamed onto primary after the primary miss). */
+  def readSafe(p: Path): String =
+    try readString(p)
+    catch { case e: java.io.IOException =>
+      sideComplete(p).getOrElse {
+        try readString(p) catch { case _: java.io.IOException => throw e }
+      }
+    }
+
+  /** Existence for [[overwriteSafe]]-maintained files: the primary, or a
+    * COMPLETE side copy. A torn `.next` with no primary reports absent —
+    * the store was never successfully written. */
   def existsSafe(p: Path): Boolean =
-    exists(p) || exists(new Path(p.getParent, p.getName + ".next"))
+    exists(p) || sideComplete(p).isDefined
 
   /** Immediate child FILES of `p` (empty if `p` doesn't exist). */
   def listFiles(p: Path): Seq[Path] =

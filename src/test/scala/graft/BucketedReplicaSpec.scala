@@ -245,8 +245,13 @@ class BucketedReplicaSpec extends SparkSpecBase {
     assert(versions.length <= versionsBefore.min(2),
       s"compaction left stale version dirs: ${versions.mkString(",")}")
     val cur = rep.currentVersion.get
+    // control files are attempt-suffixed since the r9 multi-writer
+    // hardening; resolve the current manifest by name pattern
+    val manFile = Option(new File(root).listFiles()).get
+      .filter(_.getName.matches(s"manifest-$cur(-[0-9a-f]{8})?\\.tsv"))
+      .head
     val manifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(root, s"manifest-$cur.tsv")), "UTF-8")
+      manFile.toPath), "UTF-8")
     assert(manifest.linesIterator.filterNot(_.startsWith("#")) // layout header
       .forall(_.contains(s"data/v$cur-")),
       s"manifest still references pre-compaction versions:\n$manifest")
