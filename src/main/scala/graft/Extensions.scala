@@ -74,15 +74,21 @@ object Extensions {
     "CAST(concat('0x', substring(md5(%s), 1, 8)) AS BIGINT)"
 
   /** Distinct LSH candidate pairs over the doc_id%10 sample — the shared
-    * candidate source of e03b (scored with Jaccard) and e43 (containment). */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBands(load(s, d, "documents")
-      .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text")))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-  }
+    * candidate source of ten audit/graph consumers (e43, e45, e50, e56,
+    * e57, e58, e63, e69, e89, e112). Disk-materialized via
+    * [[corpusArtifact]]: the banding self-join runs once per corpus
+    * snapshot (built on the signature artifact, so the tokenize pass is
+    * shared too); every consumer after the first reads a bare parquet
+    * scan. e03b keeps its own inline from-scratch prefix as the gate on
+    * the candidate math itself. */
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame =
+    corpusArtifact(s, d, "lsh_cand_pairs_s10") {
+      val bands = bandsFromSigs(minhashSigsArtifact(s, d), 2, 4)
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    }
 
   private def toks(c: Column): Column = split(c, " ")
 
@@ -139,25 +145,26 @@ object Extensions {
   /** Exact near-dup ground truth (dense unigram Jaccard ≥ 0.1 over the
     * %10 audit sample) — shared by the e58/e63 evaluation queries. The
     * quadratic join is the point: truth is only ever computed on the
-    * bounded audit slice. Persisted: both evaluators read it repeatedly. */
-  private def sampledTruthPairs(s: SparkSession, d: String): DataFrame = {
-    val sets = load(s, d, "documents")
-      .filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
-      // checkpoint, not persist: both verify sides read it from storage;
-      // local blocks release on GC (ContextCleaner) instead of
-      // accumulating for the session (no unpersist hook exists — the
-      // caller consumes a lazy plan over this). graft.checkpoint.dir
-      // switches to durable storage on cluster runs.
-      .transform(operators.RoundCheckpointer.resolve(s, None).truncate)
-    val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
-    val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
-    a.join(b, col("d1") < col("d2"))
-      .withColumn("nc", size(array_intersect(col("tk1"), col("tk2"))))
-      .filter(col("nc").cast(DoubleType)
-        / (size(col("tk1")) + size(col("tk2")) - col("nc")) >= 0.1)
-      .select("d1", "d2")
-  }
+    * bounded audit slice — and, via [[corpusArtifact]], only ONCE per
+    * corpus snapshot: it is the single most expensive shared prefix in
+    * the audit family, so both evaluators read the materialized pairs. */
+  private[graft] def sampledTruthPairs(s: SparkSession, d: String): DataFrame =
+    corpusArtifact(s, d, "truth_pairs_s10_j01") {
+      val sets = load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+        // checkpoint, not persist: both join sides of the one-time build
+        // read it from storage; local blocks release on GC
+        // (ContextCleaner) instead of accumulating for the session.
+        .transform(operators.RoundCheckpointer.resolve(s, None).truncate)
+      val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
+      val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("nc", size(array_intersect(col("tk1"), col("tk2"))))
+        .filter(col("nc").cast(DoubleType)
+          / (size(col("tk1")) + size(col("tk2")) - col("nc")) >= 0.1)
+        .select("d1", "d2")
+    }
 
   /** Min-label components of the LSH candidate graph over the doc_id%10
     * sample (e21 runs this from scratch as the gate; the other label
@@ -224,18 +231,16 @@ object Extensions {
     out
   }
 
-  /** Disk-materialized [[lshComponents]] — write-once and content-keyed,
-    * the e09c index recipe applied to the cluster labels. In a real
-    * pipeline the component labels are computed ONCE per corpus snapshot
-    * and consumed by every downstream stage; r7 measured the six
-    * label-consuming queries independently rebuilding the identical
-    * fixpoint for ~12% of the bench. e21 stays the from-scratch gate
-    * (it calls [[lshComponents]] directly and its oracle re-derives the
-    * closure in SQL); e25/e49/e59/e73/e101/e102 probe this artifact.
-    * Content key: the signature (name:length:mtime) of every part of the
-    * SF dir's documents.parquet, so a regenerated corpus can never serve
-    * a stale label set. Concurrency: compute lands in a tmp dir committed
-    * via FileContext.rename WITHOUT Options.Rename.OVERWRITE — unlike
+  /** Write-once, content-keyed disk artifact derived from an SF dir's
+    * documents.parquet — the e09c index recipe generalized: in a real
+    * pipeline each derived table (cluster labels, MinHash signatures,
+    * candidate pairs, audit ground truth) is computed ONCE per corpus
+    * snapshot and consumed by every downstream stage. Content key: md5 of
+    * the full listing signature (name:length:mtime of every part file) —
+    * a regenerated corpus can never serve a stale artifact, and 64 bits
+    * of a cryptographic digest can't collide the way a 32-bit hashCode
+    * could. Concurrency: compute lands in a tmp dir committed via
+    * FileContext.rename WITHOUT Options.Rename.OVERWRITE — unlike
     * FileSystem.rename, which on both HDFS and the local FS "succeeds"
     * against an existing destination by moving tmp INSIDE it (nesting a
     * duplicate parquet tree the readers would double-count), FileContext
@@ -245,7 +250,8 @@ object Extensions {
     * nested __tmp_* child appeared, failing loudly rather than serving a
     * corrupt artifact. Root: [[graft.operators.ArtifactRoot]] — local
     * tmpdir by default, `graft.artifact.dir` for a cluster-shared FS. */
-  private[graft] def lshComponentsArtifact(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpusArtifact(s: SparkSession, d: String, name: String)
+      (build: => DataFrame): DataFrame = {
     import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Path}
     val hconf = s.sparkContext.hadoopConfiguration
     val src = new Path(s"$d/documents.parquet")
@@ -254,9 +260,6 @@ object Extensions {
     val parts =
       if (st.isDirectory) sfs.listStatus(src).toSeq.sortBy(_.getPath.getName)
       else Seq(st)
-    // md5 of the full listing signature, not hashCode: a 32-bit key
-    // colliding across corpus regenerations would silently serve stale
-    // labels to six queries — 64 bits of a cryptographic digest can't
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(parts
         .map(p => s"${p.getPath.getName}:${p.getLen}:${p.getModificationTime}")
@@ -264,12 +267,12 @@ object Extensions {
       .take(8).map("%02x".format(_)).mkString
     val tag = d.replaceAll("[^A-Za-z0-9.]", "_")
     val root = new Path(
-      s"${operators.ArtifactRoot.resolve(s)}/graft_$tag/lsh_components_$key")
+      s"${operators.ArtifactRoot.resolve(s)}/graft_$tag/${name}_$key")
     val rfs = root.getFileSystem(hconf)
     if (!rfs.exists(new Path(root, "_SUCCESS"))) {
       val tmp = new Path(root.getParent,
         root.getName + "__tmp_" + java.util.UUID.randomUUID().toString)
-      lshComponents(s, d).write.mode("overwrite").parquet(tmp.toString)
+      build.write.mode("overwrite").parquet(tmp.toString)
       val fc = FileContext.getFileContext(rfs.getUri, hconf)
       try fc.rename(tmp, root) // no OVERWRITE: existing root => exception
       catch {
@@ -278,12 +281,32 @@ object Extensions {
       }
       finally if (rfs.exists(tmp)) rfs.delete(tmp, true)
       require(rfs.exists(new Path(root, "_SUCCESS")),
-        s"lshComponentsArtifact commit left no complete artifact at $root")
+        s"$name commit left no complete artifact at $root")
       require(!rfs.listStatus(root).exists(_.getPath.getName.startsWith("__tmp_")),
-        s"lshComponentsArtifact commit nested a tmp tree inside $root")
+        s"$name commit nested a tmp tree inside $root")
     }
     s.read.parquet(root.toString)
   }
+
+  /** Disk-materialized [[lshComponents]] — r7 measured the six
+    * label-consuming queries independently rebuilding the identical
+    * fixpoint for ~12% of the bench. e21 stays the from-scratch gate
+    * (it calls [[lshComponents]] directly and its oracle re-derives the
+    * closure in SQL); e25/e49/e59/e73/e101/e102 probe this artifact. */
+  private[graft] def lshComponentsArtifact(s: SparkSession, d: String): DataFrame =
+    corpusArtifact(s, d, "lsh_components")(lshComponents(s, d))
+
+  /** Disk-materialized k=8 MinHash signature table over the doc_id%10
+    * audit sample — the candidate-generation prefix (tokenize → hash →
+    * 8-way min agg) that r8 measured recomputed by every audit /
+    * calibration consumer (e58/e63/e90/e112/e43/e69 and the graph
+    * queries). e02/e02b/e03/e03b stay the from-scratch gates for the
+    * signature math itself; consumers of DERIVED results probe this. */
+  private[graft] def minhashSigsArtifact(s: SparkSession, d: String): DataFrame =
+    corpusArtifact(s, d, "minhash_sigs_s10") {
+      minhashSigs(load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text")))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1 exact dedup — hash-groupBy on a normalized fingerprint (first 10
@@ -1712,14 +1735,11 @@ object Extensions {
     // audit-slice economics as the e03 family; the agreement check reads
     // 16 longs per candidate pair.
     "e90_reject_rule" -> { (s, d) =>
-      val sig = minhashSigs(load(s, d, "documents")
-        .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text")))
-        .persist()
-      val bands = bandsFromSigs(sig, 2, 4)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      // sig + candidates probe the corpus artifacts (bare parquet scans
+      // after first build); the rule's own verify step — the part this
+      // query gates — still computes from scratch below
+      val sig = minhashSigsArtifact(s, d)
+      val cand = lshCandidates(s, d)
       val nMatch = (0 until 8).map(i =>
         when(col(s"sig$i") === col(s"p$i"), 1).otherwise(0)).reduce(_ + _)
       val verified = cand
@@ -3301,13 +3321,12 @@ object Extensions {
     // else is the shared sig machinery. Output: one row per config with
     // exact counts and single-division precision/recall.
     "e63_lsh_sweep" -> { (s, d) =>
-      val truth = sampledTruthPairs(s, d).localCheckpoint() // audited twice; GC-released
+      val truth = sampledTruthPairs(s, d) // artifact: both audits scan parquet
       // r=2×b=4 IS the production banding — reuse its candidate source;
       // only the r=4×b=2 bucketing is new (4 sigs md5-combined: a 4-way
       // integer product would overflow BIGINT)
       val r2b4 = lshCandidates(s, d)
-      val sig = minhashSigs(load(s, d, "documents")
-        .filter(col("doc_id") % 10 === 0)).localCheckpoint() // two bandings read it; GC-released
+      val sig = minhashSigsArtifact(s, d)
       val bd = sig.select(col("doc_id"), explode(array(
         (0 until 2).map { j =>
           struct(lit(j).as("band"), tokenHash(concat_ws(",",
