@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   * Protocol (the staging-promote pattern — the scalable shape for
   * parallel writers against a transactional store):
   *  1. executors append the batch to `<table>_staging` in parallel (plain
-  *     INSERTs through Spark's JDBC writer — append-only, restart-safe);
+  *     INSERTs through Spark's JDBC writer — append-only, restart-safe),
+  *     tagged with an attempt-unique id so concurrent attempts' slices
+  *     never interfere;
   *  2. the driver promotes in ONE transaction: insert `batchId` into
   *     `<table>_ledger` (PRIMARY KEY — a replayed or racing promote loses
   *     on the duplicate key and rolls back, which IS the exactly-once
@@ -26,8 +28,9 @@ import org.apache.spark.sql.types._
   *     so out-of-order batches cannot resurrect deleted keys — and clear
   *     the staging slice.
   *
-  * A crash between (1) and (2) leaves orphan staging rows: the replay
-  * deletes its own `batch_id` slice before re-staging, then promotes —
+  * A crash between (1) and (2) leaves orphan staging rows for a dead
+  * attempt: the replay stages a NEW attempt slice and promotes it; the
+  * won promote sweeps every slice of the batch, orphans included —
   * target content is identical to the no-crash run. Serving reads filter
   * `op <> 'DELETE'` ([[liveSql]]); tombstone GC is the same
   * watermark-gated maintenance as [[BucketedReplica.compactTombstones]]
@@ -78,7 +81,7 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
       if (!exists(c, table))
         st.execute(s"CREATE TABLE $table ($cols, PRIMARY KEY ($pk))")
       if (!exists(c, staging))
-        st.execute(s"CREATE TABLE $staging ($cols, batch_id BIGINT)")
+        st.execute(s"CREATE TABLE $staging ($cols, batch_id BIGINT, attempt_id BIGINT)")
       if (!exists(c, ledger))
         st.execute(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
     }
@@ -96,56 +99,110 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
 
   /** Apply one micro-batch exactly once. Returns false iff `batchId` was
     * already promoted (replay no-op). Safe to call concurrently and to
-    * re-call after any crash point. */
+    * re-call after any crash point.
+    *
+    * The staging slice is ATTEMPT-scoped (batch_id, attempt_id) — the
+    * replica's attempt-suffixed write-once discipline transplanted to
+    * SQL: each caller stages only rows it owns and the promote reads
+    * only its own attempt's slice, so a concurrent replay of the SAME
+    * batch can neither double its rows nor (the nastier shape) delete
+    * the winner's staged slice between the winner's stage and promote —
+    * which would have let the ledger record a promoted batch whose rows
+    * never landed. A won promote sweeps the batch's slices attempt-wide
+    * (covering crashed earlier attempts); a lost race sweeps its own. */
   def applyBatch(batch: DataFrame, batchId: Long): Boolean = {
     ensureTables(batch.schema)
     if (committed(batchId)) return false
-    // replay hygiene: a crashed attempt's staging slice is replaced whole
-    withConn { c =>
-      val ps = c.prepareStatement(s"DELETE FROM $staging WHERE batch_id = ?")
-      ps.setLong(1, batchId); ps.executeUpdate()
-    }
+    val attemptId = java.util.concurrent.ThreadLocalRandom.current().nextLong()
     // within-batch latest-wins (one row per key) BEFORE staging: the
     // promote's supersede logic then needs no per-batch ordering
     val w = Window.partitionBy(col(pk)).orderBy(col(posCol).desc)
     val deduped = batch.filter(col(pk).isNotNull)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn").withColumn("batch_id", lit(batchId))
+      .withColumn("attempt_id", lit(attemptId))
     deduped.write.mode("append")
       .option("driver", driver)
       .jdbc(url, staging, new java.util.Properties())
 
     val colList = batch.schema.fieldNames.mkString(", ")
-    withConn { c =>
-      c.setAutoCommit(false)
-      try {
-        val led = c.prepareStatement(s"INSERT INTO $ledger VALUES (?)")
-        led.setLong(1, batchId)
-        led.executeUpdate() // duplicate key here = lost the race → rollback
-        val del = c.prepareStatement(
-          s"""DELETE FROM $table WHERE EXISTS (
-             |  SELECT 1 FROM $staging s
-             |  WHERE s.batch_id = ? AND s.$pk = $table.$pk
-             |    AND s.$posCol >= $table.$posCol)""".stripMargin)
-        del.setLong(1, batchId); del.executeUpdate()
-        val ins = c.prepareStatement(
-          s"""INSERT INTO $table ($colList)
-             |SELECT $colList FROM $staging s
-             |WHERE s.batch_id = ? AND NOT EXISTS (
-             |  SELECT 1 FROM $table t WHERE t.$pk = s.$pk)""".stripMargin)
-        ins.setLong(1, batchId); ins.executeUpdate()
-        val cln = c.prepareStatement(s"DELETE FROM $staging WHERE batch_id = ?")
-        cln.setLong(1, batchId); cln.executeUpdate()
-        c.commit()
-        true
-      } catch {
-        case t: Throwable => c.rollback()
-          // a duplicate-key loss on the ledger means someone else promoted
-          // this batch — that is success-by-another-hand, not failure
-          if (committed(batchId)) false else throw t
-      } finally c.setAutoCommit(true)
-    }
+    promoteWithRetry(batchId, attemptId, colList, attempts = 10)
   }
+
+  /** The promote transaction, retried on the two transient outcomes a
+    * CONCURRENT writer with a different batchId can inflict: deadlock
+    * (SQLState 40001 — two promotes locking overlapping key sets in
+    * opposite orders; the database aborts one as victim) and lock
+    * timeout (40XL1). Both leave this attempt's staging slice intact and
+    * its ledger row unwritten, so the retry re-runs the identical
+    * transaction against the winner's committed state — latest-wins
+    * comparisons (`s.pos >= t.pos`) make the outcome order-independent.
+    * A ledger duplicate key is NOT retried: someone promoted THIS batch,
+    * which is success-by-another-hand — sweep our orphan staging slice
+    * and report false. */
+  private def promoteWithRetry(batchId: Long, attemptId: Long,
+                               colList: String, attempts: Int): Boolean = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        return withConn { c =>
+          c.setAutoCommit(false)
+          try {
+            val led = c.prepareStatement(s"INSERT INTO $ledger VALUES (?)")
+            led.setLong(1, batchId)
+            led.executeUpdate() // duplicate key here = lost the race → rollback
+            val del = c.prepareStatement(
+              s"""DELETE FROM $table WHERE EXISTS (
+                 |  SELECT 1 FROM $staging s
+                 |  WHERE s.batch_id = ? AND s.attempt_id = ?
+                 |    AND s.$pk = $table.$pk
+                 |    AND s.$posCol >= $table.$posCol)""".stripMargin)
+            del.setLong(1, batchId); del.setLong(2, attemptId)
+            del.executeUpdate()
+            val ins = c.prepareStatement(
+              s"""INSERT INTO $table ($colList)
+                 |SELECT $colList FROM $staging s
+                 |WHERE s.batch_id = ? AND s.attempt_id = ? AND NOT EXISTS (
+                 |  SELECT 1 FROM $table t WHERE t.$pk = s.$pk)""".stripMargin)
+            ins.setLong(1, batchId); ins.setLong(2, attemptId)
+            ins.executeUpdate()
+            // won: sweep ALL of this batch's slices — ours plus any
+            // crashed earlier attempt's orphans (never a live loser's
+            // problem: its promote reads only its own attempt slice and
+            // loses at the ledger regardless)
+            val cln = c.prepareStatement(s"DELETE FROM $staging WHERE batch_id = ?")
+            cln.setLong(1, batchId); cln.executeUpdate()
+            c.commit()
+            true
+          } catch {
+            case t: Throwable =>
+              c.rollback()
+              if (committed(batchId)) {
+                // lost the same-batch race: the winner may have swept
+                // before this attempt's rows landed — sweep again so a
+                // lost race can't leave orphans accumulating
+                val ps = c.prepareStatement(
+                  s"DELETE FROM $staging WHERE batch_id = ?")
+                ps.setLong(1, batchId); ps.executeUpdate(); c.commit()
+                false
+              } else throw t
+          } finally c.setAutoCommit(true)
+        }
+      } catch {
+        case t: Throwable if attempt < attempts && isTransient(t) =>
+          Thread.sleep(50L * attempt) // linear backoff; victim retries
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def isTransient(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case s: java.sql.SQLException =>
+        s.getSQLState == "40001" || s.getSQLState == "40XL1"
+      case _ => false
+    }
 
   /** The serving read (the reference's analyst view): live rows only. */
   def liveSql: String = s"SELECT * FROM $table WHERE $opCol <> 'DELETE'"

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+import java.util.concurrent.CyclicBarrier
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.JdbcSink
+
+/** Multi-writer stress for the JDBC sink's exactly-once ledger (the r8
+  * verdict's remaining single-process claim). Three shapes:
+  *
+  *  1. SAME batch, two concurrent workers (speculative retry / zombie
+  *     driver): exactly one promote wins per round, the loser reports
+  *     false, the table equals one application, and no staging orphans
+  *     survive. The attempt-scoped staging slice is what makes this
+  *     sound — before r9, a replay's pre-stage DELETE could empty the
+  *     winner's slice between its stage and promote, letting the ledger
+  *     record a promoted batch whose rows never landed.
+  *  2. DIFFERENT batches with overlapping keys, promoted concurrently:
+  *     both land, the deadlock/lock-timeout victim retries (40001/40XL1
+  *     are transient), and the result equals the sequential latest-wins
+  *     merge regardless of schedule.
+  *  3. Cross-PROCESS: embedded Derby enforces single-JVM boot (db.lck →
+  *     XSDB6/XJ040), so two DRIVER processes against one embedded store
+  *     fail loudly at connect instead of corrupting — the multi-driver
+  *     topology belongs to a server database, where shapes 1-2's
+  *     transaction-level serialization is the operative guarantee (the
+  *     engine code enforcing it is connection-count, not process-count,
+  *     scoped). A forked JVM proves the refusal is real.
+  */
+class JdbcSinkConcurrencySpec extends SparkSpecBase {
+
+  private def env(rows: Seq[(String, Long, Long, Double, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("op", "pos", "user_id", "value", "event_type")
+  }
+
+  private def query[A](url: String, sql: String)(read: java.sql.ResultSet => A): Seq[A] = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      val b = Seq.newBuilder[A]
+      while (rs.next()) b += read(rs)
+      b.result()
+    } finally c.close()
+  }
+
+  private def tableRows(url: String): Set[(Long, Long, Double)] =
+    query(url, "SELECT user_id, pos, value FROM users ORDER BY user_id")(
+      rs => (rs.getLong(1), rs.getLong(2), rs.getDouble(3))).toSet
+
+  private def race2(a: () => Boolean, b: () => Boolean): (Boolean, Boolean) = {
+    val barrier = new CyclicBarrier(2)
+    @volatile var ra: Either[Throwable, Boolean] = null
+    @volatile var rb: Either[Throwable, Boolean] = null
+    val ta = new Thread(() => { barrier.await()
+      ra = try Right(a()) catch { case t: Throwable => Left(t) } })
+    val tb = new Thread(() => { barrier.await()
+      rb = try Right(b()) catch { case t: Throwable => Left(t) } })
+    ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+    if (ra == null || rb == null) fail("a writer did not finish within 120s")
+    (ra, rb) match {
+      case (Right(x), Right(y)) => (x, y)
+      case (Left(t), _) => throw new AssertionError("writer A threw", t)
+      case (_, Left(t)) => throw new AssertionError("writer B threw", t)
+    }
+  }
+
+  test("same batchId raced by two workers: one winner per round, one " +
+    "application of the batch, zero staging orphans") {
+    val url = "jdbc:derby:memory:jsink_race_same;create=true"
+    // separate sink instances = separate connections, like two drivers
+    val s1 = new JdbcSink(url, "users")
+    val s2 = new JdbcSink(url, "users")
+    var expected = Map.empty[Long, (Long, Double)]
+    for (round <- 0 until 8) {
+      val rows = (0 until 20).map(k =>
+        ("INSERT", round * 100L + k, (k % 10).toLong, round + k * 0.5, "t"))
+      expected = expected ++ rows.groupBy(_._3).map { case (k, rs) =>
+        val top = rs.maxBy(_._2); k -> (top._2, top._4)
+      }
+      val batch = env(rows)
+      val (w1, w2) = race2(() => s1.applyBatch(batch, round.toLong),
+                           () => s2.applyBatch(batch, round.toLong))
+      assert(w1 ^ w2,
+        s"round $round: expected exactly one winner, got ($w1, $w2)")
+      assert(tableRows(url) ===
+        expected.map { case (k, (p, v)) => (k, p, v) }.toSet,
+        s"round $round: table diverged from the sequential application")
+      val orphans = query(url, "SELECT COUNT(*) FROM users_staging")(_.getLong(1)).head
+      assert(orphans === 0L, s"round $round: $orphans staging orphans survived")
+    }
+  }
+
+  test("different batches, overlapping keys, concurrent promotes: both " +
+    "land; result equals the sequential latest-wins merge") {
+    val url = "jdbc:derby:memory:jsink_race_diff;create=true"
+    // low lock timeouts so a deadlock victim fails fast into the retry
+    val c = DriverManager.getConnection(url)
+    try {
+      val cs = c.prepareCall(
+        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(?, ?)")
+      Seq("derby.locks.deadlockTimeout" -> "1",
+          "derby.locks.waitTimeout" -> "5").foreach { case (k, v) =>
+        cs.setString(1, k); cs.setString(2, v); cs.execute()
+      }
+    } finally c.close()
+    val s1 = new JdbcSink(url, "users")
+    val s2 = new JdbcSink(url, "users")
+    val all = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (round <- 0 until 6) {
+      // 30 keys each, 20 shared — plenty of lock overlap; odd/even pos
+      // parity keeps the expected winner per key deterministic
+      val b1 = env((0 until 30).map(k =>
+        ("INSERT", 1000L * round + 2 * k, k.toLong, k + 0.25, "a")))
+      val b2 = env((10 until 40).map(k =>
+        ("INSERT", 1000L * round + 2 * k + 1, k.toLong, k + 0.75, "b")))
+      all += b1 += b2
+      val (w1, w2) = race2(
+        () => s1.applyBatch(b1, 100L + round * 2),
+        () => s2.applyBatch(b2, 101L + round * 2))
+      assert(w1 && w2, s"round $round: both promotes must land ($w1, $w2)")
+    }
+    val expected = Cdc.merge(all.reduce(_ unionByName _), Seq("user_id"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("pos"),
+        r.getAs[Double]("value"))).toSet
+    assert(tableRows(url) === expected,
+      "concurrent overlapping promotes diverged from the sequential merge")
+  }
+
+  test("a second PROCESS against one embedded store is refused at " +
+    "connect (XSDB6/XJ040), never silently corrupted") {
+    val dir = tmpDir("xjvm_jdbc")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val sink = new JdbcSink(url, "users")
+    assert(!sink.committed(0L)) // parent JVM boots and holds the database
+    val marker = Paths.get(dir, "child-result")
+    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val p = new ProcessBuilder(java, "-cp", sys.props("java.class.path"),
+      "graft.CrossJvmJdbcMain", url.stripSuffix(";create=true"),
+      marker.toString).inheritIO().start()
+    assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "child JVM did not finish")
+    assert(p.exitValue() === 0,
+      "child JVM did not observe the dual-boot refusal")
+    val seen = new String(Files.readAllBytes(marker), "UTF-8")
+    assert(seen.contains("XSDB6") || seen.contains("XJ040"),
+      s"child saw '$seen', not the dual-boot SQLState")
+    // and the parent's sink still works — the refusal cost nothing
+    assert(sink.applyBatch(env(Seq(("INSERT", 1L, 7L, 7.5, "t"))), 0L))
+    assert(tableRows(url) === Set((7L, 1L, 7.5)))
+  }
+}
+
+/** Child process for the dual-boot refusal test: attempts to open the
+  * parent's embedded Derby store through the sink's own connect path and
+  * records the SQLState chain it was refused with. Exits 0 only if the
+  * refusal is the documented dual-boot error. */
+object CrossJvmJdbcMain {
+  def main(args: Array[String]): Unit = {
+    val Array(url, marker) = args
+    val states = try {
+      new JdbcSink(url, "users").committed(0L)
+      Seq("NO-ERROR")
+    } catch {
+      case t: Throwable =>
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).collect {
+          case s: java.sql.SQLException => Option(s.getSQLState).getOrElse("-")
+        }.toSeq
+    }
+    Files.write(Paths.get(marker), states.mkString(",").getBytes("UTF-8"))
+    sys.exit(if (states.exists(s => s == "XSDB6" || s == "XJ040")) 0 else 3)
+  }
+}
