@@ -119,16 +119,17 @@ object Cdc {
 
   /** Deterministic per-query scratch dir (A3/A6/A7 write-then-read;
     * shared with Relational's c52 partitioned layout). Root resolves via
-    * [[graft.operators.ArtifactRoot]] off the active session — local
-    * tmpdir by default, `graft.artifact.dir` for cluster-shared storage;
-    * the oracle SQL builders call this same function at dump time so both
-    * engines always name the same absolute layout. */
-  private[graft] def scratch(name: String, dir: String): String = {
+    * [[graft.operators.ArtifactRoot]] off the CALLER'S session, passed
+    * explicitly — local tmpdir by default, `graft.artifact.dir` for
+    * cluster-shared storage. Every consumer of a layout resolves from the
+    * same session object, so the writing plan and any later reader can
+    * never silently name different roots (the getActiveSession-at-call-time
+    * version could: a thread without an active session fell back to
+    * tmpdir while the write had honored the session conf). */
+  private[graft] def scratch(name: String, dir: String,
+                             s: org.apache.spark.sql.SparkSession): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val root = org.apache.spark.sql.SparkSession.getActiveSession
-      .map(operators.ArtifactRoot.resolve)
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    s"$root/graft_$tag/$name"
+    s"${operators.ArtifactRoot.resolve(s)}/graft_$tag/$name"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -171,7 +172,7 @@ object Cdc {
     // A3 Avro change-file roundtrip — changelog → Avro container files →
     // distributed decode → summary (format choice: reference README.md:168).
     "a3_avro_roundtrip" -> { (s, d) =>
-      val path = scratch("a3_avro", d)
+      val path = scratch("a3_avro", d, s)
       AvroChangeFiles.write(changelog(s, d), path)
       AvroChangeFiles.read(s, path)
         .groupBy(col("op"))
@@ -183,7 +184,7 @@ object Cdc {
     // format("graft.sources.AvroChangeSource"): one object = one
     // InputPartition, PartitionReader decode in the executor.
     "a3b_avro_dsv2" -> { (s, d) =>
-      val path = scratch("a3b_avro", d)
+      val path = scratch("a3b_avro", d, s)
       AvroChangeFiles.write(changelog(s, d), path)
       s.read.format("graft.sources.AvroChangeSource").load(path)
         .groupBy(col("op"))
@@ -197,7 +198,7 @@ object Cdc {
     // preserved, then extract from the nested form (binlog-file rotation
     // stats per op).
     "a3c_nested_avro" -> { (s, d) =>
-      val path = scratch("a3c_avro", d)
+      val path = scratch("a3c_avro", d, s)
       AvroChangeFiles.writeNested(nestedChangelog(s, d), path)
       AvroChangeFiles.readNested(s, path)
         .groupBy(col("source_metadata.op").as("op"))
@@ -241,7 +242,7 @@ object Cdc {
     // A6 warehouse sink roundtrip — replica written with a declared schema and
     // read back (reference main.tf:197-215, pets.schema.json).
     "a6_sink_roundtrip" -> { (s, d) =>
-      val path = scratch("a6_sink", d)
+      val path = scratch("a6_sink", d, s)
       merge(changelog(s, d), Seq("user_id"))
         .select("user_id", "pos", "value", "event_type")
         .write.mode("overwrite").parquet(path)
@@ -250,7 +251,7 @@ object Cdc {
     // A7 staging sink — append-only changelog (outputStagingDatasetTemplate,
     // reference README.md:204): two batches appended, then read as one log.
     "a7_staging_append" -> { (s, d) =>
-      val path = scratch("a7_staging", d)
+      val path = scratch("a7_staging", d, s)
       val ch = changelog(s, d)
       val cut = 500L
       ch.filter(col("pos") < cut).write.mode("overwrite").parquet(path)
@@ -282,7 +283,7 @@ object Cdc {
     // A10 ORC roundtrip — second columnar format through the same sink/scan
     // path (Spark-native ORC reader/writer).
     "a10_orc_roundtrip" -> { (s, d) =>
-      val path = scratch("a10_orc", d)
+      val path = scratch("a10_orc", d, s)
       changelog(s, d).write.mode("overwrite").orc(path)
       s.read.orc(path)
         .groupBy(col("op"))
@@ -296,7 +297,7 @@ object Cdc {
     // (at 100 TB this is the difference between reading 1/k and k/k of the
     // table).
     "a11_partitioned_sink" -> { (s, d) =>
-      val path = scratch("a11_part", d)
+      val path = scratch("a11_part", d, s)
       changelog(s, d).write.mode("overwrite").partitionBy("op").parquet(path)
       s.read.parquet(path)
         .filter(col("op") === "UPDATE") // prunes to the op=UPDATE directory
@@ -307,7 +308,7 @@ object Cdc {
     // A12 JSON-lines sink/source roundtrip — the inputFileFormat=json path
     // (reference README.md:202) as actual files, schema-first read.
     "a12_json_sink" -> { (s, d) =>
-      val path = scratch("a12_json", d)
+      val path = scratch("a12_json", d, s)
       changelog(s, d).write.mode("overwrite").json(path)
       s.read.schema(graft.streaming.CdcStream.envelopeSchema).json(path)
         .groupBy(col("op"))
@@ -320,8 +321,8 @@ object Cdc {
     // (repartition + overwrite), contents provably unchanged. At 100 TB this
     // runs per closed partition.
     "a13_compaction" -> { (s, d) =>
-      val frag = scratch("a13_frag", d)
-      val compacted = scratch("a13_compact", d)
+      val frag = scratch("a13_frag", d, s)
+      val compacted = scratch("a13_compact", d, s)
       changelog(s, d).repartition(16).write.mode("overwrite").parquet(frag)
       val staged = s.read.parquet(frag)
       staged.repartition(2).write.mode("overwrite").parquet(compacted)
@@ -342,7 +343,7 @@ object Cdc {
     // mergeSchema, one unified scan. The oracle recomputes the same
     // union-by-name semantics from the source changelog.
     "a14_schema_evolution" -> { (s, d) =>
-      val dir = scratch("a14_evo", d)
+      val dir = scratch("a14_evo", d, s)
       val ch = changelog(s, d).select("op", "tbl", "pos", "value")
       // generation 1: producer without the value column
       ch.filter(col("pos") % 2 === 0).drop("value")
@@ -365,7 +366,7 @@ object Cdc {
     // feed must arrive as many files (it does: one object per change
     // batch), never one giant one.
     "a15_csv_quoted" -> { (s, d) =>
-      val path = scratch("a15_csv", d)
+      val path = scratch("a15_csv", d, s)
       val df = changelog(s, d).select(col("op"), col("pos"), col("user_id"),
         col("value"),
         concat(col("event_type"), lit(",\"q\"\n"), col("op")).as("tricky"))
@@ -382,7 +383,7 @@ object Cdc {
     // absent elements. Same aggregate gate as the other roundtrips, so a
     // value corrupted in transit fails the oracle hash.
     "a16_xml_roundtrip" -> { (s, d) =>
-      val path = scratch("a16_xml", d)
+      val path = scratch("a16_xml", d, s)
       val df = changelog(s, d)
         .select(col("op"), col("pos"), col("user_id"), col("value"),
           col("event_type"))
@@ -406,7 +407,7 @@ object Cdc {
     // files simply exist on object storage and the same read distributes
     // one file per task.
     "a17_binary_files" -> { (s, d) =>
-      val path = scratch("a17_blob", d)
+      val path = scratch("a17_blob", d, s)
       val dir = new java.io.File(path); dir.mkdirs()
       Option(dir.listFiles).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".bin")).foreach(_.delete())
@@ -544,7 +545,7 @@ object Cdc {
     // atomic pointer commit). Proves the incremental storage path and the
     // one-shot merge agree on the same changelog.
     "b8_incremental_merge" -> { (s, d) =>
-      val root = scratch("b8_replica", d)
+      val root = scratch("b8_replica", d, s)
       // 8 buckets: sized so each bucket file is right-sized at fixture SF
       // (the layout knob the 100 TB story turns the other way)
       val rep = new graft.streaming.BucketedReplica(root, nBuckets = 8)
@@ -587,7 +588,7 @@ object Cdc {
     // DELETE set a downstream consumer would apply. Exercises the
     // BucketedReplica's time travel (readAt) + full-outer keyed diff.
     "b10_change_feed" -> { (s, d) =>
-      val root = scratch("b10_replica", d)
+      val root = scratch("b10_replica", d, s)
       val rep = new graft.streaming.BucketedReplica(root, nBuckets = 8)
       rep.destroy() // fresh replica per run (scratch persists across runs)
       val ch = changelog(s, d)
@@ -604,7 +605,7 @@ object Cdc {
     // live in the BucketedReplica), then the combined view must equal the
     // one-shot historization — same oracle as b9.
     "b11_incremental_scd2" -> { (s, d) =>
-      val root = scratch("b11_scd2", d)
+      val root = scratch("b11_scd2", d, s)
       val rep = new graft.streaming.BucketedReplica(s"$root/replica")
       rep.destroy()
       val hist = s"$root/history"
@@ -649,7 +650,7 @@ object Cdc {
     // Three interleaved out-of-order batches (pos mod 3) must converge to
     // the from-scratch aggregate — same final answer as a full recompute.
     "b13_incremental_agg" -> { (s, d) =>
-      val root = scratch("b13_agg", d)
+      val root = scratch("b13_agg", d, s)
       val rep = new graft.streaming.BucketedReplica(s"$root/replica", nBuckets = 8)
       rep.destroy()
       val agg = new graft.streaming.IncrementalAgg(rep, s"$root/agg")
@@ -808,7 +809,7 @@ object Cdc {
     // stays bucket-bounded). The live view must equal global latest-wins —
     // the same oracle shape as b8.
     "b20_merge_into_sql" -> { (s, d) =>
-      val root = scratch("b20_replica", d)
+      val root = scratch("b20_replica", d, s)
       val rep = new graft.streaming.BucketedReplica(root, nBuckets = 8)
       rep.destroy()
       val ch = changelog(s, d)
@@ -841,7 +842,7 @@ object Cdc {
     // GraftMergeCommand, and the final read is a literal
     // SELECT … FROM <catalog>.cdc.users executing as a native parquet scan.
     "b21_catalog_table" -> { (s, d) =>
-      val wh = scratch("b21_warehouse", d)
+      val wh = scratch("b21_warehouse", d, s)
       // one catalog name per fixture dir: the session's CatalogManager
       // caches catalog instances by name, so a warm-up at another SF must
       // not pin this SF's root
@@ -878,7 +879,7 @@ object Cdc {
     // position-keeping tombstones, this composes with b3's out-of-order
     // guarantees (pinned in DeleteUpdateSqlSpec).
     "b22_delete_sql" -> { (s, d) =>
-      val wh = scratch("b22_warehouse", d)
+      val wh = scratch("b22_warehouse", d, s)
       val cat = "graftbdel_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.plans.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", wh)
@@ -897,7 +898,7 @@ object Cdc {
     // probe-then-rewrite economics as b22; the double arithmetic in SET is
     // one IEEE multiply-add, bit-identical cross-engine.
     "b23_update_sql" -> { (s, d) =>
-      val wh = scratch("b23_warehouse", d)
+      val wh = scratch("b23_warehouse", d, s)
       val cat = "graftbupd_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.plans.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", wh)
@@ -922,7 +923,7 @@ object Cdc {
     // post-ALTER row that carries it — the all-NULLABLE monotone
     // evolution model of the reference's sink schemas (main.tf:197-215).
     "b24_alter_evolution" -> { (s, d) =>
-      val wh = scratch("b24_warehouse", d)
+      val wh = scratch("b24_warehouse", d, s)
       val cat = "graftbalt_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.plans.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", wh)
@@ -947,7 +948,7 @@ object Cdc {
     // the oracle is the same global-latest-wins shape as b21 because
     // CTAS-from-changelog and commit-then-read must be the same thing.
     "b25_ctas" -> { (s, d) =>
-      val wh = scratch("b25_warehouse", d)
+      val wh = scratch("b25_warehouse", d, s)
       val cat = "graftbcts_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat", "graft.plans.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", wh)

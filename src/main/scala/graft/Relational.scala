@@ -27,8 +27,9 @@ object Relational {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  private def scratch(name: String, dir: String): String =
-    Cdc.scratch(name, dir)
+  private def scratch(name: String, dir: String,
+                      s: org.apache.spark.sql.SparkSession): String =
+    Cdc.scratch(name, dir, s)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 projection — column pruning reaches the scan (ReadSchema shows 3 cols).
@@ -888,8 +889,8 @@ object Relational {
     // dynamicpruning filter so a regression that flips it to a full scan
     // fails loudly.
     "c52_dpp_join" -> { (s, d) =>
-      val factPath = scratch("c52_fact", d)
-      val dimPath = scratch("c52_dim", d)
+      val factPath = scratch("c52_fact", d, s)
+      val dimPath = scratch("c52_dim", d, s)
       // The partitioned fixture is INPUT to the scored operator (the DPP
       // join), not the operator itself — write it once per source
       // generation. The guard fingerprints the source parquet (name, size,

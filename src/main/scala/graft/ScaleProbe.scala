@@ -166,6 +166,12 @@ object ScaleProbe {
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "e03b_lsh_pair_join" -> SparkEntry.queries("e03b_lsh_pair_join"),
       "e21_dedup_components" -> SparkEntry.queries("e21_dedup_components"),
+      // the artifact-CONSUMER path: e59 probes the write-once labels
+      // artifact. Per scale the first run pays the artifact build
+      // (compute + commit), the `_warm` twin measures the steady-state
+      // probe — the shape every consumer after the first sees.
+      "e59_cluster_sizes" -> SparkEntry.queries("e59_cluster_sizes"),
+      "e59_cluster_sizes_warm" -> SparkEntry.queries("e59_cluster_sizes"),
       "e55_jaccard_prefix" -> SparkEntry.queries("e55_jaccard_prefix"),
       "e09c_ann_ivf_partitioned" -> SparkEntry.queries("e09c_ann_ivf_partitioned"),
       "e48_semantic_dedup" -> SparkEntry.queries("e48_semantic_dedup"),

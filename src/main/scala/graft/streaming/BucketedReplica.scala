@@ -36,6 +36,18 @@ import org.apache.hadoop.fs.Path
   * unsuffixed control names — the pre-r9 format, still written by
   * [[cloneShallow]] where v1 has a single writer by construction.)
   *
+  * READER-LAG CONTRACT: every read operation resolves version AND control
+  * names from ONE `_PTR-<v>` content read (`headSnapshot`), so the two can
+  * never mix pointer generations. A reader may lag the committer by at
+  * most ONE version: current + previous control files and data are
+  * retained, older versions are swept. A `readAt(v)` that loses ≥2 commits
+  * between its snapshot and its manifest read re-snapshots; if v is still
+  * retained it retries, and if v has rolled out it fails LOUDLY with the
+  * not-retained error — that loud failure is the contract, never a
+  * FileNotFoundException from a guessed legacy name (the r9 stale-reader
+  * bug) and never a silently empty read. Head reads (`read`/`live`) always
+  * make progress by chasing the newest pointer.
+  *
   * Scale design (the 100 TB story):
   *  - rows are hash-bucketed by primary key (`pmod(xxhash64(pk), n)`), so a
   *    micro-batch touches only the buckets its keys fall in: per-batch I/O is
@@ -254,7 +266,7 @@ final class BucketedReplica(
     val kv = metaKv
     kv.get("pk").foreach(p => require(p == pk,
       s"replica at $root is keyed by $p, not $pk"))
-    val stored = currentVersion.flatMap(manifestBuckets)
+    val stored = headSnapshot().flatMap { case (v, tk) => manifestBuckets(v, tk) }
       .orElse(kv.get("nBuckets").map(_.toInt))
     stored.foreach(n => require(n == nBuckets,
       s"replica at $root is laid out with nBuckets=$n; " +
@@ -265,7 +277,7 @@ final class BucketedReplica(
   /** Current layout n for READ-side derivations ([[rebucket]] itself):
     * manifest header → creation meta → constructor, no pinning check. */
   private def layoutBuckets: Int =
-    currentVersion.flatMap(manifestBuckets)
+    headSnapshot().flatMap { case (v, tk) => manifestBuckets(v, tk) }
       .orElse(metaKv.get("nBuckets").map(_.toInt))
       .getOrElse(nBuckets)
 
@@ -287,52 +299,78 @@ final class BucketedReplica(
   /** Highest committed version, if the replica exists. */
   def currentVersion: Option[Long] = pointerVersions.sorted.lastOption
 
-  /** version → winning control-file attempt token, resolved from the
-    * CURRENT pointer's content: `attempt=` names its own version's winner,
-    * `prev=` the previous version's (whose pointer is GC'd but whose
-    * control files are retained). Absent versions — and legacy pointers
-    * whose content is the bare version number — resolve to the unsuffixed
-    * pre-r9 control names. Retried once against a re-listed pointer: the
-    * list-then-read can race a concurrent flip's old-pointer GC. */
-  private def attemptTokens: Map[Long, String] = {
-    var tries = 0
-    while (tries < 3) {
-      tries += 1
-      currentVersion match {
-        case None => return Map.empty
-        case Some(v) =>
-          try {
-            val kv = io.readString(io.path(s"_PTR-$v")).linesIterator
-              .filter(_.contains("=")).map { l =>
-                val Array(k, s) = l.split("=", 2); k -> s.trim
-              }.toMap
-            return (kv.get("attempt").map(v -> _).toSeq ++
-              kv.get("prev").filter(_ != "-").map(v - 1 -> _).toSeq).toMap
-          } catch { case _: java.io.IOException => () } // pointer advanced
-      }
+  /** version → winning control-file attempt token for version `v` and its
+    * predecessor, parsed from `_PTR-<v>`'s CONTENT: `attempt=` names v's
+    * winner, `prev=` names v−1's (whose pointer is GC'd but whose control
+    * files are retained). `Some(token)` = attempt-suffixed names;
+    * `None` = legacy unsuffixed pre-r9 names, which a pointer declares
+    * EXPLICITLY — bare-version content for its own version, `prev=-` for a
+    * legacy predecessor. A version absent from the map entirely is
+    * unresolvable (rolled past cur+prev retention) and must fail loudly,
+    * never guess a legacy name ([[ctl]]). */
+  private def parsePointer(v: Long, content: String): Map[Long, Option[String]] = {
+    val kv = content.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, s) = l.split("=", 2); k -> s.trim }.toMap
+    val prevEntry: Map[Long, Option[String]] =
+      if (v >= 2) Map(v - 1 -> kv.get("prev").filter(_ != "-")) else Map.empty
+    kv.get("attempt") match {
+      case Some(a) => prevEntry + (v -> Some(a))
+      case None    => prevEntry + (v -> None) // legacy bare-version pointer
     }
-    Map.empty
   }
 
-  private def ctlPath(base: String, v: Long, ext: String,
-                      tokens: Map[Long, String]): Path =
+  /** ONE atomic control-plane snapshot: the newest committed version plus
+    * the control-file tokens of it and its predecessor, resolved from the
+    * SAME `_PTR-<v>` content read that selected the version. Every read
+    * path carries this snapshot instead of re-deriving names per control
+    * file — per-access re-derivation raced concurrent pointer flips: a
+    * reader could select version v, lose two flips, and resolve v's
+    * manifest to a legacy name that never existed (the r9 stale-reader
+    * crash). The list+read retries when a concurrent flip GC's the listed
+    * pointer mid-read (each retry re-lists, so it chases the NEWEST
+    * pointer); a store that keeps listing pointers whose content stays
+    * unreadable after 5 rounds fails loudly rather than guessing. */
+  private def headSnapshot(): Option[(Long, Map[Long, Option[String]])] = {
+    var lastErr: Throwable = null
+    var tries = 0
+    while (tries < 5) {
+      tries += 1
+      pointerVersions.sorted.lastOption match {
+        case None => return None
+        case Some(v) =>
+          try return Some(v -> parsePointer(v, io.readString(io.path(s"_PTR-$v"))))
+          catch { case e: java.io.IOException => lastErr = e } // flip GC'd it: re-list
+      }
+    }
+    throw new IllegalStateException(
+      s"replica at $root: newest pointer stayed unreadable across 5 " +
+        "list+read rounds (concurrent flips outpaced this reader)", lastErr)
+  }
+
+  /** Control-file path under a snapshot's tokens. A version with no token
+    * entry rolled past the cur+prev retention window: the correct outcome
+    * is this loud error, not the pre-r10 silent legacy-name fallback that
+    * surfaced as FileNotFoundException deep in a parquet read. */
+  private def ctl(base: String, v: Long, ext: String,
+                  tokens: Map[Long, Option[String]]): Path =
     tokens.get(v) match {
-      case Some(a) => io.path(s"$base-$v-$a.$ext")
-      case None    => io.path(s"$base-$v.$ext")
+      case Some(Some(a)) => io.path(s"$base-$v-$a.$ext")
+      case Some(None)    => io.path(s"$base-$v.$ext")
+      case None => throw new IllegalStateException(
+        s"version $v of the replica at $root has rolled past the cur+prev " +
+          s"retention window (retained: ${tokens.keys.toSeq.sorted.mkString(", ")})")
     }
 
-  private def manifestPath(v: Long) = ctlPath("manifest", v, "tsv", attemptTokens)
-
-  private def tagPath(v: Long) = ctlPath("tag", v, "tsv", attemptTokens)
-
-  private def timePath(v: Long) = ctlPath("time", v, "tsv", attemptTokens)
+  private def commitTimeOf(v: Long, tokens: Map[Long, Option[String]]): Option[Long] = {
+    val p = ctl("time", v, "tsv", tokens)
+    if (io.exists(p)) Some(io.readString(p).trim.toLong) else None
+  }
 
   /** Wall-clock commit time (epoch millis) of version `v`, if recorded —
     * written at publish, the basis for `TIMESTAMP AS OF` resolution.
     * Versions published before times were recorded have none. */
   def commitTimeOf(v: Long): Option[Long] =
-    if (io.exists(timePath(v))) Some(io.readString(timePath(v)).trim.toLong)
-    else None
+    headSnapshot().filter(_._2.contains(v)).flatMap(s => commitTimeOf(v, s._2))
 
   /** The RETAINED version in effect at wall-clock `tsMillis` — the newest
     * retained version whose commit time is ≤ the asked instant (what
@@ -341,9 +379,10 @@ final class BucketedReplica(
     * store cannot distinguish "born later" from "evicted" for arbitrary
     * timestamps, so guessing would be unsound. */
   def versionAt(tsMillis: Long): Long = {
-    val retained = pointerVersions.sorted.flatMap(v => Seq(v - 1, v))
-      .filter(v => v > 0 && io.exists(manifestPath(v))).distinct
-    val timed = retained.flatMap(v => commitTimeOf(v).map(v -> _))
+    val tokens = headSnapshot().map(_._2).getOrElse(Map.empty)
+    val retained = tokens.keys.toSeq.sorted
+      .filter(v => v > 0 && io.exists(ctl("manifest", v, "tsv", tokens)))
+    val timed = retained.flatMap(v => commitTimeOf(v, tokens).map(v -> _))
     timed.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
       throw new IllegalArgumentException(
         s"no retained version of the replica at $root committed at or before " +
@@ -352,22 +391,28 @@ final class BucketedReplica(
           "older versions are past the cur+prev retention window"))
   }
 
+  private def tagOf(v: Long, tokens: Map[Long, Option[String]]): Option[Long] = {
+    val p = ctl("tag", v, "tsv", tokens)
+    if (io.exists(p)) Some(io.readString(p).trim.toLong) else None
+  }
+
   /** Commit tag of version `v` (the source batch id the version reflects),
     * if one was recorded. */
   def tagOf(v: Long): Option[Long] =
-    if (io.exists(tagPath(v))) Some(io.readString(tagPath(v)).trim.toLong)
-    else None
+    headSnapshot().filter(_._2.contains(v)).flatMap(s => tagOf(v, s._2))
 
   /** version → tag for every RETAINED version (current + previous) that
     * carries a tag — the alignment index for cross-replica consistent
     * reads ([[CdcStream.consistentCutVersions]]). */
-  def retainedTags: Map[Long, Long] =
-    pointerVersions.sorted.flatMap { v =>
-      Seq(v - 1, v).filter(u => u > 0 && io.exists(manifestPath(u)))
-    }.distinct.flatMap(v => tagOf(v).map(v -> _)).toMap
+  def retainedTags: Map[Long, Long] = {
+    val tokens = headSnapshot().map(_._2).getOrElse(Map.empty)
+    tokens.keys.toSeq.sorted
+      .filter(v => v > 0 && io.exists(ctl("manifest", v, "tsv", tokens)))
+      .flatMap(v => tagOf(v, tokens).map(v -> _)).toMap
+  }
 
-  private def readManifest(v: Long): Map[Int, String] =
-    io.readString(manifestPath(v)).linesIterator
+  private def readManifest(v: Long, tokens: Map[Long, Option[String]]): Map[Int, String] =
+    io.readString(ctl("manifest", v, "tsv", tokens)).linesIterator
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(b, rel) = line.split("\t", 2)
         b.toInt -> rel
@@ -375,11 +420,9 @@ final class BucketedReplica(
 
   /** Layout bucket count recorded in version `v`'s manifest header
     * (absent for manifests written before layouts were versioned). */
-  private def manifestBuckets(v: Long): Option[Int] =
-    io.readString(manifestPath(v)).linesIterator
+  private def manifestBuckets(v: Long, tokens: Map[Long, Option[String]]): Option[Int] =
+    io.readString(ctl("manifest", v, "tsv", tokens)).linesIterator
       .find(_.startsWith("#n=")).map(_.stripPrefix("#n=").trim.toInt)
-
-  private def schemaPath(v: Long) = ctlPath("schema", v, "json", attemptTokens)
 
   /** Stored schema in effect at version `v` — the widest schema any commit
     * through `v` declared. Bucket files written by EARLIER (narrower)
@@ -387,14 +430,22 @@ final class BucketedReplica(
     * missing columns NULL (the all-NULLABLE evolution model of the
     * reference's sink schemas, main.tf:197-215). Pre-evolution replicas
     * have no schema file and fall back to the constructor contract. */
-  def schemaAt(v: Long): StructType =
-    if (io.exists(schemaPath(v)))
-      org.apache.spark.sql.types.DataType.fromJson(io.readString(schemaPath(v)))
+  private def schemaAt(v: Long, tokens: Map[Long, Option[String]]): StructType = {
+    val p = ctl("schema", v, "json", tokens)
+    if (io.exists(p))
+      org.apache.spark.sql.types.DataType.fromJson(io.readString(p))
         .asInstanceOf[StructType]
     else schema
+  }
+
+  def schemaAt(v: Long): StructType = headSnapshot() match {
+    case Some((_, tokens)) => schemaAt(v, tokens) // ctl raises if v rolled out
+    case None => schema
+  }
 
   /** Schema of the replica as of the current pointer. */
-  def storedSchema: StructType = currentVersion.map(schemaAt).getOrElse(schema)
+  def storedSchema: StructType =
+    headSnapshot().map { case (v, tk) => schemaAt(v, tk) }.getOrElse(schema)
 
   /** Resolve a manifest data reference: ordinary entries are relative to
     * THIS replica's root; `ext:` entries (written by [[cloneShallow]])
@@ -403,14 +454,31 @@ final class BucketedReplica(
   private def dataPath(rel: String): String =
     if (rel.startsWith("ext:")) rel.stripPrefix("ext:") else s"$root/$rel"
 
-  /** The stored replica (tombstones included) as of the current pointer. */
+  /** The stored replica (tombstones included) as of the current pointer.
+    * One snapshot names the version, its schema, AND its manifest, so the
+    * three can never mix generations; if a concurrent flip sweeps the
+    * snapshot's control files mid-read (the reader lost ≥2 commits in the
+    * microseconds between snapshot and readString), re-snapshot and retry
+    * against the new head — a HEAD read can always move forward. */
   def read(spark: SparkSession): DataFrame = {
-    val sch = storedSchema
-    val paths = currentVersion.map(readManifest).getOrElse(Map.empty)
-      .values.map(dataPath).toSeq.sorted
-    if (paths.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
-    else spark.read.schema(sch).parquet(paths: _*)
+    var lastErr: Throwable = null
+    for (_ <- 0 until 5) {
+      headSnapshot() match {
+        case None =>
+          return spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        case Some((v, tokens)) =>
+          try {
+            val sch = schemaAt(v, tokens)
+            val paths = readManifest(v, tokens).values.map(dataPath).toSeq.sorted
+            return if (paths.isEmpty)
+              spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+            else spark.read.schema(sch).parquet(paths: _*)
+          } catch { case e: java.io.IOException => lastErr = e } // lost ≥2 flips: re-snapshot
+      }
+    }
+    throw new IllegalStateException(
+      s"replica at $root: head read lost to concurrent commits 5 times in a row", lastErr)
   }
 
   /** The analyst-facing view: tombstoned keys filtered out. */
@@ -423,14 +491,29 @@ final class BucketedReplica(
     * versions raise. This is the bounded-staleness read model of
     * transactional table formats, not an unbounded history log. */
   def readAt(spark: SparkSession, v: Long): DataFrame = {
-    require(io.exists(manifestPath(v)),
-      s"version $v of replica at $root is not retained " +
-        s"(current=${currentVersion.getOrElse(-1L)}; current+previous kept)")
-    val sch = schemaAt(v) // the schema in effect when v was committed
-    val paths = readManifest(v).values.map(dataPath).toSeq.sorted
-    if (paths.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
-    else spark.read.schema(sch).parquet(paths: _*)
+    var lastErr: Throwable = null
+    for (_ <- 0 until 5) {
+      val snap = headSnapshot()
+      val tokens = snap.map(_._2).getOrElse(Map.empty)
+      require(tokens.contains(v) &&
+        io.exists(ctl("manifest", v, "tsv", tokens)),
+        s"version $v of replica at $root is not retained " +
+          s"(current=${snap.map(_._1).getOrElse(-1L)}; current+previous kept)")
+      try {
+        val sch = schemaAt(v, tokens) // the schema in effect when v was committed
+        val paths = readManifest(v, tokens).values.map(dataPath).toSeq.sorted
+        return if (paths.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+        else spark.read.schema(sch).parquet(paths: _*)
+      } catch {
+        // a flip swept v's controls between snapshot and read: the re-loop's
+        // fresh snapshot either still retains v (transient, retry) or the
+        // require above becomes the CORRECT loud not-retained failure
+        case e: java.io.IOException => lastErr = e
+      }
+    }
+    throw new IllegalStateException(
+      s"replica at $root: readAt($v) lost to concurrent commits 5 times in a row", lastErr)
   }
 
   /** [[readAt]] with tombstones filtered — the live view as of version `v`. */
@@ -467,12 +550,13 @@ final class BucketedReplica(
     * version commit. At scale this is the periodic OPTIMIZE pass — one
     * task per bucket, embarrassingly parallel. */
   def compact(spark: SparkSession): Unit = {
-    val man = currentVersion.map(readManifest).getOrElse(Map.empty)
+    val snap = headSnapshot()
+    val man = snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
     if (man.isEmpty) return
     // content is unchanged, so the new version still reflects the same
     // source batch: carry the current tag forward
     publish(man.keys.toSeq.sorted, read(spark),
-      currentVersion.flatMap(tagOf), layoutBuckets)
+      snap.flatMap { case (v, tk) => tagOf(v, tk) }, layoutBuckets)
   }
 
   /** Fold one change batch into the replica. Only buckets containing batch
@@ -529,7 +613,8 @@ final class BucketedReplica(
       enforceChecks(batchRows) // reject-the-batch BEFORE any data write
       enforceForeignKeys(spark, batchRows)
 
-      val man = currentVersion.map(readManifest).getOrElse(Map.empty)
+      val man = headSnapshot()
+        .map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
       val merged = graft.Cdc.merge(
         readBuckets(spark, man, touched, target).unionByName(batchRows), Seq(pk),
         posCol, opCol, keepTombstones = true)
@@ -565,12 +650,12 @@ final class BucketedReplica(
       StructField("observed", org.apache.spark.sql.types.StringType, nullable = false),
       StructField("details", org.apache.spark.sql.types.StringType, nullable = false)))
     val rows = scala.collection.mutable.Buffer[Row]()
-    currentVersion match {
+    headSnapshot() match {
       case None =>
         rows += Row("pointer", true, "none",
           "no committed version — an empty table is consistent")
-      case Some(v) =>
-        val man = readManifest(v)
+      case Some((v, tokens)) =>
+        val man = readManifest(v, tokens)
         val n = layoutBuckets
         rows += Row("pointer", true, s"v$v",
           s"${man.size} bucket entries, layout n=$n")
@@ -607,7 +692,7 @@ final class BucketedReplica(
           ).flatten.mkString("; "))
         val present = states.collect { case (b, rel, Right(true)) => (b, rel) }
         if (present.nonEmpty) {
-          val sch = schemaAt(v)
+          val sch = schemaAt(v, tokens)
           // footer-only conformity: stored fields must match the declared
           // contract by name+type (a schema-enforced read would coerce and
           // hide drift)
@@ -673,9 +758,11 @@ final class BucketedReplica(
     * cur+prev window, because reads never derive bucket placement. */
   def rebucket(spark: SparkSession, newBuckets: Int): Unit = {
     require(newBuckets > 0, s"rebucket: need a positive bucket count, got $newBuckets")
-    val man = currentVersion.map(readManifest).getOrElse(Map.empty)
-    if (currentVersion.isEmpty) return // nothing stored: layout not yet pinned
-    publish(man.keys.toSeq.sorted, read(spark), currentVersion.flatMap(tagOf),
+    val snap = headSnapshot()
+    if (snap.isEmpty) return // nothing stored: layout not yet pinned
+    val man = snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
+    publish(man.keys.toSeq.sorted, read(spark),
+      snap.flatMap { case (v, tk) => tagOf(v, tk) },
       newBuckets, replaceAll = true)
     // refresh the creation-meta fallback so pre-header readers and error
     // messages cite the live layout; placement truth is the manifest header,
@@ -719,9 +806,9 @@ final class BucketedReplica(
     * original could not see it. Materialize first ([[compact]] rewrites
     * every bucket locally). */
   def cloneShallow(destRoot: String): BucketedReplica = {
-    val curV = currentVersion.getOrElse(throw new IllegalStateException(
+    val (curV, tokens) = headSnapshot().getOrElse(throw new IllegalStateException(
       s"replica at $root has no committed version to clone"))
-    val man = readManifest(curV)
+    val man = readManifest(curV, tokens)
     require(man.values.forall(!_.startsWith("ext:")),
       s"replica at $root still references external files (itself a fresh " +
         "shallow clone) — materialize it (compact) before cloning again")
@@ -747,14 +834,14 @@ final class BucketedReplica(
       s"#n=$n\n" + man.toSeq.sortBy(_._1)
         .map { case (b, rel) => s"$b\text:$root/$rel" }
         .mkString("", "\n", "\n"))
-    dio.writeString(dio.path("schema-1.json"), schemaAt(curV).json)
-    tagOf(curV).foreach(t => dio.writeString(dio.path("tag-1.tsv"), s"$t\n"))
+    dio.writeString(dio.path("schema-1.json"), schemaAt(curV, tokens).json)
+    tagOf(curV, tokens).foreach(t => dio.writeString(dio.path("tag-1.tsv"), s"$t\n"))
     dio.writeString(dio.path("time-1.tsv"), s"${System.currentTimeMillis()}\n")
     // register BEFORE the clone's pointer lands: from the instant the
     // clone is readable, source GC must already be protecting its refs
     registerClone(destRoot)
     dio.createExclusive(dio.path("_PTR-1"), "1")
-    new BucketedReplica(destRoot, pk, n, schemaAt(curV), posCol, opCol, tsCol)
+    new BucketedReplica(destRoot, pk, n, schemaAt(curV, tokens), posCol, opCol, tsCol)
   }
 
   /** Clone roots registered for GC protection on this source. */
@@ -765,7 +852,8 @@ final class BucketedReplica(
   /** Count of `ext:` (source-owned) bucket references still in this
     * replica's current manifest — 0 means the clone has fully
     * materialized and may be detached from its source. */
-  def externalRefs: Int = currentVersion.map(readManifest).getOrElse(Map.empty)
+  def externalRefs: Int = headSnapshot()
+    .map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
     .values.count(_.startsWith("ext:"))
 
   /** Lift GC protection for a clone (operator action, after the clone is
@@ -819,25 +907,27 @@ final class BucketedReplica(
       s"column ${f.name} already exists on the replica at $root"))
     val widened = StructType(base.fields ++
       newFields.map(f => StructField(f.name, f.dataType, nullable = true)))
-    currentVersion match {
+    headSnapshot() match {
       case None =>
         io.writeString(io.path("_SCHEMA.json"), widened.json)
-      case Some(curV) =>
+      case Some((curV, tokens)) =>
         val newV = curV + 1
-        val man = readManifest(curV)
+        val man = readManifest(curV, tokens)
         // same attempt-suffixed write-once discipline as publish: a DDL
         // racing a live commit serializes at the pointer, clobbering nothing
         val attempt = java.util.UUID.randomUUID().toString.take(8)
-        val prevToken = attemptTokens.get(curV)
-        io.writeString(io.path(s"manifest-$newV-$attempt.tsv"),
-          s"#n=$layoutBuckets\n" +
-            man.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
-              .mkString("", "\n", "\n"))
-        io.writeString(io.path(s"schema-$newV-$attempt.json"), widened.json)
-        tagOf(curV).foreach(t =>
-          io.writeString(io.path(s"tag-$newV-$attempt.tsv"), s"$t\n"))
-        io.writeString(io.path(s"time-$newV-$attempt.tsv"),
-          s"${System.currentTimeMillis()}\n")
+        val prevToken = tokens.getOrElse(curV, None)
+        defeatAware(newV) {
+          io.writeString(io.path(s"manifest-$newV-$attempt.tsv"),
+            s"#n=$layoutBuckets\n" +
+              man.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
+                .mkString("", "\n", "\n"))
+          io.writeString(io.path(s"schema-$newV-$attempt.json"), widened.json)
+          tagOf(curV, tokens).foreach(t =>
+            io.writeString(io.path(s"tag-$newV-$attempt.tsv"), s"$t\n"))
+          io.writeString(io.path(s"time-$newV-$attempt.tsv"),
+            s"${System.currentTimeMillis()}\n")
+        }
         commitPointer(newV, attempt, prevToken)
         // same cur+prev metadata retention as publish; no data GC — every
         // bucket file stays referenced by both retained manifests
@@ -857,7 +947,8 @@ final class BucketedReplica(
       val touched = r.select(bucketExpr(n).as("__b")).distinct()
         .collect().map(_.getLong(0).toInt).toSeq.sorted
       if (touched.nonEmpty)
-        publish(touched, r, currentVersion.flatMap(tagOf), n)
+        publish(touched, r,
+          headSnapshot().flatMap { case (v, tk) => tagOf(v, tk) }, n)
     } finally { r.unpersist(); () }
   }
 
@@ -881,9 +972,14 @@ final class BucketedReplica(
 
   /** Stored rows of exactly `buckets` (ids from [[touchedBuckets]]) as of
     * the current pointer — the probe-free half of [[readTouched]]. */
-  def readBucketsOf(spark: SparkSession, buckets: Seq[Int]): DataFrame =
-    readBuckets(spark, currentVersion.map(readManifest).getOrElse(Map.empty),
-      buckets, storedSchema)
+  def readBucketsOf(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
+    // one snapshot binds manifest and schema to the same version
+    val snap = headSnapshot()
+    readBuckets(spark,
+      snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty),
+      buckets,
+      snap.map { case (v, tk) => schemaAt(v, tk) }.getOrElse(schema))
+  }
 
   /** The stored rows sharing a bucket with any key in `batch` — the bounded
     * read for merge-style consumers (same touched-bucket arithmetic as
@@ -899,7 +995,8 @@ final class BucketedReplica(
     * has passed the horizon — no earlier position can arrive to lose against
     * them. Runs as its own atomic version commit. */
   def compactTombstones(spark: SparkSession, horizon: Long): Unit = {
-    val man = currentVersion.map(readManifest).getOrElse(Map.empty)
+    val snap = headSnapshot()
+    val man = snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
     if (man.isEmpty) return
     // <=> and isNotNull keep this two-valued: a null-op or null-ts row is
     // never "provably old", so filter(!isOldTombstone) retains it instead of
@@ -914,7 +1011,7 @@ final class BucketedReplica(
     // tombstone GC does not change which source batches are reflected
     publish(touched,
       readBuckets(spark, man, touched, storedSchema).filter(!isOldTombstone),
-      currentVersion.flatMap(tagOf), n)
+      snap.flatMap { case (v, tk) => tagOf(v, tk) }, n)
   }
 
   private def readBuckets(spark: SparkSession, man: Map[Int, String],
@@ -935,9 +1032,10 @@ final class BucketedReplica(
                       layoutN: Int, replaceAll: Boolean = false): Unit = {
     writeMetaIfAbsent(layoutN, tag)
     val outSchema = rows.schema
-    val curV = currentVersion
+    val snap = headSnapshot()
+    val curV = snap.map(_._1)
     val newV = curV.getOrElse(0L) + 1
-    val man = curV.map(readManifest).getOrElse(Map.empty)
+    val man = snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
     // ATTEMPT-UNIQUE data dir (multi-writer hardening, proven by
     // CrossJvmCommitSpec): two independent drivers racing the same next
     // version each write their own `v<N>-<attempt>` directory, so the
@@ -980,17 +1078,19 @@ final class BucketedReplica(
     // (however small) where a defeated writer clobbers the winner's
     // manifest/schema after the winner's pointer flip (the r8 advisor's
     // check-then-act hole in the old plain-named writes).
-    val prevToken = curV.flatMap(attemptTokens.get)
-    io.writeString(io.path(s"manifest-$newV-$attempt.tsv"),
-      s"#n=$layoutN\n" +
-        newMan.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
-          .mkString("", "\n", "\n"))
-    io.writeString(io.path(s"schema-$newV-$attempt.json"), outSchema.json)
-    // tag + commit time before pointer: once the version is visible its
-    // metadata is readable (commit time feeds TIMESTAMP AS OF)
-    tag.foreach(t => io.writeString(io.path(s"tag-$newV-$attempt.tsv"), s"$t\n"))
-    io.writeString(io.path(s"time-$newV-$attempt.tsv"),
-      s"${System.currentTimeMillis()}\n")
+    val prevToken: Option[String] = snap.flatMap { case (v, tk) => tk.getOrElse(v, None) }
+    defeatAware(newV) {
+      io.writeString(io.path(s"manifest-$newV-$attempt.tsv"),
+        s"#n=$layoutN\n" +
+          newMan.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" }
+            .mkString("", "\n", "\n"))
+      io.writeString(io.path(s"schema-$newV-$attempt.json"), outSchema.json)
+      // tag + commit time before pointer: once the version is visible its
+      // metadata is readable (commit time feeds TIMESTAMP AS OF)
+      tag.foreach(t => io.writeString(io.path(s"tag-$newV-$attempt.tsv"), s"$t\n"))
+      io.writeString(io.path(s"time-$newV-$attempt.tsv"),
+        s"${System.currentTimeMillis()}\n")
+    }
     commitPointer(newV, attempt, prevToken)
     gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet
       ++ cloneProtectedRels)
@@ -1009,16 +1109,43 @@ final class BucketedReplica(
   private val ctlFileRe =
     "(manifest|schema|tag|time)-(\\d+)(-[0-9a-f]{8})?\\.(tsv|json)".r
 
-  private def sweepControlFiles(winning: Map[Long, Option[String]]): Unit =
+  private def sweepControlFiles(winning: Map[Long, Option[String]]): Unit = {
+    // the sweep runs AFTER the pointer flip (and after slow data GC), when
+    // a concurrent committer may already have written — or even
+    // pointer-committed — the NEXT version's control files; they are
+    // absent from `winning`, so an unbounded sweep would delete a
+    // committed version's manifest (store unreadable). Only versions at or
+    // below the version this commit published are this sweep's to judge.
+    val ceiling = winning.keys.max
     io.listFiles(io.root).foreach { p =>
       p.getName match {
-        case ctlFileRe(_, vS, suffix, _) =>
+        case ctlFileRe(_, vS, suffix, _) if vS.toLong <= ceiling =>
           val keep = winning.get(vS.toLong).exists { tok =>
             Option(suffix).map(_.stripPrefix("-")) == tok
           }
           if (!keep) io.delete(p)
         case _ => ()
       }
+    }
+  }
+
+  /** Run a defeated-committer-sensitive block: once the winner's pointer
+    * for `v` is up, its sweep may delete THIS attempt's control files —
+    * legitimately, even mid-create (an in-flight local-FS create whose
+    * file is deleted between create and chmod surfaces as a raw
+    * IOException). Translate that into the clean [[StoreIO.ConcurrentCommit]]
+    * the optimistic-retry discipline expects; an IOException with no
+    * winning pointer is a real fault and propagates. */
+  private def defeatAware[A](v: Long)(body: => A): A =
+    try body
+    catch {
+      // any pointer AT OR PAST v proves defeat: fast metadata-only commits
+      // can land v and v+1 inside this writer's window, and v+1's commit
+      // GC's the `_PTR-v` file itself
+      case e: java.io.IOException if pointerVersions.exists(_ >= v) =>
+        throw new StoreIO.ConcurrentCommit(
+          s"version $v was committed by another writer while this commit " +
+            s"was writing control files — re-read and retry ($e)")
     }
 
   /** Test seam for deterministic race interleavings: invoked after a

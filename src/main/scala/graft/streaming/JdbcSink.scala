@@ -71,19 +71,49 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
   }
 
   /** Provision target + staging + ledger for `schema` (the changelog
-    * envelope; must include pk, pos, op). Idempotent. */
+    * envelope; must include pk, pos, op). Idempotent — INCLUDING under
+    * contention: two writers racing the first batch against a fresh
+    * database both observe "absent" and both issue CREATE; the loser's
+    * duplicate-descriptor error (Derby X0Y32; ANSI 42-class elsewhere) is
+    * swallowed iff a re-check confirms the table now exists, which is the
+    * create-if-absent outcome both writers wanted. */
   def ensureTables(schema: StructType): Unit = {
     Seq(pk, posCol, opCol).foreach(cn => require(schema.fieldNames.contains(cn),
       s"JdbcSink envelope needs column '$cn'; batch has ${schema.fieldNames.mkString(",")}"))
     val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
     withConn { c =>
-      val st = c.createStatement()
-      if (!exists(c, table))
-        st.execute(s"CREATE TABLE $table ($cols, PRIMARY KEY ($pk))")
-      if (!exists(c, staging))
-        st.execute(s"CREATE TABLE $staging ($cols, batch_id BIGINT, attempt_id BIGINT)")
-      if (!exists(c, ledger))
-        st.execute(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+      createIfAbsent(c, table, s"CREATE TABLE $table ($cols, PRIMARY KEY ($pk))")
+      createIfAbsent(c, staging,
+        s"CREATE TABLE $staging ($cols, batch_id BIGINT, attempt_id BIGINT)")
+      createIfAbsent(c, ledger, s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+      migrateStaging(c)
+    }
+  }
+
+  private def createIfAbsent(c: Connection, name: String, ddl: String): Unit =
+    if (!exists(c, name)) {
+      try c.createStatement().execute(ddl)
+      catch {
+        // lost a provision race — fine iff the winner's table is there now
+        case t: java.sql.SQLException if exists(c, name) => ()
+      }
+    }
+
+  /** A staging table provisioned by the pre-attempt layout lacks
+    * attempt_id; every append would fail on the missing column with no
+    * migration path. Widen it in place (NULL attempt slices are swept by
+    * batch_id, so legacy orphans still get cleaned). */
+  private def migrateStaging(c: Connection): Unit = {
+    val rs = c.getMetaData.getColumns(null, null, staging.toUpperCase, "ATTEMPT_ID")
+    val has = try rs.next() finally rs.close()
+    if (!has) {
+      try c.createStatement().execute(s"ALTER TABLE $staging ADD COLUMN attempt_id BIGINT")
+      catch { // racing migrators: loser is fine if the column landed
+        case t: java.sql.SQLException =>
+          val rs2 = c.getMetaData.getColumns(null, null, staging.toUpperCase, "ATTEMPT_ID")
+          val ok = try rs2.next() finally rs2.close()
+          if (!ok) throw t
+      }
     }
   }
 
@@ -197,10 +227,22 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
     throw new IllegalStateException("unreachable")
   }
 
+  /** Deadlock victim (40001), lock timeout (40XL1), and duplicate key
+    * (23505) all mark a lost serialization race with a CONCURRENT
+    * different-batch promote — 23505 arises when both transactions insert
+    * the same not-yet-present key and the blocked one fails after the
+    * winner commits (read-committed gives no predicate lock on the
+    * NOT EXISTS probe). The retry re-runs against the winner's committed
+    * rows, where the supersede DELETE / NOT EXISTS pair resolves the key
+    * by position — order-independent, so convergent. The LEDGER's own
+    * duplicate key (a same-batch race) never reaches this test: the
+    * in-transaction handler checks `committed(batchId)` first and returns
+    * false there. */
   private def isTransient(t: Throwable): Boolean =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).exists {
       case s: java.sql.SQLException =>
-        s.getSQLState == "40001" || s.getSQLState == "40XL1"
+        s.getSQLState == "40001" || s.getSQLState == "40XL1" ||
+          s.getSQLState == "23505"
       case _ => false
     }
 

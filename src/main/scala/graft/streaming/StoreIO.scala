@@ -58,11 +58,23 @@ final class StoreIO(rootStr: String, conf: Configuration) {
   /** Write-once create (fails if `p` exists) — the pointer-commit
     * primitive: the new name becomes visible all-at-once, and a second
     * writer racing on the same version fails loudly instead of silently
-    * clobbering (single-writer contract). */
+    * clobbering (single-writer contract).
+    *
+    * Content-ATOMIC: the bytes land in a hidden temp file first, then a
+    * no-OVERWRITE rename flips them onto `p`. A direct create-then-write
+    * exposed a torn-read window — a reader opening the pointer between
+    * its create and its content write parsed empty/prefix content as a
+    * LEGACY pointer and resolved control names that never existed. The
+    * rename makes the name and its full content visible in one step. */
   def createExclusive(p: Path, s: String): Unit = {
-    val out = fc.create(p, EnumSet.of(CreateFlag.CREATE),
-      Options.CreateOpts.createParent())
-    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeString(tmp, s)
+    try fc.rename(tmp, p) // no OVERWRITE: an existing `p` fails the race loudly
+    catch { case t: Throwable =>
+      try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
+      throw t
+    }
   }
 
   /** Crash-safe overwrite of a small mutable control file (`_META`): the

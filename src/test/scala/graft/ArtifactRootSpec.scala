@@ -30,9 +30,9 @@ class ArtifactRootSpec extends SparkSpecBase {
     val root = tmpDir("graft_artroot2")
     spark.conf.set(operators.ArtifactRoot.ConfKey, root)
     try {
-      assert(Cdc.scratch("probe", sfDir).startsWith(root))
+      assert(Cdc.scratch("probe", sfDir, spark).startsWith(root))
     } finally spark.conf.unset(operators.ArtifactRoot.ConfKey)
-    assert(Cdc.scratch("probe", sfDir)
+    assert(Cdc.scratch("probe", sfDir, spark)
       .startsWith(System.getProperty("java.io.tmpdir")))
   }
 }

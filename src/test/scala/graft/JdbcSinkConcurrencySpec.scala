@@ -137,8 +137,8 @@ class JdbcSinkConcurrencySpec extends SparkSpecBase {
     val sink = new JdbcSink(url, "users")
     assert(!sink.committed(0L)) // parent JVM boots and holds the database
     val marker = Paths.get(dir, "child-result")
-    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
-    val p = new ProcessBuilder(java, "-cp", sys.props("java.class.path"),
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val p = new ProcessBuilder(javaBin, "-cp", sys.props("java.class.path"),
       "graft.CrossJvmJdbcMain", url.stripSuffix(";create=true"),
       marker.toString).inheritIO().start()
     assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
