@@ -2288,6 +2288,72 @@ object Extensions {
         .agg(count(lit(1)).as("n_clusters"), sum(col("nd")).as("n_docs"))
         .orderBy("split_set")
     },
+    // E1/training prep — leakage-SAFE split assignment: the CONSTRUCTIVE
+    // twin of the e104 audit. Splits are assigned per VERIFIED-near-dup
+    // CONNECTED COMPONENT (hash of the cluster label, not of the
+    // doc_id), so every real near-dup cluster lands whole on one side by
+    // construction — the split discipline e45/e89/e104 exist to audit
+    // for. The similarity MUST be discriminative for the assignment to
+    // have balance: on this fixture's 31-word vocabulary, unigram
+    // token-set Jaccard saturates (nearly every doc pair clears 0.5,
+    // merging the corpus into ONE component = one split), while 3-gram
+    // shingles separate the true perturbed-copy clusters from random
+    // word collisions — so the edge set is exact shingle-Jaccard ≥ 0.5
+    // over co-shingle pairs (e29's shingle transform, e04b's inverted-
+    // index candidate economics: pairs sharing nothing are never
+    // materialized). The output carries the proof: per-split volumes
+    // plus the CROSS-split verified-pair count, computed (not asserted)
+    // — constructively zero here, where the doc-hash split leaves
+    // leaked pairs (e45's leaks=true rows). Singleton docs are their
+    // own component, so volumes cover the full corpus. Scale: postings
+    // self-join is bounded by Σ df² (at 100 TB the candidate stage
+    // swaps in the banded MinHash-LSH of e03 to cap df fan-out); the
+    // verify pays only surfaced pairs; the closure runs the O(log n)
+    // large/small-star operator over the sparse verified graph; the
+    // assignment itself is one map-side hash of the component label.
+    "e113_leakage_safe_split" -> { (s, d) =>
+      val tkc = toks(col("text"))
+      val sh = load(s, d, "documents")
+        .select(col("doc_id"), tkc.as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          array_distinct(transform(sequence(lit(0), size(col("tk")) - 3),
+            i => tokenHash(concat_ws(" ",
+              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
+              element_at(col("tk"), i + 3))))).as("g"))
+        .localCheckpoint() // postings AND sizes read the transform once
+      val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
+      val posts = sh.select(col("doc_id"), explode(col("g")).as("g"))
+      val shared = posts.as("x").join(posts.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("nc"))
+      val verified = shared
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .filter(col("nc").cast(DoubleType)
+          / (col("na") + col("nb") - col("nc")) >= 0.5)
+        .select(col("a"), col("b"))
+        .localCheckpoint() // feeds the closure AND the leak check
+      val (comp, _) = operators.ConnectedComponents.run(
+        load(s, d, "documents").select(col("doc_id").as("node")), verified)
+      val hid = tokenHash(col("comp").cast(StringType)) % 100
+      val sp = comp.withColumn("split",
+        when(hid < 80, "train").when(hid < 90, "val").otherwise("test"))
+      val vol = sp.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_clusters"))
+      val leaks = verified
+        .join(sp.select(col("node").as("a"), col("split").as("s1")), "a")
+        .join(sp.select(col("node").as("b"), col("split").as("s2")), "b")
+        .filter(col("s1") =!= col("s2"))
+        .groupBy(least(col("s1"), col("s2")).as("split"))
+        .agg(count(lit(1)).as("n_leak"))
+      vol.join(broadcast(leaks), Seq("split"), "left")
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          coalesce(col("n_leak"), lit(0L)).as("n_leak_pairs"))
+        .orderBy("split")
+    },
     // E4/training prep — curriculum deciles: rank-based quality binning
     // (NTILE(10) over the e33 classifier logit) with per-bin volume and
     // score bounds — the curriculum-ordering artifact ("train easy→hard")
@@ -5189,6 +5255,52 @@ object Extensions {
          |SELECT split_set, COUNT(*) AS n_clusters, SUM(nd)::BIGINT AS n_docs
          |FROM sets JOIN sizes USING (label)
          |GROUP BY split_set ORDER BY split_set""".stripMargin
+    },
+    // Identical pipeline in SQL: full-corpus 3-gram md5-hashed shingles,
+    // inverted-index co-shingle pairs, exact shingle-Jaccard ≥ 0.5
+    // verify as the edge set, closure over VERIFIED edges only, then
+    // the split hashes the COMPONENT LABEL: volumes per split plus the
+    // computed-not-asserted cross-split verified-pair count
+    // (constructively zero)
+    "e113_leakage_safe_split" -> {
+      val hg = String.format(tokenHashSql,
+        "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]")
+      val hid = String.format(tokenHashSql, "comp::VARCHAR")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct([$hg FOR i IN range(1, len(w) - 1)])) AS g
+         |       FROM tk WHERE len(w) >= 3),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |shared AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+         |           FROM sh x JOIN sh y
+         |             ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |nd AS (SELECT a, b FROM shared
+         |       JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         |       WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5),
+         |und AS (SELECT a, b FROM nd UNION ALL SELECT b, a FROM nd),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |cc AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+         |sp AS (SELECT node, comp,
+         |         CASE WHEN $hid % 100 < 80 THEN 'train'
+         |              WHEN $hid % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM cc),
+         |vol AS (SELECT split, COUNT(*) AS n_docs,
+         |          COUNT(DISTINCT comp) AS n_clusters
+         |        FROM sp GROUP BY split),
+         |leak AS (SELECT LEAST(pa.split, pb.split) AS split, COUNT(*) AS n_leak
+         |         FROM nd e
+         |         JOIN sp pa ON pa.node = e.a JOIN sp pb ON pb.node = e.b
+         |         WHERE pa.split <> pb.split GROUP BY 1)
+         |SELECT v.split, v.n_docs::BIGINT AS n_docs,
+         |  v.n_clusters::BIGINT AS n_clusters,
+         |  COALESCE(l.n_leak, 0)::BIGINT AS n_leak_pairs
+         |FROM vol v LEFT JOIN leak l USING (split)
+         |ORDER BY v.split""".stripMargin
     },
     // NTILE is rank-based (SQL standard: larger groups first), so the
     // binning is exact on both engines; the decile casts to INT to match

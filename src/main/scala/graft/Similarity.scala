@@ -610,6 +610,80 @@ object Similarity {
             / (col("n") * (col("n") - 1)).cast(DoubleType), 6)
             .as("mean_pairwise_cos"))
         .orderBy("label")
+    },
+    // E2/calibration — ANN recall audit: the e58 LSH-honesty gate
+    // transplanted to the vector side. For every probe (vec_id % 37 = 1,
+    // the AnnRecallSpec sample), exact brute-force cosine top-10 is the
+    // truth; the IVF layout (8 seed centroids, argmax-cosine assignment —
+    // the e09 family's index) answers the same probes at nprobe ∈ {1,2,4};
+    // the report carries per-nprobe candidate volume, hit count, and
+    // recall@10 — the measured recall/cost curve the nprobe knob buys,
+    // which is what an ANN deployment tunes against instead of trusting
+    // the index. Determinism: every ranking orders by the shared
+    // bit-identical cosine fold with full (sim, id) tie-breaks, and the
+    // reported aggregates are integer counts plus ONE rounded division.
+    // Scale: this is the bounded AUDIT form — a sampled probe set × one
+    // corpus scan for truth (the e06 broadcast shape), and the sweep
+    // re-reads only probed clusters (nprobe/k of the corpus per probe
+    // row); production runs it on a sampled slice per corpus snapshot,
+    // exactly like the e58/e63 LSH calibration family.
+    "e111_ann_recall" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val emb = load(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") % 37 === 1)
+        .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+      val wt = Window.partitionBy(col("pid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val truth = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          cosine(col("embedding"), col("pemb")).as("sim"))
+        .withColumn("rn", row_number().over(wt)).filter(col("rn") <= 10)
+        .select(col("pid"), col("vec_id"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val wa = Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cosine(col("embedding"), col("cemb")).as("csim"))
+        .withColumn("rn", row_number().over(wa)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val wp = Window.partitionBy(col("pid"))
+        .orderBy(col("csim").desc, col("cid").asc)
+      val prank = probes.crossJoin(broadcast(cents))
+        .select(col("pid"), col("pemb"), col("cid"),
+          cosine(col("pemb"), col("cemb")).as("csim"))
+        .withColumn("prank", row_number().over(wp))
+        .select(col("pid"), col("pemb"), col("cid"), col("prank"))
+      val np = s.range(1)
+        .select(explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+      // probe set stays tiny (|probes| × Σnprobe rows), so it broadcasts
+      // and the corpus side never shuffles — the e09d economics per sweep
+      // point
+      val psets = prank.join(broadcast(np), col("prank") <= col("nprobe"))
+        .select(col("nprobe"), col("pid"), col("pemb"), col("cid"))
+      val cand = assigned.join(broadcast(psets), "cid")
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("nprobe"), col("pid"), col("vec_id"),
+          cosine(col("embedding"), col("pemb")).as("sim"))
+      val wiv = Window.partitionBy(col("nprobe"), col("pid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val ivTop = cand.withColumn("rn", row_number().over(wiv))
+        .filter(col("rn") <= 10)
+        .select(col("nprobe"), col("pid"), col("vec_id"))
+      val nCand = cand.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand_rows"))
+      val hits = ivTop.join(truth, Seq("pid", "vec_id"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      np.join(broadcast(nCand), Seq("nprobe"), "left")
+        .join(broadcast(hits), Seq("nprobe"), "left")
+        .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+        .select(col("nprobe").cast(LongType).as("nprobe"), col("n_probes"),
+          coalesce(col("n_cand_rows"), lit(0L)).as("n_cand_rows"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+            / (col("n_probes") * 10), 6).as("recall_at_10"))
+        .orderBy("nprobe")
     }
   )
 
@@ -850,6 +924,52 @@ object Similarity {
          |SELECT s1.label, n,
          |  round((s1.s1 - s2.s2)::DOUBLE / (n * (n - 1))::DOUBLE, 6)
          |    AS mean_pairwise_cos
-         |FROM s1 JOIN s2 USING (label) ORDER BY s1.label""".stripMargin
+         |FROM s1 JOIN s2 USING (label) ORDER BY s1.label""".stripMargin,
+    // identical pipeline in SQL: same probes, same seed centroids, same
+    // cosine fold, same (sim, id) tie-breaks — the recall aggregate is
+    // integer counts plus one rounded division
+    "e111_ann_recall" ->
+      s"""WITH probes AS (SELECT vec_id AS pid, embedding AS pemb
+         |                FROM embeddings WHERE vec_id % 37 = 1),
+         |tr AS (SELECT pid, vec_id FROM (
+         |    SELECT p.pid, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.pid
+         |        ORDER BY ${cosSql("e.embedding", "p.pemb")} DESC, e.vec_id ASC) AS rn
+         |    FROM embeddings e, probes p WHERE e.vec_id <> p.pid) WHERE rn <= 10),
+         |cents AS (SELECT vec_id AS cid, embedding AS cemb
+         |          FROM embeddings WHERE vec_id < 8),
+         |assigned AS (SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cid ASC) AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1),
+         |prank AS (SELECT pid, pemb, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY pid
+         |      ORDER BY ${cosSql("p.pemb", "c.cemb")} DESC, c.cid ASC) AS prank
+         |  FROM probes p, cents c),
+         |np AS (SELECT * FROM (VALUES (1), (2), (4)) AS t(nprobe)),
+         |psets AS (SELECT n.nprobe, k.pid, k.pemb, k.cid
+         |          FROM prank k JOIN np n ON k.prank <= n.nprobe),
+         |cand AS (SELECT ps.nprobe, ps.pid, a.vec_id,
+         |    ${cosSql("a.embedding", "ps.pemb")} AS sim
+         |  FROM assigned a JOIN psets ps ON a.cid = ps.cid
+         |  WHERE a.vec_id <> ps.pid),
+         |ivtop AS (SELECT nprobe, pid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, pid
+         |      ORDER BY sim DESC, vec_id ASC) AS rn FROM cand) WHERE rn <= 10),
+         |ncand AS (SELECT nprobe, COUNT(*) AS n_cand_rows FROM cand GROUP BY nprobe),
+         |hits AS (SELECT i.nprobe, COUNT(*) AS n_hits FROM ivtop i
+         |         JOIN tr t ON t.pid = i.pid AND t.vec_id = i.vec_id
+         |         GROUP BY i.nprobe),
+         |nprb AS (SELECT COUNT(*) AS n_probes FROM probes)
+         |SELECT np.nprobe::BIGINT AS nprobe, nprb.n_probes::BIGINT AS n_probes,
+         |  COALESCE(ncand.n_cand_rows, 0)::BIGINT AS n_cand_rows,
+         |  COALESCE(hits.n_hits, 0)::BIGINT AS n_hits,
+         |  ROUND(COALESCE(hits.n_hits, 0)::DOUBLE / (nprb.n_probes * 10), 6)
+         |    AS recall_at_10
+         |FROM np CROSS JOIN nprb
+         |LEFT JOIN ncand ON ncand.nprobe = np.nprobe
+         |LEFT JOIN hits ON hits.nprobe = np.nprobe
+         |ORDER BY np.nprobe""".stripMargin
   )
 }
