@@ -3177,15 +3177,31 @@ object Extensions {
     // what the gate checks.
     "e55_jaccard_prefix" -> { (s, d) =>
       // doc_id%2 sample (wider than e04's %5): at t=0.5 the %5 sample has
-      // no qualifying pair below sf0.1, which would make this gate vacuous
+      // no qualifying pair below sf0.1, which would make this gate vacuous.
+      //
+      // Verify-exchange economics (measured, ScaleProbe 10×/30×/100×):
+      // candidate pairs are exactly linear in the corpus (5.1M→15.4M→51.4M,
+      // max posting 71), but the verify join must move one bigram ARRAY per
+      // surviving candidate through the second id-keyed exchange, so shuffle
+      // bytes = |cand| × |array| — linear with a heavy constant that emerges
+      // as a broadcast→SMJ step once the array side outgrows the broadcast
+      // threshold (the e03b step, one strategy boundary, not an exponent).
+      // Three constant-cutters below: (1) hashes stored as INT not LONG —
+      // the 32-bit md5 prefix fits once shifted by −2³¹ (an exact bijection
+      // of [0,2³²) onto the Int range; ANSI-safe, identical intersection
+      // counts) — halves every array byte; (2) the lossless J≥0.5 length
+      // filter runs on a narrow (doc_id, n) table BEFORE arrays attach
+      // (drops ~30% of candidates while rows are still 16 bytes); (3) sizes
+      // ride the filtered pairs so the verify never recomputes them.
       val base = load(s, d, "documents")
         .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), col("lang"),
           array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
-            i => tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
-              element_at(col("tk"), i + 2))))).as("bg"))
+            i => (tokenHash(concat(element_at(col("tk"), i + 1), lit(" "),
+              element_at(col("tk"), i + 2))) - lit(2147483648L))
+              .cast(IntegerType))).as("bg"))
         .localCheckpoint() // feeds the posting explode AND both verify sides; GC-released
       val post = base.select(col("doc_id"), col("lang"), explode(col("bg")).as("h"))
       val dfc = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -3199,16 +3215,20 @@ object Extensions {
           col("x.lang") === col("y.lang") && col("x.h") === col("y.h") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      // lossless length filter, array-free: J ≥ 0.5 forces 2·min(|x|,|y|)
+      // ≥ max — applied on 16-byte pair rows + a narrow sizes table, so
+      // mismatched-size candidates never cost an array exchange
+      val sizes = base.select(col("doc_id"), size(col("bg")).as("n"))
+      val candF = cand
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .filter(col("n1") * 2 >= col("n2") && col("n2") * 2 >= col("n1"))
       val s1 = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
       val s2 = base.select(col("doc_id").as("d2"), col("bg").as("bg2"))
-      cand.join(s1, "d1").join(s2, "d2")
-        // lossless length filter: J ≥ 0.5 forces 2·min(|x|,|y|) ≥ max —
-        // mismatched-size candidates drop before the O(|set|) intersect
-        .filter(size(col("bg1")) * 2 >= size(col("bg2")) &&
-          size(col("bg2")) * 2 >= size(col("bg1")))
+      candF.join(s1, "d1").join(s2, "d2")
         .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
         .withColumn("jaccard", col("n_common").cast(DoubleType)
-          / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
+          / (col("n1") + col("n2") - col("n_common")))
         .filter(col("jaccard") >= 0.5)
         .select("lang", "d1", "d2", "jaccard")
         .orderBy("lang", "d1", "d2")
