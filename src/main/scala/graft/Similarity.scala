@@ -684,6 +684,57 @@ object Similarity {
           round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
             / (col("n_probes") * 10), 6).as("recall_at_10"))
         .orderBy("nprobe")
+    },
+    // E2/mining — margin-based bitext mining (the Artetxe & Schwenk
+    // ratio criterion, the operator behind CCMatrix-class parallel-corpus
+    // mining): treating label 1 and label 2 as the two languages, each
+    // source vector's best cross-language neighbor is accepted when its
+    // cosine stands out from BOTH local neighborhoods —
+    // margin(x,y) = 2k·cos(x,y) / (Σ_{z∈NNk(x,Y)} cos(x,z) +
+    // Σ_{z∈NNk(y,X)} cos(z,y)) ≥ 1.10, k=4. Plain absolute-threshold
+    // mining drowns in hubness (a few "central" vectors are everyone's
+    // best match); the margin denominator is exactly the hubness
+    // correction. Determinism: cosines snap once to micro-units
+    // (round(cos·10⁶) as LONG — one IEEE multiply + one round of the
+    // shared bit-identical fold), every neighborhood is row_number-picked
+    // with full (c6, id) tie-breaks, neighborhood masses are exact
+    // integer sums, and the accept decision is all-integer:
+    // 800·c6 ≥ 110·(sx+sy). The reported margin is one IEEE division,
+    // rounded. Scale: X×Y is per-language-PAIR work — the production form
+    // broadcasts the smaller language (or prunes through the e09 IVF
+    // buckets) per pair, never materializing the all-language cross
+    // product; both windows partition by one endpoint, so the shuffle is
+    // |pairs| rows of 24 bytes, not vectors.
+    "e114_bitext_margin" -> { (s, d) =>
+      graft.functions.VectorExpressions.register(s)
+      val emb = load(s, d, "embeddings")
+      val xs = emb.filter(col("label") === 1)
+        .select(col("vec_id").as("x_id"), col("embedding").as("xe"))
+      val ys = emb.filter(col("label") === 2)
+        .select(col("vec_id").as("y_id"), col("embedding").as("ye"))
+      val p = xs.crossJoin(broadcast(ys))
+        .select(col("x_id"), col("y_id"),
+          round(cosine(col("xe"), col("ye")) * 1e6)
+            .cast(LongType).as("c6"))
+      val wx = Window.partitionBy(col("x_id"))
+        .orderBy(col("c6").desc, col("y_id").asc)
+      val wy = Window.partitionBy(col("y_id"))
+        .orderBy(col("c6").desc, col("x_id").asc)
+      val r = p.withColumn("rx", row_number().over(wx))
+        .withColumn("ry", row_number().over(wy))
+        .localCheckpoint() // one X×Y scoring pass feeds fwd best + both NN masses
+      val sx = r.filter(col("rx") <= 4).groupBy(col("x_id"))
+        .agg(sum(col("c6")).as("sx"))
+      val sy = r.filter(col("ry") <= 4).groupBy(col("y_id"))
+        .agg(sum(col("c6")).as("sy"))
+      r.filter(col("rx") === 1)
+        .join(sx, "x_id").join(sy, "y_id")
+        .filter(lit(800L) * col("c6") >= lit(110L) * (col("sx") + col("sy")))
+        .select(col("x_id"), col("y_id"),
+          round(col("c6").cast(DoubleType) / 1e6, 6).as("cos_sim"),
+          round((lit(8L) * col("c6")).cast(DoubleType)
+            / (col("sx") + col("sy")).cast(DoubleType), 6).as("margin"))
+        .orderBy("x_id")
     }
   )
 
@@ -970,6 +1021,26 @@ object Similarity {
          |FROM np CROSS JOIN nprb
          |LEFT JOIN ncand ON ncand.nprobe = np.nprobe
          |LEFT JOIN hits ON hits.nprobe = np.nprobe
-         |ORDER BY np.nprobe""".stripMargin
+         |ORDER BY np.nprobe""".stripMargin,
+    // identical pipeline in SQL: same micro-unit cosine snap, same
+    // (c6, id) tie-broken neighborhoods, same all-integer accept
+    "e114_bitext_margin" ->
+      s"""WITH x AS (SELECT vec_id AS x_id, embedding AS xe FROM embeddings WHERE label = 1),
+         |y AS (SELECT vec_id AS y_id, embedding AS ye FROM embeddings WHERE label = 2),
+         |p AS (SELECT x_id, y_id,
+         |        CAST(round(${cosSql("xe", "ye")} * 1e6, 0) AS BIGINT) AS c6
+         |      FROM x, y),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id ASC) AS rx,
+         |        ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id ASC) AS ry
+         |      FROM p),
+         |sx AS (SELECT x_id, SUM(c6) AS sx FROM r WHERE rx <= 4 GROUP BY x_id),
+         |sy AS (SELECT y_id, SUM(c6) AS sy FROM r WHERE ry <= 4 GROUP BY y_id)
+         |SELECT r.x_id, r.y_id,
+         |  round(c6 / 1000000.0, 6) AS cos_sim,
+         |  round((8 * c6)::DOUBLE / (sx + sy)::DOUBLE, 6) AS margin
+         |FROM r JOIN sx USING (x_id) JOIN sy USING (y_id)
+         |WHERE rx = 1 AND 800 * c6 >= 110 * (sx + sy)
+         |ORDER BY r.x_id""".stripMargin
   )
 }
