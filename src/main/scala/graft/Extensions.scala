@@ -2354,6 +2354,50 @@ object Extensions {
           coalesce(col("n_leak"), lit(0L)).as("n_leak_pairs"))
         .orderBy("split")
     },
+    // E4/corpus stats — vocabulary-growth (Heaps'-law) checkpoints: docs
+    // in doc_id order are cut into NTILE(10) deciles; each checkpoint row
+    // reports the CUMULATIVE token-instance count and the CUMULATIVE
+    // distinct-type count up to that decile, plus the running type/token
+    // ratio. The curve is the corpus-health diagnostic the dedup family
+    // feeds: a heavily duplicated corpus discovers new types far slower
+    // than Heaps' V ∝ n^β predicts (the curve flattens), and the absolute
+    // level sizes tokenizer vocabularies (how much tail the BPE budget of
+    // e84/e107 must cover). Everything is exact integers — a type's
+    // decile is the decile of its FIRST-SEEN doc (min doc_id per token),
+    // so cumulative vocab is one windowed sum over 10 rows — with the
+    // ratio as the single rounded division. Scale: the only corpus-sized
+    // shuffle is the groupBy(token) min-agg (map-side combined,
+    // |distinct types| keys); deciles and both running sums live on a
+    // 10-row frame.
+    "e115_heaps_curve" -> { (s, d) =>
+      val tk = load(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+      val docDecile = load(s, d, "documents")
+        .select(col("doc_id"),
+          ntile(10).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("doc_id"))).as("decile"))
+      val perDocTok = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      // docs counted from the full decile map (a token-free doc still
+      // advances cum_docs on both engines)
+      val tokByDec = docDecile.join(perDocTok, Seq("doc_id"), "left")
+        .groupBy(col("decile")).agg(
+          sum(coalesce(col("nt"), lit(0L))).as("toks"),
+          count(lit(1)).as("docs"))
+      val firstSeen = tk.groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+      val vocabByDec = firstSeen.join(docDecile, "doc_id")
+        .groupBy(col("decile")).agg(count(lit(1)).as("types"))
+      val wc = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+        .rowsBetween(Long.MinValue, 0)
+      tokByDec.join(vocabByDec, Seq("decile"), "left")
+        .select(col("decile"),
+          sum(col("docs")).over(wc).as("cum_docs"),
+          sum(col("toks")).over(wc).as("cum_tokens"),
+          sum(coalesce(col("types"), lit(0L))).over(wc).as("cum_vocab"))
+        .withColumn("type_token_ratio", round(col("cum_vocab")
+          .cast(DoubleType) / col("cum_tokens").cast(DoubleType), 6))
+        .orderBy("decile")
+    },
     // E4/training prep — curriculum deciles: rank-based quality binning
     // (NTILE(10) over the e33 classifier logit) with per-bin volume and
     // score bounds — the curriculum-ordering artifact ("train easy→hard")
@@ -5322,6 +5366,32 @@ object Extensions {
          |FROM vol v LEFT JOIN leak l USING (split)
          |ORDER BY v.split""".stripMargin
     },
+    // identical pipeline in SQL: NTILE deciles over doc_id order, types
+    // assigned to their first-seen doc's decile, both running sums
+    // windowed over the 10-row frame, one rounded division
+    "e115_heaps_curve" ->
+      """WITH dd AS (SELECT doc_id,
+        |    CAST(NTILE(10) OVER (ORDER BY doc_id) AS INT) AS decile
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tkf AS (SELECT doc_id, t FROM tk WHERE t <> ''),
+        |pd AS (SELECT doc_id, COUNT(*) AS nt FROM tkf GROUP BY doc_id),
+        |tbd AS (SELECT decile, SUM(COALESCE(nt, 0)) AS toks, COUNT(*) AS docs
+        |        FROM dd LEFT JOIN pd USING (doc_id) GROUP BY decile),
+        |fs AS (SELECT t, MIN(doc_id) AS doc_id FROM tkf GROUP BY t),
+        |vbd AS (SELECT decile, COUNT(*) AS types
+        |        FROM fs JOIN dd USING (doc_id) GROUP BY decile),
+        |c AS (SELECT tbd.decile,
+        |        SUM(docs) OVER w AS cum_docs,
+        |        SUM(toks) OVER w AS cum_tokens,
+        |        SUM(COALESCE(types, 0)) OVER w AS cum_vocab
+        |      FROM tbd LEFT JOIN vbd USING (decile)
+        |      WINDOW w AS (ORDER BY tbd.decile
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, cum_docs::BIGINT AS cum_docs,
+        |  cum_tokens::BIGINT AS cum_tokens, cum_vocab::BIGINT AS cum_vocab,
+        |  round(cum_vocab::DOUBLE / cum_tokens::DOUBLE, 6) AS type_token_ratio
+        |FROM c ORDER BY decile""".stripMargin,
     // NTILE is rank-based (SQL standard: larger groups first), so the
     // binning is exact on both engines; the decile casts to INT to match
     // Spark's ntile type
