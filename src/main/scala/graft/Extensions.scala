@@ -285,6 +285,22 @@ object Extensions {
       require(!rfs.listStatus(root).exists(_.getPath.getName.startsWith("__tmp_")),
         s"$name commit nested a tmp tree inside $root")
     }
+    // Crashed-writer GC: a writer that dies mid-build never reaches its
+    // own tmp cleanup, and content-keyed roots live for the corpus
+    // snapshot's lifetime — on a shared artifact dir the orphans
+    // accumulate one parquet tree per crash. Once THIS key's artifact is
+    // committed, any sibling tmp for the same key is either a defeated
+    // racer that will (if alive) delete its own in its finally, or crash
+    // garbage; the 1 h age floor keeps a still-writing (already-defeated)
+    // racer's files out of reach, and both deleters racing the same
+    // orphan is idempotent. Failures are ignored — GC must never block a
+    // read.
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    try rfs.listStatus(root.getParent)
+      .filter(c => c.getPath.getName.startsWith(root.getName + "__tmp_") &&
+        c.getModificationTime < cutoff)
+      .foreach(c => rfs.delete(c.getPath, true))
+    catch { case _: java.io.IOException => () }
     s.read.parquet(root.toString)
   }
 

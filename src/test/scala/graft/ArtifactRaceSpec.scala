@@ -91,4 +91,45 @@ class ArtifactRaceSpec extends SparkSpecBase {
     assert(readArtifact() === Seq((50L, 750L)))
     assert(builds.get() === before, "post-commit call re-ran the build")
   }
+
+  test("crashed-writer orphan tmps are GC'd on read: stale siblings go, " +
+    "recent ones (a possibly-live writer) stay") {
+    val dir = freshCorpus()
+    val name = "gc_" + java.util.UUID.randomUUID().toString.take(8)
+    def read(): Unit = {
+      val r = Extensions.corpusArtifact(spark, dir, name) {
+        Tables.load(spark, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"))
+      }
+      assert(r.count() === 50L)
+    }
+    read() // commit the artifact
+
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val parent = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_$tag")
+    val root = Option(parent.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith(name) && !f.getName.contains("__tmp_"))
+      .getOrElse(fail(s"no committed root for $name under $parent"))
+
+    // a writer that crashed 2h ago, and one that may still be writing
+    def orphan(suffix: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(parent, root.getName + "__tmp_" + suffix)
+      assert(d.mkdir())
+      val f = new java.io.File(d, "part-00000")
+      java.nio.file.Files.write(f.toPath, "x".getBytes("UTF-8"))
+      val t = System.currentTimeMillis() - ageMs
+      assert(f.setLastModified(t) && d.setLastModified(t))
+      d
+    }
+    val stale = orphan("crashed", 2L * 60 * 60 * 1000)
+    val fresh = orphan("inflight", 0L)
+
+    read() // steady-state read runs the GC
+    assert(!stale.exists(), "2h-old crashed-writer tmp survived the GC")
+    assert(fresh.exists(), "GC deleted a tmp younger than the age floor")
+    read() // artifact still intact after GC
+    new java.io.File(fresh, "part-00000").delete()
+    fresh.delete()
+  }
 }
