@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mutual-consistency gates across the dedup/audit query family. Every
+  * query is individually oracle-gated (Verify ≡ DuckDB), but nothing
+  * there stops two green queries from quietly disagreeing about the SAME
+  * underlying quantity — e.g. the e59 histogram drifting off the e21
+  * labels it summarizes after a refactor touches one but not the other.
+  * These tests pin the cross-query contracts a downstream pipeline
+  * actually composes on:
+  *
+  *  - e59's size histogram IS the e21 component table, aggregated;
+  *  - e101's per-language effective dataset size IS Σ ⌊10⁹/k⌋ over the
+  *    e21 cluster sizes;
+  *  - e115's final checkpoint and e52's raw funnel stage agree on the
+  *    corpus totals, and both match the raw table;
+  *  - e22 and e113 split volumes each cover the corpus exactly.
+  */
+class CrossQueryConsistencySpec extends SparkSpecBase {
+
+  private def q(n: String) = SparkEntry.queries(n)(spark, sfDir)
+  private lazy val nDocs = Tables.load(spark, sfDir, "documents").count()
+
+  test("e59 cluster-size histogram ≡ e21 component table, aggregated") {
+    val comp = q("e21_dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val hist = q("e59_cluster_sizes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nClusters = hist.map(_._2).sum
+    assert(hist.map { case (s, n, _) => s * n }.sum === comp.length.toLong,
+      "histogram mass != labeled docs")
+    assert(nClusters === comp.map(_._2).distinct.length.toLong,
+      "cluster count != distinct labels")
+    assert(comp.count(_._3).toLong === nClusters,
+      "canonical-doc count != cluster count")
+    hist.foreach { case (s, n, r) =>
+      assert(r === (s - 1) * n, s"docs_removable wrong for size-$s row") }
+    val fromLabels = comp.groupBy(_._2).map(_._2.length.toLong)
+      .groupBy(identity).map { case (s, g) => (s, g.size.toLong) }
+    assert(fromLabels === hist.map { case (s, n, _) => (s, n) }.toMap,
+      "histogram shape != label-derived shape")
+  }
+
+  test("e101 per-language effective size ≡ Σ floor(1e9/k) over e21 clusters") {
+    val comp = q("e21_dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val k = comp.groupBy(_._2).map { case (c, g) => (c, g.length.toLong) }
+    val lang = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = comp.groupBy(p => lang(p._1)).map { case (lg, ds) =>
+      (lg, ds.map(p => 1000000000L / k(p._2)).sum) }
+    val got = q("e101_dup_weights").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    expect.foreach { case (lg, v) =>
+      assert(got.get(lg).contains(v), s"lang=$lg effective size ${got.get(lg)} != $v") }
+  }
+
+  test("e115 final checkpoint ≡ raw corpus totals ≡ e52 raw funnel stage") {
+    val heaps = q("e115_heaps_curve").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(heaps.map(_._1).toSeq === (1 to 10))
+    // cumulative columns must be monotone non-decreasing
+    heaps.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4) }
+    val last = heaps.last
+    assert(last._2 === nDocs, "final cum_docs != corpus size")
+    val tk = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    assert(last._3 === tk.count(), "final cum_tokens != raw instance count")
+    assert(last._4 === tk.distinct().count(), "final cum_vocab != distinct types")
+    val funnel = q("e52_yield_funnel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(funnel.head === (("1_raw", nDocs, last._3)),
+      "e52 raw stage disagrees with e115/corpus totals")
+    funnel.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, "funnel stage not non-increasing") }
+  }
+
+  test("e22 and e113 split volumes each cover the corpus exactly") {
+    assert(q("e22_split_assign").collect().map(_.getLong(2)).sum === nDocs)
+    assert(q("e113_leakage_safe_split").collect().map(_.getLong(1)).sum === nDocs)
+  }
+}
