@@ -179,24 +179,69 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
         return withConn { c =>
           c.setAutoCommit(false)
           try {
+            // Serialize promotes: under read-committed, set-based
+            // supersede logic is UNSOUND against concurrent promotes no
+            // matter how it is phrased — Derby's MERGE (like the ANSI
+            // deferred-apply model) evaluates WHEN conditions against a
+            // statement-start snapshot and applies the row-change list
+            // after, so a rival committing key k between evaluation and
+            // apply lets a LOWER-pos update clobber a higher-pos row
+            // (and the former DELETE+INSERT pair had the dual silent-
+            // skip window). The randomized 3-writer differential caught
+            // both, ~1-in-8 runs each. An exclusive target lock taken
+            // FIRST (one lock order: table → ledger, so no cycle) makes
+            // every promote's read-evaluate-apply atomic; waiters
+            // surface as 40XL1/40001, which the outer retry already
+            // converges. Concurrency cost is nil in the sink's real
+            // shape (one streaming writer + replay zombies), and a real
+            // warehouse target runs its own transactional MERGE instead.
+            c.createStatement().execute(
+              s"LOCK TABLE $table IN EXCLUSIVE MODE")
             val led = c.prepareStatement(s"INSERT INTO $ledger VALUES (?)")
             led.setLong(1, batchId)
             led.executeUpdate() // duplicate key here = lost the race → rollback
-            val del = c.prepareStatement(
-              s"""DELETE FROM $table WHERE EXISTS (
-                 |  SELECT 1 FROM $staging s
-                 |  WHERE s.batch_id = ? AND s.attempt_id = ?
-                 |    AND s.$pk = $table.$pk
-                 |    AND s.$posCol >= $table.$posCol)""".stripMargin)
-            del.setLong(1, batchId); del.setLong(2, attemptId)
-            del.executeUpdate()
-            val ins = c.prepareStatement(
-              s"""INSERT INTO $table ($colList)
-                 |SELECT $colList FROM $staging s
-                 |WHERE s.batch_id = ? AND s.attempt_id = ? AND NOT EXISTS (
-                 |  SELECT 1 FROM $table t WHERE t.$pk = s.$pk)""".stripMargin)
-            ins.setLong(1, batchId); ins.setLong(2, attemptId)
-            ins.executeUpdate()
+            // Supersede + insert as ONE MERGE statement (set-based, one
+            // round trip), safe because the exclusive table lock above
+            // already made this promote's read-evaluate-apply atomic.
+            val cols = colList.split(", ")
+            val setList = cols.filter(_ != pk)
+              .map(cn => s"$cn = s.$cn").mkString(", ")
+            val mergeSql =
+              s"""MERGE INTO $table t
+                 |USING $staging s
+                 |ON t.$pk = s.$pk AND s.batch_id = $batchId
+                 |  AND s.attempt_id = $attemptId
+                 |WHEN MATCHED AND s.$posCol >= t.$posCol
+                 |  THEN UPDATE SET $setList
+                 |WHEN NOT MATCHED AND s.batch_id = $batchId
+                 |  AND s.attempt_id = $attemptId
+                 |  THEN INSERT ($colList)
+                 |  VALUES (${cols.map(cn => s"s.$cn").mkString(", ")})""".stripMargin
+            // Post-merge resolution check — the promote VERIFIES its own
+            // effect instead of trusting engine race semantics: every
+            // slice row must be resolved (landed, or genuinely superseded
+            // by t.pos ≥ s.pos) before the ledger row is allowed to
+            // commit. Under the exclusive lock this passes on the first
+            // iteration; it exists as a loud invariant so any future
+            // weakening of the locking discipline fails visibly (the
+            // pre-lock MERGE lost rows to evaluate/apply races that only
+            // a differential test could see).
+            val chk = c.prepareStatement(
+              s"""SELECT COUNT(*) FROM $staging s
+                 |WHERE s.batch_id = $batchId AND s.attempt_id = $attemptId
+                 |  AND NOT EXISTS (SELECT 1 FROM $table t
+                 |    WHERE t.$pk = s.$pk AND t.$posCol >= s.$posCol)""".stripMargin)
+            var unresolved = -1L
+            var merges = 0
+            while (unresolved != 0L && merges < 10) {
+              merges += 1
+              c.createStatement().executeUpdate(mergeSql)
+              val rs = chk.executeQuery()
+              unresolved = try { rs.next(); rs.getLong(1) } finally rs.close()
+            }
+            if (unresolved != 0L) throw new java.sql.SQLException(
+              s"promote left $unresolved unresolved rows after $merges merges",
+              "40001") // surface as the transient class: rollback + retry
             // won: sweep ALL of this batch's slices — ours plus any
             // crashed earlier attempt's orphans (never a live loser's
             // problem: its promote reads only its own attempt slice and
@@ -209,12 +254,18 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
             case t: Throwable =>
               c.rollback()
               if (committed(batchId)) {
-                // lost the same-batch race: the winner may have swept
-                // before this attempt's rows landed — sweep again so a
-                // lost race can't leave orphans accumulating
+                // lost the same-batch race: sweep ONLY THIS attempt's
+                // slice (the winner batch-sweeps earlier orphans inside
+                // its own transaction). Sweeping batch-wide here raced
+                // the winner's still-open promote — deleting the
+                // winner's staged rows between its ledger insert and
+                // its INSERT-from-staging read committed an EMPTY batch
+                // the ledger recorded as promoted (caught by the
+                // randomized 3-writer differential, ~1-in-10 runs).
                 val ps = c.prepareStatement(
-                  s"DELETE FROM $staging WHERE batch_id = ?")
-                ps.setLong(1, batchId); ps.executeUpdate(); c.commit()
+                  s"DELETE FROM $staging WHERE batch_id = ? AND attempt_id = ?")
+                ps.setLong(1, batchId); ps.setLong(2, attemptId)
+                ps.executeUpdate(); c.commit()
                 false
               } else throw t
           } finally c.setAutoCommit(true)
