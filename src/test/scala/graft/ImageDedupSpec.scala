@@ -97,7 +97,13 @@ class ImageDedupSpec extends SparkSpecBase {
         ImageDedup.ingestBatch(root, df, id)
       }
       .start()
-    q.awaitTermination(120000)
+    // awaitTermination's RESULT matters: under full-suite memory/GC
+    // pressure an AvailableNow run can outlive the wait, and asserting
+    // on the store then reports a phantom acceptance divergence instead
+    // of the real condition (seen once in a 331-test run; standalone
+    // 20/20 green). Fail diagnostically on the timeout itself.
+    assert(q.awaitTermination(240000),
+      "AvailableNow ingest stream did not terminate within 240s")
     // lexicographic file order = id order, 2 files per micro-batch — a
     // chunking of the arrival order, so acceptance must match the batch rule
     assert(acceptedIds(root) === Seq(0L, 2L, 3L, 5L))
