@@ -173,6 +173,14 @@ object ScaleProbe {
       "e59_cluster_sizes" -> SparkEntry.queries("e59_cluster_sizes"),
       "e59_cluster_sizes_warm" -> SparkEntry.queries("e59_cluster_sizes"),
       "e55_jaccard_prefix" -> SparkEntry.queries("e55_jaccard_prefix"),
+      // round-10 additions: the shingle-verify + closure pipeline (its
+      // co-shingle candidate stage is Σ df²-bounded and replicas never
+      // share shingles, so both stages should ride |corpus|) and the
+      // per-language-pair margin miner (X×Y work per pair; the replica
+      // construction multiplies PAIRS, so the curve shows the per-pair
+      // economics staying put)
+      "e113_leakage_safe_split" -> SparkEntry.queries("e113_leakage_safe_split"),
+      "e114_bitext_margin" -> SparkEntry.queries("e114_bitext_margin"),
       "e09c_ann_ivf_partitioned" -> SparkEntry.queries("e09c_ann_ivf_partitioned"),
       "e48_semantic_dedup" -> SparkEntry.queries("e48_semantic_dedup"),
       // the round-7 rewrite passes: span scrub groups on the 8-token window
