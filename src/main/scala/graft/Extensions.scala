@@ -1402,6 +1402,52 @@ object Extensions {
             1L).otherwise(0L)).as("n_pass"))
         .orderBy("lang")
     },
+    // E4/curation tuning — gate ABLATION on the e81 rule suite: per rule,
+    // how many docs fail it (n_fail), how many fail ONLY it (n_only — the
+    // docs this rule alone is deleting), and the corpus pass count if the
+    // rule were dropped (n_pass_if_dropped = n_pass + n_only). Marginal
+    // attribution is what an operator actually tunes against: a rule with
+    // large n_fail but near-zero n_only is redundant shadowing of the
+    // other gates, while a large n_only says this rule's threshold alone
+    // decides that slice of the corpus. Same exact integer inequalities
+    // as e81 (no float anywhere); the 4-rule frame explodes map-side from
+    // the per-doc flags, so the only shuffles are e81's own (the per-doc
+    // top-token groupBy) plus a 4-row rollup and a 1-row broadcast total.
+    "e116_gate_ablation" -> { (s, d) =>
+      val stop = Seq("the", "a", "of", "and")
+      val tk = toks(col("text"))
+      val base = load(s, d, "documents").select(col("doc_id"),
+        size(tk).cast(LongType).as("n_words"),
+        aggregate(tk, lit(0L), (acc, t) => acc + length(t)).as("sum_wl"),
+        size(filter(tk, t => t.isin(stop: _*))).cast(LongType).as("n_stop"))
+      val topw = load(s, d, "documents")
+        .select(col("doc_id"), explode(tk).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_wc"))
+      val flags = base.join(topw, "doc_id")
+        .select(
+          (col("n_words") < 30 || col("n_words") > 500).cast(LongType).as("f_len"),
+          (col("sum_wl") * 2 < col("n_words") * 7 ||
+            col("sum_wl") > col("n_words") * 10).cast(LongType).as("f_wl"),
+          (col("n_stop") * 50 < col("n_words") * 3).cast(LongType).as("f_stop"),
+          (col("max_wc") * 5 > col("n_words")).cast(LongType).as("f_rep"))
+        .withColumn("nf", col("f_len") + col("f_wl") + col("f_stop") + col("f_rep"))
+      val perRule = flags.select(col("nf"), explode(array(
+          struct(lit("1_len").as("rule"), col("f_len").as("f")),
+          struct(lit("2_word_len").as("rule"), col("f_wl").as("f")),
+          struct(lit("3_stop_ratio").as("rule"), col("f_stop").as("f")),
+          struct(lit("4_repetition").as("rule"), col("f_rep").as("f")))).as("r"))
+        .select(col("r.rule").as("rule"), col("r.f").as("f"), col("nf"))
+        .groupBy(col("rule"))
+        .agg(sum(col("f")).as("n_fail"),
+          sum(when(col("f") === 1 && col("nf") === 1, 1L).otherwise(0L)).as("n_only"))
+      val pass = flags.agg(
+        sum(when(col("nf") === 0, 1L).otherwise(0L)).as("n_pass"))
+      perRule.crossJoin(broadcast(pass))
+        .select(col("rule"), col("n_fail"), col("n_only"),
+          (col("n_pass") + col("n_only")).as("n_pass_if_dropped"))
+        .orderBy("rule")
+    },
     // E4/cleaning — corpus-frequency line dedup (the C4/RefinedWeb rule:
     // a LINE occurring in ≥5% of documents is boilerplate and is removed
     // from every document). Docs are wrapped in deterministic header/footer
@@ -4344,6 +4390,40 @@ object Extensions {
         |  sum(CASE WHEN f_len + f_wl + f_stop + f_rep = 0 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_pass
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // identical pipeline in SQL: the same integer rule flags unpivoted to
+    // a 4-rule frame, marginal (fail-only-this-rule) counts, and the
+    // pass-if-dropped composition
+    "e116_gate_ablation" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |           FROM documents),
+        |per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+        |          sum(length(t))::BIGINT AS sum_wl,
+        |          sum(CASE WHEN t IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END)::BIGINT
+        |            AS n_stop
+        |        FROM w GROUP BY doc_id),
+        |mx AS (SELECT doc_id, max(c)::BIGINT AS max_wc FROM
+        |         (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t)
+        |       GROUP BY doc_id),
+        |f AS (SELECT
+        |        (per.n_words < 30 OR per.n_words > 500)::BIGINT AS f_len,
+        |        (sum_wl * 2 < n_words * 7 OR sum_wl > n_words * 10)::BIGINT AS f_wl,
+        |        (n_stop * 50 < n_words * 3)::BIGINT AS f_stop,
+        |        (max_wc * 5 > n_words)::BIGINT AS f_rep
+        |      FROM per JOIN mx USING (doc_id)),
+        |nf AS (SELECT *, f_len + f_wl + f_stop + f_rep AS nfail FROM f),
+        |pr AS (SELECT rule, SUM(fl)::BIGINT AS n_fail,
+        |         SUM(CASE WHEN fl = 1 AND nfail = 1 THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_only
+        |       FROM (SELECT nfail, unnest(['1_len', '2_word_len',
+        |                      '3_stop_ratio', '4_repetition']) AS rule,
+        |               unnest([f_len, f_wl, f_stop, f_rep]) AS fl
+        |             FROM nf)
+        |       GROUP BY rule),
+        |pass AS (SELECT SUM(CASE WHEN nfail = 0 THEN 1 ELSE 0 END)::BIGINT
+        |           AS n_pass FROM nf)
+        |SELECT rule, n_fail, n_only,
+        |  (n_pass + n_only)::BIGINT AS n_pass_if_dropped
+        |FROM pr CROSS JOIN pass ORDER BY rule""".stripMargin,
     // the oracle rebuilds candidates AND the 8-component agreement check,
     // so the acceptance rule the streaming ingest enforces is itself
     // cross-engine verified
