@@ -84,4 +84,26 @@ class CrossQueryConsistencySpec extends SparkSpecBase {
     assert(q("e22_split_assign").collect().map(_.getLong(2)).sum === nDocs)
     assert(q("e113_leakage_safe_split").collect().map(_.getLong(1)).sum === nDocs)
   }
+
+  test("e116 ablation ≡ e81 rule suite, aggregated across languages") {
+    val e81 = q("e81_gopher_rules").collect()
+    val failByRule = Map(
+      "1_len" -> e81.map(_.getLong(2)).sum,
+      "2_word_len" -> e81.map(_.getLong(3)).sum,
+      "3_stop_ratio" -> e81.map(_.getLong(4)).sum,
+      "4_repetition" -> e81.map(_.getLong(5)).sum)
+    val nPass = e81.map(_.getLong(6)).sum
+    val abl = q("e116_gate_ablation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(abl.map(_._1).sorted.toSeq === failByRule.keys.toSeq.sorted)
+    abl.foreach { case (rule, nFail, nOnly, passIfDropped) =>
+      assert(nFail === failByRule(rule), s"$rule n_fail != e81 rollup")
+      assert(nOnly <= nFail, s"$rule marginal exceeds total")
+      assert(passIfDropped === nPass + nOnly,
+        s"$rule pass-if-dropped != e81 n_pass + marginal")
+    }
+    // marginal counts are disjoint doc sets, so they can never overshoot
+    // the docs currently failing at least one rule
+    assert(abl.map(_._3).sum <= nDocs - nPass)
+  }
 }
