@@ -92,6 +92,63 @@ object Extensions {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Exact NTILE(10)-over-doc_id decile map WITHOUT a global window.
+    * NTILE is rank-arithmetic: with N rows, q = N/10, r = N%10, tile t's
+    * last rank is U(t) = t*q + min(t, r), so decile(rank) =
+    * 1 + |{t in 1..9 : rank > U(t)}| — nine broadcast Long literals and
+    * integer comparisons, no division. The rank itself:
+    *   - dense doc_id (max-min+1 == count, the documents fixture and any
+    *     sequence-assigned corpus id): rank = doc_id - min + 1, pure
+    *     map-side arithmetic — ZERO shuffle, zero window, the form that
+    *     survives 100 TB (one 1-row count() agg, then a narrow scan).
+    *   - sparse doc_id: rank via a 1024-bucket range histogram (bounded
+    *     driver collect) + row_number PARTITIONED by bucket — parallel,
+    *     never an Exchange SinglePartition.
+    * Both paths reproduce SQL NTILE bit-exactly (larger tiles first). */
+  private[graft] def ntileDecilesByDocId(s: SparkSession, d: String): DataFrame =
+    ntileDecilesOf(s, load(s, d, "documents"))
+
+  /** Core of [[ntileDecilesByDocId]] over any frame with a unique
+    * `doc_id` column (spec-testable with synthetic sparse ids). */
+  private[graft] def ntileDecilesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = docs.select(col("doc_id").cast(LongType).as("doc_id"))
+    val row = ids.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+      count(lit(1)).as("n")).head()
+    val (mn, mx, n) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val q = n / 10; val r = n % 10
+    val cuts = (1L to 9L).map(t => t * q + math.min(t, r)) // U(1..9)
+    def decileOf(rank: Column): Column =
+      cuts.foldLeft(lit(1)) { (acc, u) =>
+        acc + when(rank > u, 1).otherwise(0)
+      }.cast(IntegerType).as("decile")
+    if (mx - mn + 1 == n) {
+      // dense: rank derivable from the id itself, map-side only
+      ids.select(col("doc_id"), decileOf(col("doc_id") - mn + 1L))
+    } else {
+      // sparse: range-bucket histogram -> per-bucket rank offsets (driver
+      // side, <=1024 rows), then row_number within each bucket
+      val nb = math.min(1024L, n)
+      val span = mx - mn + 1
+      val width = math.max(1L, (span + nb - 1) / nb) // overflow-free bucketing
+      val bucketed = ids.withColumn("bkt",
+        expr(s"CAST((doc_id - $mn) DIV $width AS BIGINT)"))
+      val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+        .orderBy(col("bkt")).collect()
+      var cum = 0L
+      val offs = counts.map { rw =>
+        val o = (rw.getLong(0), cum)
+        cum += rw.getLong(1); o
+      }.toSeq
+      val offDf = s.createDataFrame(offs).toDF("bkt2", "off")
+      bucketed
+        .join(broadcast(offDf), col("bkt") === col("bkt2"))
+        .withColumn("rank", col("off") + row_number()
+          .over(Window.partitionBy(col("bkt")).orderBy(col("doc_id"))))
+        .select(col("doc_id"), decileOf(col("rank")))
+    }
+  }
+
   /** BM25 (k1=1.2, b=0.75) per-doc scores for the fixed 3-term query,
     * rounded to 6 dp — the lexical retrieval pipeline shared by e40 and the
     * hybrid-retrieval fusion (Similarity's e76). Postings-only explode,
@@ -2427,18 +2484,17 @@ object Extensions {
     // e84/e107 must cover). Everything is exact integers — a type's
     // decile is the decile of its FIRST-SEEN doc (min doc_id per token),
     // so cumulative vocab is one windowed sum over 10 rows — with the
-    // ratio as the single rounded division. Scale: the only corpus-sized
-    // shuffle is the groupBy(token) min-agg (map-side combined,
-    // |distinct types| keys); deciles and both running sums live on a
-    // 10-row frame.
+    // ratio as the single rounded division. Scale: the decile map is
+    // NTILE-exact but windowless ([[ntileDecilesByDocId]] — count-derived
+    // boundary literals + map-side binning on dense ids, bucket-partitioned
+    // rank on sparse; never an Exchange SinglePartition); the only
+    // corpus-sized shuffles are the two token groupBys (map-side combined);
+    // both running sums live on a 10-row frame.
     "e115_heaps_curve" -> { (s, d) =>
       val tk = load(s, d, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("t"))
         .filter(col("t") =!= "")
-      val docDecile = load(s, d, "documents")
-        .select(col("doc_id"),
-          ntile(10).over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("doc_id"))).as("decile"))
+      val docDecile = ntileDecilesByDocId(s, d)
       val perDocTok = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
       // docs counted from the full decile map (a token-free doc still
       // advances cum_docs on both engines)
@@ -2449,8 +2505,11 @@ object Extensions {
       val firstSeen = tk.groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
       val vocabByDec = firstSeen.join(docDecile, "doc_id")
         .groupBy(col("decile")).agg(count(lit(1)).as("types"))
-      val wc = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
-        .rowsBetween(Long.MinValue, 0)
+      // cumulative sums over the 10-row decile frame — pinned constant
+      // partition (10 rows forever, deliberate; see PinnedKey)
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.PinnedKey.pin(lit(0)))
+        .orderBy(col("decile")).rowsBetween(Long.MinValue, 0)
       tokByDec.join(vocabByDec, Seq("decile"), "left")
         .select(col("decile"),
           sum(col("docs")).over(wc).as("cum_docs"),

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** e115's windowless decile map must be NTILE(10)-exact on BOTH of its
+  * paths: the dense-id map-side arithmetic (what the documents fixture
+  * exercises) and the sparse-id bucket-rank fallback (which the fixture
+  * never triggers) — each differentialed against Spark's own
+  * ntile(10) over a global window, across sizes that hit every
+  * remainder class (N%10 = 0, small N<10, N with remainder). */
+class NtileDecilesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def reference(ids: Seq[Long]): Map[Long, Int] =
+    ids.toDF("doc_id")
+      .select(col("doc_id"), ntile(10).over(Window.orderBy("doc_id")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  private def got(ids: Seq[Long]): Map[Long, Int] =
+    Extensions.ntileDecilesOf(spark, ids.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("dense ids: map-side arithmetic matches ntile for all remainder classes") {
+    for (n <- Seq(7, 10, 100, 103, 250, 999)) {
+      val ids = (5L until 5L + n) // dense but not zero-based
+      assert(got(ids) === reference(ids), s"n=$n")
+    }
+  }
+
+  test("sparse ids: bucket-rank fallback matches ntile") {
+    val rnd = new scala.util.Random(42)
+    // gaps force the sparse path; collisions impossible (strictly increasing)
+    var cur = 0L
+    val ids = (0 until 503).map { _ => cur += 1 + rnd.nextInt(1000); cur }
+    assert(ids.distinct.size === ids.size)
+    assert(got(ids) === reference(ids))
+  }
+
+  test("sparse ids smaller than the bucket count") {
+    val ids = Seq(3L, 900L, 17L, 44L, 100000L, 7L, 123456789L)
+    assert(got(ids) === reference(ids))
+  }
+
+  test("e115's fixture path is the dense one (no window in the plan)") {
+    val df = Extensions.ntileDecilesByDocId(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), phys)
+    assert(!phys.contains("SinglePartition"), phys)
+    // and it is still NTILE-exact on the real table
+    val ref = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        ntile(10).over(Window.orderBy("doc_id")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val g = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g === ref)
+  }
+}
