@@ -350,12 +350,29 @@ object Extensions {
     // racer that will (if alive) delete its own in its finally, or crash
     // garbage; the 1 h age floor keeps a still-writing (already-defeated)
     // racer's files out of reach, and both deleters racing the same
-    // orphan is idempotent. Failures are ignored — GC must never block a
-    // read.
+    // orphan is idempotent. The age test uses the NEWEST mtime anywhere
+    // in the tmp tree, not the top dir's — part files land under
+    // _temporary/ subdirs, so a legitimately >1 h build keeps refreshing
+    // leaf mtimes while the top dir goes stale; judging the top dir
+    // alone could yank a live racer's tmp mid-write and turn its
+    // graceful lose-and-read-winner path into a job failure. Failures
+    // are ignored — GC must never block a read.
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    def newestMtime(p: Path): Long =
+      try {
+        var newest = rfs.getFileStatus(p).getModificationTime
+        val it = rfs.listFiles(p, true)
+        while (it.hasNext) {
+          val m = it.next().getModificationTime
+          if (m > newest) newest = m
+        }
+        newest
+      } catch { // tree vanished/unlistable mid-walk: treat as fresh
+        case _: java.io.IOException => Long.MaxValue
+      }
     try rfs.listStatus(root.getParent)
       .filter(c => c.getPath.getName.startsWith(root.getName + "__tmp_") &&
-        c.getModificationTime < cutoff)
+        c.getModificationTime < cutoff && newestMtime(c.getPath) < cutoff)
       .foreach(c => rfs.delete(c.getPath, true))
     catch { case _: java.io.IOException => () }
     s.read.parquet(root.toString)

@@ -38,7 +38,17 @@ import org.apache.spark.sql.types._
   *
   * Scale: stage-append parallelism = batch partitions; the promote is
   * 4 statements of O(batch) work inside the database, never O(table) —
-  * exactly the bounded-maintenance contract of the replica's commit. */
+  * exactly the bounded-maintenance contract of the replica's commit.
+  *
+  * Dialect scope: the promote relies on `LOCK TABLE … IN EXCLUSIVE MODE`
+  * and ANSI MERGE with WHEN-clause refinements — the Derby/Postgres class
+  * of engines (Derby is what the specs drive). An engine without either
+  * fails the promote loudly and non-transiently at the first batch, which
+  * is deliberate: there is no portable phrasing that is SOUND under
+  * read-committed concurrency (the randomized 3-writer differential
+  * killed both set-based DELETE+INSERT and unlocked MERGE), so a new
+  * target dialect must supply its own serialization primitive rather than
+  * silently downgrade to a lossy one. */
 class JdbcSink(url: String, table: String, pk: String = "user_id",
                posCol: String = "pos", opCol: String = "op",
                driver: String = "org.apache.derby.jdbc.EmbeddedDriver") {
@@ -65,10 +75,21 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
       s"JdbcSink cannot map column type $other — flatten the envelope first")
   }
 
-  private def exists(c: Connection, name: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
-    try rs.next() finally rs.close()
+  /** Metadata probes fold identifiers per-engine (Derby stores upper,
+    * Postgres lower); probe the engine's declared folding first and fall
+    * back to the other, so the same probe works on both classes. */
+  private def foldings(c: Connection, name: String): Seq[String] = {
+    val md = c.getMetaData
+    if (md.storesUpperCaseIdentifiers) Seq(name.toUpperCase, name.toLowerCase)
+    else if (md.storesLowerCaseIdentifiers) Seq(name.toLowerCase, name.toUpperCase)
+    else Seq(name, name.toUpperCase, name.toLowerCase)
   }
+
+  private def exists(c: Connection, name: String): Boolean =
+    foldings(c, name).exists { n =>
+      val rs = c.getMetaData.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
 
   /** Provision target + staging + ledger for `schema` (the changelog
     * envelope; must include pk, pos, op). Idempotent — INCLUDING under
@@ -103,16 +124,20 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
     * attempt_id; every append would fail on the missing column with no
     * migration path. Widen it in place (NULL attempt slices are swept by
     * batch_id, so legacy orphans still get cleaned). */
+  private def hasColumn(c: Connection, tbl: String, colName: String): Boolean =
+    foldings(c, tbl).exists { t =>
+      foldings(c, colName).exists { cn =>
+        val rs = c.getMetaData.getColumns(null, null, t, cn)
+        try rs.next() finally rs.close()
+      }
+    }
+
   private def migrateStaging(c: Connection): Unit = {
-    val rs = c.getMetaData.getColumns(null, null, staging.toUpperCase, "ATTEMPT_ID")
-    val has = try rs.next() finally rs.close()
-    if (!has) {
+    if (!hasColumn(c, staging, "attempt_id")) {
       try c.createStatement().execute(s"ALTER TABLE $staging ADD COLUMN attempt_id BIGINT")
       catch { // racing migrators: loser is fine if the column landed
         case t: java.sql.SQLException =>
-          val rs2 = c.getMetaData.getColumns(null, null, staging.toUpperCase, "ATTEMPT_ID")
-          val ok = try rs2.next() finally rs2.close()
-          if (!ok) throw t
+          if (!hasColumn(c, staging, "attempt_id")) throw t
       }
     }
   }
@@ -271,7 +296,14 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
           } finally c.setAutoCommit(true)
         }
       } catch {
-        case t: Throwable if attempt < attempts && isTransient(t) =>
+        // dup-key (23505) gets a LOWER retry budget than the lock-class
+        // states: a genuine persistent PK violation (a staging-dedup
+        // regression, say) should surface after a couple of rounds, not
+        // hide behind 10 backoffs — while the legitimate transient shape
+        // (two promotes inserting the same absent key; loser fails after
+        // the winner commits) converges on the first re-run.
+        case t: Throwable if isTransient(t) &&
+            attempt < (if (isDupKey(t)) math.min(3, attempts) else attempts) =>
           Thread.sleep(50L * attempt) // linear backoff; victim retries
       }
     }
@@ -294,6 +326,15 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
       case s: java.sql.SQLException =>
         s.getSQLState == "40001" || s.getSQLState == "40XL1" ||
           s.getSQLState == "23505"
+      case _ => false
+    }
+
+  /** Duplicate key specifically — retried on a tighter budget (see the
+    * retry site): transient only in the lost-insert-race shape, so a
+    * persistent violation must not burn the full backoff ladder. */
+  private def isDupKey(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case s: java.sql.SQLException => s.getSQLState == "23505"
       case _ => false
     }
 

@@ -15,13 +15,22 @@ import java.util.EnumSet
   * the store root is just a URI (`file:/...`, `hdfs://...`,
   * `viewfs://...`).
   *
-  * The commit primitive is [[createExclusive]] — write-once creation of a
-  * version-named pointer file. Creation makes the NAME visible atomically
-  * on POSIX, HDFS, and object stores (a PUT of a new key), which is what
-  * the stores' readers rely on; rename is deliberately NOT used anywhere,
-  * because overwrite-rename is only atomic on some filesystems
-  * (FileContext emulates it as delete-then-rename on the local FS — a
-  * reader-visible gap).
+  * The commit primitive is [[createExclusive]] — write-once commit of a
+  * version-named pointer file: the full content lands in a hidden temp
+  * file first, then a no-OVERWRITE rename flips name and bytes onto `p`
+  * in one step (content-atomic; a bare create-then-write exposed a
+  * torn-read window). OVERWRITE-rename stays banned for pointers —
+  * FileContext emulates it as delete-then-rename on the local FS, a
+  * reader-visible gap — and the one mutable singleton ([[overwriteSafe]])
+  * pairs its overwriting flip with a completeness-witnessed side file so
+  * readers never see a prefix. Caveat: the local FS implements the
+  * no-OVERWRITE rename as an exists-check + rename (check-then-act), so
+  * two same-version committers racing within that microsecond window
+  * could in theory both "win" locally — comparable to the old
+  * create-based window, and bounded to same-version racers, whom the
+  * stores already treat as equivalent outcomes (each pointer resolves a
+  * complete attempt-suffixed payload). HDFS and object stores resolve
+  * the rename/PUT atomically server-side, closing even that window.
   *
   * Deliberately NOT `FileSystem`: on local disk `FileSystem` is the
   * checksummed `LocalFileSystem`, whose `.crc` sidecars would desync under
