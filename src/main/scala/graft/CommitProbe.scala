@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{BucketedReplica, JdbcSink, StoreIO}
+
+/** Dev tool: per-operation control-plane cost breakdown for the replica
+  * commit protocol and the JDBC sink promote — the round-trip meter the
+  * r10 hardening lacked. Prints one JSON line per probed operation with
+  * wall seconds and the [[StoreIO.Stats]] / [[JdbcSink.Stats]] deltas it
+  * caused (reads/writes/renames/exists/lists/deletes; conns/stmts).
+  *
+  * On local disk each op is microseconds; on a cluster each is a
+  * namenode / object-store / warehouse round trip — so the COUNTS are the
+  * latency model, and trimming them (not local wall time) is what makes
+  * commits cheap at 100 TB. Usage: tools/run.sh graft.CommitProbe
+  */
+object CommitProbe {
+
+  private def batchDf(s: SparkSession, ids: Range, pos: Long): DataFrame = {
+    import s.implicits._
+    ids.map(i => (i.toLong, s"u$i", pos, "UPSERT", pos * 1000L))
+      .toDF("user_id", "name", "pos", "op", "ts_ns")
+  }
+
+  private def probe[A](name: String)(body: => A): A = {
+    val s0 = StoreIO.Stats.snapshot()
+    val j0 = JdbcSink.Stats.snapshot()
+    val t0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    val sd = StoreIO.Stats.diff(StoreIO.Stats.snapshot(), s0)
+    val jd = StoreIO.Stats.diff(JdbcSink.Stats.snapshot(), j0)
+    val fs = Seq("reads", "writes", "renames", "exists", "lists", "deletes")
+      .map(k => s""""$k":${sd.getOrElse(k, 0L)}""").mkString(",")
+    val jj = Seq("conns", "stmts")
+      .map(k => s""""$k":${jd.getOrElse(k, 0L)}""").mkString(",")
+    println(f"""{"op":"$name","sec":${math.rint(sec * 1000) / 1000}%s,$fs,$jj}""")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // --- replica commit path -------------------------------------------
+    val root = java.nio.file.Files.createTempDirectory("commit_probe_").toString
+    val rep = new BucketedReplica(s"$root/t", nBuckets = 8)
+    probe("replica_commit_v1")(rep.commit(batchDf(spark, 0 until 200, 1)))
+    probe("replica_commit_v2")(rep.commit(batchDf(spark, 0 until 200, 2)))
+    probe("replica_commit_v3")(rep.commit(batchDf(spark, 100 until 300, 3)))
+    probe("replica_read")(rep.read(spark).count())
+    probe("replica_live_read")(rep.live(spark).count())
+    probe("replica_current_version")(rep.currentVersion)
+
+    // --- JDBC sink promote path ----------------------------------------
+    val db = s"jdbc:derby:$root/wh;create=true"
+    val sink = new JdbcSink(db, "probe_t")
+    probe("jdbc_first_batch")(sink.applyBatch(batchDf(spark, 0 until 100, 1), 1L))
+    probe("jdbc_batch_2")(sink.applyBatch(batchDf(spark, 0 until 100, 2), 2L))
+    probe("jdbc_batch_3")(sink.applyBatch(batchDf(spark, 50 until 150, 3), 3L))
+    probe("jdbc_replay_noop")(sink.applyBatch(batchDf(spark, 50 until 150, 3), 3L))
+
+    spark.stop()
+  }
+}

@@ -2457,18 +2457,41 @@ object Extensions {
             i => tokenHash(concat_ws(" ",
               element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
               element_at(col("tk"), i + 3))))).as("g"))
-        .localCheckpoint() // postings AND sizes read the transform once
-      val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
-      val posts = sh.select(col("doc_id"), explode(col("g")).as("g"))
-      val shared = posts.as("x").join(posts.as("y"),
+        .localCheckpoint() // postings read the transform once
+      // Postings carry the owning doc's shingle-set size n, so the verify
+      // arithmetic needs NO join back to a per-doc sizes table: the
+      // r10 probe showed the pair stream is ~90% DISTINCT pairs (100×:
+      // 126.6M instances over 113.1M pairs, DuckDB-recounted), and joining
+      // that stream to a sizes frame is exactly the step that blew up at
+      // 100× — below AQE's 10 MB runtime threshold the sizes side
+      // broadcast for free, above it the SMJ re-shuffled the 113M-row
+      // pair stream TWICE (the 274→3275 MB cliff r10 misread as
+      // partial-agg saturation). Widening each posting by 8 bytes makes
+      // the whole stage one join + one aggregation at every scale.
+      val posts = sh.select(col("doc_id"), size(col("g")).as("n"),
+        explode(col("g")).as("g"))
+      // Exchange sizing: ~400k postings (~2M pair instances) per task
+      // keeps the pair groupBy's partial map resident instead of
+      // sort-spilling. (Combine itself recovers only the ~12% duplicate
+      // instances — cardinality, not memory, owns this stage's volume.)
+      // Resolves to the session default at the gate SFs. The count is a
+      // 1-row agg over the checkpointed frame (control-plane).
+      val totalPostings =
+        posts.agg(count(lit(1))).head().getLong(0)
+      val kExch = math.max(s.sessionState.conf.numShufflePartitions,
+        (totalPostings / 400000L).toInt)
+      val binned = posts.repartition(kExch, col("g"))
+      // Jaccard needs only na+nb (union = na+nb-nc), so the pair rows
+      // carry ONE size sum, not two sizes — 32-byte keys on a ~113M-row
+      // stream is real money
+      val shared = binned.as("x").join(binned.as("y"),
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          (col("x.n") + col("y.n")).as("sab"))
         .agg(count(lit(1)).as("nc"))
       val verified = shared
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
         .filter(col("nc").cast(DoubleType)
-          / (col("na") + col("nb") - col("nc")) >= 0.5)
+          / (col("sab") - col("nc")) >= 0.5)
         .select(col("a"), col("b"))
         .localCheckpoint() // feeds the closure AND the leak check
       val (comp, _) = operators.ConnectedComponents.run(

@@ -181,6 +181,10 @@ object ScaleProbe {
       // economics staying put)
       "e113_leakage_safe_split" -> SparkEntry.queries("e113_leakage_safe_split"),
       "e114_bitext_margin" -> SparkEntry.queries("e114_bitext_margin"),
+      // round-11: the bucketed production form, probed at the fixed k=8
+      // it ships with AND at the e48 √N sizing — the pair shows the
+      // same N² → N^1.5 transition the e48 triple documents for k-means
+      "e114b_bitext_bucketed" -> SparkEntry.queries("e114b_bitext_bucketed"),
       "e09c_ann_ivf_partitioned" -> SparkEntry.queries("e09c_ann_ivf_partitioned"),
       "e48_semantic_dedup" -> SparkEntry.queries("e48_semantic_dedup"),
       // the round-7 rewrite passes: span scrub groups on the 8-token window
@@ -194,7 +198,9 @@ object ScaleProbe {
     // untimed warm pass at 1×: codegen/JIT/reader init are setup, not scaling
     val variants = (sc: Int) => Seq(
       "e48_k_scaled" -> e48Scaled(8 * sc) _,
-      "e48_k_sqrt" -> e48Scaled(8 * math.ceil(math.sqrt(sc)).toInt) _)
+      "e48_k_sqrt" -> e48Scaled(8 * math.ceil(math.sqrt(sc)).toInt) _,
+      "e114b_k_sqrt" ->
+        Similarity.e114Bucketed(8 * math.ceil(math.sqrt(sc)).toInt) _)
     (queries ++ variants(1)).filter(q => sel(q._1)).foreach { case (_, fn) =>
       try fn(spark, dirs(scales.head)).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

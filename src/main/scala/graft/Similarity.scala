@@ -716,27 +716,82 @@ object Similarity {
         .select(col("x_id"), col("y_id"),
           round(cosine(col("xe"), col("ye")) * 1e6)
             .cast(LongType).as("c6"))
-      val wx = Window.partitionBy(col("x_id"))
-        .orderBy(col("c6").desc, col("y_id").asc)
-      val wy = Window.partitionBy(col("y_id"))
-        .orderBy(col("c6").desc, col("x_id").asc)
-      val r = p.withColumn("rx", row_number().over(wx))
-        .withColumn("ry", row_number().over(wy))
-        .localCheckpoint() // one X×Y scoring pass feeds fwd best + both NN masses
-      val sx = r.filter(col("rx") <= 4).groupBy(col("x_id"))
-        .agg(sum(col("c6")).as("sx"))
-      val sy = r.filter(col("ry") <= 4).groupBy(col("y_id"))
-        .agg(sum(col("c6")).as("sy"))
-      r.filter(col("rx") === 1)
-        .join(sx, "x_id").join(sy, "y_id")
-        .filter(lit(800L) * col("c6") >= lit(110L) * (col("sx") + col("sy")))
-        .select(col("x_id"), col("y_id"),
-          round(col("c6").cast(DoubleType) / 1e6, 6).as("cos_sim"),
-          round((lit(8L) * col("c6")).cast(DoubleType)
-            / (col("sx") + col("sy")).cast(DoubleType), 6).as("margin"))
-        .orderBy("x_id")
-    }
+      bitextMargin(p)
+    },
+    // E2/mining — e114's PRODUCTION form: the identical margin arithmetic
+    // routed through the e09 IVF buckets. Every vector of both languages
+    // gets the e09 map-side argmax assignment (8 seed centroids, broadcast,
+    // deterministic (csim, cid) tie-break); candidate pairs are
+    // BUCKET-LOCAL (x and y assigned to the same centroid), generated by
+    // broadcasting the smaller language's bucketed side — so the scored
+    // set is Σ_c |X_c|·|Y_c| instead of |X|·|Y|, and the margin
+    // denominators are the NN-4 masses WITHIN the surfaced candidates
+    // (the standard IVF approximation: far neighborhoods contribute ~0 to
+    // the hubness mass). Same integer accept rule as e114; the oracle twin
+    // recomputes the identical restricted candidate set, so the gate tests
+    // the bucketed pipeline itself, not a lossy "subset of e114" claim —
+    // the dense-vs-bucketed pairing the Jaccard family has in e04/e04b.
+    // Scale: with k centroids the scored set is ~N²/k; operated at the
+    // e48 discipline (k ∝ √N, the ScaleProbe e114b_k_sqrt curve) total
+    // work rides N^1.5 where e114 is N² — and each language pair stays an
+    // independent broadcast-pruned unit.
+    "e114b_bitext_bucketed" -> { (s, d) => e114Bucketed(8)(s, d) }
   )
+
+  /** Shared margin arithmetic of e114/e114b over a scored candidate frame
+    * (x_id, y_id, c6): Artetxe & Schwenk ratio margin with k=4
+    * neighborhood masses, all-integer accept (800·c6 ≥ 110·(sx+sy)),
+    * reported cosine/margin as the final rounded divisions. */
+  private def bitextMargin(p: DataFrame): DataFrame = {
+    val wx = Window.partitionBy(col("x_id"))
+      .orderBy(col("c6").desc, col("y_id").asc)
+    val wy = Window.partitionBy(col("y_id"))
+      .orderBy(col("c6").desc, col("x_id").asc)
+    val r = p.withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .localCheckpoint() // one scoring pass feeds fwd best + both NN masses
+    val sx = r.filter(col("rx") <= 4).groupBy(col("x_id"))
+      .agg(sum(col("c6")).as("sx"))
+    val sy = r.filter(col("ry") <= 4).groupBy(col("y_id"))
+      .agg(sum(col("c6")).as("sy"))
+    r.filter(col("rx") === 1)
+      .join(sx, "x_id").join(sy, "y_id")
+      .filter(lit(800L) * col("c6") >= lit(110L) * (col("sx") + col("sy")))
+      .select(col("x_id"), col("y_id"),
+        round(col("c6").cast(DoubleType) / 1e6, 6).as("cos_sim"),
+        round((lit(8L) * col("c6")).cast(DoubleType)
+          / (col("sx") + col("sy")).cast(DoubleType), 6).as("margin"))
+      .orderBy("x_id")
+  }
+
+  /** e114b with a parameterized centroid count — the ScaleProbe dial that
+    * shows the √N sizing turning the bitext miner subquadratic (seeds
+    * vec_id < k are replica-0 ids, present at every probe scale). */
+  private[graft] def e114Bucketed(k: Int)(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = load(s, d, "embeddings")
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = emb.filter(col("label").isin(1, 2))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("cemb")).as("csim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+    val xs = assigned.filter(col("label") === 1)
+      .select(col("cid"), col("vec_id").as("x_id"), col("embedding").as("xe"))
+    val ys = assigned.filter(col("label") === 2)
+      .select(col("cid"), col("vec_id").as("y_id"), col("embedding").as("ye"))
+    // bucket-local candidates: smaller language broadcast, corpus side
+    // never shuffles (the per-language-pair economics the e114 comment
+    // names as the production path)
+    val p = xs.join(broadcast(ys), "cid")
+      .select(col("x_id"), col("y_id"),
+        round(cosine(col("xe"), col("ye")) * 1e6).cast(LongType).as("c6"))
+    bitextMargin(p)
+  }
 
   val oracleSql: Map[String, String] = Map(
     // both rankers re-derived verbatim (e40's shared BM25 CTE + e06's
@@ -1030,6 +1085,34 @@ object Similarity {
          |p AS (SELECT x_id, y_id,
          |        CAST(round(${cosSql("xe", "ye")} * 1e6, 0) AS BIGINT) AS c6
          |      FROM x, y),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id ASC) AS rx,
+         |        ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id ASC) AS ry
+         |      FROM p),
+         |sx AS (SELECT x_id, SUM(c6) AS sx FROM r WHERE rx <= 4 GROUP BY x_id),
+         |sy AS (SELECT y_id, SUM(c6) AS sy FROM r WHERE ry <= 4 GROUP BY y_id)
+         |SELECT r.x_id, r.y_id,
+         |  round(c6 / 1000000.0, 6) AS cos_sim,
+         |  round((8 * c6)::DOUBLE / (sx + sy)::DOUBLE, 6) AS margin
+         |FROM r JOIN sx USING (x_id) JOIN sy USING (y_id)
+         |WHERE rx = 1 AND 800 * c6 >= 110 * (sx + sy)
+         |ORDER BY r.x_id""".stripMargin,
+    // identical restricted pipeline: e09's argmax bucket assignment over
+    // both languages, bucket-local candidate products, then the same
+    // margin CTEs as e114 over the surfaced set only
+    "e114b_bitext_bucketed" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |sims AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cemb")} AS csim
+         |  FROM embeddings e, cents c WHERE e.label IN (1, 2)),
+         |assigned AS (SELECT vec_id, label, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |x AS (SELECT cid, vec_id AS x_id, embedding AS xe FROM assigned WHERE label = 1),
+         |y AS (SELECT cid, vec_id AS y_id, embedding AS ye FROM assigned WHERE label = 2),
+         |p AS (SELECT x_id, y_id,
+         |        CAST(round(${cosSql("xe", "ye")} * 1e6, 0) AS BIGINT) AS c6
+         |      FROM x JOIN y USING (cid)),
          |r AS (SELECT *,
          |        ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id ASC) AS rx,
          |        ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id ASC) AS ry

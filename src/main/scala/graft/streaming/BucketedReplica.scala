@@ -141,8 +141,10 @@ final class BucketedReplica(
     * stored schema), recorded durably in `_META` as `check.<name>=<expr>`
     * lines — like the rest of the table contract, they survive cold
     * sessions and are discovered by any writer that opens the root. */
-  def checkConstraints: Map[String, String] =
-    metaKv.collect {
+  def checkConstraints: Map[String, String] = checksOf(metaKv)
+
+  private def checksOf(kv: Map[String, String]): Map[String, String] =
+    kv.collect {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }
 
@@ -180,8 +182,10 @@ final class BucketedReplica(
   /** Declared FOREIGN KEY constraints: name → (local column, parent
     * replica root). Stored as `fk.<name>=<column>\t<parentRoot>` meta
     * lines (tab-separated — roots may contain '='). */
-  def fkConstraints: Map[String, (String, String)] =
-    metaKv.collect {
+  def fkConstraints: Map[String, (String, String)] = fksOf(metaKv)
+
+  private def fksOf(kv: Map[String, String]): Map[String, (String, String)] =
+    kv.collect {
       case (k, v) if k.startsWith("fk.") =>
         val Array(c, r) = v.split("\t", 2)
         k.stripPrefix("fk.") -> ((c, r))
@@ -226,8 +230,9 @@ final class BucketedReplica(
   /** Commit-side FK enforcement: one anti-join per declared FK over the
     * batch's non-tombstone rows; reject-the-batch like [[enforceChecks]].
     * Zero extra actions when no FKs are declared. */
-  private def enforceForeignKeys(spark: SparkSession, batchRows: DataFrame): Unit =
-    fkConstraints.toSeq.sortBy(_._1).foreach { case (nm, (column, parentRoot)) =>
+  private def enforceForeignKeys(spark: SparkSession, batchRows: DataFrame,
+                                 kv: Map[String, String]): Unit =
+    fksOf(kv).toSeq.sortBy(_._1).foreach { case (nm, (column, parentRoot)) =>
       val parent = BucketedReplica.open(parentRoot)
       val orphans = batchRows
         .filter(!(col(opCol) <=> "DELETE") && col(column).isNotNull)
@@ -245,8 +250,9 @@ final class BucketedReplica(
     * chain stays untouched (reject-the-batch, the CDC analogue of a
     * transactional CHECK). Costs zero extra actions when no constraints
     * are declared. */
-  private def enforceChecks(batchRows: DataFrame): Unit = {
-    val checks = checkConstraints.toSeq.sortBy(_._1)
+  private def enforceChecks(batchRows: DataFrame,
+                            kv: Map[String, String]): Unit = {
+    val checks = checksOf(kv).toSeq.sortBy(_._1)
     if (checks.isEmpty) return
     val counters = checks.map { case (nm, ex) =>
       sum(when(!(col(opCol) <=> "DELETE") &&
@@ -258,16 +264,22 @@ final class BucketedReplica(
     if (violated.nonEmpty) throw new IllegalArgumentException(
       "CHECK constraint violation — batch rejected, nothing committed: " +
         violated.map { case (nm, c) =>
-          s"'$nm' (${checkConstraints(nm)}) fails on $c rows"
+          s"'$nm' (${checksOf(kv)(nm)}) fails on $c rows"
         }.mkString("; "))
   }
 
-  private def effectiveBuckets: Int = {
-    val kv = metaKv
+  private def effectiveBuckets: Int =
+    effectiveBuckets(headSnapshot().flatMap { case (v, tk) => manifestBuckets(v, tk) })
+
+  /** Layout-pinning check against an ALREADY-resolved manifest header n —
+    * the one-snapshot commit path hands the header in so the check costs
+    * zero extra control-plane reads. */
+  private def effectiveBuckets(manifestN: Option[Int],
+                               kvIn: Option[Map[String, String]] = None): Int = {
+    val kv = kvIn.getOrElse(metaKv)
     kv.get("pk").foreach(p => require(p == pk,
       s"replica at $root is keyed by $p, not $pk"))
-    val stored = headSnapshot().flatMap { case (v, tk) => manifestBuckets(v, tk) }
-      .orElse(kv.get("nBuckets").map(_.toInt))
+    val stored = manifestN.orElse(kv.get("nBuckets").map(_.toInt))
     stored.foreach(n => require(n == nBuckets,
       s"replica at $root is laid out with nBuckets=$n; " +
         s"opening a writer with $nBuckets would mis-place keys"))
@@ -411,18 +423,24 @@ final class BucketedReplica(
       .flatMap(v => tagOf(v, tokens).map(v -> _)).toMap
   }
 
-  private def readManifest(v: Long, tokens: Map[Long, Option[String]]): Map[Int, String] =
-    io.readString(ctl("manifest", v, "tsv", tokens)).linesIterator
+  private def parseManifestEntries(txt: String): Map[Int, String] =
+    txt.linesIterator
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(b, rel) = line.split("\t", 2)
         b.toInt -> rel
       }.toMap
 
+  private def parseManifestN(txt: String): Option[Int] =
+    txt.linesIterator
+      .find(_.startsWith("#n=")).map(_.stripPrefix("#n=").trim.toInt)
+
+  private def readManifest(v: Long, tokens: Map[Long, Option[String]]): Map[Int, String] =
+    parseManifestEntries(io.readString(ctl("manifest", v, "tsv", tokens)))
+
   /** Layout bucket count recorded in version `v`'s manifest header
     * (absent for manifests written before layouts were versioned). */
   private def manifestBuckets(v: Long, tokens: Map[Long, Option[String]]): Option[Int] =
-    io.readString(ctl("manifest", v, "tsv", tokens)).linesIterator
-      .find(_.startsWith("#n=")).map(_.stripPrefix("#n=").trim.toInt)
+    parseManifestN(io.readString(ctl("manifest", v, "tsv", tokens)))
 
   /** Stored schema in effect at version `v` — the widest schema any commit
     * through `v` declared. Bucket files written by EARLIER (narrower)
@@ -444,8 +462,13 @@ final class BucketedReplica(
   }
 
   /** Schema of the replica as of the current pointer. */
-  def storedSchema: StructType =
-    headSnapshot().map { case (v, tk) => schemaAt(v, tk) }.getOrElse(schema)
+  def storedSchema: StructType = storedSchemaOf(headSnapshot())
+
+  /** [[storedSchema]] against an already-taken snapshot (the one-snapshot
+    * commit path). */
+  private def storedSchemaOf(
+      snap: Option[(Long, Map[Long, Option[String]])]): StructType =
+    snap.map { case (v, tk) => schemaAt(v, tk) }.getOrElse(schema)
 
   /** Resolve a manifest data reference: ordinary entries are relative to
     * THIS replica's root; `ext:` entries (written by [[cloneShallow]])
@@ -571,7 +594,21 @@ final class BucketedReplica(
              tag: Option[Long] = None, evolveSchema: Boolean = false,
              precomputedTouched: Option[Seq[Int]] = None): Unit = {
     val spark = batch.sparkSession
-    val n = effectiveBuckets
+    // ONE control-plane snapshot per commit: pointer, manifest text, and
+    // schema are resolved once and threaded through bucket-merge AND
+    // publish, instead of the pre-r11 shape (4 independent headSnapshots +
+    // 3 manifest reads per commit — measured by CommitProbe). Besides the
+    // round trips, a single snapshot closes a consistency seam: the old
+    // publish re-snapshotted after the merge plan was built against the
+    // earlier snapshot's manifest, so a foreign commit landing in between
+    // could have its touched-bucket rows silently dropped from the new
+    // manifest; now that racer is caught at the write-once pointer
+    // (ConcurrentCommit) like every other conflict.
+    val snap0 = headSnapshot()
+    val kv0 = metaKv
+    val manTxt = snap0.map { case (v, tk) =>
+      io.readString(ctl("manifest", v, "tsv", tk)) }
+    val n = effectiveBuckets(manTxt.flatMap(parseManifestN), Some(kv0))
     // Schema-drift tolerance (the reference's sink schemas are all-NULLABLE
     // for the same reason — main.tf:197-215): a batch missing an envelope
     // column lands it as NULL, out-of-contract extra columns are dropped,
@@ -582,9 +619,9 @@ final class BucketedReplica(
     // widened schema becomes this version's stored contract (monotone —
     // later narrower batches land the missing column as NULL as usual).
     val target: StructType =
-      if (!evolveSchema) storedSchema
+      if (!evolveSchema) storedSchemaOf(snap0)
       else {
-        val base = storedSchema
+        val base = storedSchemaOf(snap0)
         val known = base.fieldNames.toSet
         StructType(base.fields ++ batch.schema.fields
           .filterNot(f => known.contains(f.name))
@@ -610,11 +647,10 @@ final class BucketedReplica(
         .select(bucketExpr(n).as("__b")).distinct()
         .collect().map(_.getLong(0).toInt).toSeq.sorted)
       if (touched.isEmpty) return // empty batch: nothing to commit
-      enforceChecks(batchRows) // reject-the-batch BEFORE any data write
-      enforceForeignKeys(spark, batchRows)
+      enforceChecks(batchRows, kv0) // reject-the-batch BEFORE any data write
+      enforceForeignKeys(spark, batchRows, kv0)
 
-      val man = headSnapshot()
-        .map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
+      val man = manTxt.map(parseManifestEntries).getOrElse(Map.empty[Int, String])
       val merged = graft.Cdc.merge(
         readBuckets(spark, man, touched, target).unionByName(batchRows), Seq(pk),
         posCol, opCol, keepTombstones = true)
@@ -628,7 +664,8 @@ final class BucketedReplica(
           !((col("is_deleted") <=> true) && col(tsCol).isNotNull && col(tsCol) < h))
         case None    => merged
       }
-      publish(touched, gcd.drop("is_deleted"), tag, n)
+      publish(touched, gcd.drop("is_deleted"), tag, n,
+        snapIn = Some((snap0, man)))
     } finally { batchRows.unpersist(); () }
   }
 
@@ -1029,13 +1066,21 @@ final class BucketedReplica(
     * entries' bucket ids are meaningless under the new layout). The rows'
     * schema is recorded as the version's stored contract. */
   private def publish(touched: Seq[Int], rows: DataFrame, tag: Option[Long],
-                      layoutN: Int, replaceAll: Boolean = false): Unit = {
+                      layoutN: Int, replaceAll: Boolean = false,
+                      snapIn: Option[(Option[(Long, Map[Long, Option[String]])],
+                        Map[Int, String])] = None): Unit = {
     writeMetaIfAbsent(layoutN, tag)
     val outSchema = rows.schema
-    val snap = headSnapshot()
+    // snapIn = the caller's already-taken snapshot + parsed manifest (the
+    // one-snapshot commit path); absent for direct callers (replaceTouched,
+    // compact) that did no prior control reads of their own
+    val (snap, man) = snapIn.getOrElse {
+      val s = headSnapshot()
+      (s, s.map { case (v, tk) => readManifest(v, tk) }
+        .getOrElse(Map.empty[Int, String]))
+    }
     val curV = snap.map(_._1)
     val newV = curV.getOrElse(0L) + 1
-    val man = snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
     // ATTEMPT-UNIQUE data dir (multi-writer hardening, proven by
     // CrossJvmCommitSpec): two independent drivers racing the same next
     // version each write their own `v<N>-<attempt>` directory, so the

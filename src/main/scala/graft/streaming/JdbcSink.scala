@@ -57,6 +57,7 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
   private val ledger = s"${table}_ledger"
 
   private def withConn[A](f: Connection => A): A = {
+    JdbcSink.Stats.conns.increment()
     val c = DriverManager.getConnection(url)
     try f(c) finally c.close()
   }
@@ -87,6 +88,7 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
 
   private def exists(c: Connection, name: String): Boolean =
     foldings(c, name).exists { n =>
+      JdbcSink.Stats.stmts.increment()
       val rs = c.getMetaData.getTables(null, null, n, null)
       try rs.next() finally rs.close()
     }
@@ -98,9 +100,17 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
     * duplicate-descriptor error (Derby X0Y32; ANSI 42-class elsewhere) is
     * swallowed iff a re-check confirms the table now exists, which is the
     * create-if-absent outcome both writers wanted. */
+  /** Once this instance has provisioned (or confirmed) the three tables,
+    * later batches skip the metadata probes — 1 connection + 4 round
+    * trips per micro-batch on a steady stream (CommitProbe-measured). An
+    * out-of-band DROP after that surfaces loudly at the next stage/promote
+    * statement, same failure the probes would have deferred to anyway. */
+  @volatile private var provisioned = false
+
   def ensureTables(schema: StructType): Unit = {
     Seq(pk, posCol, opCol).foreach(cn => require(schema.fieldNames.contains(cn),
       s"JdbcSink envelope needs column '$cn'; batch has ${schema.fieldNames.mkString(",")}"))
+    if (provisioned) return
     val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
     withConn { c =>
       createIfAbsent(c, table, s"CREATE TABLE $table ($cols, PRIMARY KEY ($pk))")
@@ -109,11 +119,12 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
       createIfAbsent(c, ledger, s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
       migrateStaging(c)
     }
+    provisioned = true
   }
 
   private def createIfAbsent(c: Connection, name: String, ddl: String): Unit =
     if (!exists(c, name)) {
-      try c.createStatement().execute(ddl)
+      try { JdbcSink.Stats.stmts.increment(); c.createStatement().execute(ddl) }
       catch {
         // lost a provision race — fine iff the winner's table is there now
         case t: java.sql.SQLException if exists(c, name) => ()
@@ -127,6 +138,7 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
   private def hasColumn(c: Connection, tbl: String, colName: String): Boolean =
     foldings(c, tbl).exists { t =>
       foldings(c, colName).exists { cn =>
+        JdbcSink.Stats.stmts.increment()
         val rs = c.getMetaData.getColumns(null, null, t, cn)
         try rs.next() finally rs.close()
       }
@@ -134,7 +146,8 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
 
   private def migrateStaging(c: Connection): Unit = {
     if (!hasColumn(c, staging, "attempt_id")) {
-      try c.createStatement().execute(s"ALTER TABLE $staging ADD COLUMN attempt_id BIGINT")
+      try { JdbcSink.Stats.stmts.increment()
+        c.createStatement().execute(s"ALTER TABLE $staging ADD COLUMN attempt_id BIGINT") }
       catch { // racing migrators: loser is fine if the column landed
         case t: java.sql.SQLException =>
           if (!hasColumn(c, staging, "attempt_id")) throw t
@@ -148,6 +161,7 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
     if (!exists(c, ledger)) return false
     val ps = c.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
     ps.setLong(1, batchId)
+    JdbcSink.Stats.stmts.increment()
     val rs = ps.executeQuery()
     try rs.next() finally rs.close()
   }
@@ -220,10 +234,12 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
             // converges. Concurrency cost is nil in the sink's real
             // shape (one streaming writer + replay zombies), and a real
             // warehouse target runs its own transactional MERGE instead.
+            JdbcSink.Stats.stmts.increment()
             c.createStatement().execute(
               s"LOCK TABLE $table IN EXCLUSIVE MODE")
             val led = c.prepareStatement(s"INSERT INTO $ledger VALUES (?)")
             led.setLong(1, batchId)
+            JdbcSink.Stats.stmts.increment()
             led.executeUpdate() // duplicate key here = lost the race → rollback
             // Supersede + insert as ONE MERGE statement (set-based, one
             // round trip), safe because the exclusive table lock above
@@ -260,6 +276,7 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
             var merges = 0
             while (unresolved != 0L && merges < 10) {
               merges += 1
+              JdbcSink.Stats.stmts.add(2)
               c.createStatement().executeUpdate(mergeSql)
               val rs = chk.executeQuery()
               unresolved = try { rs.next(); rs.getLong(1) } finally rs.close()
@@ -272,6 +289,7 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
             // problem: its promote reads only its own attempt slice and
             // loses at the ledger regardless)
             val cln = c.prepareStatement(s"DELETE FROM $staging WHERE batch_id = ?")
+            JdbcSink.Stats.stmts.increment()
             cln.setLong(1, batchId); cln.executeUpdate()
             c.commit()
             true
@@ -290,6 +308,7 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
                 val ps = c.prepareStatement(
                   s"DELETE FROM $staging WHERE batch_id = ? AND attempt_id = ?")
                 ps.setLong(1, batchId); ps.setLong(2, attemptId)
+                JdbcSink.Stats.stmts.increment()
                 ps.executeUpdate(); c.commit()
                 false
               } else throw t
@@ -340,4 +359,16 @@ class JdbcSink(url: String, table: String, pk: String = "user_id",
 
   /** The serving read (the reference's analyst view): live rows only. */
   def liveSql: String = s"SELECT * FROM $table WHERE $opCol <> 'DELETE'"
+}
+
+object JdbcSink {
+  /** JDBC round-trip counters (connections opened, statements/metadata
+    * probes executed) — the warehouse-side half of the CommitProbe
+    * per-commit cost breakdown. */
+  object Stats {
+    import java.util.concurrent.atomic.LongAdder
+    val conns = new LongAdder; val stmts = new LongAdder
+    def snapshot(): Map[String, Long] =
+      Map("conns" -> conns.sum(), "stmts" -> stmts.sum())
+  }
 }

@@ -44,9 +44,10 @@ final class StoreIO(rootStr: String, conf: Configuration) {
 
   def path(rel: String): Path = new Path(rootStr + "/" + rel)
 
-  def exists(p: Path): Boolean = fc.util.exists(p)
+  def exists(p: Path): Boolean = { StoreIO.Stats.exists.increment(); fc.util.exists(p) }
 
   def readString(p: Path): String = {
+    StoreIO.Stats.reads.increment()
     val in = fc.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -59,6 +60,7 @@ final class StoreIO(rootStr: String, conf: Configuration) {
 
   /** Create-or-truncate `p` (parents created), with the bytes of `s`. */
   def writeString(p: Path, s: String): Unit = {
+    StoreIO.Stats.writes.increment()
     val out = fc.create(p, EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -79,6 +81,7 @@ final class StoreIO(rootStr: String, conf: Configuration) {
     val tmp = new Path(p.getParent,
       s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     writeString(tmp, s)
+    StoreIO.Stats.renames.increment()
     try fc.rename(tmp, p) // no OVERWRITE: an existing `p` fails the race loudly
     catch { case t: Throwable =>
       try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
@@ -109,6 +112,7 @@ final class StoreIO(rootStr: String, conf: Configuration) {
         "(the side file's completeness witness)")
     val side = new Path(p.getParent, p.getName + ".next")
     writeString(side, s)
+    StoreIO.Stats.renames.increment()
     fc.rename(side, p, Options.Rename.OVERWRITE)
   }
 
@@ -144,24 +148,50 @@ final class StoreIO(rootStr: String, conf: Configuration) {
   def existsSafe(p: Path): Boolean =
     exists(p) || sideComplete(p).isDefined
 
-  /** Immediate child FILES of `p` (empty if `p` doesn't exist). */
+  /** Immediate child FILES of `p` (empty if `p` doesn't exist).
+    * Open-first (catch FNF) rather than exists-then-list: one round trip
+    * instead of two, and no probe/list race window. */
   def listFiles(p: Path): Seq[Path] =
-    if (!exists(p)) Seq.empty
-    else fc.util.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+    try { StoreIO.Stats.lists.increment()
+      fc.util.listStatus(p).toSeq.filter(_.isFile).map(_.getPath) }
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
 
-  /** Recursive delete; silently ignores a missing path. */
+  /** Recursive delete; silently ignores a missing path (delete-first,
+    * catch FNF — no exists pre-probe round trip). */
   def delete(p: Path): Unit =
-    if (exists(p)) { fc.delete(p, true); () }
+    try { StoreIO.Stats.deletes.increment(); fc.delete(p, true); () }
+    catch { case _: java.io.FileNotFoundException => () }
 
   def mkdirs(p: Path): Unit = fc.mkdir(p, FsPermission.getDirDefault, true)
 
   /** Immediate child DIRECTORIES of `p` (empty if `p` doesn't exist). */
   def listDirs(p: Path): Seq[Path] =
-    if (!exists(p)) Seq.empty
-    else fc.util.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    try { StoreIO.Stats.lists.increment()
+      fc.util.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath) }
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
 }
 
 object StoreIO {
+  /** Process-wide control-plane op counters — the round-trip meter behind
+    * the CommitProbe cost breakdown (every pointer/manifest/meta access in
+    * the process funnels through these primitives; LongAdder increments
+    * are contention-free noise next to any FS call). On a cluster each op
+    * is a namenode/object-store round trip, so the per-commit counts here
+    * ARE the control-plane latency model. */
+  object Stats {
+    import java.util.concurrent.atomic.LongAdder
+    val reads = new LongAdder; val writes = new LongAdder
+    val renames = new LongAdder; val exists = new LongAdder
+    val lists = new LongAdder; val deletes = new LongAdder
+    def snapshot(): Map[String, Long] = Map(
+      "reads" -> reads.sum(), "writes" -> writes.sum(),
+      "renames" -> renames.sum(), "exists" -> exists.sum(),
+      "lists" -> lists.sum(), "deletes" -> deletes.sum())
+    /** a - b, per key (for before/after deltas). */
+    def diff(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      a.map { case (k, v) => k -> (v - b.getOrElse(k, 0L)) }
+  }
+
   /** The session's Hadoop configuration when a session is up (always, in
     * normal operation — stores live inside Spark apps), else a default
     * [[Configuration]] so pure-JVM callers (store destroy in test cleanup)
