@@ -613,12 +613,16 @@ object Cdc {
         Option(f.listFiles).getOrElse(Array.empty).foreach(rmrf); f.delete(); ()
       }
       rmrf(new java.io.File(hist)) // fresh history per run
-      val ch = changelog(s, d)
-      val cut = ch.agg(max(col("pos"))).head().getLong(0) / 2
-      graft.streaming.CdcStream.scd2Batch(
-        ch.filter(col("pos") <= cut), 0L, s"$root/replica", hist, nBuckets = 8)
-      graft.streaming.CdcStream.scd2Batch(
-        ch.filter(col("pos") > cut), 1L, s"$root/replica", hist, nBuckets = 8)
+      // cached: the changelog parse feeds three actions (the cut agg and
+      // each batch's dedup fill) — without the cache each re-scans events
+      val ch = changelog(s, d).persist()
+      try {
+        val cut = ch.agg(max(col("pos"))).head().getLong(0) / 2
+        graft.streaming.CdcStream.scd2Batch(
+          ch.filter(col("pos") <= cut), 0L, s"$root/replica", hist, nBuckets = 8)
+        graft.streaming.CdcStream.scd2Batch(
+          ch.filter(col("pos") > cut), 1L, s"$root/replica", hist, nBuckets = 8)
+      } finally { ch.unpersist(); () }
       graft.streaming.CdcStream.historyWithOpen(s, s"$root/replica", hist)
         .select(col("user_id"), col("valid_from_pos"), col("op"), col("value"),
           col("valid_to_pos"), col("is_current"))

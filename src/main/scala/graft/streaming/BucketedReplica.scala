@@ -972,6 +972,27 @@ final class BucketedReplica(
     }
   }
 
+  /** [[commit]] for a caller that ALREADY holds the merged full content of
+    * the touched buckets (the streaming SCD2 path: its historization
+    * window computes latest-wins as a by-product, so re-merging inside
+    * commit would run the union+window a second time). Same constraint
+    * enforcement, same one-snapshot publish; `rows` must carry every key
+    * co-resident in `touched` (tombstones included). */
+  private[graft] def commitMerged(rows: DataFrame, touched: Seq[Int]): Unit = {
+    if (touched.isEmpty) return
+    val spark = rows.sparkSession
+    val snap0 = headSnapshot()
+    val kv0 = metaKv
+    val manTxt = snap0.map { case (v, tk) =>
+      io.readString(ctl("manifest", v, "tsv", tk)) }
+    val n = effectiveBuckets(manTxt.flatMap(parseManifestN), Some(kv0))
+    enforceChecks(rows, kv0)
+    enforceForeignKeys(spark, rows, kv0)
+    publish(touched, rows, None, n,
+      snapIn = Some((snap0,
+        manTxt.map(parseManifestEntries).getOrElse(Map.empty[Int, String]))))
+  }
+
   /** SQL-MERGE write path (graft.plans.GraftMergeInto): `rows` is the FULL
     * new content of every bucket it covers (the caller carried co-resident
     * rows and applied the merge semantics); replace exactly those buckets —

@@ -382,18 +382,26 @@ object CdcStream {
       // the currently-open changes of touched buckets only (tombstones
       // included: a DELETE is an interval too, it just isn't current).
       // Untouched keys co-resident in a touched bucket pass through the
-      // window as single open rows and close nothing. One bucket probe,
-      // shared with the commit below (was two identical collects).
+      // window as single open rows and close nothing. One bucket probe
+      // AND one historization window for BOTH writes: the closed
+      // intervals feed the history append, and the open rows (lead null)
+      // ARE the latest-wins content of the touched buckets — so the
+      // replica commit publishes them directly (commitMerged) instead of
+      // re-running the union+merge window a second time, which the r11
+      // CommitProbe breakdown showed was most of the commit phase's wall.
       val touched = rep.touchedBuckets(good)
       val open = rep.readBucketsOf(good.sparkSession, touched)
-      val closed = graft.Cdc.scd2(
+      val hist = graft.Cdc.scd2(
         open.unionByName(good).dropDuplicates("user_id", "pos"), Seq("user_id"))
-        .filter(col("valid_to_pos").isNotNull)
-        .drop("is_current") // recomputed on read; meaningless for closed rows
-      closed.withColumn("batch_id", lit(batchId))
-        .write.mode("append").partitionBy("batch_id").parquet(historyDir)
-      // latest-wins ⇒ exactly the still-open change per key
-      rep.commit(good, precomputedTouched = Some(touched))
+        .persist()
+      try {
+        hist.filter(col("valid_to_pos").isNotNull)
+          .drop("is_current") // recomputed on read; meaningless for closed rows
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").partitionBy("batch_id").parquet(historyDir)
+        rep.commitMerged(hist.filter(col("valid_to_pos").isNull)
+          .drop("valid_from_pos", "valid_to_pos", "is_current"), touched)
+      } finally { hist.unpersist(); () }
     } finally { good.unpersist(); () }
   }
 
