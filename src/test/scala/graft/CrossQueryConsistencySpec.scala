@@ -106,4 +106,81 @@ class CrossQueryConsistencySpec extends SparkSpecBase {
     // the docs currently failing at least one rule
     assert(abl.map(_._3).sum <= nDocs - nPass)
   }
+
+  // ---- similarity family (round 11): the recall/audit queries compose
+  // on the SAME truth and candidate artifacts — pin them to each other.
+
+  test("e58 ≡ e63's r2xb4 row: same artifacts, identical audit numbers") {
+    val e58 = q("e58_lsh_recall").collect()
+    assert(e58.length === 1)
+    val a = e58.head
+    val r2b4 = q("e63_lsh_sweep").collect()
+      .filter(_.getString(0) == "r2xb4")
+    assert(r2b4.length === 1)
+    val b = r2b4.head
+    // n_truth, n_cand, tp — and the derived doubles bit-for-bit (same
+    // integer inputs, same one-division arithmetic)
+    assert(a.getLong(0) === b.getLong(1), "n_truth differs")
+    assert(a.getLong(1) === b.getLong(2), "n_cand differs")
+    assert(a.getLong(2) === b.getLong(3), "tp differs")
+    assert(java.lang.Double.doubleToRawLongBits(a.getDouble(5)) ===
+      java.lang.Double.doubleToRawLongBits(b.getDouble(4)), "precision differs")
+    assert(java.lang.Double.doubleToRawLongBits(a.getDouble(6)) ===
+      java.lang.Double.doubleToRawLongBits(b.getDouble(5)), "recall differs")
+  }
+
+  test("e58 counts ≡ direct recount of the truth/candidate artifacts") {
+    val truth = Extensions.sampledTruthPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Extensions.lshCandidates(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = q("e58_lsh_recall").collect().head
+    assert(a.getLong(0) === truth.size.toLong, "n_truth != artifact")
+    assert(a.getLong(1) === cand.size.toLong, "n_cand != artifact")
+    assert(a.getLong(2) === (truth & cand).size.toLong, "tp != |truth ∩ cand|")
+    assert(a.getLong(3) === (cand -- truth).size.toLong, "fp")
+    assert(a.getLong(4) === (truth -- cand).size.toLong, "fn")
+  }
+
+  test("e06 top-10 ≡ the e111-style windowed brute-force truth for probe 0") {
+    // e06 ranks via orderBy+limit, e111's truth via row_number over a
+    // window — two ranking paths that MUST agree on ties and scores for
+    // any shared probe. Probe 0 is e06's.
+    graft.functions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+    val wt = Window.partitionBy(col("pid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truth10 = emb.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        Similarity.cosine(col("embedding"), col("pemb")).as("sim"))
+      .withColumn("rn", row_number().over(wt)).filter(col("rn") <= 10)
+      .orderBy(col("rn"))
+      .collect().map(r => (r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2))))
+    val e06 = q("e06_cosine_topk").collect().map(r => (r.getLong(0),
+      java.lang.Double.doubleToRawLongBits(r.getDouble(2))))
+    assert(e06.toSeq === truth10.toSeq,
+      "e06's orderBy+limit ranking disagrees with the e111 window ranking")
+  }
+
+  test("e111 self-consistency: recall arithmetic and candidate bounds") {
+    val rows = q("e111_ann_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    val nEmb = Tables.load(spark, sfDir, "embeddings").count()
+    rows.foreach { case (np, nProbes, nCand, nHits, rec) =>
+      assert(rec === math.rint(nHits.toDouble / (nProbes * 10) * 1e6) / 1e6,
+        s"nprobe=$np recall_at_10 != n_hits/(n_probes*10)")
+      assert(nHits <= nProbes * 10, s"nprobe=$np hits exceed k*probes")
+      assert(nCand <= nProbes * np * nEmb, s"nprobe=$np candidate overrun")
+    }
+    // nested candidate sets: counts and hits monotone in nprobe
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 && a._4 <= b._4, "nprobe sweep not monotone") }
+  }
 }
