@@ -75,15 +75,20 @@ object Bench {
   }
 
   /** Last FULL record (≥50 queries — scoped SPARK_GRAFT_ONLY runs also
-    * append) from bench_history.jsonl: the same-host baseline the ratio
-    * report normalizes against. */
-  private def prevFullRecord(): Map[String, Double] =
+    * append) AT THE SAME SCALE FACTOR from bench_history.jsonl: the
+    * same-host baseline the ratio report normalizes against. The sf match
+    * matters — without it a stray full run at a different SF silently
+    * becomes the baseline and every ratio reports meaningless cross-SF
+    * drift. */
+  private def prevFullRecord(sfDir: String): Map[String, Double] =
     try {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(sys.props("user.dir"), "bench_history.jsonl")
       val nQ = "\"n_queries\":(\\d+)".r
+      val sfTag = "\"sf\":\"" + sfDir + "\""
       java.nio.file.Files.readAllLines(p).asScala.reverseIterator
-        .find(l => nQ.findFirstMatchIn(l).exists(_.group(1).toInt >= 50))
+        .find(l => l.contains(sfTag) &&
+          nQ.findFirstMatchIn(l).exists(_.group(1).toInt >= 50))
         .map { l =>
           val body = l.substring(l.indexOf("\"queries\":{") + 11)
             .takeWhile(_ != '}')
@@ -241,7 +246,7 @@ object Bench {
     // regression is a query whose ratio stands clear above it. The
     // record carries both, so a 1.3x total is readable at a glance as
     // "1.28x environment, these 3 queries are real".
-    val prev = prevFullRecord()
+    val prev = prevFullRecord(sfDir)
     val ratios = results.collect {
       case (k, v) if v > 0 && prev.get(k).exists(_ > 0) => k -> v / prev(k)
     }.toSeq.sortBy(_._2)
@@ -249,8 +254,19 @@ object Bench {
       if (ratios.isEmpty) 1.0 else r3(ratios(ratios.size / 2)._2)
     val outliers = ratios.filter(_._2 > medianRatio * 1.25)
       .sortBy(-_._2).take(8).map { case (k, r) => k -> r3(r) }
+    // Every outlier ALSO gets an isolated rerun (generalizing the worst-3
+    // machinery): an outlier whose isolated time sits back at the previous
+    // level is suite/host pressure, confirmed in the record itself instead
+    // of next round's hand-run. SPARK_GRAFT_ISOLATE=q1,q2 adds named
+    // queries to the same pass.
+    val isolateAsk = sys.env.get("SPARK_GRAFT_ISOLATE")
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
+      .getOrElse(Nil)
+    val isolatedOutliers = (outliers.map(_._1) ++ isolateAsk).distinct
+      .filterNot(k => isolated.exists(_._1 == k))
+      .map(k => k -> r3(timed(k, SparkEntry.queries(k))._1))
     val envJson =
-      s""""loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_worst3":${qJson(isolated)},"gc_sec_total":${r3(gcByQuery.map(_._2).sum)},"median_ratio_vs_prev":$medianRatio,"n_compared_vs_prev":${ratios.size},"outliers_vs_prev":${qJson(outliers)}"""
+      s""""loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_worst3":${qJson(isolated)},"isolated_outliers":${qJson(isolatedOutliers)},"gc_sec_total":${r3(gcByQuery.map(_._2).sum)},"median_ratio_vs_prev":$medianRatio,"n_compared_vs_prev":${ratios.size},"outliers_vs_prev":${qJson(outliers)}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"gc_sec":${qJson(gcByQuery)},$envJson,"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir","notes":"$notes"}"""
     val short =

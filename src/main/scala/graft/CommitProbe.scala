@@ -81,7 +81,8 @@ object CommitProbe {
             col(f.name).cast(f.dataType).as(f.name)): _*)
           .dropDuplicates("user_id", "pos").persist()
         val touched = probe("b11_b1_touched_probe")(rep.touchedBuckets(good))
-        val open = rep.readBucketsOf(spark, touched)
+        val snap = rep.pinSnapshot()
+        val open = rep.readBucketsAt(spark, touched, snap)
         val hist = Cdc.scd2(
           open.unionByName(good).dropDuplicates("user_id", "pos"),
           Seq("user_id")).persist()
@@ -92,7 +93,8 @@ object CommitProbe {
             .parquet(s"$r2/history"))
         probe("b11_b1_replica_commit")(
           rep.commitMerged(hist.filter(col("valid_to_pos").isNull)
-            .drop("valid_from_pos", "valid_to_pos", "is_current"), touched))
+            .drop("valid_from_pos", "valid_to_pos", "is_current"),
+            touched, snap, delta = good))
         hist.unpersist(); good.unpersist()
       }
       probe("b11_scd2_batch2")(graft.streaming.CdcStream.scd2Batch(

@@ -115,24 +115,36 @@ object Extensions {
     val ids = docs.select(col("doc_id").cast(LongType).as("doc_id"))
     val row = ids.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
       count(lit(1)).as("n")).head()
-    val (mn, mx, n) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val n = row.getLong(2)
+    // empty input: min/max are SQL NULL — return the empty decile map the
+    // window form would, instead of NPE-ing on getLong
+    if (n == 0L)
+      return ids.select(col("doc_id"), lit(1).cast(IntegerType).as("decile"))
+        .limit(0)
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
     val q = n / 10; val r = n % 10
     val cuts = (1L to 9L).map(t => t * q + math.min(t, r)) // U(1..9)
     def decileOf(rank: Column): Column =
       cuts.foldLeft(lit(1)) { (acc, u) =>
         acc + when(rank > u, 1).otherwise(0)
       }.cast(IntegerType).as("decile")
-    if (mx - mn + 1 == n) {
+    // span arithmetic in BigInt: ids spanning near the full Long range
+    // (mn << 0 << mx) overflow mx-mn+1, which would silently take the
+    // dense path or collapse the bucket width to garbage
+    val span = BigInt(mx) - BigInt(mn) + 1
+    if (span == BigInt(n)) {
       // dense: rank derivable from the id itself, map-side only
       ids.select(col("doc_id"), decileOf(col("doc_id") - mn + 1L))
     } else {
       // sparse: range-bucket histogram -> per-bucket rank offsets (driver
-      // side, <=1024 rows), then row_number within each bucket
+      // side, <=1026 rows), then row_number within each bucket
       val nb = math.min(1024L, n)
-      val span = mx - mn + 1
-      val width = math.max(1L, (span + nb - 1) / nb) // overflow-free bucketing
+      val width = ((span + nb - 1) / nb).max(1).toLong // overflow-free bucketing
+      // bucket on the UNSHIFTED id: `doc_id - mn` would itself wrap for
+      // ranges spanning most of Long; truncating DIV is monotone in
+      // doc_id, so ranks stay exact, at the cost of ≤2 extra edge buckets
       val bucketed = ids.withColumn("bkt",
-        expr(s"CAST((doc_id - $mn) DIV $width AS BIGINT)"))
+        expr(s"doc_id DIV $width"))
       val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
         .orderBy(col("bkt")).collect()
       var cum = 0L
@@ -2474,10 +2486,15 @@ object Extensions {
       // keeps the pair groupBy's partial map resident instead of
       // sort-spilling. (Combine itself recovers only the ~12% duplicate
       // instances — cardinality, not memory, owns this stage's volume.)
-      // Resolves to the session default at the gate SFs. The count is a
-      // 1-row agg over the checkpointed frame (control-plane).
+      // Resolves to the session default at the gate SFs. Sized from
+      // Σ|shingle set| over the PER-DOC frame — the identical number
+      // `posts.count()` would scan the full exploded posting stream for,
+      // derived instead from one 1-row agg over the (small, checkpointed)
+      // per-doc rows: at 100 TB that is the difference between a
+      // control-plane action and an extra full pass of the stream.
       val totalPostings =
-        posts.agg(count(lit(1))).head().getLong(0)
+        sh.agg(coalesce(sum(size(col("g"))), lit(0L)).cast(LongType))
+          .head().getLong(0)
       val kExch = math.max(s.sessionState.conf.numShufflePartitions,
         (totalPostings / 400000L).toInt)
       val binned = posts.repartition(kExch, col("g"))

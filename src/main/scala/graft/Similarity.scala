@@ -784,12 +784,23 @@ object Similarity {
       .select(col("cid"), col("vec_id").as("x_id"), col("embedding").as("xe"))
     val ys = assigned.filter(col("label") === 2)
       .select(col("cid"), col("vec_id").as("y_id"), col("embedding").as("ye"))
-    // bucket-local candidates: smaller language broadcast, corpus side
-    // never shuffles (the per-language-pair economics the e114 comment
-    // names as the production path)
-    val p = xs.join(broadcast(ys), "cid")
-      .select(col("x_id"), col("y_id"),
-        round(cosine(col("xe"), col("ye")) * 1e6).cast(LongType).as("c6"))
+    // bucket-local candidates: the SMALLER language broadcasts (measured
+    // on the raw table — one grouped count, control-plane — not assumed
+    // from the label: broadcasting a fixed side would OOM whenever that
+    // label happens to be the larger corpus), and the larger side never
+    // shuffles — the per-language-pair economics the e114 comment names
+    // as the production path. Output is label-oriented (x = label 1)
+    // either way.
+    val sizes = emb.filter(col("label").isin(1, 2))
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Number]("label").intValue ->
+        r.getLong(r.fieldIndex("n"))).toMap
+    val joined =
+      if (sizes.getOrElse(2, 0L) <= sizes.getOrElse(1, 0L))
+        xs.join(broadcast(ys), "cid")
+      else ys.join(broadcast(xs), "cid")
+    val p = joined.select(col("x_id"), col("y_id"),
+      round(cosine(col("xe"), col("ye")) * 1e6).cast(LongType).as("c6"))
     bitextMargin(p)
   }
 

@@ -975,21 +975,34 @@ final class BucketedReplica(
   /** [[commit]] for a caller that ALREADY holds the merged full content of
     * the touched buckets (the streaming SCD2 path: its historization
     * window computes latest-wins as a by-product, so re-merging inside
-    * commit would run the union+window a second time). Same constraint
-    * enforcement, same one-snapshot publish; `rows` must carry every key
-    * co-resident in `touched` (tombstones included). */
-  private[graft] def commitMerged(rows: DataFrame, touched: Seq[Int]): Unit = {
+    * commit would run the union+window a second time).
+    *
+    * `snapAt` MUST be the snapshot the open rows were READ against
+    * ([[pinSnapshot]] → [[readBucketsAt]]): publish derives the next
+    * version from it, so a foreign commit landing between the read and
+    * this publish loses at the write-once pointer (ConcurrentCommit) like
+    * every other conflict — if this method took its own fresh snapshot
+    * instead, the stale pre-merged rows would publish on TOP of the
+    * foreign commit and silently drop its rows from the touched buckets.
+    *
+    * Constraints are enforced on `delta` — the INCOMING batch — matching
+    * [[commit]]'s contract. Validating the merged content would re-judge
+    * STORED rows (a row orphaned by a later parent delete, or predating an
+    * added CHECK) and permanently wedge the stream on a bucket no current
+    * batch is at fault for. `rows` must carry every key co-resident in
+    * `touched` (tombstones included). */
+  private[graft] def commitMerged(rows: DataFrame, touched: Seq[Int],
+                                  snapAt: Snapshot, delta: DataFrame): Unit = {
     if (touched.isEmpty) return
     val spark = rows.sparkSession
-    val snap0 = headSnapshot()
     val kv0 = metaKv
-    val manTxt = snap0.map { case (v, tk) =>
+    val manTxt = snapAt.map { case (v, tk) =>
       io.readString(ctl("manifest", v, "tsv", tk)) }
     val n = effectiveBuckets(manTxt.flatMap(parseManifestN), Some(kv0))
-    enforceChecks(rows, kv0)
-    enforceForeignKeys(spark, rows, kv0)
+    enforceChecks(delta, kv0)
+    enforceForeignKeys(spark, delta, kv0)
     publish(touched, rows, None, n,
-      snapIn = Some((snap0,
+      snapIn = Some((snapAt,
         manTxt.map(parseManifestEntries).getOrElse(Map.empty[Int, String]))))
   }
 
@@ -1030,14 +1043,24 @@ final class BucketedReplica(
 
   /** Stored rows of exactly `buckets` (ids from [[touchedBuckets]]) as of
     * the current pointer — the probe-free half of [[readTouched]]. */
-  def readBucketsOf(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
-    // one snapshot binds manifest and schema to the same version
-    val snap = headSnapshot()
+  def readBucketsOf(spark: SparkSession, buckets: Seq[Int]): DataFrame =
+    readBucketsAt(spark, buckets, pinSnapshot())
+
+  /** The control-plane snapshot a read-merge-commit caller pins ONCE and
+    * threads through [[readBucketsAt]] and [[commitMerged]], so its commit
+    * serializes against the version it actually read. Opaque outside the
+    * replica. */
+  private[graft] type Snapshot = Option[(Long, Map[Long, Option[String]])]
+  private[graft] def pinSnapshot(): Snapshot = headSnapshot()
+
+  /** [[readBucketsOf]] against an already-pinned snapshot — manifest and
+    * schema both resolve at `snap`'s version. */
+  private[graft] def readBucketsAt(spark: SparkSession, buckets: Seq[Int],
+                                   snap: Snapshot): DataFrame =
     readBuckets(spark,
       snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty),
       buckets,
       snap.map { case (v, tk) => schemaAt(v, tk) }.getOrElse(schema))
-  }
 
   /** The stored rows sharing a bucket with any key in `batch` — the bounded
     * read for merge-style consumers (same touched-bucket arithmetic as

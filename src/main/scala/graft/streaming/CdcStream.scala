@@ -390,7 +390,13 @@ object CdcStream {
       // re-running the union+merge window a second time, which the r11
       // CommitProbe breakdown showed was most of the commit phase's wall.
       val touched = rep.touchedBuckets(good)
-      val open = rep.readBucketsOf(good.sparkSession, touched)
+      // ONE pinned snapshot covers the open-row read AND the commit: the
+      // publish below serializes against the version these rows were read
+      // at, so a foreign commit interleaving the two loses at the
+      // write-once pointer (ConcurrentCommit) instead of having its rows
+      // silently replaced by our stale pre-merge view of the bucket.
+      val snap = rep.pinSnapshot()
+      val open = rep.readBucketsAt(good.sparkSession, touched, snap)
       val hist = graft.Cdc.scd2(
         open.unionByName(good).dropDuplicates("user_id", "pos"), Seq("user_id"))
         .persist()
@@ -400,7 +406,8 @@ object CdcStream {
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").partitionBy("batch_id").parquet(historyDir)
         rep.commitMerged(hist.filter(col("valid_to_pos").isNull)
-          .drop("valid_from_pos", "valid_to_pos", "is_current"), touched)
+          .drop("valid_from_pos", "valid_to_pos", "is_current"),
+          touched, snap, delta = good)
       } finally { hist.unpersist(); () }
     } finally { good.unpersist(); () }
   }

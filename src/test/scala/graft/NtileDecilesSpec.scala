@@ -42,6 +42,22 @@ class NtileDecilesSpec extends SparkSpecBase {
     assert(got(ids) === reference(ids))
   }
 
+  test("empty input returns an empty decile map (no NPE on NULL min/max)") {
+    val out = Extensions.ntileDecilesOf(spark, Seq.empty[Long].toDF("doc_id"))
+    assert(out.columns.toSeq === Seq("doc_id", "decile"))
+    assert(out.count() === 0L)
+  }
+
+  test("ids spanning nearly the full Long range: span arithmetic must not " +
+    "overflow into the dense path or wrap the bucket assignment") {
+    val rnd = new scala.util.Random(7)
+    val extremes = Seq(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+      Long.MaxValue - 1, Long.MaxValue)
+    val ids = (extremes ++ (0 until 96).map(_ =>
+      rnd.nextLong())).distinct.sorted
+    assert(got(ids) === reference(ids))
+  }
+
   test("e115's fixture path is the dense one (no window in the plan)") {
     val df = Extensions.ntileDecilesByDocId(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString

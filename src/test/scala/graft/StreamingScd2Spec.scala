@@ -107,4 +107,93 @@ class StreamingScd2Spec extends SparkSpecBase {
       CdcStream.fileChangelogStream(spark, in), rep, hist, ck).awaitTermination()
     assert(intervals(CdcStream.historyWithOpen(spark, rep, hist)) === expected(ch))
   }
+
+  /** The merged open rows the scd2 window derives for `open ∪ batch` —
+    * exactly what scd2Batch hands to commitMerged. */
+  private def openRowsOf(open: org.apache.spark.sql.DataFrame,
+                         batch: org.apache.spark.sql.DataFrame) =
+    Cdc.scd2(open.unionByName(batch).dropDuplicates("user_id", "pos"),
+        Seq("user_id"))
+      .filter(col("valid_to_pos").isNull)
+      .drop("valid_from_pos", "valid_to_pos", "is_current")
+
+  test("commitMerged: a foreign commit between the open-row read and the " +
+    "merged publish loses at the write-once pointer — never silently " +
+    "replaced by the stale pre-merge view") {
+    val root = tmpDir("scd2_seam") + "/rep"
+    val rep = new graft.streaming.BucketedReplica(root, pk = "user_id", nBuckets = 4)
+    val ch = Cdc.changelog(spark, sfDir).filter(col("user_id") < 20)
+    val ps = ch.agg(max(col("pos"))).head().getLong(0)
+    rep.commit(ch.filter(col("pos") <= ps / 2))
+    val batch = ch.filter(col("pos") > ps / 2)
+      .dropDuplicates("user_id", "pos").persist()
+    val touched = rep.touchedBuckets(batch)
+    val snap = rep.pinSnapshot()
+    val open = rep.readBucketsAt(spark, touched, snap)
+    val merged = openRowsOf(open, batch).persist()
+    merged.count() // materialize the window BEFORE the foreign commit lands
+    // a foreign writer commits a brand-new key while our window ran
+    val foreign = batch.limit(1)
+      .select(lit("INSERT").as("op"), col("tbl"), (col("pos") + 1).as("pos"),
+        col("ts_ns"), lit(9999L).as("user_id"), col("value"), col("event_type"))
+    rep.commit(foreign)
+    // the merged publish was planned against the pre-foreign snapshot: it
+    // must lose loudly at the pointer, not publish stale bucket content
+    intercept[graft.streaming.StoreIO.ConcurrentCommit] {
+      rep.commitMerged(merged, touched, snap, delta = batch)
+    }
+    assert(rep.live(spark).filter(col("user_id") === 9999L).count() === 1,
+      "the foreign commit's row must survive the defeated merged publish")
+    // the streaming retry re-reads at the NEW head and converges
+    val snap2 = rep.pinSnapshot()
+    val open2 = rep.readBucketsAt(spark, rep.touchedBuckets(batch), snap2)
+    rep.commitMerged(openRowsOf(open2, batch), touched, snap2, delta = batch)
+    assert(rep.live(spark).filter(col("user_id") === 9999L).count() === 1)
+    merged.unpersist(); batch.unpersist()
+  }
+
+  test("commitMerged validates the incoming delta only: a stored row " +
+    "orphaned by a later parent delete must not wedge the stream") {
+    val base = tmpDir("scd2_fkwedge")
+    val mk = (rows: Seq[org.apache.spark.sql.Row]) =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        CdcStream.envelopeSchema)
+    val parent = new graft.streaming.BucketedReplica(base + "/parent", nBuckets = 4)
+    parent.commit(mk(Seq(
+      org.apache.spark.sql.Row("INSERT", "users", 1L, 1L, 100L, 1.0, "evt"),
+      org.apache.spark.sql.Row("INSERT", "users", 2L, 2L, 200L, 2.0, "evt"))))
+    // nBuckets=1: every key is co-resident, so the merged content always
+    // carries the stored row alongside any delta
+    val child = new graft.streaming.BucketedReplica(base + "/child", nBuckets = 1)
+    child.commit(mk(Seq(
+      org.apache.spark.sql.Row("INSERT", "users", 100L, 10L, 11L, 1.0, "evt"),
+      org.apache.spark.sql.Row("INSERT", "users", 200L, 11L, 12L, 2.0, "evt"))))
+    child.addForeignKey(spark, "pos_ref", "pos", base + "/parent")
+    // parent key 200 deleted AFTER child row 12 stored its reference: row 12
+    // is now orphaned in place (FKs check at THIS table's commits only)
+    parent.commit(mk(Seq(
+      org.apache.spark.sql.Row("DELETE", "users", null, 3L, 200L, null, "evt"))))
+    // a VALID delta touching the orphan's bucket: delta-only validation
+    // commits it; merged-content validation would reject every future batch
+    val delta = mk(Seq(
+      org.apache.spark.sql.Row("INSERT", "users", 100L, 12L, 13L, 3.0, "evt")))
+      .persist()
+    val touched = child.touchedBuckets(delta)
+    val snap = child.pinSnapshot()
+    val open = child.readBucketsAt(spark, touched, snap)
+    child.commitMerged(openRowsOf(open, delta), touched, snap, delta = delta)
+    val ids = child.live(spark).select("user_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(11L, 12L, 13L),
+      "valid delta lands; the stored orphan stays (no retro-judgment)")
+    // the delta itself is still judged: an orphan DELTA is rejected
+    val bad = mk(Seq(
+      org.apache.spark.sql.Row("INSERT", "users", 999L, 13L, 14L, 4.0, "evt")))
+    val snap2 = child.pinSnapshot()
+    val open2 = child.readBucketsAt(spark, child.touchedBuckets(bad), snap2)
+    intercept[IllegalArgumentException] {
+      child.commitMerged(openRowsOf(open2, bad),
+        child.touchedBuckets(bad), snap2, delta = bad)
+    }
+    delta.unpersist()
+  }
 }
