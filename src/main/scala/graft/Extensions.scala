@@ -122,12 +122,7 @@ object Extensions {
       return ids.select(col("doc_id"), lit(1).cast(IntegerType).as("decile"))
         .limit(0)
     val (mn, mx) = (row.getLong(0), row.getLong(1))
-    val q = n / 10; val r = n % 10
-    val cuts = (1L to 9L).map(t => t * q + math.min(t, r)) // U(1..9)
-    def decileOf(rank: Column): Column =
-      cuts.foldLeft(lit(1)) { (acc, u) =>
-        acc + when(rank > u, 1).otherwise(0)
-      }.cast(IntegerType).as("decile")
+    val decileOf = ntileDecileOfRank(n) _
     // span arithmetic in BigInt: ids spanning near the full Long range
     // (mn << 0 << mx) overflow mx-mn+1, which would silently take the
     // dense path or collapse the bucket width to garbage
@@ -159,6 +154,95 @@ object Extensions {
           .over(Window.partitionBy(col("bkt")).orderBy(col("doc_id"))))
         .select(col("doc_id"), decileOf(col("rank")))
     }
+  }
+
+  /** NTILE(10) as rank arithmetic (shared by the doc_id and score decile
+    * maps): with N rows, q = N/10, r = N%10, tile t's last rank is
+    * U(t) = t*q + min(t, r), so decile(rank) = 1 + |{t in 1..9 :
+    * rank > U(t)}| — nine broadcast Long literals, no division, exactly
+    * SQL NTILE's larger-tiles-first split. */
+  private def ntileDecileOfRank(n: Long)(rank: Column): Column = {
+    val q = n / 10; val r = n % 10
+    (1L to 9L).map(t => t * q + math.min(t, r)) // U(1..9)
+      .foldLeft(lit(1)) { (acc, u) =>
+        acc + when(rank > u, 1).otherwise(0)
+      }.cast(IntegerType).as("decile")
+  }
+
+  /** Exact NTILE(10) over (score ASC, doc_id ASC) WITHOUT a global window —
+    * the score-ordered sibling of [[ntileDecilesOf]] for rank-binning a
+    * FLOAT column (e33-style quality logits), where the dense-id map-side
+    * arithmetic cannot apply. Shape:
+    *   1. one 3-value driver agg (min/max/count) sizes ≤1024 equal-width
+    *      score ranges; one ≤1025-row driver collect turns per-range counts
+    *      into global rank offsets (both control-plane; offsets broadcast);
+    *   2. rank = range offset + row_number PARTITIONED by range (ordered
+    *      by score, doc_id) — parallel, never an Exchange SinglePartition
+    *      — and [[ntileDecileOfRank]] bins it.
+    * EXACT, not approximate: floor((score-mn)/width) is weakly monotone in
+    * score under IEEE arithmetic (constant subtract, then divide by a
+    * positive constant, both exactly-rounded) and equal scores share a
+    * range, so range-offset + local rank IS the global (score, doc_id)
+    * rank. Degenerate inputs: all-equal scores delegate to the doc_id path
+    * (the tie-break order IS the id order); a score distribution whose
+    * mass collapses into ONE range degrades that range's row_number toward
+    * a global sort partition — at 100 TB recurse the same histogram split
+    * inside the hot range (one extra round per density ratio of 1024×);
+    * scores are assumed finite (a NaN/Inf logit is a scoring bug upstream).
+    * Input: any frame with (doc_id LONG-castable unique, score
+    * DOUBLE-castable) plus any payload columns; output = the input columns
+    * with `decile` appended (payload carried through, so consumers never
+    * join back against a corpus-sized decile map). */
+  private[graft] def ntileDecilesByScoreOf(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = scored.withColumn("doc_id", col("doc_id").cast(LongType))
+      .withColumn("score", col("score").cast(DoubleType))
+    val h = rows.agg(min(col("score")), max(col("score")), count(lit(1))).head()
+    val n = h.getLong(2)
+    if (n == 0L)
+      return rows.withColumn("decile", lit(1).cast(IntegerType)).limit(0)
+    val (mnS, mxS) = (h.getDouble(0), h.getDouble(1))
+    if (!(mxS > mnS)) // all scores equal: NTILE order reduces to doc_id
+      return rows.join(
+        ntileDecilesOf(rows.sparkSession, rows.select(col("doc_id"))), "doc_id")
+    val decileOf = ntileDecileOfRank(n) _
+    val nb = math.min(1024L, n)
+    val width = (mxS - mnS) / nb
+    val bucketed = rows.withColumn("bkt",
+      least(floor((col("score") - mnS) / width), lit(nb - 1)).cast(LongType))
+    val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      .orderBy(col("bkt")).collect()
+    var cum = 0L
+    val offs = counts.map { rw =>
+      val o = (rw.getLong(0), cum)
+      cum += rw.getLong(1); o
+    }.toSeq
+    val offDf = rows.sparkSession.createDataFrame(offs).toDF("bkt2", "off")
+    bucketed.join(broadcast(offDf), col("bkt") === col("bkt2"))
+      // rank materializes as its OWN column first: inlining it into the
+      // nine decile comparisons would expand to nine copies of the
+      // row_number window expression in the Window node
+      .withColumn("rank", col("off") + row_number()
+        .over(Window.partitionBy(col("bkt"))
+          .orderBy(col("score"), col("doc_id"))))
+      .withColumn("decile", decileOf(col("rank")))
+      .drop("bkt", "bkt2", "off", "rank")
+  }
+
+  /** The e33-convention quality logit per document — shared by e105 (the
+    * pinned-window exact-semantics anchor) and e105b (the windowless
+    * production form), so both bin the bit-identical float. */
+  private def e105Scored(s: SparkSession, d: String): DataFrame = {
+    val tk = toks(col("text"))
+    val n = size(tk)
+    val ttr = size(array_distinct(tk)).cast(DoubleType) / n
+    val stopRatio = size(filter(tk, t => t === "the" || t === "a"))
+      .cast(DoubleType) / n
+    load(s, d, "documents")
+      .select(col("doc_id"), n.cast(LongType).as("n_tok"),
+        (lit(-1.5) + lit(2.0) * ttr
+          + lit(0.01) * least(n.cast(DoubleType), lit(100.0))
+          + lit(3.0) * stopRatio).as("score"))
   }
 
   /** BM25 (k1=1.2, b=0.75) per-doc scores for the fixed 3-term query,
@@ -2584,25 +2668,32 @@ object Extensions {
     // score is a float (the logit itself is bit-identical per e33's
     // audit; ties break by doc_id on both engines). The single-partition
     // window is pinned deliberately (graft_pin survives constant
-    // folding); at 100 TB the same artifact comes from a c44-style
-    // histogram — boundary quantiles from a map-side sketch, broadcast,
-    // then map-side binning — with this window form as the
-    // exact-semantics anchor.
+    // folding) — this form is the exact-semantics ANCHOR; e105b is the
+    // windowless production form that must (and does — same oracle SQL,
+    // plus NtileDecilesSpec's differential) reproduce it bit-for-bit.
     "e105_quality_deciles" -> { (s, d) =>
-      val tk = toks(col("text"))
-      val n = size(tk)
-      val ttr = size(array_distinct(tk)).cast(DoubleType) / n
-      val stopRatio = size(filter(tk, t => t === "the" || t === "a"))
-        .cast(DoubleType) / n
-      val scored = load(s, d, "documents")
-        .select(col("doc_id"), n.cast(LongType).as("n_tok"),
-          (lit(-1.5) + lit(2.0) * ttr
-            + lit(0.01) * least(n.cast(DoubleType), lit(100.0))
-            + lit(3.0) * stopRatio).as("score"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(graft.functions.PinnedKey.pin(lit(0)))
         .orderBy(col("score").asc, col("doc_id").asc)
-      scored.withColumn("decile", ntile(10).over(w))
+      e105Scored(s, d).withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy("decile")
+    },
+    // E4/training prep — e105's 100 TB form: the IDENTICAL curriculum
+    // artifact with the global ntile window replaced by the windowless
+    // exact rank ([[ntileDecilesByScoreOf]] — ≤1024-range score histogram
+    // collected driver-side, offsets broadcast, row_number PARTITIONED by
+    // range, NTILE rank arithmetic as nine broadcast literals). Never an
+    // Exchange SinglePartition over corpus-sized input; still bit-exact
+    // (same oracle SQL as e105 — the scalable path earns the same gate,
+    // not a documented tolerance). The scored frame checkpoints once so
+    // the histogram pass and the binning pass don't re-tokenize the
+    // corpus — at 100 TB that is one narrow materialization vs two full
+    // text scans.
+    "e105b_quality_deciles_scalable" -> { (s, d) =>
+      ntileDecilesByScoreOf(e105Scored(s, d).localCheckpoint())
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
           min(col("score")).as("min_score"), max(col("score")).as("max_score"))
@@ -5608,6 +5699,24 @@ object Extensions {
     // binning is exact on both engines; the decile casts to INT to match
     // Spark's ntile type
     "e105_quality_deciles" ->
+      """WITH f AS (SELECT doc_id, len(string_split(text,' ')) AS n,
+        |    len(list_distinct(string_split(text,' ')))::DOUBLE
+        |      / len(string_split(text,' ')) AS ttr,
+        |    len(list_filter(string_split(text,' '), t -> t = 'the' OR t = 'a'))::DOUBLE
+        |      / len(string_split(text,' ')) AS stop_ratio
+        |  FROM documents),
+        |sc AS (SELECT doc_id, n::BIGINT AS n_tok,
+        |    -1.5 + 2.0 * ttr + 0.01 * least(n::DOUBLE, 100.0)
+        |      + 3.0 * stop_ratio AS score
+        |  FROM f),
+        |t AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY score ASC, doc_id ASC) AS INT)
+        |        AS decile FROM sc)
+        |SELECT decile, count(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+        |  MIN(score) AS min_score, MAX(score) AS max_score
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+    // e105b is e105's windowless production form: SAME artifact, same
+    // oracle — the scalable path earns the identical bit-exact gate
+    "e105b_quality_deciles_scalable" ->
       """WITH f AS (SELECT doc_id, len(string_split(text,' ')) AS n,
         |    len(list_distinct(string_split(text,' ')))::DOUBLE
         |      / len(string_split(text,' ')) AS ttr,

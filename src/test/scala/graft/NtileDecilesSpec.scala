@@ -58,6 +58,64 @@ class NtileDecilesSpec extends SparkSpecBase {
     assert(got(ids) === reference(ids))
   }
 
+  // ---- score-ordered form (e105b's engine) --------------------------------
+
+  private def scoreReference(rows: Seq[(Long, Double)]): Map[Long, Int] =
+    rows.toDF("doc_id", "score")
+      .select(col("doc_id"),
+        ntile(10).over(Window.orderBy(col("score"), col("doc_id"))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  private def scoreGot(rows: Seq[(Long, Double)]): Map[Long, Int] =
+    Extensions.ntileDecilesByScoreOf(rows.toDF("doc_id", "score"))
+      .select("doc_id", "decile")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("score deciles: histogram-rank matches ntile over (score, doc_id) " +
+    "on randomized floats with heavy ties") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(9, 10, 257, 1000)) {
+      // quantized scores force cross-doc ties; negatives and a hot value
+      // stress both the range arithmetic and the tie-break
+      val rows = (0L until n.toLong).map(i =>
+        i -> (math.floor(rnd.nextGaussian() * 8) / 4.0 - 1.5))
+      assert(scoreGot(rows) === scoreReference(rows), s"n=$n")
+    }
+  }
+
+  test("score deciles: skewed mass (90% of rows share one range) stays exact") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 500L).map { i =>
+      i -> (if (i % 10 == 0) rnd.nextDouble() * 1e6 else 0.25 + rnd.nextDouble() * 1e-9)
+    }
+    assert(scoreGot(rows) === scoreReference(rows))
+  }
+
+  test("score deciles: all-equal scores reduce to the doc_id order; empty in, empty out") {
+    val rows = Seq(42L, 7L, 19L, 3L, 100L, 55L, 61L, 2L, 88L, 13L, 29L)
+      .map(_ -> 0.125)
+    assert(scoreGot(rows) === scoreReference(rows))
+    assert(Extensions.ntileDecilesByScoreOf(
+      Seq.empty[(Long, Double)].toDF("doc_id", "score")).count() === 0L)
+  }
+
+  test("score deciles: payload columns ride through (no join-back needed)") {
+    val df = Seq((1L, 0.5, "a"), (2L, 0.1, "b"), (3L, 0.9, "c"))
+      .toDF("doc_id", "score", "payload")
+    val out = Extensions.ntileDecilesByScoreOf(df)
+    assert(out.columns.toSet === Set("doc_id", "score", "payload", "decile"))
+    assert(out.select("payload").collect().map(_.getString(0)).toSet
+      === Set("a", "b", "c"))
+  }
+
+  test("e105b's plan has no single-partition exchange and no global window") {
+    val df = SparkEntry.queries("e105b_quality_deciles_scalable")(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("SinglePartition"), phys)
+    // the only Window is row_number partitioned by the score range
+    assert(!phys.contains("ntile"), phys)
+  }
+
   test("e115's fixture path is the dense one (no window in the plan)") {
     val df = Extensions.ntileDecilesByDocId(spark, sfDir)
     val phys = df.queryExecution.executedPlan.toString
