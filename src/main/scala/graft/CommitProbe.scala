@@ -113,6 +113,46 @@ object CommitProbe {
     probe("jdbc_batch_3")(sink.applyBatch(batchDf(spark, 50 until 150, 3), 3L))
     probe("jdbc_replay_noop")(sink.applyBatch(batchDf(spark, 50 until 150, 3), 3L))
 
+    // --- index stores on the same OpLog protocol ------------------------
+    // The number to watch is READS PER BATCH as the log grows: the OpLog
+    // entry cache keeps it flat (list + the one new entry) where the
+    // uncached fold re-read every entry every batch — O(batches²) round
+    // trips over a stream's life. Six batches make the trend visible.
+    import spark.implicits._
+    def docsDf(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, s"document number $i body words ${i % 17} " +
+          s"alpha beta gamma ${i % 5}", "en", "probe", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val lsh = new graft.streaming.LshIndex(s"$root/lsh")
+    (1 to 6).foreach { i =>
+      probe(s"lsh_add_batch$i")(
+        lsh.addBatch(docsDf(i * 100 until i * 100 + 50)
+          .select("doc_id", "text"), i.toLong))
+    }
+    probe("lsh_probe_neardups")(
+      lsh.probeNearDups(docsDf(150 until 170).select("doc_id", "text"))
+        .count())
+
+    val ivf = new graft.streaming.IvfIndex(s"$root/ivf")
+    def vecsDf(ids: Range): DataFrame =
+      ids.map(i => (i.toLong,
+          Array.tabulate(8)(d => ((i + d) % 11 + 1).toFloat)))
+        .toDF("vec_id", "embedding")
+    ivf.create(vecsDf(0 until 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    (1 to 4).foreach { i =>
+      probe(s"ivf_add_batch$i")(
+        ivf.addBatch(vecsDf(i * 100 until i * 100 + 50), i.toLong))
+    }
+
+    val ci = new graft.streaming.CorpusIngest(s"$root/corpus",
+      nearDupMinSig = Some(6))
+    (1 to 4).foreach { i =>
+      probe(s"corpus_ingest_batch$i")(
+        ci.ingestBatch(docsDf(i * 1000 until i * 1000 + 50), i.toLong))
+    }
+
     spark.stop()
   }
 }

@@ -270,11 +270,31 @@ final class OpLog(io: StoreIO) {
     names.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).sorted
   }
 
-  def read(v: Long): Map[String, String] =
-    io.readString(io.path(s"$prefix$v")).linesIterator
-      .filter(_.contains("=")).map { l =>
-        val Array(k, vv) = l.split("=", 2); k -> vv
-      }.toMap
+  // Log entries are WRITE-ONCE (createExclusive; only truncateBefore ever
+  // deletes one, and only after a subsuming compact), so parsed content
+  // caches safely per instance: state() costs one list plus one read per
+  // NEW entry instead of re-reading the whole log every call. For a
+  // stream that calls state() each micro-batch that is O(batches) total
+  // round trips over its life instead of O(batches²) — the same
+  // repeated-head-read waste class the replica's one-snapshot commit
+  // removed, now measured by CommitProbe's index-store section. A direct
+  // read(v) of a truncated version serves the cached (subsumed) content
+  // instead of an IOException — benign: versions() never lists it.
+  private val entryCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
+
+  def read(v: Long): Map[String, String] = {
+    val hit = entryCache.get(v)
+    if (hit != null) hit
+    else {
+      val kv = io.readString(io.path(s"$prefix$v")).linesIterator
+        .filter(_.contains("=")).map { l =>
+          val Array(k, vv) = l.split("=", 2); k -> vv
+        }.toMap
+      entryCache.put(v, kv)
+      kv
+    }
+  }
 
   /** All entries in commit order. */
   def entries: Seq[(Long, Map[String, String])] = versions.map(v => v -> read(v))
