@@ -183,4 +183,52 @@ class CrossQueryConsistencySpec extends SparkSpecBase {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a._3 <= b._3 && a._4 <= b._4, "nprobe sweep not monotone") }
   }
+
+  test("e114b ≡ e114 where they overlap: bit-identical cosine, dominated " +
+    "margins, and the real (non-)containment pinned") {
+    def byPair(n: String) = q(n).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val dense = byPair("e114_bitext_margin")
+    val buck = byPair("e114b_bitext_bucketed")
+    // 1. overlap pairs — the same (x,y) accepted by both miners — must
+    //    carry the IDENTICAL c6 cosine: both snap cos·10⁶ once through
+    //    the same fold, so any drift here means the bucketed pipeline
+    //    rescored rather than restricted.
+    val ov = dense.keySet intersect buck.keySet
+    assert(ov.nonEmpty, "no overlapping accepts — gate would be vacuous")
+    ov.foreach { k =>
+      assert(dense(k)._1 === buck(k)._1, s"cos_sim differs for pair $k") }
+    // 2. on those overlap pairs the bucketed margin must DOMINATE the
+    //    dense one: the NN-4 masses are sums over bucket-RESTRICTED
+    //    neighborhoods, and on this fixture every omitted neighbor
+    //    contributes a non-negative cosine, so restriction can only
+    //    shrink the denominator (masses differ by design — the margins
+    //    are NOT asserted equal).
+    ov.foreach { k =>
+      assert(buck(k)._2 >= dense(k)._2,
+        s"bucketed margin below dense for pair $k") }
+    // 3. provable dominance, not fixture luck: for every source x BOTH
+    //    miners accept (with whatever partner), the dense partner's
+    //    cosine >= the bucketed partner's — the dense forward-best is an
+    //    argmax over a SUPERSET of the bucket-local candidates.
+    val denseByX = dense.map { case ((x, _), (c, _)) => x -> c }
+    val buckByX = buck.map { case ((x, _), (c, _)) => x -> c }
+    val sharedX = denseByX.keySet intersect buckByX.keySet
+    assert(sharedX.nonEmpty)
+    sharedX.foreach { x =>
+      assert(denseByX(x) >= buckByX(x),
+        s"bucket-local best beats the dense best for x=$x") }
+    // 4. the containment relationship, pinned HONESTLY: neither accept
+    //    set contains the other. Bucketing LOSES sources (the dense-best
+    //    partner sits out-of-bucket and the in-bucket replacement fails
+    //    the ratio) and GAINS sources (restricted masses shrink both
+    //    denominators, so borderline pairs clear 1.10). Both differences
+    //    are nonempty on the fixtures — a blind "e114b ⊆ e114" claim
+    //    would be false, which is exactly why it is not asserted.
+    assert((denseByX.keySet diff buckByX.keySet).nonEmpty,
+      "expected dense-only sources (out-of-bucket best partners)")
+    assert((buckByX.keySet diff denseByX.keySet).nonEmpty,
+      "expected bucketed-only sources (shrunken hubness denominators)")
+  }
 }
