@@ -191,7 +191,12 @@ object ScaleProbe {
       // key, line dedup on the line key — both should ride |corpus| lines,
       // since suffixed-replica spans/lines never collide across replicas
       "e80_span_scrub" -> SparkEntry.queries("e80_span_scrub"),
-      "e82_line_dedup" -> SparkEntry.queries("e82_line_dedup"))
+      "e82_line_dedup" -> SparkEntry.queries("e82_line_dedup"),
+      // round-12: the windowless score-decile path — should ride |corpus|
+      // (two narrow scans of the checkpointed scored frame + a 10-row agg;
+      // the boundary collect is ≤1024 rows at every scale)
+      "e105b_quality_deciles_scalable" ->
+        SparkEntry.queries("e105b_quality_deciles_scalable"))
     val bytes = new Bytes
     spark.sparkContext.addSparkListener(bytes)
     val dirs = scales.map(sc => sc -> synthDir(spark, baseDir, sc)).toMap

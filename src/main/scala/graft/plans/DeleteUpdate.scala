@@ -142,13 +142,18 @@ abstract class GraftDmlCommand extends LeafRunnableCommand {
 
     // rewrite: full new content of exactly the touched buckets — subjects
     // transformed, co-resident rows (live non-matching, tombstones, drift)
-    // carried verbatim, one codegen'd CASE per column
+    // carried verbatim, one codegen'd CASE per column. ONE pinned snapshot
+    // covers the read and the replace: a foreign commit interleaving them
+    // loses at the write-once pointer instead of being silently replaced
+    // by this DML's stale co-resident view.
+    val snap = rep.pinSnapshot()
     val content = align(
-      rep.readBucketsOf(spark, buckets).queryExecution.analyzed, targetAttrs)
+      rep.readBucketsAt(spark, buckets, snap).queryExecution.analyzed,
+      targetAttrs)
     val outCols: Seq[NamedExpression] = targetAttrs.map { a =>
       Alias(CaseWhen(Seq(subject -> newValue(a)), Some(a)), a.name)()
     }
-    rep.replaceTouched(Bridge.ofRows(spark, Project(outCols, content)))
+    rep.replaceTouched(Bridge.ofRows(spark, Project(outCols, content)), snap)
 
     // registered-view surface: refresh to the new version (the catalog
     // surface re-resolves per query, nothing to refresh)

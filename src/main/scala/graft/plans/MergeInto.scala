@@ -205,9 +205,13 @@ case class GraftMergeCommand(
     // Bucket-bounded when actions only ever touch rows the source names; a
     // NOT MATCHED BY SOURCE action's subjects are by definition OUTSIDE the
     // source's buckets, so that form pays the full-table read it asks for.
+    // ONE pinned snapshot covers this read AND the replaceTouched below, so
+    // a foreign commit interleaving them loses at the write-once pointer
+    // instead of being silently replaced by this MERGE's stale target view.
+    val snap = rep.pinSnapshot()
     val fresh =
-      if (notMatchedBySourceActions.nonEmpty) rep.read(spark)
-      else rep.readTouched(srcKeys)
+      if (notMatchedBySourceActions.nonEmpty) rep.readAllAt(spark, snap)
+      else rep.readBucketsAt(spark, rep.touchedBuckets(srcKeys), snap)
     // two-valued split: live is exactly what rep.live() shows the analyst;
     // EVERYTHING else stored (tombstones AND null-op rows from schema-drift
     // landings) is carried forward untouched unless an action re-creates
@@ -315,7 +319,7 @@ case class GraftMergeCommand(
     // stored tombstones stay unless an action re-created their key
     val deadKept = dead.join(result.select(col(rep.pk)), Seq(rep.pk), "left_anti")
       .select(result.columns.map(col).toSeq: _*)
-    rep.replaceTouched(result.unionByName(deadKept))
+    rep.replaceTouched(result.unionByName(deadKept), snap)
 
     // refresh the analyst view to the new version (registered-view surface
     // only; the catalog surface re-resolves loadTable per query, so the next

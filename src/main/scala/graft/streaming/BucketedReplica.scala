@@ -1006,22 +1006,47 @@ final class BucketedReplica(
         manTxt.map(parseManifestEntries).getOrElse(Map.empty[Int, String]))))
   }
 
-  /** SQL-MERGE write path (graft.plans.GraftMergeInto): `rows` is the FULL
-    * new content of every bucket it covers (the caller carried co-resident
-    * rows and applied the merge semantics); replace exactly those buckets —
-    * the same bounded atomic version commit as [[commit]] without the
-    * latest-wins fold. */
-  private[graft] def replaceTouched(rows: DataFrame): Unit = {
+  /** SQL-MERGE/DML write path (graft.plans.GraftMergeInto, DELETE/UPDATE):
+    * `rows` is the FULL new content of every bucket it covers (the caller
+    * carried co-resident rows and applied the merge semantics); replace
+    * exactly those buckets — the same bounded atomic version commit as
+    * [[commit]] without the latest-wins fold.
+    *
+    * `snapAt` MUST be the snapshot the co-resident rows were READ against
+    * ([[pinSnapshot]] → [[readBucketsAt]]/[[readAllAt]]): publish derives
+    * the next version from it, so a foreign commit interleaving the
+    * caller's read and this replace loses loudly at the write-once pointer
+    * (ConcurrentCommit) instead of having its rows silently replaced by
+    * the caller's stale pre-merge view — the [[commitMerged]] discipline,
+    * applied to the SQL surface. */
+  private[graft] def replaceTouched(rows: DataFrame, snapAt: Snapshot): Unit = {
     val n = layoutBuckets
     val r = rows.filter(col(pk).isNotNull).persist()
     try {
       val touched = r.select(bucketExpr(n).as("__b")).distinct()
         .collect().map(_.getLong(0).toInt).toSeq.sorted
       if (touched.nonEmpty)
-        publish(touched, r,
-          headSnapshot().flatMap { case (v, tk) => tagOf(v, tk) }, n)
+        publish(touched, r, snapAt.flatMap { case (v, tk) => tagOf(v, tk) }, n,
+          snapIn = Some((snapAt,
+            snapAt.map { case (v, tk) => readManifest(v, tk) }
+              .getOrElse(Map.empty[Int, String]))))
     } finally { r.unpersist(); () }
   }
+
+  /** Full stored content at an already-pinned snapshot — the DML-side
+    * read for forms that need the whole table (MERGE's NOT MATCHED BY
+    * SOURCE), paired with [[replaceTouched]]'s conflict discipline. */
+  private[graft] def readAllAt(spark: SparkSession, snap: Snapshot): DataFrame =
+    snap match {
+      case None => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      case Some((v, tokens)) =>
+        val sch = schemaAt(v, tokens)
+        val paths = readManifest(v, tokens).values.map(dataPath).toSeq.sorted
+        if (paths.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+        else spark.read.schema(sch).parquet(paths: _*)
+    }
 
   /** Bucket ids the batch's keys hash into under the current layout — ONE
     * driver action (a distinct over ≤ nBuckets longs). Merge-style consumers

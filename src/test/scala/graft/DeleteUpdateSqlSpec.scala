@@ -176,6 +176,32 @@ class DeleteUpdateSqlSpec extends SparkSpecBase {
     } finally GraftMergeInto.unregister("dml_race_view")
   }
 
+  test("replaceTouched serializes against the snapshot its content was " +
+    "read at: a foreign commit between the DML read and the replace " +
+    "loses at the pointer, never silently overwritten") {
+    val root = tmpDir("dml_seam") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.commit(seed)
+    val maxPos = seed.agg(max(col("pos"))).collect()(0).getLong(0)
+    // the DML pins its snapshot and builds its full-bucket content
+    val snap = rep.pinSnapshot()
+    val buckets = rep.touchedBuckets(seed)
+    val content = rep.readBucketsAt(spark, buckets, snap)
+      .withColumn("value", col("value") * 2).persist()
+    content.count() // materialize the read before the foreign commit
+    // a foreign writer commits a NEW key while the DML was planning
+    val foreign = seed.limit(1)
+      .withColumn("user_id", lit(424242L))
+      .withColumn("pos", lit(maxPos + 1))
+    rep.commit(foreign)
+    intercept[graft.streaming.StoreIO.ConcurrentCommit] {
+      rep.replaceTouched(content, snap)
+    }
+    assert(rep.live(spark).filter(col("user_id") === 424242L).count() === 1,
+      "the foreign commit's row must survive the defeated DML replace")
+    content.unpersist()
+  }
+
   test("refusals: SET pk, SET op, VERSION AS OF target, nondeterministic WHERE") {
     val wh = tmpDir("dml_refuse")
     val rep = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)
