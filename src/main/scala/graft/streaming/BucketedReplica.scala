@@ -592,7 +592,8 @@ final class BucketedReplica(
     * [[compactTombstones]]. */
   def commit(batch: DataFrame, tombstoneGcHorizon: Option[Long] = None,
              tag: Option[Long] = None, evolveSchema: Boolean = false,
-             precomputedTouched: Option[Seq[Int]] = None): Unit = {
+             precomputedTouched: Option[Seq[Int]] = None,
+             snapAt: Option[Snapshot] = None): Unit = {
     val spark = batch.sparkSession
     // ONE control-plane snapshot per commit: pointer, manifest text, and
     // schema are resolved once and threaded through bucket-merge AND
@@ -603,8 +604,11 @@ final class BucketedReplica(
     // earlier snapshot's manifest, so a foreign commit landing in between
     // could have its touched-bucket rows silently dropped from the new
     // manifest; now that racer is caught at the write-once pointer
-    // (ConcurrentCommit) like every other conflict.
-    val snap0 = headSnapshot()
+    // (ConcurrentCommit) like every other conflict. A caller that READ
+    // replica state before calling (IncrementalAgg's pre-commit diff)
+    // passes the snapshot it read at via `snapAt`, extending the same
+    // serialization back over its own read window.
+    val snap0 = snapAt.getOrElse(headSnapshot())
     val kv0 = metaKv
     val manTxt = snap0.map { case (v, tk) =>
       io.readString(ctl("manifest", v, "tsv", tk)) }

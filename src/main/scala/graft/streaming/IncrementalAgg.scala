@@ -76,6 +76,11 @@ final class IncrementalAgg(
     try applyBatchCached(batch) finally { batch.unpersist(); () }
   }
 
+  /** Test seam: invoked between the pre-commit read's snapshot and the
+    * replica commit — the window a foreign writer can slip into. No-op in
+    * production. */
+  private[graft] var beforeReplicaCommit: () => Unit = () => ()
+
   private def applyBatchCached(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
     val keys = batch.filter(col(pk).isNotNull).select(col(pk)).distinct()
@@ -84,15 +89,26 @@ final class IncrementalAgg(
     // collect — 3 driver actions where 1 suffices; at high trigger rates
     // per-batch actions are the streaming path's scalability tax)
     val touched = rep.touchedBuckets(batch)
+    // ONE pinned snapshot anchors the before-read AND the commit: the
+    // delta below is before/after state arithmetic, so a foreign commit
+    // slipping between the two would have its effect on the batch's keys
+    // silently folded into THIS batch's delta — double-counted once the
+    // foreign writer's own applyBatch also lands. Serialized at the
+    // pointer instead: the interleaved case aborts with ConcurrentCommit
+    // and the stream's retry diffs against the post-foreign state.
+    val snap = rep.pinSnapshot()
     // live state of the batch's keys; keys ≤ batch size, bounded per
     // micro-batch → broadcast the semi-join probe, never shuffle the buckets
-    def keyedLive(): DataFrame = rep.readBucketsOf(spark, touched)
-      .filter(col(opCol) =!= "DELETE")
-      .join(broadcast(keys), Seq(pk), "left_semi")
-      .select(col(groupCol), col(valueCol).cast(DecimalType(18, 2)).as("__v"))
-    val before = keyedLive() // resolves pre-commit paths now; files retained
-    rep.commit(batch, precomputedTouched = Some(touched))
-    val after = keyedLive()
+    def keyedLive(at: Option[rep.Snapshot]): DataFrame =
+      at.map(s => rep.readBucketsAt(spark, touched, s))
+        .getOrElse(rep.readBucketsOf(spark, touched))
+        .filter(col(opCol) =!= "DELETE")
+        .join(broadcast(keys), Seq(pk), "left_semi")
+        .select(col(groupCol), col(valueCol).cast(DecimalType(18, 2)).as("__v"))
+    val before = keyedLive(Some(snap)) // pre-commit paths; files retained
+    beforeReplicaCommit()
+    rep.commit(batch, precomputedTouched = Some(touched), snapAt = Some(snap))
+    val after = keyedLive(None)
     // contributions as (count-delta, sum-delta) pairs: −1/−v per old row,
     // +1/+v per new row, n/s verbatim for the existing store
     val delta = before.select(col(groupCol), lit(-1L).as("__dn"),

@@ -166,4 +166,40 @@ class IncrementalAggSpec extends SparkSpecBase {
       Seq(("moved", 1L), ("pair", 1L)))
     assert(view(agg) === recompute(rep))
   }
+
+  test("a foreign applyBatch inside the diff window aborts this fold " +
+    "loudly; the retry never double-counts the overlap") {
+    import spark.implicits._
+    val root = tmpDir("ia_seam")
+    val rep = new BucketedReplica(s"$root/replica", nBuckets = 8)
+    val agg = new IncrementalAgg(rep, s"$root/agg")
+    def batch(rows: Seq[(String, Long, Long, Long, Double, String)]): DataFrame =
+      rows.toDF("op", "pos", "ts_ns", "user_id", "value", "event_type")
+        .withColumn("tbl", lit("users"))
+    agg.applyBatch(batch(Seq(
+      ("INSERT", 1L, 1L, 1L, 10.0, "a"),
+      ("INSERT", 2L, 2L, 2L, 5.0, "b"))))
+    // a SECOND maintainer of the same view commits a higher-pos update to
+    // key 2 between this fold's before-read and its commit: without the
+    // pinned snapshot, this fold's delta would absorb the foreign change
+    // to key 2 that the foreign fold ALREADY counted — double-count.
+    agg.beforeReplicaCommit = () => {
+      agg.beforeReplicaCommit = () => ()
+      val rep2 = new BucketedReplica(s"$root/replica", nBuckets = 8)
+      new IncrementalAgg(rep2, s"$root/agg")
+        .applyBatch(batch(Seq(("UPDATE", 10L, 10L, 2L, 100.0, "b"))))
+    }
+    intercept[graft.streaming.StoreIO.ConcurrentCommit] {
+      agg.applyBatch(batch(Seq(("UPDATE", 5L, 5L, 2L, 7.0, "b"))))
+    }
+    // the defeated fold wrote nothing: view = foreign maintainer's state
+    assert(view(agg) === recompute(rep), "defeated fold must not publish")
+    // the retry diffs against the post-foreign state and converges (the
+    // pos-5 update loses latest-wins to the foreign pos-10 row — a
+    // semantic no-op the diff arithmetic must also see as one)
+    agg.applyBatch(batch(Seq(("UPDATE", 5L, 5L, 2L, 7.0, "b"))))
+    assert(view(agg) === recompute(rep))
+    assert(view(agg).map(r => (r.getString(0), r.getDecimal(2).doubleValue)) ===
+      Seq(("a", 10.0), ("b", 100.0)))
+  }
 }
