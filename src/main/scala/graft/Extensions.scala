@@ -184,16 +184,24 @@ object Extensions {
     * positive constant, both exactly-rounded) and equal scores share a
     * range, so range-offset + local rank IS the global (score, doc_id)
     * rank. Degenerate inputs: all-equal scores delegate to the doc_id path
-    * (the tie-break order IS the id order); a score distribution whose
-    * mass collapses into ONE range degrades that range's row_number toward
-    * a global sort partition — at 100 TB recurse the same histogram split
-    * inside the hot range (one extra round per density ratio of 1024×);
-    * scores are assumed finite (a NaN/Inf logit is a scoring bug upstream).
+    * (the tie-break order IS the id order); scores are assumed finite (a
+    * NaN/Inf logit is a scoring bug upstream).
+    *
+    * SKEW: a range holding more than `hotCap` rows would degrade its
+    * row_number toward a global sort partition, so hot ranges get a SECOND
+    * split level from the same stats pass — finer score ranges when the
+    * hot range has score spread, doc_id ranges when it is one pure tie
+    * (order within a tie IS doc_id, so id-bucketing stays rank-monotone).
+    * Sub-range counts are sized to ~hotCap rows each; two levels cover
+    * skew ratios to ~1024² (a third level is not built — document the
+    * corpus instead). The ≤128 hottest ranges are split; anything beyond
+    * that is a distribution the histogram can't see, not a plan problem.
     * Input: any frame with (doc_id LONG-castable unique, score
     * DOUBLE-castable) plus any payload columns; output = the input columns
     * with `decile` appended (payload carried through, so consumers never
     * join back against a corpus-sized decile map). */
-  private[graft] def ntileDecilesByScoreOf(scored: DataFrame): DataFrame = {
+  private[graft] def ntileDecilesByScoreOf(scored: DataFrame,
+                                           hotCap: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = scored.withColumn("doc_id", col("doc_id").cast(LongType))
       .withColumn("score", col("score").cast(DoubleType))
@@ -210,23 +218,69 @@ object Extensions {
     val width = (mxS - mnS) / nb
     val bucketed = rows.withColumn("bkt",
       least(floor((col("score") - mnS) / width), lit(nb - 1)).cast(LongType))
-    val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+    // ONE stats pass carries everything both levels need: count per range
+    // plus the score/id bounds a hot range's sub-split derives from
+    val stats = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("c"),
+        min(col("score")).as("s0"), max(col("score")).as("s1"),
+        min(col("doc_id")).as("i0"), max(col("doc_id")).as("i1"))
       .orderBy(col("bkt")).collect()
-    var cum = 0L
-    val offs = counts.map { rw =>
-      val o = (rw.getLong(0), cum)
-      cum += rw.getLong(1); o
-    }.toSeq
-    val offDf = rows.sparkSession.createDataFrame(offs).toDF("bkt2", "off")
-    bucketed.join(broadcast(offDf), col("bkt") === col("bkt2"))
-      // rank materializes as its OWN column first: inlining it into the
-      // nine decile comparisons would expand to nine copies of the
-      // row_number window expression in the Window node
-      .withColumn("rank", col("off") + row_number()
-        .over(Window.partitionBy(col("bkt"))
-          .orderBy(col("score"), col("doc_id"))))
-      .withColumn("decile", decileOf(col("rank")))
-      .drop("bkt", "bkt2", "off", "rank")
+    val hot = stats.filter(_.getLong(1) > hotCap)
+      .sortBy(-_.getLong(1)).take(128)
+    val sess = rows.sparkSession
+    if (hot.isEmpty) {
+      var cum = 0L
+      val offs = stats.map { rw =>
+        val o = (rw.getLong(0), cum)
+        cum += rw.getLong(1); o
+      }.toSeq
+      val offDf = sess.createDataFrame(offs).toDF("bkt2", "off")
+      bucketed.join(broadcast(offDf), col("bkt") === col("bkt2"))
+        // rank materializes as its OWN column first: inlining it into the
+        // nine decile comparisons would expand to nine copies of the
+        // row_number window expression in the Window node
+        .withColumn("rank", col("off") + row_number()
+          .over(Window.partitionBy(col("bkt"))
+            .orderBy(col("score"), col("doc_id"))))
+        .withColumn("decile", decileOf(col("rank")))
+        .drop("bkt", "bkt2", "off", "rank")
+    } else {
+      // level 2: each hot range sub-splits into ~c/hotCap pieces (≤1024).
+      // Score-spread ranges split by finer score width — equal scores
+      // still land together, so sub is monotone in (score, doc_id).
+      // Pure-tie ranges split by unshifted doc_id DIV (overflow-free,
+      // truncating DIV is monotone; within a tie the order IS doc_id).
+      val subCol = hot.foldRight(lit(0L)) { (hb, acc) =>
+        val (bkt, c) = (hb.getLong(0), hb.getLong(1))
+        val (s0, s1) = (hb.getDouble(2), hb.getDouble(3))
+        val nsub = math.min(1024L, math.max(2L, (c + hotCap - 1) / hotCap))
+        val sub: Column =
+          if (s1 > s0) {
+            val w = (s1 - s0) / nsub
+            least(floor((col("score") - s0) / w), lit(nsub - 1)).cast(LongType)
+          } else {
+            val span = BigInt(hb.getLong(5)) - BigInt(hb.getLong(4)) + 1
+            val wId = ((span + nsub - 1) / nsub).max(1).toLong
+            expr(s"doc_id DIV $wId")
+          }
+        when(col("bkt") === bkt, sub).otherwise(acc)
+      }
+      val b2 = bucketed.withColumn("sub", subCol)
+      val counts2 = b2.groupBy(col("bkt"), col("sub")).agg(count(lit(1)).as("c"))
+        .orderBy(col("bkt"), col("sub")).collect()
+      var cum = 0L
+      val offs = counts2.map { rw =>
+        val o = (rw.getLong(0), rw.getLong(1), cum)
+        cum += rw.getLong(2); o
+      }.toSeq
+      val offDf = sess.createDataFrame(offs).toDF("bkt2", "sub2", "off")
+      b2.join(broadcast(offDf),
+          col("bkt") === col("bkt2") && col("sub") === col("sub2"))
+        .withColumn("rank", col("off") + row_number()
+          .over(Window.partitionBy(col("bkt"), col("sub"))
+            .orderBy(col("score"), col("doc_id"))))
+        .withColumn("decile", decileOf(col("rank")))
+        .drop("bkt", "bkt2", "sub", "sub2", "off", "rank")
+    }
   }
 
   /** The e33-convention quality logit per document — shared by e105 (the

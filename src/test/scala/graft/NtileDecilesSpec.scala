@@ -91,6 +91,33 @@ class NtileDecilesSpec extends SparkSpecBase {
     assert(scoreGot(rows) === scoreReference(rows))
   }
 
+  test("score deciles: a tiny hotCap forces the two-level split on BOTH " +
+    "hot-range kinds (score spread and pure tie) and stays NTILE-exact") {
+    val rnd = new scala.util.Random(19)
+    // one hot SPREAD range (90% of mass in a narrow but non-degenerate
+    // score band), one hot pure-TIE range (everything at exactly 7.5),
+    // plus background — with hotCap=8 both must sub-split
+    val rows = (0L until 600L).map { i =>
+      val s =
+        if (i < 300) 0.25 + rnd.nextDouble() * 1e-9 // spread inside one range
+        else if (i < 540) 7.5                        // one pure tie
+        else rnd.nextGaussian() * 100
+      (i * 37 % 1201) -> s // shuffled, non-dense ids
+    }
+    assert(rows.map(_._1).distinct.size === rows.size)
+    val got = Extensions.ntileDecilesByScoreOf(
+        rows.toDF("doc_id", "score"), hotCap = 8L)
+      .select("doc_id", "decile")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === scoreReference(rows))
+    // and the split actually engaged: the plan's rank window partitions
+    // by (bkt, sub), not bkt alone
+    val phys = Extensions.ntileDecilesByScoreOf(
+        rows.toDF("doc_id", "score"), hotCap = 8L)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("sub"), phys.take(2000))
+  }
+
   test("score deciles: all-equal scores reduce to the doc_id order; empty in, empty out") {
     val rows = Seq(42L, 7L, 19L, 3L, 100L, 55L, 61L, 2L, 88L, 13L, 29L)
       .map(_ -> 0.125)
