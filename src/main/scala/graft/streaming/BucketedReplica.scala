@@ -573,13 +573,18 @@ final class BucketedReplica(
     * version commit. At scale this is the periodic OPTIMIZE pass — one
     * task per bucket, embarrassingly parallel. */
   def compact(spark: SparkSession): Unit = {
-    val snap = headSnapshot()
+    // one pinned snapshot for manifest, content AND publish: a live commit
+    // interleaving this maintenance pass loses nothing — the compaction
+    // loses at the write-once pointer (ConcurrentCommit) and retries,
+    // instead of publishing its pre-commit content over the racer's rows
+    val snap = pinSnapshot()
     val man = snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
     if (man.isEmpty) return
     // content is unchanged, so the new version still reflects the same
     // source batch: carry the current tag forward
-    publish(man.keys.toSeq.sorted, read(spark),
-      snap.flatMap { case (v, tk) => tagOf(v, tk) }, layoutBuckets)
+    publish(man.keys.toSeq.sorted, readAllAt(spark, snap),
+      snap.flatMap { case (v, tk) => tagOf(v, tk) }, layoutBuckets,
+      snapIn = Some((snap, man)))
   }
 
   /** Fold one change batch into the replica. Only buckets containing batch
@@ -799,12 +804,15 @@ final class BucketedReplica(
     * cur+prev window, because reads never derive bucket placement. */
   def rebucket(spark: SparkSession, newBuckets: Int): Unit = {
     require(newBuckets > 0, s"rebucket: need a positive bucket count, got $newBuckets")
-    val snap = headSnapshot()
+    // one pinned snapshot for content and publish (the compact discipline):
+    // a commit interleaving the rewrite defeats the rebucket at the
+    // pointer rather than having its rows dropped from the new layout
+    val snap = pinSnapshot()
     if (snap.isEmpty) return // nothing stored: layout not yet pinned
     val man = snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
-    publish(man.keys.toSeq.sorted, read(spark),
+    publish(man.keys.toSeq.sorted, readAllAt(spark, snap),
       snap.flatMap { case (v, tk) => tagOf(v, tk) },
-      newBuckets, replaceAll = true)
+      newBuckets, replaceAll = true, snapIn = Some((snap, man)))
     // refresh the creation-meta fallback so pre-header readers and error
     // messages cite the live layout; placement truth is the manifest header,
     // so a crash before this line costs nothing
@@ -1105,7 +1113,10 @@ final class BucketedReplica(
     * has passed the horizon — no earlier position can arrive to lose against
     * them. Runs as its own atomic version commit. */
   def compactTombstones(spark: SparkSession, horizon: Long): Unit = {
-    val snap = headSnapshot()
+    // one pinned snapshot for the probe, the bucket read AND the publish
+    // (the compact discipline): an interleaved commit defeats this pass at
+    // the pointer instead of losing its rows to the pre-commit rewrite
+    val snap = pinSnapshot()
     val man = snap.map { case (v, tk) => readManifest(v, tk) }.getOrElse(Map.empty)
     if (man.isEmpty) return
     // <=> and isNotNull keep this two-valued: a null-op or null-ts row is
@@ -1114,14 +1125,15 @@ final class BucketedReplica(
     val isOldTombstone =
       (col(opCol) <=> "DELETE") && col(tsCol).isNotNull && col(tsCol) < horizon
     val n = layoutBuckets
-    val touched = read(spark).filter(isOldTombstone)
+    val touched = readAllAt(spark, snap).filter(isOldTombstone)
       .select(bucketExpr(n).as("__b")).distinct()
       .collect().map(_.getLong(0).toInt).toSeq.sorted
     if (touched.isEmpty) return
     // tombstone GC does not change which source batches are reflected
     publish(touched,
-      readBuckets(spark, man, touched, storedSchema).filter(!isOldTombstone),
-      snap.flatMap { case (v, tk) => tagOf(v, tk) }, n)
+      readBuckets(spark, man, touched, storedSchemaOf(snap)).filter(!isOldTombstone),
+      snap.flatMap { case (v, tk) => tagOf(v, tk) }, n,
+      snapIn = Some((snap, man)))
   }
 
   private def readBuckets(spark: SparkSession, man: Map[Int, String],

@@ -174,6 +174,45 @@ class BucketedReplicaSpec extends SparkSpecBase {
     assert(rep.live(spark).filter(col("user_id") === 1L).count() === 1)
   }
 
+  test("maintenance racing a live commit loses the pointer loudly; the " +
+    "commit's rows survive and the retry compacts on top of them") {
+    val root = tmpDir("bkr_maintrace") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.commit(mkBatch(Seq(
+      row("INSERT", 1L, 1000L, 1L, 1.0),
+      row("DELETE", 2L, 2000L, 2L, 0.0)))) // GC-able tombstone
+    // a live commit lands inside the maintenance pass's read-to-pointer
+    // window: the pass publishes against its pinned snapshot, so it must
+    // lose — silently replacing the commit's rows with the pre-commit
+    // content would be data loss in a background job nobody watches
+    def raceOnce(): Unit = rep.beforePointerCommit = () => {
+      rep.beforePointerCommit = () => ()
+      new BucketedReplica(root, nBuckets = 4)
+        .commit(mkBatch(Seq(row("INSERT", 10L, 9000L, 77L, 7.0))))
+    }
+    raceOnce()
+    val e = intercept[Exception] { rep.compactTombstones(spark, horizon = 5000L) }
+    assert(e.isInstanceOf[java.io.IOException] ||
+      e.isInstanceOf[graft.streaming.StoreIO.ConcurrentCommit], e.toString)
+    assert(rep.live(spark).filter(col("user_id") === 77L).count() === 1,
+      "the racing commit's row must survive the defeated maintenance pass")
+    rep.compactTombstones(spark, horizon = 5000L) // retry converges
+    assert(rep.read(spark).filter(col("op") === "DELETE").count() === 0)
+    assert(rep.live(spark).count() === 2)
+    // same discipline for full compaction
+    rep.beforePointerCommit = () => {
+      rep.beforePointerCommit = () => ()
+      new BucketedReplica(root, nBuckets = 4)
+        .commit(mkBatch(Seq(row("INSERT", 11L, 9100L, 78L, 8.0))))
+    }
+    val e2 = intercept[Exception] { rep.compact(spark) }
+    assert(e2.isInstanceOf[java.io.IOException] ||
+      e2.isInstanceOf[graft.streaming.StoreIO.ConcurrentCommit], e2.toString)
+    assert(rep.live(spark).filter(col("user_id") === 78L).count() === 1)
+    rep.compact(spark)
+    assert(rep.live(spark).count() === 3)
+  }
+
   test("a tombstone with NULL event time is never GC'd (not provably behind any horizon)") {
     val root = tmpDir("bkr_nullts") + "/rep"
     val rep = new BucketedReplica(root, nBuckets = 4)
