@@ -48,10 +48,16 @@ final class CorpusIngest(root: String, nHp: Int = 16,
     StructField("content_hash", StringType), StructField("doc_id", LongType),
     StructField("hp", IntegerType), StructField("batch_id", LongType)))
 
+  // a sink dir, once present, stays present for the store's life (only
+  // destroy removes it) — cache the positive probe so steady-state batches
+  // pay zero exists round trips (the replica's exists-pre-probe cut)
+  private val knownDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def dirReader(spark: SparkSession, rel: String, schema: StructType): DataFrame =
-    if (!io.exists(io.path(rel)))
+    if (!knownDirs.contains(rel) && !io.exists(io.path(rel)))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).option("basePath", s"$root/$rel").parquet(s"$root/$rel")
+    else { knownDirs.add(rel)
+      spark.read.schema(schema).option("basePath", s"$root/$rel").parquet(s"$root/$rel") }
 
   private val docCols = Seq("doc_id", "text", "lang", "source", "n_chars")
   private val docSchema = StructType(Seq(
@@ -209,7 +215,7 @@ final class CorpusIngest(root: String, nHp: Int = 16,
       }
       .start()
 
-  def destroy(): Unit = io.delete(io.root)
+  def destroy(): Unit = { knownDirs.clear(); io.delete(io.root) }
 }
 
 object CorpusIngest {

@@ -82,13 +82,18 @@ final class IvfIndex(root: String) {
 
   /** The stored index of the CURRENT centroid generation (cid/batch_id from
     * the partition dirs). */
+  // once the index dir exists it stays (only destroy removes it): cache
+  // the positive probe so steady-state batches pay zero exists round trips
+  @volatile private var indexDirKnown = false
+
   def index(spark: SparkSession): DataFrame =
-    if (!io.exists(io.path("index")))
+    if (!indexDirKnown && !io.exists(io.path("index")))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         indexReadSchema)
-    else spark.read.schema(indexReadSchema)
-      .option("basePath", indexDir).parquet(indexDir)
-      .filter(idFilter(log.state.validIds))
+    else { indexDirKnown = true
+      spark.read.schema(indexReadSchema)
+        .option("basePath", indexDir).parquet(indexDir)
+        .filter(idFilter(log.state.validIds)) }
 
   /** Nearest-centroid assignment of `vecs` against `cents` — broadcast
     * argmax, no shuffle of the vectors (shared by [[addBatch]] and
@@ -210,5 +215,5 @@ final class IvfIndex(root: String) {
       .limit(k)
   }
 
-  def destroy(): Unit = io.delete(io.root)
+  def destroy(): Unit = { indexDirKnown = false; io.delete(io.root) }
 }

@@ -84,12 +84,18 @@ final class LshIndex(root: String, nBp: Int = 16) {
   private def idFilter(ids: Seq[Long]): Column =
     if (ids.isEmpty) lit(false) else col("batch_id").isin(ids: _*)
 
+  // a dataset dir, once present, stays present for the store's life
+  // (compaction consolidates INSIDE it; only destroy removes it) — cache
+  // the positive probe so steady-state batches pay zero exists round trips
+  private val knownDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def readDir(spark: SparkSession, rel: String, dir: String,
                       schema: StructType): DataFrame =
-    if (!io.exists(io.path(rel)))
+    if (!knownDirs.contains(rel) && !io.exists(io.path(rel)))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
-    else spark.read.schema(schema).option("basePath", dir).parquet(dir)
+    else { knownDirs.add(rel)
+      spark.read.schema(schema).option("basePath", dir).parquet(dir) }
 
   /** The stored signatures (committed batches — banding-independent). */
   def sigs(spark: SparkSession): DataFrame =
@@ -338,5 +344,5 @@ final class LshIndex(root: String, nBp: Int = 16) {
         .filter(p => !ids.contains(p.getName.stripPrefix("batch_id=").toLong))
     }
 
-  def destroy(): Unit = io.delete(io.root)
+  def destroy(): Unit = { knownDirs.clear(); io.delete(io.root) }
 }
