@@ -283,6 +283,32 @@ object Extensions {
     }
   }
 
+  /** Shared tail of the leakage-safe splitters (e113 exact-candidate /
+    * e113b LSH-candidate): large/small-star closure over the VERIFIED
+    * edges, split assignment by component-label hash, per-split volumes
+    * plus the computed-not-asserted cross-split verified-pair count. */
+  private def leakSplitReport(s: SparkSession, d: String,
+                              verified: DataFrame): DataFrame = {
+    val (comp, _) = operators.ConnectedComponents.run(
+      load(s, d, "documents").select(col("doc_id").as("node")), verified)
+    val hid = tokenHash(col("comp").cast(StringType)) % 100
+    val sp = comp.withColumn("split",
+      when(hid < 80, "train").when(hid < 90, "val").otherwise("test"))
+    val vol = sp.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("comp")).as("n_clusters"))
+    val leaks = verified
+      .join(sp.select(col("node").as("a"), col("split").as("s1")), "a")
+      .join(sp.select(col("node").as("b"), col("split").as("s2")), "b")
+      .filter(col("s1") =!= col("s2"))
+      .groupBy(least(col("s1"), col("s2")).as("split"))
+      .agg(count(lit(1)).as("n_leak"))
+    vol.join(broadcast(leaks), Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        coalesce(col("n_leak"), lit(0L)).as("n_leak_pairs"))
+      .orderBy("split")
+  }
+
   /** The e33-convention quality logit per document — shared by e105 (the
     * pinned-window exact-semantics anchor) and e105b (the windowless
     * production form), so both bin the bit-identical float. */
@@ -2593,7 +2619,8 @@ object Extensions {
     // leaked pairs (e45's leaks=true rows). Singleton docs are their
     // own component, so volumes cover the full corpus. Scale: postings
     // self-join is bounded by Σ df² (at 100 TB the candidate stage
-    // swaps in the banded MinHash-LSH of e03 to cap df fan-out); the
+    // swaps in the banded MinHash-LSH of e03 to cap df fan-out — BUILT
+    // as e113b, its own oracle gate); the
     // verify pays only surfaced pairs; the closure runs the O(log n)
     // large/small-star operator over the sparse verified graph; the
     // assignment itself is one map-side hash of the component label.
@@ -2649,24 +2676,52 @@ object Extensions {
           / (col("sab") - col("nc")) >= 0.5)
         .select(col("a"), col("b"))
         .localCheckpoint() // feeds the closure AND the leak check
-      val (comp, _) = operators.ConnectedComponents.run(
-        load(s, d, "documents").select(col("doc_id").as("node")), verified)
-      val hid = tokenHash(col("comp").cast(StringType)) % 100
-      val sp = comp.withColumn("split",
-        when(hid < 80, "train").when(hid < 90, "val").otherwise("test"))
-      val vol = sp.groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("comp")).as("n_clusters"))
-      val leaks = verified
-        .join(sp.select(col("node").as("a"), col("split").as("s1")), "a")
-        .join(sp.select(col("node").as("b"), col("split").as("s2")), "b")
-        .filter(col("s1") =!= col("s2"))
-        .groupBy(least(col("s1"), col("s2")).as("split"))
-        .agg(count(lit(1)).as("n_leak"))
-      vol.join(broadcast(leaks), Seq("split"), "left")
-        .select(col("split"), col("n_docs"), col("n_clusters"),
-          coalesce(col("n_leak"), lit(0L)).as("n_leak_pairs"))
-        .orderBy("split")
+      leakSplitReport(s, d, verified)
+    },
+    // E1/splits — e113's 100 TB CANDIDATE stage, built: the co-shingle
+    // postings self-join is Σ df²-bounded, and e113's own comment names
+    // the production swap — banded MinHash-LSH caps the fan-out so the
+    // candidate stream rides |corpus|, never df². This twin runs that
+    // swap end-to-end: 8 minhash permutations over the SAME 3-gram
+    // shingle space the verify measures (not unigrams — the LSH must
+    // approximate the similarity it gates), 2×4 banding, bucket-local
+    // candidate pairs, EXACT shingle-Jaccard ≥ 0.5 verify on surfaced
+    // pairs only (each pulls two shingle arrays — the e03b economics),
+    // then the identical closure/split/leak tail. The oracle recomputes
+    // the IDENTICAL banded candidate set (the e114b discipline), so the
+    // gate tests the production pipeline itself — where banding misses a
+    // true ≥0.5 pair, BOTH engines miss it, and the split honestly
+    // reports whatever leakage that miss leaves behind.
+    "e113b_leakage_split_lsh" -> { (s, d) =>
+      val tkc = toks(col("text"))
+      val sets = load(s, d, "documents")
+        .select(col("doc_id"), tkc.as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          array_distinct(transform(sequence(lit(0), size(col("tk")) - 3),
+            i => tokenHash(concat_ws(" ",
+              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
+              element_at(col("tk"), i + 3))))).as("g"))
+        .localCheckpoint() // one tokenize pass feeds sigs AND the verify
+      val gs = sets.select(col("doc_id"), explode(col("g")).as("h"))
+      val sigCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        min((col("h") * a + b) % P).as(s"sig$i")
+      }
+      val sig = gs.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bands = bandsFromSigs(sig, 2, 4)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val t1 = sets.select(col("doc_id").as("a"), col("g").as("g1"))
+      val t2 = sets.select(col("doc_id").as("b"), col("g").as("g2"))
+      val verified = cand.join(t1, "a").join(t2, "b")
+        .withColumn("nc", size(array_intersect(col("g1"), col("g2"))))
+        .filter(col("nc").cast(DoubleType)
+          / (size(col("g1")) + size(col("g2")) - col("nc")) >= 0.5)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      leakSplitReport(s, d, verified)
     },
     // E4/corpus stats — vocabulary-growth (Heaps'-law) checkpoints: docs
     // in doc_id order are cut into NTILE(10) deciles; each checkpoint row
@@ -5696,6 +5751,66 @@ object Extensions {
          |shared AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
          |           FROM sh x JOIN sh y
          |             ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |nd AS (SELECT a, b FROM shared
+         |       JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         |       WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5),
+         |und AS (SELECT a, b FROM nd UNION ALL SELECT b, a FROM nd),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |cc AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+         |sp AS (SELECT node, comp,
+         |         CASE WHEN $hid % 100 < 80 THEN 'train'
+         |              WHEN $hid % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM cc),
+         |vol AS (SELECT split, COUNT(*) AS n_docs,
+         |          COUNT(DISTINCT comp) AS n_clusters
+         |        FROM sp GROUP BY split),
+         |leak AS (SELECT LEAST(pa.split, pb.split) AS split, COUNT(*) AS n_leak
+         |         FROM nd e
+         |         JOIN sp pa ON pa.node = e.a JOIN sp pb ON pb.node = e.b
+         |         WHERE pa.split <> pb.split GROUP BY 1)
+         |SELECT v.split, v.n_docs::BIGINT AS n_docs,
+         |  v.n_clusters::BIGINT AS n_clusters,
+         |  COALESCE(l.n_leak, 0)::BIGINT AS n_leak_pairs
+         |FROM vol v LEFT JOIN leak l USING (split)
+         |ORDER BY v.split""".stripMargin
+    },
+    // e113's LSH-candidate production twin: the oracle recomputes the
+    // IDENTICAL banded candidate set (8 minhash permutations over the
+    // shingle hashes, 2x4 banding), verifies exactly on surfaced pairs,
+    // and runs the same closure/split/leak tail — where banding misses a
+    // true pair, both engines miss it identically
+    "e113b_leakage_split_lsh" -> {
+      val hg = String.format(tokenHashSql,
+        "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]")
+      val hid = String.format(tokenHashSql, "comp::VARCHAR")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((g * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct([$hg FOR i IN range(1, len(w) - 1)])) AS g
+         |       FROM tk WHERE len(w) >= 3),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bucket = y.bucket
+         |              AND x.doc_id < y.doc_id),
+         |shared AS (SELECT c.a, c.b, COUNT(*) AS nc
+         |           FROM cand c
+         |           JOIN sh x ON x.doc_id = c.a
+         |           JOIN sh y ON y.doc_id = c.b AND y.g = x.g
+         |           GROUP BY 1, 2),
          |nd AS (SELECT a, b FROM shared
          |       JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
          |       WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5),

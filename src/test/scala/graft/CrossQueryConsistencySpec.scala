@@ -231,4 +231,30 @@ class CrossQueryConsistencySpec extends SparkSpecBase {
     assert((buckByX.keySet diff denseByX.keySet).nonEmpty,
       "expected bucketed-only sources (shrunken hubness denominators)")
   }
+
+  test("e113b ≡ e113 structurally: both cover the corpus; the LSH twin's " +
+    "edges are a subset, so it can only have MORE clusters") {
+    val exact = q("e113_leakage_safe_split").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lsh = q("e113b_leakage_split_lsh").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(exact.map(_._1).sorted.toSeq === Seq("test", "train", "val"))
+    assert(lsh.map(_._1).sorted.toSeq === Seq("test", "train", "val"))
+    // both splitters must place every document exactly once
+    assert(exact.map(_._2).sum === nDocs, "e113 volumes don't cover the corpus")
+    assert(lsh.map(_._2).sum === nDocs, "e113b volumes don't cover the corpus")
+    // PROVABLE containment (unlike e114b's): e113 verifies EVERY
+    // co-shingle pair with the same ≥0.5 predicate, and any e113b-accepted
+    // edge shares ≥1 shingle — so e113b's verified edge set ⊆ e113's, and
+    // closure over fewer edges can only merge less: total clusters are
+    // monotone. (Equality on these fixtures means the 2×4 banding missed
+    // nothing at the 0.5 threshold — also fine.)
+    assert(lsh.map(_._3).sum >= exact.map(_._3).sum,
+      "LSH-restricted closure produced FEWER clusters than the exact one — " +
+        "its edge set cannot be a superset, so something rescored")
+    // the exact splitter's leak count is constructively zero (its split
+    // keys on its own closure); the LSH twin's leaks come only from edges
+    // banding missed, and both engines computed the same misses
+    assert(exact.map(_._4).sum === 0L, "e113 must be leak-free by construction")
+  }
 }
