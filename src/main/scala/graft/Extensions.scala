@@ -134,7 +134,12 @@ object Extensions {
       // sparse: range-bucket histogram -> per-bucket rank offsets (driver
       // side, <=1026 rows), then row_number within each bucket
       val nb = math.min(1024L, n)
-      val width = ((span + nb - 1) / nb).max(1).toLong // overflow-free bucketing
+      // overflow-free bucketing: clamp BEFORE toLong — with nb=2 and ids
+      // spanning (nearly) the full Long range, ceil(span/nb) is 2^63 and a
+      // bare toLong wraps NEGATIVE, reversing bucket order (wrong deciles).
+      // An oversized clamped width only collapses buckets — still rank-exact.
+      val width = ((span + nb - 1) / nb).max(1)
+        .min(BigInt(Long.MaxValue)).toLong
       // bucket on the UNSHIFTED id: `doc_id - mn` would itself wrap for
       // ranges spanning most of Long; truncating DIV is monotone in
       // doc_id, so ranks stay exact, at the cost of ≤2 extra edge buckets
@@ -259,12 +264,19 @@ object Extensions {
             least(floor((col("score") - s0) / w), lit(nsub - 1)).cast(LongType)
           } else {
             val span = BigInt(hb.getLong(5)) - BigInt(hb.getLong(4)) + 1
-            val wId = ((span + nsub - 1) / nsub).max(1).toLong
+            // same toLong-wrap clamp as the level-1 width above (nsub≥2
+            // with a near-full-Long id span would reverse bucket order)
+            val wId = ((span + nsub - 1) / nsub).max(1)
+              .min(BigInt(Long.MaxValue)).toLong
             expr(s"doc_id DIV $wId")
           }
         when(col("bkt") === bkt, sub).otherwise(acc)
       }
       val b2 = bucketed.withColumn("sub", subCol)
+      // control-plane collect, worst case = 128 hot ranges × 1024 subs each
+      // + ≤1024 cold ranges ≈ 132k (bkt, sub, count) rows driver-side — a
+      // few MB, bounded by the hot(128)/nsub(1024) caps above, NOT by the
+      // ≤1025-row level-1 histogram
       val counts2 = b2.groupBy(col("bkt"), col("sub")).agg(count(lit(1)).as("c"))
         .orderBy(col("bkt"), col("sub")).collect()
       var cum = 0L

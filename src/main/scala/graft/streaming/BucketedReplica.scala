@@ -594,11 +594,14 @@ final class BucketedReplica(
     * buckets this commit touches — pass the stream's watermark; pass None to
     * retain all tombstones (required while arbitrarily old positions can
     * still arrive). Untouched buckets GC when next written, or via
-    * [[compactTombstones]]. */
+    * [[compactTombstones]]. Returns the snapshot of the version this commit
+    * PUBLISHED (or the snapshot it read, for a no-op empty batch) — a
+    * read-commit-read caller uses it to read the state its own commit
+    * created, immune to foreign commits landing after it. */
   def commit(batch: DataFrame, tombstoneGcHorizon: Option[Long] = None,
              tag: Option[Long] = None, evolveSchema: Boolean = false,
              precomputedTouched: Option[Seq[Int]] = None,
-             snapAt: Option[Snapshot] = None): Unit = {
+             snapAt: Option[Snapshot] = None): Snapshot = {
     val spark = batch.sparkSession
     // ONE control-plane snapshot per commit: pointer, manifest text, and
     // schema are resolved once and threaded through bucket-merge AND
@@ -655,7 +658,7 @@ final class BucketedReplica(
       val touched: Seq[Int] = precomputedTouched.getOrElse(batchRows
         .select(bucketExpr(n).as("__b")).distinct()
         .collect().map(_.getLong(0).toInt).toSeq.sorted)
-      if (touched.isEmpty) return // empty batch: nothing to commit
+      if (touched.isEmpty) return snap0 // empty batch: nothing to commit
       enforceChecks(batchRows, kv0) // reject-the-batch BEFORE any data write
       enforceForeignKeys(spark, batchRows, kv0)
 
@@ -978,9 +981,10 @@ final class BucketedReplica(
             s"${System.currentTimeMillis()}\n")
         }
         commitPointer(newV, attempt, prevToken)
-        // same cur+prev metadata retention as publish; no data GC — every
-        // bucket file stays referenced by both retained manifests
-        sweepControlFiles(Map(newV -> Some(attempt), curV -> prevToken))
+        // same cur+prev metadata retention as publish (pins honored); no
+        // data GC — every bucket file stays referenced by both manifests
+        sweepControlFiles(livePins() ++
+          Map(newV -> Some(attempt), curV -> prevToken))
     }
   }
 
@@ -1150,10 +1154,17 @@ final class BucketedReplica(
     * instead of carrying untouched buckets forward ([[rebucket]] — the old
     * entries' bucket ids are meaningless under the new layout). The rows'
     * schema is recorded as the version's stored contract. */
+  /** Returns the snapshot of the version it published (version + control
+    * tokens, same shape as [[pinSnapshot]]), so a read-commit-read caller
+    * (IncrementalAgg's after-read) can read AT the state this commit
+    * created instead of the current head — a foreign commit landing
+    * between this publish and the caller's next read would otherwise be
+    * silently folded into the caller's delta (the symmetric post-commit
+    * twin of the pre-commit seam `snapAt` closes). */
   private def publish(touched: Seq[Int], rows: DataFrame, tag: Option[Long],
                       layoutN: Int, replaceAll: Boolean = false,
                       snapIn: Option[(Option[(Long, Map[Long, Option[String]])],
-                        Map[Int, String])] = None): Unit = {
+                        Map[Int, String])] = None): Snapshot = {
     writeMetaIfAbsent(layoutN, tag)
     val outSchema = rows.schema
     // snapIn = the caller's already-taken snapshot + parsed manifest (the
@@ -1222,12 +1233,86 @@ final class BucketedReplica(
         s"${System.currentTimeMillis()}\n")
     }
     commitPointer(newV, attempt, prevToken)
+    val (pins, pinnedRels) = pinProtection()
     gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet
-      ++ cloneProtectedRels)
-    // keep cur+prev control files (the winning attempts only); sweep
-    // everything older plus any defeated/crashed attempt's leftovers
-    sweepControlFiles(Map(newV -> Some(attempt)) ++
+      ++ cloneProtectedRels ++ pinnedRels)
+    // keep cur+prev control files (the winning attempts only) plus any
+    // pinned versions'; sweep everything older plus any defeated/crashed
+    // attempt's leftovers
+    sweepControlFiles(pins ++ Map(newV -> Some(attempt)) ++
       curV.map(v => v -> prevToken))
+    // the snapshot this commit created — exactly what parsePointer would
+    // reconstruct from the _PTR-<newV> content written above
+    Some((newV, Map[Long, Option[String]](newV -> Some(attempt)) ++
+      curV.map(v => v -> prevToken)))
+  }
+
+  /** Durable GC pin for a read-commit-read consumer's fold window
+    * (IncrementalAgg's before/after diff): while the returned `_PIN` file
+    * exists, EVERY publisher keeps the pinned version's bucket files
+    * ([[gcUnreferenced]]) and its manifest/schema control files
+    * ([[sweepControlFiles]]) — so the consumer's pinned-snapshot scans stay
+    * readable no matter how many foreign commits land mid-fold, instead of
+    * relying on the cur+prev retention that a single foreign commit can
+    * roll past. Control-plane only (one small file create + delete per
+    * fold); the caller MUST [[unpin]] in a finally. A crashed consumer's
+    * stale pin expires after [[BucketedReplica.PinTtlMs]] (swept by the
+    * next publish), bounding the leak to one version's files for the TTL.
+    *
+    * The pin is race-free by the commit protocol, not by file-create
+    * timing: it only needs to be visible to GCs that run AFTER the
+    * consumer's own commit publishes, and the consumer's commit succeeding
+    * proves no foreign publish (hence no foreign GC listing) happened
+    * between the pin's creation and that publish. */
+  private[graft] def pinFiles(snap: Snapshot): Option[Path] = snap.map {
+    case (v, tk) =>
+      val p = io.path(
+        s"_PIN-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+      io.writeString(p,
+        s"v=$v\ntoken=${tk.getOrElse(v, None).getOrElse("-")}\n" +
+          s"created=${System.currentTimeMillis()}\n")
+      p
+  }
+
+  private[graft] def unpin(pin: Option[Path]): Unit = pin.foreach(io.delete)
+
+  private val pinRe = "_PIN-(\\d+)-[0-9a-f]{8}".r
+
+  /** Live pins as version → control token, deleting expired ones. A pin
+    * file that vanishes between list and read (its consumer just
+    * unpinned) contributes nothing — exactly the no-protection-needed
+    * case. */
+  private def livePins(): Map[Long, Option[String]] = {
+    val now = System.currentTimeMillis()
+    io.listFiles(io.root).flatMap { p =>
+      p.getName match {
+        case pinRe(_) =>
+          val kv = try io.readString(p).linesIterator.filter(_.contains("="))
+            .map { l => val Array(k, s) = l.split("=", 2); k -> s.trim }.toMap
+          catch { case _: java.io.IOException => Map.empty[String, String] }
+          val created = kv.get("created").map(_.toLong).getOrElse(0L)
+          if (kv.isEmpty) None
+          else if (now - created > BucketedReplica.PinTtlMs) {
+            io.delete(p); None
+          } else Some(kv("v").toLong -> kv.get("token").filter(_ != "-"))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** LOCAL bucket rels the live pins protect: each pinned version's
+    * manifest entries (ext: rels belong to a clone's source root, which
+    * protects them via its own clone registration). A pin whose manifest
+    * is already unresolvable (pinned after its version rolled out)
+    * protects nothing — its consumer's scans fail loudly, never silently
+    * wrong. */
+  private def pinProtection(): (Map[Long, Option[String]], Set[String]) = {
+    val pins = livePins()
+    val rels = pins.flatMap { case (v, tok) =>
+      try readManifest(v, Map(v -> tok)).values.filterNot(_.startsWith("ext:"))
+      catch { case _: java.io.IOException => Nil }
+    }.toSet
+    (pins, rels)
   }
 
   /** Control-file retention: keep exactly the winning attempt's files for
@@ -1325,6 +1410,11 @@ final class BucketedReplica(
 }
 
 object BucketedReplica {
+
+  /** How long a [[BucketedReplica!.pinFiles]] GC pin protects its version
+    * before publishers sweep it as a crashed consumer's leftover. Generous:
+    * a legitimate fold holds its pin for one micro-batch, not hours. */
+  private[graft] val PinTtlMs: Long = 6L * 60 * 60 * 1000
 
   /** Open an EXISTING replica knowing only its root — the catalog path
     * ([[graft.plans.GraftCatalog]]): a cold session resolves a table NAME to

@@ -62,10 +62,48 @@ final class IncrementalAgg(
   private def currentVersion: Option[Long] = pointerVersions.sorted.lastOption
 
   /** The maintained aggregate view. */
-  def read(spark: SparkSession): DataFrame = currentVersion match {
-    case Some(v) => spark.read.schema(storeSchema).parquet(s"$root/v$v")
-    case None =>
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), storeSchema)
+  def read(spark: SparkSession): DataFrame =
+    readAtDir(spark, pinView().map(_._2))
+
+  private def readAtDir(spark: SparkSession, dir: Option[String]): DataFrame =
+    dir match {
+      case Some(d) => spark.read.schema(storeSchema).parquet(s"$root/$d")
+      case None =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), storeSchema)
+    }
+
+  /** Version's data dir, from the pointer CONTENT (`dir=` line): data dirs
+    * are attempt-unique so a defeated concurrent writer can never have
+    * clobbered the winner's files (the replica's multi-writer discipline,
+    * applied to the view store). Legacy bare-number pointers map to the
+    * old plain `v<N>` name. */
+  private def dirOf(v: Long): String =
+    io.readString(io.path(s"_PTR-$v")).linesIterator
+      .find(_.startsWith("dir=")).map(_.stripPrefix("dir=").trim)
+      .getOrElse(s"v$v")
+
+  /** Pin the current view head as (version, data dir) — the dir MUST be
+    * captured together with the version, because a foreign maintainer's
+    * write GCs the pointer FILE immediately (while the dir itself is
+    * retained one version back for exactly these in-flight readers). The
+    * list+read retries when a concurrent flip deletes the listed pointer
+    * mid-read; each retry chases the newest head. */
+  private def pinView(): Option[(Long, String)] = {
+    var tries = 0
+    var lastErr: Throwable = null
+    while (tries < 5) {
+      tries += 1
+      currentVersion match {
+        case None => return None
+        case Some(v) =>
+          try return Some((v, dirOf(v)))
+          catch { case e: java.io.IOException => lastErr = e }
+      }
+    }
+    throw new IllegalStateException(
+      s"view store at $root: newest pointer stayed unreadable across 5 " +
+        "list+read rounds (concurrent flips outpaced this reader)", lastErr)
   }
 
   /** Commit `batch` to the replica and fold its effect into the aggregate. */
@@ -97,42 +135,112 @@ final class IncrementalAgg(
     // pointer instead: the interleaved case aborts with ConcurrentCommit
     // and the stream's retry diffs against the post-foreign state.
     val snap = rep.pinSnapshot()
-    // live state of the batch's keys; keys ≤ batch size, bounded per
-    // micro-batch → broadcast the semi-join probe, never shuffle the buckets
-    def keyedLive(at: Option[rep.Snapshot]): DataFrame =
-      at.map(s => rep.readBucketsAt(spark, touched, s))
-        .getOrElse(rep.readBucketsOf(spark, touched))
-        .filter(col(opCol) =!= "DELETE")
-        .join(broadcast(keys), Seq(pk), "left_semi")
-        .select(col(groupCol), col(valueCol).cast(DecimalType(18, 2)).as("__v"))
-    val before = keyedLive(Some(snap)) // pre-commit paths; files retained
-    beforeReplicaCommit()
-    rep.commit(batch, precomputedTouched = Some(touched), snapAt = Some(snap))
-    val after = keyedLive(None)
-    // contributions as (count-delta, sum-delta) pairs: −1/−v per old row,
-    // +1/+v per new row, n/s verbatim for the existing store
-    val delta = before.select(col(groupCol), lit(-1L).as("__dn"),
-        (-col("__v")).as("__ds"))
-      .union(after.select(col(groupCol), lit(1L).as("__dn"), col("__v").as("__ds")))
-    val next = read(spark)
-      .select(col(groupCol), col("n_live").as("__dn"), col("sum_value").as("__ds"))
-      .union(delta)
-      .groupBy(col(groupCol))
-      .agg(sum(col("__dn")).as("n_live"),
-        sum(col("__ds")).cast(DecimalType(18, 2)).as("sum_value"))
-      .filter(col("n_live") =!= 0L)
-    write(next)
+    // DURABLE GC pin on the before-read's version: once this fold's own
+    // commit advances the head, a single foreign commit would roll the
+    // cur+prev retention past `snap` and GC the files the (lazy) before
+    // scan reads — the pin makes every publisher keep them until unpin
+    val snapPin = rep.pinFiles(snap)
+    try {
+      // live state of the batch's keys; keys ≤ batch size, bounded per
+      // micro-batch → broadcast the semi-join probe, never shuffle the buckets
+      def keyedLive(at: rep.Snapshot): DataFrame =
+        rep.readBucketsAt(spark, touched, at)
+          .filter(col(opCol) =!= "DELETE")
+          .join(broadcast(keys), Seq(pk), "left_semi")
+          .select(col(groupCol), col(valueCol).cast(DecimalType(18, 2)).as("__v"))
+      val before = keyedLive(snap)
+      beforeReplicaCommit()
+      // the commit RETURNS the snapshot it published; the after-read reads
+      // AT that version, not the current head — a foreign applyBatch
+      // landing between this commit's success and the delta's execution
+      // would otherwise be absorbed into this batch's delta and counted
+      // AGAIN when the foreign fold's own delta lands (the post-commit
+      // twin of the pre-commit seam `snapAt` closes)
+      val published =
+        rep.commit(batch, precomputedTouched = Some(touched), snapAt = Some(snap))
+      val pubPin = rep.pinFiles(published) // same GC protection, after-read
+      try {
+        afterReplicaCommit()
+        val after = keyedLive(published)
+        // contributions as (count-delta, sum-delta) pairs: −1/−v per old
+        // row, +1/+v per new row, n/s verbatim for the existing store
+        val delta = before.select(col(groupCol), lit(-1L).as("__dn"),
+            (-col("__v")).as("__ds"))
+          .union(after.select(col(groupCol), lit(1L).as("__dn"),
+            col("__v").as("__ds")))
+        // pin the VIEW head this fold folds into, and publish as exactly
+        // pinned+1: a foreign maintainer's view write landing inside the
+        // fold collides at the write-once pointer (ConcurrentCommit)
+        // instead of being silently overwritten by a store rebuilt from
+        // the pre-foreign state. A collision retries the VIEW fold only,
+        // with the SAME delta: the replica pointer already serialized the
+        // commits, so concurrent maintainers' deltas cover disjoint
+        // replica-version intervals and view = Σ deltas converges in any
+        // fold order — whereas re-running the whole applyBatch would diff
+        // an idempotent re-commit (zero delta) and lose this batch's
+        // contribution forever.
+        var attempts = 0
+        var done = false
+        while (!done) {
+          val viewPin = pinView()
+          afterViewPin()
+          val next = readAtDir(spark, viewPin.map(_._2))
+            .select(col(groupCol), col("n_live").as("__dn"),
+              col("sum_value").as("__ds"))
+            .union(delta)
+            .groupBy(col(groupCol))
+            .agg(sum(col("__dn")).as("n_live"),
+              sum(col("__ds")).cast(DecimalType(18, 2)).as("sum_value"))
+            .filter(col("n_live") =!= 0L)
+          try { write(next, viewPin); done = true }
+          catch { case e: StoreIO.ConcurrentCommit =>
+            attempts += 1
+            if (attempts >= 5) throw new IllegalStateException(
+              "view fold lost the write-once pointer race 5 times in a " +
+                "row; the replica commit is published but this batch's " +
+                "view delta is NOT — rebuild the view from the replica", e)
+          }
+        }
+      } finally rep.unpin(pubPin)
+    } finally rep.unpin(snapPin)
   }
 
-  private def write(next: DataFrame): Unit = {
-    val newV = currentVersion.getOrElse(0L) + 1
+  /** Test seam: invoked between the replica commit's success and the
+    * after-read — the symmetric post-commit window. No-op in production. */
+  private[graft] var afterReplicaCommit: () => Unit = () => ()
+
+  /** Test seam: invoked after the view version is pinned, before the store
+    * fold reads it — the window a foreign maintainer's VIEW write can land
+    * in. No-op in production. */
+  private[graft] var afterViewPin: () => Unit = () => ()
+
+  private def write(next: DataFrame, basedOn: Option[(Long, String)]): Unit = {
+    val newV = basedOn.map(_._1).getOrElse(0L) + 1
+    // the RETAINED predecessor dir, resolved when `basedOn` was pinned
+    // (its pointer file may already be GC'd by a racing winner)
+    val prevDir = basedOn.map(_._2)
+    // ATTEMPT-UNIQUE data dir + dir name in the pointer content (the
+    // replica's multi-writer discipline): a defeated racer's data job can
+    // never clobber files the winner's pointer references, and a crashed
+    // attempt's dir is an unreferenced orphan the next success sweeps
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"v$newV-$attempt"
     // the view is one row per group — a single right-sized file
-    next.coalesce(1).write.mode("overwrite").parquet(s"$root/v$newV")
-    io.createExclusive(io.path(s"_PTR-$newV"), newV.toString)
+    next.coalesce(1).write.mode("overwrite").parquet(s"$root/$dir")
+    try io.createExclusive(io.path(s"_PTR-$newV"), s"$newV\ndir=$dir\n")
+    catch { case e: java.io.IOException =>
+      throw new StoreIO.ConcurrentCommit(
+        s"view version $newV was committed by another maintainer during " +
+          s"this fold — re-read and retry (${e.getMessage})")
+    }
     pointerVersions.filter(_ < newV)
       .foreach(o => io.delete(io.path(s"_PTR-$o")))
-    // keep current + previous version DIRS (readers may hold the old version)
-    io.delete(io.path(s"v${newV - 2}"))
+    // keep current + previous version DIRS (readers may hold the old
+    // version); sweep everything else, including defeated/crashed attempts
+    val keep = Set(dir) ++ prevDir
+    io.listDirs(io.root).map(_.getName)
+      .filter(d => d.startsWith("v") && !keep.contains(d))
+      .foreach(d => io.delete(io.path(d)))
   }
 
   def destroy(): Unit = io.delete(io.root)

@@ -215,5 +215,5 @@ final class IvfIndex(root: String) {
       .limit(k)
   }
 
-  def destroy(): Unit = { indexDirKnown = false; io.delete(io.root) }
+  def destroy(): Unit = { indexDirKnown = false; log.reset(); io.delete(io.root) }
 }

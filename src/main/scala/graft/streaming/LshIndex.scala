@@ -344,5 +344,5 @@ final class LshIndex(root: String, nBp: Int = 16) {
         .filter(p => !ids.contains(p.getName.stripPrefix("batch_id=").toLong))
     }
 
-  def destroy(): Unit = { knownDirs.clear(); io.delete(io.root) }
+  def destroy(): Unit = { knownDirs.clear(); log.reset(); io.delete(io.root) }
 }

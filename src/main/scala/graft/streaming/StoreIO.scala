@@ -283,6 +283,14 @@ final class OpLog(io: StoreIO) {
   private val entryCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Map[String, String]]()
 
+  /** Invalidation hook for destroy()-style resets. The cache's write-once
+    * safety argument assumes a version number is never REUSED — which
+    * destroying and re-creating the store breaks (the log restarts at 1,
+    * and a stale cached entry would serve the pre-destroy validIds/
+    * migration state). Each store's destroy() must call this alongside its
+    * own exists-cache resets. */
+  private[graft] def reset(): Unit = entryCache.clear()
+
   def read(v: Long): Map[String, String] = {
     val hit = entryCache.get(v)
     if (hit != null) hit

@@ -54,6 +54,37 @@ class BucketedReplicaSpec extends SparkSpecBase {
     assert(gotAll === expected)
   }
 
+  test("a durable GC pin keeps the pinned version's files across foreign " +
+    "commits; unpin (or expiry) releases them") {
+    val root = tmpDir("bkr_pin") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.commit(mkBatch(Seq(row("INSERT", 1L, 1L, 1L, 10.0),
+      row("INSERT", 2L, 2L, 2L, 20.0))))
+    val snap = rep.pinSnapshot()
+    val pin = rep.pinFiles(snap)
+    val atSnap = rep.readBucketsAt(spark, 0 until 4, snap)
+    // two foreign commits touching key 1's bucket — WITHOUT the pin, the
+    // second rolls cur+prev retention past the pinned version and GCs
+    // its rewritten bucket file (exactly the post-commit seam's scan)
+    rep.commit(mkBatch(Seq(row("UPDATE", 10L, 10L, 1L, 11.0))))
+    rep.commit(mkBatch(Seq(row("UPDATE", 20L, 20L, 1L, 12.0))))
+    val pinnedVals = atSnap.filter(col("user_id") === 1L)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(pinnedVals === Seq(10.0), "pinned-version scan must read v1 state")
+    rep.unpin(pin)
+    rep.commit(mkBatch(Seq(row("UPDATE", 30L, 30L, 1L, 13.0))))
+    // after unpin + another commit, the pinned version's rewritten bucket
+    // is unprotected and swept — the scan now fails LOUDLY, never serves
+    // stale-silently
+    intercept[Exception] { atSnap.filter(col("user_id") === 1L).collect() }
+    // and an EXPIRED pin (a crashed consumer's leftover) is swept by the
+    // next publish rather than protecting files forever
+    val io = new graft.streaming.StoreIO(root, graft.streaming.StoreIO.sessionConf())
+    io.writeString(io.path("_PIN-1-deadbeef"), "v=1\ntoken=-\ncreated=0\n")
+    rep.commit(mkBatch(Seq(row("UPDATE", 40L, 40L, 1L, 14.0))))
+    assert(!io.exists(io.path("_PIN-1-deadbeef")), "expired pin must be swept")
+  }
+
   test("a concurrent reader never observes an empty or partial replica") {
     val root = tmpDir("bkr_atomic") + "/rep"
     val rep = new BucketedReplica(root, nBuckets = 4)

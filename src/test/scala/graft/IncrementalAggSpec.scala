@@ -202,4 +202,68 @@ class IncrementalAggSpec extends SparkSpecBase {
     assert(view(agg).map(r => (r.getString(0), r.getDecimal(2).doubleValue)) ===
       Seq(("a", 10.0), ("b", 100.0)))
   }
+
+  private def envBatch(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(String, Long, Long, Long, Double, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("op", "pos", "ts_ns", "user_id", "value", "event_type")
+      .withColumn("tbl", lit("users"))
+  }
+
+  test("a foreign applyBatch in the POST-commit window is not absorbed " +
+    "into this fold's delta (the symmetric seam)") {
+    val root = tmpDir("ia_postseam")
+    val rep = new BucketedReplica(s"$root/replica", nBuckets = 8)
+    val agg = new IncrementalAgg(rep, s"$root/agg")
+    agg.applyBatch(envBatch(spark, Seq(
+      ("INSERT", 1L, 1L, 1L, 10.0, "a"),
+      ("INSERT", 2L, 2L, 2L, 5.0, "b"))))
+    // the foreign maintainer lands a FULL fold (replica commit + view
+    // write) between this fold's replica commit and its after-read: an
+    // after-read at the current HEAD would absorb the foreign change to
+    // key 2 into this fold's delta — double-counted, because the foreign
+    // fold's own view write already counted it. The after-read at the
+    // snapshot THIS commit published excludes it.
+    agg.afterReplicaCommit = () => {
+      agg.afterReplicaCommit = () => ()
+      val rep2 = new BucketedReplica(s"$root/replica", nBuckets = 8)
+      new IncrementalAgg(rep2, s"$root/agg")
+        .applyBatch(envBatch(spark, Seq(("UPDATE", 10L, 10L, 2L, 100.0, "b"))))
+    }
+    agg.applyBatch(envBatch(spark, Seq(("UPDATE", 5L, 5L, 1L, 42.0, "a"))))
+    assert(view(agg) === recompute(rep),
+      "foreign post-commit fold double-counted into this batch's delta")
+    assert(view(agg).map(r => (r.getString(0), r.getDecimal(2).doubleValue)) ===
+      Seq(("a", 42.0), ("b", 100.0)))
+  }
+
+  test("a foreign VIEW write inside the fold loses loudly at the view " +
+    "pointer and the retry folds the same delta against the new head") {
+    val root = tmpDir("ia_viewseam")
+    val rep = new BucketedReplica(s"$root/replica", nBuckets = 8)
+    val agg = new IncrementalAgg(rep, s"$root/agg")
+    agg.applyBatch(envBatch(spark, Seq(
+      ("INSERT", 1L, 1L, 1L, 10.0, "a"),
+      ("INSERT", 2L, 2L, 2L, 5.0, "b"))))
+    // foreign fold lands AFTER this fold pinned the view version: the
+    // write-once view pointer makes this fold lose its first publish
+    // attempt; the retry re-pins and re-folds the SAME delta — neither
+    // maintainer's contribution is lost (the old fresh-currentVersion
+    // write would have silently dropped the foreign delta)
+    var fired = false
+    agg.afterViewPin = () => {
+      if (!fired) {
+        fired = true
+        val rep2 = new BucketedReplica(s"$root/replica", nBuckets = 8)
+        new IncrementalAgg(rep2, s"$root/agg")
+          .applyBatch(envBatch(spark, Seq(("UPDATE", 10L, 10L, 2L, 100.0, "b"))))
+      }
+    }
+    agg.applyBatch(envBatch(spark, Seq(("UPDATE", 5L, 5L, 1L, 42.0, "a"))))
+    assert(fired)
+    assert(view(agg) === recompute(rep),
+      "racing view writes must both be reflected after the loud retry")
+    assert(view(agg).map(r => (r.getString(0), r.getDecimal(2).doubleValue)) ===
+      Seq(("a", 42.0), ("b", 100.0)))
+  }
 }

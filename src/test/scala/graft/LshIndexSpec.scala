@@ -38,6 +38,25 @@ class LshIndexSpec extends SparkSpecBase {
     assert(got.toSet === oneShot(docs))
   }
 
+  test("an instance reused after destroy() serves the NEW store, not the " +
+    "pre-destroy cached log entries") {
+    val idx = new LshIndex(tmpDir("lsh_destroy") + "/idx")
+    idx.destroy()
+    idx.addBatch(docs.filter(col("doc_id") < 25), 0L)
+    assert(emitted(idx).nonEmpty || idx.sigs(spark).count() > 0)
+    // destroy and rebuild THROUGH THE SAME INSTANCE: the new log restarts
+    // at version 1 — a stale OpLog entry cache would serve the pre-destroy
+    // validIds for the reused version numbers (wrong postings/pairs)
+    idx.destroy()
+    val sub = docs.filter(col("doc_id") >= 25)
+    idx.addBatch(sub, 7L)
+    val fresh = new LshIndex(tmpDir("lsh_destroy_ref") + "/idx")
+    fresh.destroy()
+    fresh.addBatch(sub, 7L)
+    assert(emitted(idx).sorted === emitted(fresh).sorted)
+    assert(idx.sigs(spark).count() === fresh.sigs(spark).count())
+  }
+
   test("a replayed batch (foreachBatch retry) changes nothing") {
     val idx = new LshIndex(tmpDir("lsh_retry") + "/idx")
     idx.destroy()
