@@ -70,6 +70,116 @@ object Extensions {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** e113b's banded candidate stage over a per-doc shingle-set frame
+    * `(doc_id, g ARRAY<LONG>)`: 8 minhash permutations over the shingle
+    * hashes, 2×4 banding, bucket-local pairs — plus the e04b df-cut
+    * discipline transplanted to the band layer as a HOT-BUCKET CAP. A
+    * (band, bucket) holding m docs emits m(m−1)/2 candidate pairs, and on
+    * a real crawl one giant boilerplate cluster is exactly where near-dup
+    * mass concentrates — uncapped, a single m=10⁶ bucket is 5·10¹¹ pairs.
+    * Buckets past `maxBucket` drop out of candidate generation entirely
+    * (their docs still pair through their OTHER bands, whose buckets may
+    * split the mass differently; a cluster hot in ALL bands is boilerplate
+    * the downstream split treats as singletons — the same deliberate
+    * blindness as e04b's df cut). The e113b oracle recomputes the
+    * IDENTICAL capped candidate set, so the gate stays exact; e113's
+    * exact join remains the recall anchor. Factored out so specs can
+    * exercise the cap with tiny corpora and tiny caps. */
+  private[graft] def lshBandCandidates(sets: DataFrame,
+                                       maxBucket: Long = 128L): DataFrame = {
+    val gs = sets.select(col("doc_id"), explode(col("g")).as("h"))
+    val sigCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"sig$i")
+    }
+    val sig = gs.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = bandsFromSigs(sig, 2, 4)
+    // the hot set is tiny by construction (≤ |corpus|/maxBucket buckets
+    // can exceed the cap) → broadcast anti-join, never a shuffle
+    val hotB = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("m")).filter(col("m") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val kept = bands.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+    kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
+  /** The e113-family 3-gram shingle-set frame `(doc_id, g ARRAY<LONG>)`
+    * over documents — the ONE tokenize pass e113 (exact), e113b (banded
+    * candidates), and e113c (recall audit) all derive from. Callers
+    * localCheckpoint it so postings/signatures/verify read the transform
+    * once. */
+  private[graft] def shingleSets3(s: SparkSession, d: String): DataFrame = {
+    val tkc = toks(col("text"))
+    load(s, d, "documents")
+      .select(col("doc_id"), tkc.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("tk")) - 3),
+          i => tokenHash(concat_ws(" ",
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
+            element_at(col("tk"), i + 3))))).as("g"))
+  }
+
+  /** e113's EXACT verified-pair stage: inverted co-shingle postings join,
+    * Jaccard ≥ 0.5 on the pair stream. Σ df²-bounded (the reason e113b's
+    * banded stage exists for 100 TB).
+    *
+    * Postings carry the owning doc's shingle-set size n, so the verify
+    * arithmetic needs NO join back to a per-doc sizes table: the r10 probe
+    * showed the pair stream is ~90% DISTINCT pairs (100×: 126.6M instances
+    * over 113.1M pairs, DuckDB-recounted), and joining that stream to a
+    * sizes frame is exactly the step that blew up at 100× — below AQE's
+    * 10 MB runtime threshold the sizes side broadcast for free, above it
+    * the SMJ re-shuffled the 113M-row pair stream TWICE (the 274→3275 MB
+    * cliff r10 misread as partial-agg saturation). Widening each posting
+    * by 8 bytes makes the whole stage one join + one aggregation at every
+    * scale. Exchange sizing: ~400k postings (~2M pair instances) per task
+    * keeps the pair groupBy's partial map resident instead of
+    * sort-spilling; sized from Σ|shingle set| over the PER-DOC frame — the
+    * identical number `posts.count()` would scan the full exploded posting
+    * stream for, derived instead from one 1-row agg over the (small,
+    * checkpointed) per-doc rows: at 100 TB that is the difference between
+    * a control-plane action and an extra full pass of the stream. */
+  private[graft] def exactShinglePairs(s: SparkSession,
+                                       sh: DataFrame): DataFrame = {
+    val posts = sh.select(col("doc_id"), size(col("g")).as("n"),
+      explode(col("g")).as("g"))
+    val totalPostings =
+      sh.agg(coalesce(sum(size(col("g"))), lit(0L)).cast(LongType))
+        .head().getLong(0)
+    val kExch = math.max(s.sessionState.conf.numShufflePartitions,
+      (totalPostings / 400000L).toInt)
+    val binned = posts.repartition(kExch, col("g"))
+    // Jaccard needs only na+nb (union = na+nb-nc), so the pair rows carry
+    // ONE size sum, not two sizes — 32-byte keys on a ~113M-row stream is
+    // real money
+    val shared = binned.as("x").join(binned.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (col("x.n") + col("y.n")).as("sab"))
+      .agg(count(lit(1)).as("nc"))
+    shared
+      .filter(col("nc").cast(DoubleType) / (col("sab") - col("nc")) >= 0.5)
+      .select(col("a"), col("b"))
+  }
+
+  /** e113b's verified-pair stage: banded candidates
+    * ([[lshBandCandidates]], hot-bucket cap included) verified by EXACT
+    * shingle Jaccard ≥ 0.5 — each surfaced pair pulls two shingle arrays
+    * (the e03b economics); unsurfaced pairs cost nothing. */
+  private[graft] def lshVerifiedPairs(sets: DataFrame): DataFrame = {
+    val cand = lshBandCandidates(sets)
+    val t1 = sets.select(col("doc_id").as("a"), col("g").as("g1"))
+    val t2 = sets.select(col("doc_id").as("b"), col("g").as("g2"))
+    cand.join(t1, "a").join(t2, "b")
+      .withColumn("nc", size(array_intersect(col("g1"), col("g2"))))
+      .filter(col("nc").cast(DoubleType)
+        / (size(col("g1")) + size(col("g2")) - col("nc")) >= 0.5)
+      .select(col("a"), col("b"))
+  }
+
   private val tokenHashSql: String =
     "CAST(concat('0x', substring(md5(%s), 1, 8)) AS BIGINT)"
 
@@ -2637,57 +2747,10 @@ object Extensions {
     // large/small-star operator over the sparse verified graph; the
     // assignment itself is one map-side hash of the component label.
     "e113_leakage_safe_split" -> { (s, d) =>
-      val tkc = toks(col("text"))
-      val sh = load(s, d, "documents")
-        .select(col("doc_id"), tkc.as("tk"))
-        .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"),
-          array_distinct(transform(sequence(lit(0), size(col("tk")) - 3),
-            i => tokenHash(concat_ws(" ",
-              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
-              element_at(col("tk"), i + 3))))).as("g"))
-        .localCheckpoint() // postings read the transform once
-      // Postings carry the owning doc's shingle-set size n, so the verify
-      // arithmetic needs NO join back to a per-doc sizes table: the
-      // r10 probe showed the pair stream is ~90% DISTINCT pairs (100×:
-      // 126.6M instances over 113.1M pairs, DuckDB-recounted), and joining
-      // that stream to a sizes frame is exactly the step that blew up at
-      // 100× — below AQE's 10 MB runtime threshold the sizes side
-      // broadcast for free, above it the SMJ re-shuffled the 113M-row
-      // pair stream TWICE (the 274→3275 MB cliff r10 misread as
-      // partial-agg saturation). Widening each posting by 8 bytes makes
-      // the whole stage one join + one aggregation at every scale.
-      val posts = sh.select(col("doc_id"), size(col("g")).as("n"),
-        explode(col("g")).as("g"))
-      // Exchange sizing: ~400k postings (~2M pair instances) per task
-      // keeps the pair groupBy's partial map resident instead of
-      // sort-spilling. (Combine itself recovers only the ~12% duplicate
-      // instances — cardinality, not memory, owns this stage's volume.)
-      // Resolves to the session default at the gate SFs. Sized from
-      // Σ|shingle set| over the PER-DOC frame — the identical number
-      // `posts.count()` would scan the full exploded posting stream for,
-      // derived instead from one 1-row agg over the (small, checkpointed)
-      // per-doc rows: at 100 TB that is the difference between a
-      // control-plane action and an extra full pass of the stream.
-      val totalPostings =
-        sh.agg(coalesce(sum(size(col("g"))), lit(0L)).cast(LongType))
-          .head().getLong(0)
-      val kExch = math.max(s.sessionState.conf.numShufflePartitions,
-        (totalPostings / 400000L).toInt)
-      val binned = posts.repartition(kExch, col("g"))
-      // Jaccard needs only na+nb (union = na+nb-nc), so the pair rows
-      // carry ONE size sum, not two sizes — 32-byte keys on a ~113M-row
-      // stream is real money
-      val shared = binned.as("x").join(binned.as("y"),
-          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          (col("x.n") + col("y.n")).as("sab"))
-        .agg(count(lit(1)).as("nc"))
-      val verified = shared
-        .filter(col("nc").cast(DoubleType)
-          / (col("sab") - col("nc")) >= 0.5)
-        .select(col("a"), col("b"))
-        .localCheckpoint() // feeds the closure AND the leak check
+      // postings read the tokenize transform once (checkpoint)
+      val sh = shingleSets3(s, d).localCheckpoint()
+      // feeds the closure AND the leak check
+      val verified = exactShinglePairs(s, sh).localCheckpoint()
       leakSplitReport(s, d, verified)
     },
     // E1/splits — e113's 100 TB CANDIDATE stage, built: the co-shingle
@@ -2705,35 +2768,43 @@ object Extensions {
     // true ≥0.5 pair, BOTH engines miss it, and the split honestly
     // reports whatever leakage that miss leaves behind.
     "e113b_leakage_split_lsh" -> { (s, d) =>
-      val tkc = toks(col("text"))
-      val sets = load(s, d, "documents")
-        .select(col("doc_id"), tkc.as("tk"))
-        .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"),
-          array_distinct(transform(sequence(lit(0), size(col("tk")) - 3),
-            i => tokenHash(concat_ws(" ",
-              element_at(col("tk"), i + 1), element_at(col("tk"), i + 2),
-              element_at(col("tk"), i + 3))))).as("g"))
-        .localCheckpoint() // one tokenize pass feeds sigs AND the verify
-      val gs = sets.select(col("doc_id"), explode(col("g")).as("h"))
-      val sigCols = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
-        min((col("h") * a + b) % P).as(s"sig$i")
-      }
-      val sig = gs.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      val bands = bandsFromSigs(sig, 2, 4)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val t1 = sets.select(col("doc_id").as("a"), col("g").as("g1"))
-      val t2 = sets.select(col("doc_id").as("b"), col("g").as("g2"))
-      val verified = cand.join(t1, "a").join(t2, "b")
-        .withColumn("nc", size(array_intersect(col("g1"), col("g2"))))
-        .filter(col("nc").cast(DoubleType)
-          / (size(col("g1")) + size(col("g2")) - col("nc")) >= 0.5)
-        .select(col("a"), col("b"))
-        .localCheckpoint()
+      // one tokenize pass feeds sigs AND the verify (checkpoint)
+      val sets = shingleSets3(s, d).localCheckpoint()
+      val verified = lshVerifiedPairs(sets).localCheckpoint()
       leakSplitReport(s, d, verified)
+    },
+    // E1/splits — e113b's measured honesty row (the e58 tradition): the
+    // probabilistic candidate stage gets a NUMBER, not just a containment
+    // gate. One row: |exact ≥0.5 pairs| (e113's edge set), |banding-
+    // surfaced verified pairs| (e113b's, hot-bucket cap included), their
+    // ratio = candidate recall, and the TRUE cross-split leak count the
+    // misses leave — exact edges whose endpoints the LSH-closure split
+    // separates (e113b's own reported leaks are zero by construction,
+    // because its split keys on its own closure; the residual risk lives
+    // exactly in the edges banding never surfaced). Scale: both edge
+    // stages are the production pipelines measured elsewhere; the three
+    // count aggs are 1-row control-plane frames.
+    "e113c_lsh_recall" -> { (s, d) =>
+      val sets = shingleSets3(s, d).localCheckpoint()
+      val exactNd = exactShinglePairs(s, sets).localCheckpoint()
+      val lshNd = lshVerifiedPairs(sets).localCheckpoint()
+      val (comp, _) = operators.ConnectedComponents.run(
+        load(s, d, "documents").select(col("doc_id").as("node")), lshNd)
+      val hid = tokenHash(col("comp").cast(StringType)) % 100
+      val sp = comp.withColumn("split",
+        when(hid < 80, "train").when(hid < 90, "val").otherwise("test"))
+        .select(col("node"), col("split"))
+      val trueLeaks = exactNd
+        .join(sp.select(col("node").as("a"), col("split").as("s1")), "a")
+        .join(sp.select(col("node").as("b"), col("split").as("s2")), "b")
+        .filter(col("s1") =!= col("s2"))
+      exactNd.agg(count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(lshNd.agg(count(lit(1)).as("n_lsh_pairs")))
+        .crossJoin(trueLeaks.agg(count(lit(1)).as("n_true_leak_pairs")))
+        .select(col("n_exact_pairs"), col("n_lsh_pairs"),
+          round(col("n_lsh_pairs").cast(DoubleType)
+            / col("n_exact_pairs"), 6).as("recall"),
+          col("n_true_leak_pairs"))
     },
     // E4/corpus stats — vocabulary-growth (Heaps'-law) checkpoints: docs
     // in doc_id order are cut into NTILE(10) deciles; each checkpoint row
@@ -5814,8 +5885,11 @@ object Extensions {
          |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
          |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
          |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |hot AS (SELECT band, bucket FROM bands
+         |        GROUP BY band, bucket HAVING COUNT(*) > 128),
+         |kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band, bucket)),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM bands x JOIN bands y
+         |         FROM kept x JOIN kept y
          |           ON x.band = y.band AND x.bucket = y.bucket
          |              AND x.doc_id < y.doc_id),
          |shared AS (SELECT c.a, c.b, COUNT(*) AS nc
@@ -5849,6 +5923,71 @@ object Extensions {
          |  COALESCE(l.n_leak, 0)::BIGINT AS n_leak_pairs
          |FROM vol v LEFT JOIN leak l USING (split)
          |ORDER BY v.split""".stripMargin
+    },
+    // the recall audit recomputes BOTH edge stages (exact postings join
+    // and the capped banded candidates), closes over the LSH edges, and
+    // counts exact edges crossing the LSH-derived split
+    "e113c_lsh_recall" -> {
+      val hg = String.format(tokenHashSql,
+        "w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]")
+      val hid = String.format(tokenHashSql, "comp::VARCHAR")
+      val sigExprs = A.zip(B).zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((g * $a + $b) % $P) AS sig$i"
+      }.mkString(", ")
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct([$hg FOR i IN range(1, len(w) - 1)])) AS g
+         |       FROM tk WHERE len(w) >= 3),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |shared_e AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS nc
+         |             FROM sh x JOIN sh y
+         |               ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |nd_e AS (SELECT a, b FROM shared_e
+         |         JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         |         WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5),
+         |sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, sig0 * $P + sig1 AS bucket FROM sig
+         |  UNION ALL SELECT doc_id, 1, sig2 * $P + sig3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, sig4 * $P + sig5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, sig6 * $P + sig7 FROM sig),
+         |hot AS (SELECT band, bucket FROM bands
+         |        GROUP BY band, bucket HAVING COUNT(*) > 128),
+         |kept AS (SELECT bands.* FROM bands ANTI JOIN hot USING (band, bucket)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM kept x JOIN kept y
+         |           ON x.band = y.band AND x.bucket = y.bucket
+         |              AND x.doc_id < y.doc_id),
+         |shared_l AS (SELECT c.a, c.b, COUNT(*) AS nc
+         |             FROM cand c
+         |             JOIN sh x ON x.doc_id = c.a
+         |             JOIN sh y ON y.doc_id = c.b AND y.g = x.g
+         |             GROUP BY 1, 2),
+         |nd_l AS (SELECT a, b FROM shared_l
+         |         JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         |         WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5),
+         |und AS (SELECT a, b FROM nd_l UNION ALL SELECT b, a FROM nd_l),
+         |reach(node, label) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |    SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.node),
+         |cc AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+         |sp AS (SELECT node, comp,
+         |         CASE WHEN $hid % 100 < 80 THEN 'train'
+         |              WHEN $hid % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM cc),
+         |leaks AS (SELECT COUNT(*) AS n_true_leak_pairs
+         |          FROM nd_e e
+         |          JOIN sp pa ON pa.node = e.a JOIN sp pb ON pb.node = e.b
+         |          WHERE pa.split <> pb.split)
+         |SELECT (SELECT COUNT(*) FROM nd_e)::BIGINT AS n_exact_pairs,
+         |  (SELECT COUNT(*) FROM nd_l)::BIGINT AS n_lsh_pairs,
+         |  ROUND((SELECT COUNT(*) FROM nd_l)::DOUBLE
+         |    / (SELECT COUNT(*) FROM nd_e), 6) AS recall,
+         |  n_true_leak_pairs::BIGINT AS n_true_leak_pairs
+         |FROM leaks""".stripMargin
     },
     // identical pipeline in SQL: NTILE deciles over doc_id order, types
     // assigned to their first-seen doc's decile, both running sums

@@ -180,6 +180,16 @@ object ScaleProbe {
       // construction multiplies PAIRS, so the curve shows the per-pair
       // economics staying put)
       "e113_leakage_safe_split" -> SparkEntry.queries("e113_leakage_safe_split"),
+      // round-13: the banded candidate production stage beside its exact
+      // twin — wall + shuffle per step, plus the candidate-pair count the
+      // hot-bucket cap governs (its own 1-row count run: the pair stream
+      // itself is what's being sized, so counting can't ride along
+      // without changing the measured plan)
+      "e113b_leakage_split_lsh" -> SparkEntry.queries("e113b_leakage_split_lsh"),
+      "e113b_cand_pairs" -> ((s: SparkSession, d: String) =>
+        Extensions.lshBandCandidates(
+            Extensions.shingleSets3(s, d).localCheckpoint())
+          .agg(count(lit(1)).as("n_cand"))),
       "e114_bitext_margin" -> SparkEntry.queries("e114_bitext_margin"),
       // round-11: the bucketed production form, probed at the fixed k=8
       // it ships with AND at the e48 √N sizing — the pair shows the
@@ -216,12 +226,19 @@ object ScaleProbe {
       (queries ++ variants(sc)).filter(q => sel(q._1)).foreach { case (name, fn) =>
         val b0 = bytes.stable()
         val t0 = System.nanoTime()
-        fn(spark, d).write.format("noop").mode("overwrite").save()
+        // `_pairs`/`_count` probes are 1-row counters whose VALUE is the
+        // measurement (candidate volume per scale step); collect it —
+        // same single action as the noop write
+        val counter: Option[Long] =
+          if (name.endsWith("_pairs") || name.endsWith("_count"))
+            Some(fn(spark, d).head().getLong(0))
+          else { fn(spark, d).write.format("noop").mode("overwrite").save(); None }
         val sec = (System.nanoTime() - t0) / 1e9
         val b1 = bytes.stable()
         spark.catalog.clearCache(); System.gc()
         def mb(v: Long) = math.rint(v / 1e4) / 100 // MB, 2dp
-        println(f"""{"scale":$sc,"query":"$name","sec":${math.rint(sec * 1000) / 1000}%s,"input_mb":${mb(b1._1 - b0._1)}%s,"shuffle_read_mb":${mb(b1._2 - b0._2)}%s,"shuffle_write_mb":${mb(b1._3 - b0._3)}%s}""")
+        val extra = counter.map(v => s""","value":$v""").getOrElse("")
+        println(f"""{"scale":$sc,"query":"$name","sec":${math.rint(sec * 1000) / 1000}%s,"input_mb":${mb(b1._1 - b0._1)}%s,"shuffle_read_mb":${mb(b1._2 - b0._2)}%s,"shuffle_write_mb":${mb(b1._3 - b0._3)}%s$extra}""")
       }
     }
     spark.stop()

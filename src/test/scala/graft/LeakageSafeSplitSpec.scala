@@ -95,6 +95,28 @@ class LeakageSafeSplitSpec extends SparkSpecBase {
     dir
   }
 
+  test("hot-bucket cap: a giant identical cluster's m² pair blowup is cut " +
+    "while small buckets are untouched, and capped ⊆ uncapped") {
+    import spark.implicits._
+    // 20 IDENTICAL shingle sets → identical signatures → one 20-doc bucket
+    // in EVERY band (the boilerplate-cluster shape); plus one small pair
+    val hotCluster = (0 until 20).map(i => (100L + i, Seq(1L, 2L, 3L, 4L, 5L)))
+    val smallPair = Seq((1L, Seq(10L, 11L, 12L)), (2L, Seq(10L, 11L, 12L)))
+    val sets = (hotCluster ++ smallPair).toDF("doc_id", "g")
+    def pairs(cap: Long): Set[(Long, Long)] =
+      Extensions.lshBandCandidates(sets, maxBucket = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(128L)
+    val capped = pairs(8L)
+    // uncapped: all C(20,2)=190 hot pairs + the small pair
+    assert(uncapped.size === 191)
+    assert(uncapped.contains((1L, 2L)))
+    // capped: the hot bucket (m=20 > 8) drops from every band; the small
+    // bucket (m=2) is untouched
+    assert(capped === Set((1L, 2L)))
+    assert(capped.subsetOf(uncapped), "capping must only REMOVE candidates")
+  }
+
   test("random perturbed-copy corpora: query == plain-Scala reference, " +
     "zero leaks by construction, doc-hash split would have leaked") {
     for (seed <- Seq(7L, 19L, 42L)) {
