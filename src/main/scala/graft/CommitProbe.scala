@@ -105,6 +105,27 @@ object CommitProbe {
       ch.unpersist()
     }
 
+    // --- b13's exact fold sequence at sf0.1 (the #2 non-deliberate bench
+    // query in r12) — phase decomposition of IncrementalAgg.applyBatch:
+    // touched_probe = the shared bucket-id collect, replica_commit = the
+    // merge + version write, view_fold = the ONE action that executes the
+    // pinned before/after scans + the store read + the view write ---------
+    if (new java.io.File(s"$sfDir/events.parquet").exists()) {
+      val r3 = s"$root/b13"
+      val rep13 = new BucketedReplica(s"$r3/replica", nBuckets = 8)
+      val agg13 = new graft.streaming.IncrementalAgg(rep13, s"$r3/agg")
+      val ch = Cdc.changelog(spark, sfDir).persist()
+      ch.count()
+      agg13.phaseMeter = (phase, sec) =>
+        println(f"""{"op":"b13_phase_$phase","sec":${math.rint(sec * 1000) / 1000}%s}""")
+      (0 until 3).foreach { i =>
+        probe(s"b13_fold${i + 1}")(
+          agg13.applyBatch(ch.filter(col("pos") % 3 === i)))
+      }
+      probe("b13_view_read")(agg13.read(spark).count())
+      ch.unpersist()
+    }
+
     // --- JDBC sink promote path ----------------------------------------
     val db = s"jdbc:derby:$root/wh;create=true"
     val sink = new JdbcSink(db, "probe_t")

@@ -601,7 +601,8 @@ final class BucketedReplica(
   def commit(batch: DataFrame, tombstoneGcHorizon: Option[Long] = None,
              tag: Option[Long] = None, evolveSchema: Boolean = false,
              precomputedTouched: Option[Seq[Int]] = None,
-             snapAt: Option[Snapshot] = None): Snapshot = {
+             snapAt: Option[Snapshot] = None,
+             storedIn: Option[DataFrame] = None): Snapshot = {
     val spark = batch.sparkSession
     // ONE control-plane snapshot per commit: pointer, manifest text, and
     // schema are resolved once and threaded through bucket-merge AND
@@ -663,8 +664,16 @@ final class BucketedReplica(
       enforceForeignKeys(spark, batchRows, kv0)
 
       val man = manTxt.map(parseManifestEntries).getOrElse(Map.empty[Int, String])
+      // storedIn: a read-commit-read caller (IncrementalAgg) that already
+      // reads the touched buckets at `snapAt` for its own pre-commit diff
+      // passes that (persisted) frame in, so the stored rows are SCANNED
+      // ONCE per fold instead of once here and once in the caller's diff.
+      // Contract: must equal readBuckets at snapAt's manifest with this
+      // commit's target schema — callers that evolve schema or read a
+      // different snapshot must not pass it.
+      val storedRows = storedIn.getOrElse(readBuckets(spark, man, touched, target))
       val merged = graft.Cdc.merge(
-        readBuckets(spark, man, touched, target).unionByName(batchRows), Seq(pk),
+        storedRows.unionByName(batchRows), Seq(pk),
         posCol, opCol, keepTombstones = true)
       // GC only tombstones PROVABLY behind the horizon: a null event time
       // (possible via the schema-drift NULL landing above) must be retained,

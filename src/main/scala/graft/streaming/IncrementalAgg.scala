@@ -126,7 +126,7 @@ final class IncrementalAgg(
     // replica commit, and the after-read (each used to rerun the identical
     // collect — 3 driver actions where 1 suffices; at high trigger rates
     // per-batch actions are the streaming path's scalability tax)
-    val touched = rep.touchedBuckets(batch)
+    val touched = metered("touched_probe")(rep.touchedBuckets(batch))
     // ONE pinned snapshot anchors the before-read AND the commit: the
     // delta below is before/after state arithmetic, so a foreign commit
     // slipping between the two would have its effect on the batch's keys
@@ -140,15 +140,21 @@ final class IncrementalAgg(
     // cur+prev retention past `snap` and GC the files the (lazy) before
     // scan reads — the pin makes every publisher keep them until unpin
     val snapPin = rep.pinFiles(snap)
+    // ONE scan of the touched buckets at `snap` serves BOTH the commit's
+    // merge (via commit's storedIn) and the before-read: persisted, so the
+    // files are opened once per fold instead of once per consumer — on an
+    // object store that is a full round of file opens saved per
+    // micro-batch. Eviction recomputes from snap's files (kept readable by
+    // snapPin) — slower, never wrong.
+    val stored = rep.readBucketsAt(spark, touched, snap).persist()
     try {
       // live state of the batch's keys; keys ≤ batch size, bounded per
       // micro-batch → broadcast the semi-join probe, never shuffle the buckets
-      def keyedLive(at: rep.Snapshot): DataFrame =
-        rep.readBucketsAt(spark, touched, at)
-          .filter(col(opCol) =!= "DELETE")
+      def keyedOf(rows: DataFrame): DataFrame =
+        rows.filter(col(opCol) =!= "DELETE")
           .join(broadcast(keys), Seq(pk), "left_semi")
           .select(col(groupCol), col(valueCol).cast(DecimalType(18, 2)).as("__v"))
-      val before = keyedLive(snap)
+      val before = keyedOf(stored)
       beforeReplicaCommit()
       // the commit RETURNS the snapshot it published; the after-read reads
       // AT that version, not the current head — a foreign applyBatch
@@ -156,12 +162,13 @@ final class IncrementalAgg(
       // would otherwise be absorbed into this batch's delta and counted
       // AGAIN when the foreign fold's own delta lands (the post-commit
       // twin of the pre-commit seam `snapAt` closes)
-      val published =
-        rep.commit(batch, precomputedTouched = Some(touched), snapAt = Some(snap))
+      val published = metered("replica_commit")(
+        rep.commit(batch, precomputedTouched = Some(touched), snapAt = Some(snap),
+          storedIn = Some(stored)))
       val pubPin = rep.pinFiles(published) // same GC protection, after-read
       try {
         afterReplicaCommit()
-        val after = keyedLive(published)
+        val after = keyedOf(rep.readBucketsAt(spark, touched, published))
         // contributions as (count-delta, sum-delta) pairs: −1/−v per old
         // row, +1/+v per new row, n/s verbatim for the existing store
         val delta = before.select(col(groupCol), lit(-1L).as("__dn"),
@@ -192,7 +199,7 @@ final class IncrementalAgg(
             .agg(sum(col("__dn")).as("n_live"),
               sum(col("__ds")).cast(DecimalType(18, 2)).as("sum_value"))
             .filter(col("n_live") =!= 0L)
-          try { write(next, viewPin); done = true }
+          try { metered("view_fold")(write(next, viewPin)); done = true }
           catch { case e: StoreIO.ConcurrentCommit =>
             attempts += 1
             if (attempts >= 5) throw new IllegalStateException(
@@ -202,7 +209,7 @@ final class IncrementalAgg(
           }
         }
       } finally rep.unpin(pubPin)
-    } finally rep.unpin(snapPin)
+    } finally { stored.unpersist(); rep.unpin(snapPin) }
   }
 
   /** Test seam: invoked between the replica commit's success and the
@@ -213,6 +220,18 @@ final class IncrementalAgg(
     * fold reads it — the window a foreign maintainer's VIEW write can land
     * in. No-op in production. */
   private[graft] var afterViewPin: () => Unit = () => ()
+
+  /** Dev metering hook (CommitProbe's b13 phase table): invoked with
+    * (phase, wallSeconds) after each internal phase of a fold. No-op in
+    * production. */
+  private[graft] var phaseMeter: (String, Double) => Unit = (_, _) => ()
+
+  private def metered[A](phase: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    phaseMeter(phase, (System.nanoTime() - t0) / 1e9)
+    r
+  }
 
   private def write(next: DataFrame, basedOn: Option[(Long, String)]): Unit = {
     val newV = basedOn.map(_._1).getOrElse(0L) + 1
