@@ -168,11 +168,26 @@ object Extensions {
   /** e113b's verified-pair stage: banded candidates
     * ([[lshBandCandidates]], hot-bucket cap included) verified by EXACT
     * shingle Jaccard ≥ 0.5 — each surfaced pair pulls two shingle arrays
-    * (the e03b economics); unsurfaced pairs cost nothing. */
+    * (the e03b economics); unsurfaced pairs cost nothing. The sets side of
+    * the verify join is first semi-joined down to docs that appear in a
+    * candidate at all: without it the join moves the WHOLE corpus's
+    * shingle arrays once the sets frame outgrows the broadcast threshold
+    * (the 30×→100× shuffle cliff the round-13 decade probe exposed —
+    * ×8.8 where candidates grew ×3.3); with it the verify's data movement
+    * rides |candidate docs|, which the banding already bounds. The
+    * checkpoint materializes the (small) candidate list once for its two
+    * consumers (the doc filter and the pair join). */
   private[graft] def lshVerifiedPairs(sets: DataFrame): DataFrame = {
-    val cand = lshBandCandidates(sets)
-    val t1 = sets.select(col("doc_id").as("a"), col("g").as("g1"))
-    val t2 = sets.select(col("doc_id").as("b"), col("g").as("g2"))
+    val cand = lshBandCandidates(sets).localCheckpoint()
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    // explicit broadcast: candDocs is an id list the banding bounds to
+    // O(|candidates|); without the hint the semi join plans as SMJ and
+    // shuffles the corpus-sized sets frame — the opposite of its purpose
+    val needed = sets.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val t1 = needed.select(col("doc_id").as("a"), col("g").as("g1"))
+    val t2 = needed.select(col("doc_id").as("b"), col("g").as("g2"))
     cand.join(t1, "a").join(t2, "b")
       .withColumn("nc", size(array_intersect(col("g1"), col("g2"))))
       .filter(col("nc").cast(DoubleType)

@@ -190,6 +190,10 @@ object ScaleProbe {
         Extensions.lshBandCandidates(
             Extensions.shingleSets3(s, d).localCheckpoint())
           .agg(count(lit(1)).as("n_cand"))),
+      "e113b_verified_count" -> ((s: SparkSession, d: String) =>
+        Extensions.lshVerifiedPairs(
+            Extensions.shingleSets3(s, d).localCheckpoint())
+          .agg(count(lit(1)).as("n_verified"))),
       "e114_bitext_margin" -> SparkEntry.queries("e114_bitext_margin"),
       // round-11: the bucketed production form, probed at the fixed k=8
       // it ships with AND at the e48 √N sizing — the pair shows the

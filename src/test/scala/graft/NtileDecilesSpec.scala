@@ -58,6 +58,34 @@ class NtileDecilesSpec extends SparkSpecBase {
     assert(got(ids) === reference(ids))
   }
 
+  test("nb=2 full-Long-span overflow: exactly two ids at the Long extremes " +
+    "must not reverse bucket order (the toLong width wrap)") {
+    // n=2 → nb=2 and span=2^64: ceil(span/2)=2^63, whose bare toLong is
+    // Long.MinValue — a NEGATIVE width reverses `doc_id DIV width` and the
+    // deciles come out inverted. The clamp caps width at Long.MaxValue
+    // (buckets merely collapse — still rank-exact).
+    assert(got(Seq(Long.MinValue, Long.MaxValue)) ===
+      reference(Seq(Long.MinValue, Long.MaxValue)))
+    // a few more tiny extreme-span sets exercise nb ∈ {2,3,4}
+    assert(got(Seq(Long.MinValue, 0L, Long.MaxValue)) ===
+      reference(Seq(Long.MinValue, 0L, Long.MaxValue)))
+    assert(got(Seq(Long.MinValue, -7L, 9L, Long.MaxValue)) ===
+      reference(Seq(Long.MinValue, -7L, 9L, Long.MaxValue)))
+    // and the PURE-TIE sub-split's wId (the same clamp at level 2): two
+    // equal scores whose doc_ids sit at the Long extremes, hotCap=1 forces
+    // the id-based sub-split
+    val rows = Seq((Long.MinValue, 5.0), (Long.MaxValue, 5.0), (7L, 9.0))
+    val out = Extensions.ntileDecilesByScoreOf(
+      rows.toDF("doc_id", "score"), hotCap = 1L)
+      .select("doc_id", "decile")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ref = rows.toDF("doc_id", "score")
+      .select(col("doc_id"),
+        ntile(10).over(Window.orderBy(col("score"), col("doc_id"))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === ref)
+  }
+
   // ---- score-ordered form (e105b's engine) --------------------------------
 
   private def scoreReference(rows: Seq[(Long, Double)]): Map[Long, Int] =
