@@ -194,6 +194,13 @@ object ScaleProbe {
         Extensions.lshVerifiedPairs(
             Extensions.shingleSets3(s, d).localCheckpoint())
           .agg(count(lit(1)).as("n_verified"))),
+      // the exact >=0.5 edge count at the same scale: verified/exact IS
+      // the banding's candidate recall per decade step (e113c's number,
+      // measured where the gate SFs can't see)
+      "e113_exact_count" -> ((s: SparkSession, d: String) =>
+        Extensions.exactShinglePairs(s,
+            Extensions.shingleSets3(s, d).localCheckpoint())
+          .agg(count(lit(1)).as("n_exact"))),
       "e114_bitext_margin" -> SparkEntry.queries("e114_bitext_margin"),
       // round-11: the bucketed production form, probed at the fixed k=8
       // it ships with AND at the e48 √N sizing — the pair shows the
