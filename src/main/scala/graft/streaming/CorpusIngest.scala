@@ -215,7 +215,9 @@ final class CorpusIngest(root: String, nHp: Int = 16,
       }
       .start()
 
-  def destroy(): Unit = { knownDirs.clear(); io.delete(io.root) }
+  // the delegated LshIndex's own destroy() clears ITS OpLog entry cache
+  // (same version-number-reuse hazard as a directly-destroyed index)
+  def destroy(): Unit = { knownDirs.clear(); lsh.destroy(); io.delete(io.root) }
 }
 
 object CorpusIngest {

@@ -158,9 +158,15 @@ final class IvfIndex(root: String) {
       val genDir = s"centroids_gen=${st.version + 1}"
       newCents.coalesce(1).write.mode("overwrite").parquet(s"$root/$genDir")
       // GC set snapshotted PRE-commit — a post-commit listing would race a
-      // just-committed concurrent append (see LshIndex.gcSnapshot)
+      // just-committed concurrent append — and ids above st.maxSeen are
+      // excluded: a defeated append's retry REUSES its batch_id dir name,
+      // so deleting it races the retry's fresh write (see
+      // LshIndex.gcSnapshot, the IndexStoreStressSpec find)
       val dead = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-        .filter(_.getName.stripPrefix("batch_id=").toLong != consol)
+        .filter { p =>
+          val id = p.getName.stripPrefix("batch_id=").toLong
+          id != consol && id <= st.maxSeen
+        }
       (Map("type" -> "migrate", "dir" -> genDir,
         "consol" -> consol.toString, "maxseen" -> st.maxSeen.toString),
         () => dead.foreach(io.delete))
@@ -187,8 +193,13 @@ final class IvfIndex(root: String) {
         .drop("batch_id").distinct()
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$indexDir/batch_id=$consol")
+      // same maxSeen cut as recenter: in-flight append dirs are the
+      // retry's to overwrite, never this GC's to delete
       val dead = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-        .filter(_.getName.stripPrefix("batch_id=").toLong != consol)
+        .filter { p =>
+          val id = p.getName.stripPrefix("batch_id=").toLong
+          id != consol && id <= st.maxSeen
+        }
       (Map("type" -> "compact", "dir" -> centroidDirOf(st),
         "consol" -> consol.toString, "auxconsol" -> consol.toString,
         "maxseen" -> st.maxSeen.toString),

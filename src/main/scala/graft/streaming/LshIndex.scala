@@ -280,12 +280,11 @@ final class LshIndex(root: String, nBp: Int = 16) {
       // GC set snapshotted PRE-commit: deleting "everything not in a keep
       // set" at GC time would race an append that commits between our log
       // entry and the deletes, destroying its just-committed partitions.
-      // The snapshot only ever names dirs that are dead (old generation) or
-      // uncommitted garbage at commit time — a concurrent uncommitted
-      // append's dirs may be in it, but that append LOSES the log race and
-      // recomputes anyway (see OpLog.commitAppend).
+      // And ids above st.maxSeen are excluded even pre-commit: a defeated
+      // append's retry REUSES its dir name, so those dirs are the retry's
+      // to overwrite, never this GC's to delete (see gcSnapshot).
       val dead = gcSnapshot(Map(postingsDir -> Set(consol),
-        pairsDir -> Set(consol), sigsDir -> st.auxIds.toSet))
+        pairsDir -> Set(consol), sigsDir -> st.auxIds.toSet), st.maxSeen)
       (Map("type" -> "migrate", "r" -> r.toString, "b" -> b.toString,
         "consol" -> consol.toString, "maxseen" -> st.maxSeen.toString),
         () => dead.foreach(io.delete))
@@ -316,7 +315,7 @@ final class LshIndex(root: String, nBp: Int = 16) {
       consolidate(pairsDir, readDir(spark, "pairs", pairsDir, pairsReadSchema)
         .filter(idFilter(st.validIds)), None)
       val dead = gcSnapshot(Map(postingsDir -> Set(consol),
-        pairsDir -> Set(consol), sigsDir -> Set(consol)))
+        pairsDir -> Set(consol), sigsDir -> Set(consol)), st.maxSeen)
       (Map("type" -> "compact", "r" -> r.toString, "b" -> b.toString,
         "consol" -> consol.toString, "auxconsol" -> consol.toString,
         "maxseen" -> st.maxSeen.toString),
@@ -337,11 +336,29 @@ final class LshIndex(root: String, nBp: Int = 16) {
     * its keep set — the exact paths the post-commit GC thunk may delete.
     * Listing must happen before the commit: anything created after it
     * (a newly committed append) must never be deletable. Never
-    * load-bearing: validity is the log, these are dead files. */
-  private def gcSnapshot(keep: Map[String, Set[Long]]): Seq[org.apache.hadoop.fs.Path] =
+    * load-bearing: validity is the log, these are dead files.
+    *
+    * `maxSeen` guard (found by IndexStoreStressSpec's randomized race): an
+    * id STRICTLY ABOVE the snapshot state's maxSeen can only belong to an
+    * in-flight append — and a defeated append's RETRY legitimately reuses
+    * the SAME batch_id dir name, so deleting it races the retry's fresh
+    * write (loud TASK_WRITE_FAILED mid-write; silent data loss if the
+    * delete lands between the retry's write and its commit, breaking the
+    * write-before-commit invariant). Committed ids are always ≤ maxSeen
+    * (appends raise it; migrations carry it), so the cut loses nothing:
+    * dead old-generation dirs and stale consolidations all sit at or
+    * below it. The skipped dir of an append that crashes and NEVER
+    * retries is an invisible orphan (never in validIds) that the id's
+    * eventual retry overwrites — a bounded leak, not a correctness
+    * hazard. */
+  private def gcSnapshot(keep: Map[String, Set[Long]],
+                         maxSeen: Long): Seq[org.apache.hadoop.fs.Path] =
     keep.toSeq.flatMap { case (dir, ids) =>
       io.listDirs(new org.apache.hadoop.fs.Path(dir))
-        .filter(p => !ids.contains(p.getName.stripPrefix("batch_id=").toLong))
+        .filter { p =>
+          val id = p.getName.stripPrefix("batch_id=").toLong
+          !ids.contains(id) && id <= maxSeen
+        }
     }
 
   def destroy(): Unit = { knownDirs.clear(); log.reset(); io.delete(io.root) }
