@@ -199,8 +199,15 @@ final class IncrementalAgg(
             .agg(sum(col("__dn")).as("n_live"),
               sum(col("__ds")).cast(DecimalType(18, 2)).as("sum_value"))
             .filter(col("n_live") =!= 0L)
+          // lost-race signals: ConcurrentCommit (the pointer), and a
+          // Spark write failure (a racing WINNER's post-flip sweep may
+          // delete this fold's same-version attempt dir MID-WRITE — the
+          // task fails loudly, never silently). Both re-pin and re-fold
+          // the same delta; a genuine persistent write fault exhausts the
+          // 5 attempts and surfaces with the cause attached.
           try { metered("view_fold")(write(next, viewPin)); done = true }
-          catch { case e: StoreIO.ConcurrentCommit =>
+          catch { case e @ (_: StoreIO.ConcurrentCommit |
+                            _: org.apache.spark.SparkException) =>
             attempts += 1
             if (attempts >= 5) throw new IllegalStateException(
               "view fold lost the write-once pointer race 5 times in a " +
@@ -255,10 +262,16 @@ final class IncrementalAgg(
     pointerVersions.filter(_ < newV)
       .foreach(o => io.delete(io.path(s"_PTR-$o")))
     // keep current + previous version DIRS (readers may hold the old
-    // version); sweep everything else, including defeated/crashed attempts
+    // version); sweep everything else at or below THIS version —
+    // defeated/crashed attempts included. Higher-version dirs belong to
+    // in-flight writers that already saw this pointer (theirs to manage;
+    // a crashed one's orphan is swept once the version number is passed).
     val keep = Set(dir) ++ prevDir
     io.listDirs(io.root).map(_.getName)
-      .filter(d => d.startsWith("v") && !keep.contains(d))
+      .filter { d =>
+        d.startsWith("v") && !keep.contains(d) &&
+          d.stripPrefix("v").takeWhile(_.isDigit).toLongOption.exists(_ <= newV)
+      }
       .foreach(d => io.delete(io.path(d)))
   }
 

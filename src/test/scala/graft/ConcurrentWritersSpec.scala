@@ -31,8 +31,13 @@ class ConcurrentWritersSpec extends SparkSpecBase {
         // manifest rolled past cur+prev mid-commit — both transient for a
         // caller that re-snapshots on retry; a persistent real fault still
         // surfaces as starvation with the cause attached.
+        // SparkException: the winner's post-flip sweep may delete this
+        // loser's in-flight attempt dir mid-job — loud by design, and the
+        // commit is all-or-nothing pre-pointer, so a wholesale retry is
+        // exactly right
         case e @ (_: StoreIO.ConcurrentCommit | _: java.io.IOException |
-                  _: IllegalStateException) =>
+                  _: IllegalStateException |
+                  _: org.apache.spark.SparkException) =>
           tries += 1
           if (tries > 80) throw new IllegalStateException(
             s"$label starved after $tries conflict retries", e)

@@ -26,10 +26,13 @@ class IndexStoreStressSpec extends SparkSpecBase {
       catch {
         // ConcurrentCommit: defeated at the write-once log. IOException /
         // IllegalStateException: a reader outpaced mid-migration or a
-        // starved migrate — transient for a caller that re-reads state on
-        // retry; a real fault still surfaces as starvation with cause.
+        // starved migrate. SparkException: a racer's sweep deleted this
+        // writer's in-flight files mid-job (loud by design). All transient
+        // for a caller that re-reads state on retry; a real fault still
+        // surfaces as starvation with cause.
         case e @ (_: StoreIO.ConcurrentCommit | _: java.io.IOException |
-                  _: IllegalStateException) =>
+                  _: IllegalStateException |
+                  _: org.apache.spark.SparkException) =>
           tries += 1
           if (tries > 40) throw new IllegalStateException(
             s"$label starved after $tries conflict retries", e)
