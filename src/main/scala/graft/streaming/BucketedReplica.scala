@@ -1244,7 +1244,7 @@ final class BucketedReplica(
     commitPointer(newV, attempt, prevToken)
     val (pins, pinnedRels) = pinProtection()
     gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet
-      ++ cloneProtectedRels ++ pinnedRels)
+      ++ cloneProtectedRels ++ pinnedRels, ceiling = newV)
     // keep cur+prev control files (the winning attempts only) plus any
     // pinned versions'; sweep everything older plus any defeated/crashed
     // attempt's leftovers
@@ -1399,10 +1399,27 @@ final class BucketedReplica(
 
   /** Delete bucket dirs referenced by neither the new nor the previous
     * manifest (readers may still hold the previous one — bounded staleness). */
-  private def gcUnreferenced(keep: Set[String]): Unit = {
+  /** `ceiling` closes the same race [[sweepControlFiles]]'s ceiling closes,
+    * at the DATA layer (found by IncrementalAggStressSpec's randomized
+    * wedge): this GC lists dirs at DELETE time, after the pointer flip —
+    * by then a writer that already saw our pointer may be mid-write (or
+    * even pointer-committed) at a HIGHER version, its dirs absent from
+    * our keep set. Deleting them dangles the new head's manifest: every
+    * reader fails permanently (the manifest references swept files).
+    * Only versions at or below the version this commit published are this
+    * GC's to judge. Same-or-lower-version dirs outside the keep set are
+    * defeated/crashed attempts (their writers lose the pointer and retry
+    * wholesale — loud, pre-commit, safe). */
+  private def gcUnreferenced(keep: Set[String], ceiling: Long): Unit = {
     val dataDir = io.path("data")
+    def versionOf(name: String): Long =
+      name.stripPrefix("v").takeWhile(_.isDigit) match {
+        case "" => Long.MaxValue // unparseable: never ours to delete
+        case ds => ds.toLong
+      }
     for {
       vDir <- io.listDirs(dataDir)
+      if versionOf(vDir.getName) <= ceiling
       bDir <- io.listDirs(vDir)
       if bDir.getName.startsWith("bucket=")
       rel = s"data/${vDir.getName}/${bDir.getName}"
@@ -1410,7 +1427,7 @@ final class BucketedReplica(
     } io.delete(bDir)
     // drop version dirs left empty (only non-dir bookkeeping files remain)
     io.listDirs(dataDir)
-      .filter(v => io.listDirs(v).isEmpty)
+      .filter(v => versionOf(v.getName) <= ceiling && io.listDirs(v).isEmpty)
       .foreach(io.delete)
   }
 
