@@ -1242,6 +1242,7 @@ final class BucketedReplica(
         s"${System.currentTimeMillis()}\n")
     }
     commitPointer(newV, attempt, prevToken)
+    beforeDataGc()
     val (pins, pinnedRels) = pinProtection()
     gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet
       ++ cloneProtectedRels ++ pinnedRels, ceiling = newV)
@@ -1377,6 +1378,12 @@ final class BucketedReplica(
     * pointer flip — the window a concurrent committer can win. No-op in
     * production. */
   private[graft] var beforePointerCommit: () => Unit = () => ()
+
+  /** Test seam: invoked after the pointer flip, before the data GC — the
+    * window a FUTURE-version writer (who already saw the new pointer) can
+    * be mid-write or even committed in, which is why [[gcUnreferenced]]
+    * carries a version ceiling. No-op in production. */
+  private[graft] var beforeDataGc: () => Unit = () => ()
 
   /** Write-once pointer creation makes the new version visible
     * all-at-once (no rename anywhere — see [[StoreIO]]); older pointers

@@ -254,6 +254,13 @@ final class OpLog(io: StoreIO) {
   private[graft] var beforeAppendCommit: () => Unit = () => ()
   private[graft] var beforeMigrateCommit: () => Unit = () => ()
 
+  /** Test seam: invoked after a migration's log entry commits, before its
+    * GC thunk deletes the dead dirs — the window a defeated append's
+    * RETRY recreates (and may even re-commit) its same-named batch dir
+    * in, which is why migration GC carries the maxSeen cut. No-op in
+    * production. */
+  private[graft] var beforeMigrateGc: () => Unit = () => ()
+
   def versions: Seq[Long] = {
     val names = io.listFiles(io.root).map(_.getName)
     // Pre-OpLog generation commits must fail LOUDLY: this build derives
@@ -417,6 +424,7 @@ final class OpLog(io: StoreIO) {
       beforeMigrateCommit()
       try {
         commitAt(st.version + 1, entry)
+        beforeMigrateGc()
         gc()
         if (entry("type") == "compact") truncateBefore(st.version + 1)
         return

@@ -85,6 +85,32 @@ class BucketedReplicaSpec extends SparkSpecBase {
     assert(!io.exists(io.path("_PIN-1-deadbeef")), "expired pin must be swept")
   }
 
+  test("data GC never touches a FUTURE version committed inside its own " +
+    "post-flip window (the stress-found wedge, deterministically)") {
+    val root = tmpDir("bkr_gc_ceiling") + "/rep"
+    val rep = new BucketedReplica(root, nBuckets = 4)
+    rep.commit(mkBatch(Seq(row("INSERT", 1L, 1L, 1L, 10.0),
+      row("INSERT", 2L, 2L, 2L, 20.0))))
+    // writer A commits v2; INSIDE A's pointer-flip→GC window, writer B
+    // (who sees A's pointer) commits v3 COMPLETELY. Pre-ceiling, A's GC
+    // listed B's v3 dirs, found them outside A's keep set, and deleted
+    // committed data — the head manifest then referenced swept files and
+    // every read failed permanently.
+    rep.beforeDataGc = () => {
+      rep.beforeDataGc = () => ()
+      new BucketedReplica(root, nBuckets = 4)
+        .commit(mkBatch(Seq(row("UPDATE", 20L, 20L, 2L, 22.0))))
+    }
+    rep.commit(mkBatch(Seq(row("UPDATE", 10L, 10L, 1L, 11.0))))
+    // the head (B's v3) must read back whole — key 2's bucket lives in
+    // B's v3 dir, exactly what the pre-ceiling GC deleted
+    val live = rep.live(spark).select("user_id", "value")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(live === Seq((1L, 11.0), (2L, 22.0)),
+      "a future version committed during the GC window lost data")
+  }
+
   test("a concurrent reader never observes an empty or partial replica") {
     val root = tmpDir("bkr_atomic") + "/rep"
     val rep = new BucketedReplica(root, nBuckets = 4)

@@ -167,6 +167,50 @@ class StoreProtocolSpec extends SparkSpecBase {
     assert(emitted(idx).toSet === oneShotAt(docs, 4, 2))
   }
 
+  test("LSH online: a migration's GC running AFTER a defeated append's " +
+    "retry re-committed must not delete the retry's data (maxSeen cut)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val root = tmpDir("proto_race_gc") + "/idx"
+    val appender = new LshIndex(root)
+    val migrator = new LshIndex(root)
+    val d0 = docs.filter(col("doc_id") < 30)
+    val d1 = docs.filter(col("doc_id") >= 30 && col("doc_id") < 60)
+    appender.addBatch(d0, 0L)
+
+    // park the reband between its log commit and its GC thunk — the
+    // window the defeated append's retry recreates (and re-commits) its
+    // same-named batch_id dir in
+    val gcParked = new CountDownLatch(1)
+    val retryCommitted = new CountDownLatch(1)
+    migrator.log.beforeMigrateGc = () => {
+      migrator.log.beforeMigrateGc = () => ()
+      gcParked.countDown()
+      retryCommitted.await(120, TimeUnit.SECONDS); ()
+    }
+    val rebandT = new Thread(() => migrator.reband(spark, 4, 2))
+    // batch 1's dirs are fully written when this seam fires, so the
+    // reband's pre-commit GC listing SEES them; the old keep-set-only cut
+    // would have scheduled them for deletion
+    appender.log.beforeAppendCommit = () => {
+      appender.log.beforeAppendCommit = () => ()
+      rebandT.start()
+      gcParked.await(120, TimeUnit.SECONDS); ()
+    }
+    intercept[StoreIO.ConcurrentCommit] { appender.addBatch(d1, 1L) }
+    // the retry recomputes under the new banding and COMMITS — while the
+    // migration's GC is still pending
+    appender.addBatch(d1, 1L)
+    retryCommitted.countDown()
+    rebandT.join(120000)
+    assert(!rebandT.isAlive)
+    // the retry's committed data must have survived the released GC: the
+    // index equals a fresh build of ALL docs at the new banding
+    val all = docs.filter(col("doc_id") < 60)
+    assert(emitted(appender).toSet === oneShotAt(all, 4, 2),
+      "the migration's GC deleted a committed retry's partitions")
+    assert(appender.sigs(spark).count() === all.count())
+  }
+
   test("LSH online: a reband racing an append loses its first commit and re-runs over the new batch") {
     val root = tmpDir("proto_race2") + "/idx"
     val idx = new LshIndex(root)
