@@ -308,4 +308,46 @@ class StoreProtocolSpec extends SparkSpecBase {
     assert(idx.index(spark).select("vec_id", "cid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet === expect)
   }
+
+  test("IVF online: a recenter's GC running AFTER a defeated append's " +
+    "retry re-committed must not delete the retry's data (maxSeen cut)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val root = tmpDir("proto_race_gc_ivf") + "/idx"
+    val appender = new IvfIndex(root)
+    val migrator = new IvfIndex(root)
+    val c0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val c1 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    appender.create(c0)
+    appender.addBatch(emb.filter(col("vec_id") % 2 === 0), 0L)
+
+    val gcParked = new CountDownLatch(1)
+    val retryCommitted = new CountDownLatch(1)
+    migrator.log.beforeMigrateGc = () => {
+      migrator.log.beforeMigrateGc = () => ()
+      gcParked.countDown()
+      retryCommitted.await(120, TimeUnit.SECONDS); ()
+    }
+    val recenterT = new Thread(() => migrator.recenter(spark, c1))
+    appender.log.beforeAppendCommit = () => {
+      appender.log.beforeAppendCommit = () => ()
+      recenterT.start()
+      gcParked.await(120, TimeUnit.SECONDS); ()
+    }
+    intercept[StoreIO.ConcurrentCommit] {
+      appender.addBatch(emb.filter(col("vec_id") % 2 === 1), 1L)
+    }
+    // the retry commits its same-named batch dir while the recenter's GC
+    // is still parked; releasing the GC must leave it intact
+    appender.addBatch(emb.filter(col("vec_id") % 2 === 1), 1L)
+    retryCommitted.countDown()
+    recenterT.join(120000)
+    assert(!recenterT.isAlive)
+    val expect = Similarity.ivfAssign(emb, c1).select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(appender.index(spark).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === expect,
+      "the recenter's GC deleted a committed retry's partitions")
+  }
 }
