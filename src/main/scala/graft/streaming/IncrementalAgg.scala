@@ -276,4 +276,42 @@ final class IncrementalAgg(
   }
 
   def destroy(): Unit = io.delete(io.root)
+
+  /** Consistency audit — the DETECTOR for the one crash gap the fold
+    * protocol cannot close: a process dying between its replica commit
+    * and its view write loses that batch's view delta, and the stream's
+    * redelivery diffs an idempotent re-commit to ZERO, so the view lags
+    * silently thereafter. This recomputes the aggregate from the
+    * replica's live state (one corpus scan) and full-outer-diffs it
+    * against the maintained view, one row per disagreeing group (empty =
+    * consistent). Run it after crash recovery or on a schedule; repair
+    * with [[rebuild]]. */
+  def audit(spark: SparkSession): DataFrame = {
+    val truth = rep.live(spark)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("true_n"),
+        sum(col(valueCol).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("true_sum"))
+    read(spark)
+      .select(col(groupCol), col("n_live").as("view_n"),
+        col("sum_value").as("view_sum"))
+      .join(truth, Seq(groupCol), "full_outer")
+      .filter(!(col("view_n") <=> col("true_n")) ||
+        !(col("view_sum") <=> col("true_sum")))
+      .orderBy(groupCol)
+  }
+
+  /** Rebuild the view from the replica's live state, published as the
+    * next view version through the same write-once pointer (a racing
+    * live fold loses or wins loudly, never mixes). The recovery arm of
+    * [[audit]]. */
+  def rebuild(spark: SparkSession): Unit = {
+    val viewPin = pinView()
+    val next = rep.live(spark)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col(valueCol).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("sum_value"))
+    write(next, viewPin)
+  }
 }

@@ -237,6 +237,40 @@ class IncrementalAggSpec extends SparkSpecBase {
       Seq(("a", 42.0), ("b", 100.0)))
   }
 
+  test("the crash gap (die between replica commit and view write) is " +
+    "DETECTED by audit() and repaired by rebuild()") {
+    val root = tmpDir("ia_crashgap")
+    val rep = new BucketedReplica(s"$root/replica", nBuckets = 8)
+    val agg = new IncrementalAgg(rep, s"$root/agg")
+    agg.applyBatch(envBatch(spark, Seq(
+      ("INSERT", 1L, 1L, 1L, 10.0, "a"),
+      ("INSERT", 2L, 2L, 2L, 5.0, "b"))))
+    assert(agg.audit(spark).collect().isEmpty, "fresh view must audit clean")
+    // crash simulation: the process dies AFTER the replica commit lands,
+    // BEFORE the view write — the one interleaving the fold protocol
+    // cannot make atomic (two independent stores)
+    final class Crash extends RuntimeException("simulated crash")
+    agg.afterReplicaCommit = () => { agg.afterReplicaCommit = () => (); throw new Crash }
+    intercept[Crash] {
+      agg.applyBatch(envBatch(spark, Seq(("UPDATE", 5L, 5L, 2L, 50.0, "b"))))
+    }
+    // the stream redelivers; the re-commit is a state-level no-op, so the
+    // redelivered fold's delta is ZERO — the view now lags SILENTLY, the
+    // exact gap audit() exists to expose
+    agg.applyBatch(envBatch(spark, Seq(("UPDATE", 5L, 5L, 2L, 50.0, "b"))))
+    val drift = agg.audit(spark).collect()
+    assert(drift.length === 1 && drift.head.getString(0) === "b",
+      s"audit must expose the lost delta, got ${drift.mkString(",")}")
+    assert(view(agg) !== recompute(rep), "the gap must actually exist")
+    agg.rebuild(spark)
+    assert(agg.audit(spark).collect().isEmpty, "rebuild must repair the view")
+    assert(view(agg) === recompute(rep))
+    // and the repaired view keeps folding incrementally
+    agg.applyBatch(envBatch(spark, Seq(("INSERT", 6L, 6L, 3L, 7.0, "a"))))
+    assert(view(agg) === recompute(rep))
+    assert(agg.audit(spark).collect().isEmpty)
+  }
+
   test("a foreign VIEW write inside the fold loses loudly at the view " +
     "pointer and the retry folds the same delta against the new head") {
     val root = tmpDir("ia_viewseam")
