@@ -126,6 +126,21 @@ object CommitProbe {
       ch.unpersist()
     }
 
+    // --- replica-size invariance of a fixed-size commit ------------------
+    // The 100 TB contract is "per-batch cost ∝ touched buckets, not
+    // replica" — which holds only when a deployment scales nBuckets with
+    // the table (rebucket), keeping bucket size bounded. Measured: the
+    // replica grows 16× while buckets grow with it, and a 1-key commit's
+    // wall + control ops must stay ~flat (the touched bucket holds ~2.5k
+    // rows at every scale). A FIXED-layout replica would instead rewrite
+    // a 16×-bigger bucket — the degradation rebucket exists to prevent.
+    Seq((1, 8), (4, 32), (16, 128)).foreach { case (scale, nb) =>
+      val rep = new BucketedReplica(s"$root/size$scale", nBuckets = nb)
+      rep.commit(batchDf(spark, 0 until 20000 * scale, 1))
+      probe(s"commit_1key_replica_${scale}x_nb$nb")(
+        rep.commit(batchDf(spark, 7 until 8, 2)))
+    }
+
     // --- JDBC sink promote path ----------------------------------------
     val db = s"jdbc:derby:$root/wh;create=true"
     val sink = new JdbcSink(db, "probe_t")
