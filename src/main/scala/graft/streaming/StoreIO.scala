@@ -60,10 +60,17 @@ final class StoreIO(rootStr: String, conf: Configuration) {
 
   /** Create-or-truncate `p` (parents created), with the bytes of `s`. */
   def writeString(p: Path, s: String): Unit = {
+    // crash-sweep hook (no-op in production)
+    val torn = StoreIO.Faults.step(p, tearable = true)
     StoreIO.Stats.writes.increment()
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
     val out = fc.create(p, EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
-    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // torn mode: half the bytes reach disk, then the "process dies" — the
+    // durable-prefix state a real crash mid-write leaves behind
+    try out.write(bytes, 0, if (torn) bytes.length / 2 else bytes.length)
+    finally out.close()
+    if (torn) throw new StoreIO.Faults.InjectedCrash(s"torn write $p")
   }
 
   /** Write-once create (fails if `p` exists) — the pointer-commit
@@ -81,9 +88,12 @@ final class StoreIO(rootStr: String, conf: Configuration) {
     val tmp = new Path(p.getParent,
       s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     writeString(tmp, s)
+    StoreIO.Faults.step(p) // crash between tmp write and the visibility flip
     StoreIO.Stats.renames.increment()
     try fc.rename(tmp, p) // no OVERWRITE: an existing `p` fails the race loudly
     catch { case t: Throwable =>
+      // compensation, not crash-safety: a real crash here leaks the hidden
+      // tmp (readers ignore non-control names; CrashSweepSpec plants one)
       try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
       throw t
     }
@@ -112,6 +122,7 @@ final class StoreIO(rootStr: String, conf: Configuration) {
         "(the side file's completeness witness)")
     val side = new Path(p.getParent, p.getName + ".next")
     writeString(side, s)
+    StoreIO.Faults.step(p) // crash between complete side write and the flip
     StoreIO.Stats.renames.increment()
     fc.rename(side, p, Options.Rename.OVERWRITE)
   }
@@ -158,11 +169,16 @@ final class StoreIO(rootStr: String, conf: Configuration) {
 
   /** Recursive delete; silently ignores a missing path (delete-first,
     * catch FNF — no exists pre-probe round trip). */
-  def delete(p: Path): Unit =
+  def delete(p: Path): Unit = {
+    StoreIO.Faults.step(p)
     try { StoreIO.Stats.deletes.increment(); fc.delete(p, true); () }
     catch { case _: java.io.FileNotFoundException => () }
+  }
 
-  def mkdirs(p: Path): Unit = fc.mkdir(p, FsPermission.getDirDefault, true)
+  def mkdirs(p: Path): Unit = {
+    StoreIO.Faults.step(p)
+    fc.mkdir(p, FsPermission.getDirDefault, true)
+  }
 
   /** Immediate child DIRECTORIES of `p` (empty if `p` doesn't exist). */
   def listDirs(p: Path): Seq[Path] =
@@ -190,6 +206,82 @@ object StoreIO {
     /** a - b, per key (for before/after deltas). */
     def diff(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
       a.map { case (k, v) => k -> (v - b.getOrElse(k, 0L)) }
+  }
+
+  /** Crash-injection harness behind the CrashSweepSpec protocol sweeps.
+    *
+    * Every MUTATING control-plane primitive ([[StoreIO.writeString]], the
+    * visibility renames of [[StoreIO.createExclusive]]/
+    * [[StoreIO.overwriteSafe]], [[StoreIO.delete]], [[StoreIO.mkdirs]])
+    * calls [[step]] first. Disarmed (production, and every other suite
+    * when tests run in parallel) that is one volatile read returning on a
+    * null check; a path-prefix filter scopes an armed injector to ONE
+    * store root, so concurrently-running suites' stores never trip it.
+    *
+    * Armed at op `k`, ops 1..k-1 under the prefix succeed, op `k` throws
+    * [[InjectedCrash]], and so does EVERY later op under the prefix until
+    * [[disarm]] — a dead process does no more I/O, so compensating catch
+    * blocks cannot "un-crash" the disk state. Sweeping k over all
+    * mutation counts therefore visits every durable prefix a real crash
+    * can leave (states between two consecutive mutations are identical on
+    * disk, so read-op crash points add nothing). `torn = true`
+    * additionally models a mid-write death at op k when op k is a
+    * [[StoreIO.writeString]]: half the bytes land before the crash — the
+    * case the overwriteSafe terminator and pointer tmp-rename exist for.
+    *
+    * [[InjectedCrash]] extends Error deliberately: the protocols'
+    * IOException / ConcurrentCommit handling must not mistake an injected
+    * death for a retryable race. */
+  private[graft] object Faults {
+    final class InjectedCrash(msg: String) extends Error(msg)
+
+    private final class Arm(val prefix: String, k: Int, val torn: Boolean) {
+      var remaining: Int = k     // ops allowed before the crash, incl. op k
+      var fired: Boolean = false
+      var toreWrite: Boolean = false
+    }
+    @volatile private var arm: Arm = null
+
+    /** Arm a crash at the k-th (1-based) mutating op whose path starts
+      * with `rootPrefix`. */
+    def armAt(rootPrefix: String, k: Int, torn: Boolean = false): Unit = {
+      require(k >= 1, s"crash op index is 1-based, got $k")
+      arm = new Arm(rootPrefix, k, torn)
+    }
+
+    /** Disarm; returns (fired, toreWrite) — whether the crash triggered at
+      * all, and whether it triggered AS a torn write (op k was a
+      * writeString and torn mode was on). */
+    def disarm(): (Boolean, Boolean) = {
+      val a = arm
+      arm = null
+      if (a == null) (false, false) else (a.fired, a.toreWrite)
+    }
+
+    /** Called by every mutating primitive. Returns true iff this op must
+      * tear (write half, then die) — possible only for writeString
+      * (`tearable = true`); renames/deletes/mkdirs are atomic on every
+      * target FS, so a torn-mode crash landing on one is a plain crash. */
+    private[streaming] def step(p: Path, tearable: Boolean = false): Boolean = {
+      val a = arm
+      if (a == null) false
+      else stepArmed(a, p, tearable)
+    }
+    private def stepArmed(a: Arm, p: Path, tearable: Boolean): Boolean =
+      a.synchronized {
+        if (!p.toString.startsWith(a.prefix) &&
+            !p.toUri.getPath.startsWith(a.prefix)) false
+        else if (a.fired) throw new InjectedCrash(s"I/O after crash: $p")
+        else {
+          a.remaining -= 1
+          if (a.remaining > 0) false
+          else {
+            a.fired = true
+            if (a.torn && tearable) { a.toreWrite = true; true }
+            else throw new InjectedCrash(s"crash before mutation of $p")
+          }
+        }
+      }
   }
 
   /** The session's Hadoop configuration when a session is up (always, in
