@@ -226,5 +226,80 @@ final class IvfIndex(root: String) {
       .limit(k)
   }
 
+  /** Structural integrity audit — one report row per protocol invariant
+    * (the [[LshIndex.audit]] twin; see there for the scan-cost contract).
+    * The cid-conformity check is the load-bearing one for serving: a
+    * stored vector assigned under a DEAD centroid generation would sit in
+    * a partition no probe of the current generation ever prunes to —
+    * silently unsearchable. */
+  def audit(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    val reportSchema = StructType(Seq(
+      StructField("check", StringType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("observed", StringType, nullable = false),
+      StructField("details", StringType, nullable = false)))
+    val rows = scala.collection.mutable.Buffer[Row]()
+    scala.util.Try(log.state) match {
+      case scala.util.Failure(e) =>
+        rows += Row("log_parse", false, "unreadable",
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      case scala.util.Success(st) =>
+        rows += Row("log_parse", true, s"v${st.version}",
+          s"${st.validIds.size} valid partitions, " +
+            s"generation dir ${centroidDirOf(st)}")
+        val have = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+          .map(_.getName.stripPrefix("batch_id=").toLong).toSet
+        val missing = st.validIds.filterNot(have)
+        rows += Row("committed_dirs_present", missing.isEmpty,
+          s"${st.validIds.size} expected",
+          if (missing.isEmpty) "every committed partition dir exists"
+          else s"MISSING: ${missing.mkString(",")}")
+        val centsOk = io.exists(io.path(centroidDirOf(st)))
+        rows += Row("centroids_present", centsOk, centroidDirOf(st),
+          "the current generation's centroid set must exist")
+        if (centsOk) {
+          val badCid = index(spark).select(col("cid")).distinct()
+            .join(centroids(spark).select(col("cid")).distinct(),
+              Seq("cid"), "left_anti").count()
+          rows += Row("cids_in_generation", badCid == 0L,
+            s"$badCid unknown cids",
+            "a vector under a dead generation's cid is unsearchable " +
+              "(probes prune to current-generation partitions only)")
+        }
+        val orphans = (have -- st.validIds).map(i => s"index/$i").toSeq ++
+          staleGenDirs(st).map(_.getName)
+        rows += Row("orphan_partitions", true, s"${orphans.size}",
+          if (orphans.isEmpty) "none"
+          else "invisible to readers; vacuum() reclaims: " +
+            orphans.sorted.mkString(","))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
+  }
+
+  /** Centroid generation dirs the current state does not reference —
+    * leaked by a recenter whose post-commit GC died. */
+  private def staleGenDirs(st: OpLog.State): Seq[org.apache.hadoop.fs.Path] = {
+    val cur = centroidDirOf(st)
+    io.listDirs(io.root).filter { p =>
+      val n = p.getName
+      n != cur && (n == "centroids" || n.startsWith("centroids_gen="))
+    }
+  }
+
+  /** Reclaim partitions no committed log entry references — crashed
+    * appends that never retried, dead consolidations whose GC thunk died,
+    * stale centroid generations, leaked write-once tmps. QUIESCED-ONLY,
+    * same contract and reasoning as [[LshIndex.vacuum]]. */
+  def vacuum(): Seq[String] = {
+    val st = log.state
+    val dead = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+      .filter(p => !st.validIds.contains(
+        p.getName.stripPrefix("batch_id=").toLong))
+    val tmps = io.listFiles(io.root)
+      .filter(_.getName.matches("\\._LOG-\\d+\\.tmp-[0-9a-f]{8}"))
+    (dead ++ staleGenDirs(st) ++ tmps).map { p => io.delete(p); p.toString }
+  }
+
   def destroy(): Unit = { indexDirKnown = false; log.reset(); io.delete(io.root) }
 }

@@ -361,5 +361,99 @@ final class LshIndex(root: String, nBp: Int = 16) {
         }
     }
 
+  /** Structural integrity audit — the index-store twin of the replica's
+    * [[BucketedReplica.fsck]]: one report row per invariant the store's
+    * protocol is supposed to hold, for verifying an index after an
+    * incident (partial restore, manual surgery) instead of trusting it.
+    * Control-plane checks (log parse, committed dirs present) run
+    * driver-side; the containment invariants (postings docs ⊆ stored
+    * sigs, pair endpoints ⊆ postings docs, bands within the current
+    * banding) each fold into one bounded two-column scan — at 100 TB the
+    * audit reads id/band columns only, never text or full signatures.
+    * Orphan partitions (crashed appends that never retried, dead
+    * consolidations whose GC thunk died) are REPORTED ok=true — they are
+    * invisible to readers by the log's validity fold and are [[vacuum]]'s
+    * to reclaim, not a correctness failure. */
+  def audit(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    val reportSchema = StructType(Seq(
+      StructField("check", StringType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("observed", StringType, nullable = false),
+      StructField("details", StringType, nullable = false)))
+    val rows = scala.collection.mutable.Buffer[Row]()
+    val stTry = scala.util.Try(log.state)
+    stTry match {
+      case scala.util.Failure(e) =>
+        rows += Row("log_parse", false, "unreadable",
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      case scala.util.Success(st) =>
+        rows += Row("log_parse", true, s"v${st.version}",
+          s"${st.validIds.size} valid / ${st.auxIds.size} aux partitions, " +
+            s"banding ${bandingOf(st)._1}x${bandingOf(st)._2}")
+        def listedIds(dir: String): Set[Long] =
+          io.listDirs(new org.apache.hadoop.fs.Path(dir))
+            .map(_.getName.stripPrefix("batch_id=").toLong).toSet
+        val (havePost, havePairs, haveSigs) =
+          (listedIds(postingsDir), listedIds(pairsDir), listedIds(sigsDir))
+        val missing =
+          st.validIds.filterNot(havePost).map(i => s"postings/$i") ++
+            st.validIds.filterNot(havePairs).map(i => s"pairs/$i") ++
+            st.auxIds.filterNot(haveSigs).map(i => s"sigs/$i")
+        rows += Row("committed_dirs_present", missing.isEmpty,
+          s"${st.validIds.size * 2 + st.auxIds.size} expected",
+          if (missing.isEmpty) "every committed partition dir exists"
+          else s"MISSING: ${missing.mkString(",")}")
+        // containment invariants, one bounded scan each
+        val sigDocs = sigs(spark).select(col("doc_id"))
+        val postDocs = postings(spark).select(col("doc_id"))
+        val uncoveredPost = postDocs.distinct()
+          .join(sigDocs.distinct(), Seq("doc_id"), "left_anti").count()
+        rows += Row("postings_docs_in_sigs", uncoveredPost == 0L,
+          s"$uncoveredPost uncovered",
+          "every posted doc must carry a stored signature (reband reads sigs)")
+        val uncoveredPair = pairs(spark)
+          .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+          .join(postDocs.distinct(), Seq("doc_id"), "left_anti").count()
+        rows += Row("pair_endpoints_in_postings", uncoveredPair == 0L,
+          s"$uncoveredPair uncovered",
+          "every emitted candidate endpoint must be a posted doc")
+        val (_, b) = bandingOf(st)
+        val outOfBand = postings(spark)
+          .filter(col("band") < 0 || col("band") >= b).count()
+        rows += Row("bands_in_layout", outOfBand == 0L,
+          s"$outOfBand out of [0,$b)",
+          "postings must conform to the current banding generation")
+        val orphans =
+          (havePost -- st.validIds).map(i => s"postings/$i") ++
+            (havePairs -- st.validIds).map(i => s"pairs/$i") ++
+            (haveSigs -- st.auxIds).map(i => s"sigs/$i")
+        rows += Row("orphan_partitions", true, s"${orphans.size}",
+          if (orphans.isEmpty) "none"
+          else s"invisible to readers; vacuum() reclaims: " +
+            orphans.toSeq.sorted.mkString(","))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
+  }
+
+  /** Reclaim partitions no committed log entry references — crashed
+    * appends that never retried (ids above maxSeen, exactly the dirs the
+    * online GCs must NOT touch) and dead consolidations whose post-commit
+    * GC thunk died — plus leaked write-once tmp files. QUIESCED-ONLY
+    * contract: the online GCs leave these dirs alone because an in-flight
+    * append's dir is its retry's to overwrite, so vacuum must only run
+    * with no writer active (stream stopped / maintenance window). Safe
+    * even if the stream later resumes: a retried batch rewrites its dir
+    * from scratch before committing. Returns the deleted paths. */
+  def vacuum(): Seq[String] = {
+    val st = log.state
+    val dead = gcSnapshot(Map(postingsDir -> st.validIds.toSet,
+      pairsDir -> st.validIds.toSet, sigsDir -> st.auxIds.toSet),
+      maxSeen = Long.MaxValue) // quiesced: no in-flight append to protect
+    val tmps = io.listFiles(io.root)
+      .filter(_.getName.matches("\\._LOG-\\d+\\.tmp-[0-9a-f]{8}"))
+    (dead ++ tmps).map { p => io.delete(p); p.toString }
+  }
+
   def destroy(): Unit = { knownDirs.clear(); log.reset(); io.delete(io.root) }
 }
