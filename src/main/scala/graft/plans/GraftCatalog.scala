@@ -132,15 +132,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft tables are hash-bucketed by their primary key; PARTITIONED BY is not supported")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    // refuse a dropped table's remnant dir: a DROP that crashed mid-delete
+    // leaves an invisible dir that may still hold replica state (pointers,
+    // data); silently creating over it would RESURRECT the dropped rows
+    // under the new table. Re-running DROP TABLE sweeps it.
+    val remnants = replicaRemnants(dir)
+    require(remnants.isEmpty,
+      s"dropped-table remnants at $root/$dir (${remnants.mkString(", ")}); " +
+        "re-run DROP TABLE IF EXISTS to finish the interrupted drop, then " +
+        "re-create")
     val pk = Option(properties.get("pk")).getOrElse("user_id")
     val n = Option(properties.get("nBuckets")).map(_.toInt).getOrElse(32)
     require(schema.fieldNames.contains(pk),
       s"declared columns must include the primary key '$pk' (set TBLPROPERTIES ('pk'='…'))")
     io.mkdirs(io.path(dir))
-    io.writeString(io.path(s"$dir/_SCHEMA.json"), schema.json)
-    io.writeString(io.path(s"$dir/_META"), s"nBuckets=$n\npk=$pk\n")
+    // attempt-unique schema payload + a write-once `_META` commit naming
+    // it (the replica's pointer discipline applied to the catalog
+    // bootstrap): the _META create is content-atomic (tmp + rename), so a
+    // crash mid-CREATE can never leave a VISIBLE table with a torn
+    // pk/layout line — `exists(_META)` is the table's commit witness, and
+    // a half-created table is invisible and retryable. A concurrent
+    // double CREATE loses the exclusive create loudly instead of
+    // last-writer-wins mixing one creator's schema with the other's meta.
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    io.writeString(io.path(s"$dir/_SCHEMA-$attempt.json"), schema.json + "\n")
+    try io.createExclusive(io.path(s"$dir/_META"),
+      s"nBuckets=$n\npk=$pk\nschema=_SCHEMA-$attempt.json\n")
+    catch { case _: java.io.IOException =>
+      throw new TableAlreadyExistsException(ident)
+    }
     GraftTable(s"$catalogName.${ident.toString}", s"$root/$dir", None)
   }
+
+  /** COMMITTED replica state inside a dir that is not a visible table
+    * (`_META` absent) — the signature of a DROP that crashed after the
+    * visibility flip. Deliberately narrow: pointers, manifests, and data
+    * carry dropped ROWS (the resurrection hazard), while an orphan
+    * `_SCHEMA-<attempt>.json` is just a crashed CREATE's uncommitted
+    * payload — harmless to overwrite, so a CREATE retry must not be
+    * refused over it. Namespace dirs never match: they hold table
+    * subdirs, not pointer/manifest/data entries of their own. */
+  private def replicaRemnants(dir: String): Seq[String] =
+    io.listFiles(io.path(dir)).map(_.getName)
+      .filter(n => n.startsWith("_PTR-") || n.startsWith("manifest-")) ++
+      (if (io.exists(io.path(s"$dir/data"))) Seq("data") else Nil)
 
   /** `ALTER TABLE … ADD COLUMN(S)` — maps to the replica's monotone schema
     * evolution ([[BucketedReplica.widenSchema]]): a metadata-only version
@@ -177,8 +212,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) false
-    else { io.delete(io.path(dir)); true }
+    if (isTable(dir)) {
+      // visibility flip FIRST: deleting `_META` (side copy, then primary —
+      // the reverse order would leave a state the catalog calls dropped
+      // but BucketedReplica.open's existsSafe fallback still opens) makes
+      // the table logically gone in one atomic step, so a crash anywhere
+      // in the bulk delete leaves an invisible remnant dir — swept by the
+      // next DROP below, refused by CREATE — never a half-readable table
+      io.delete(io.path(s"$dir/_META.next"))
+      io.delete(io.path(s"$dir/_META"))
+      io.delete(io.path(dir))
+      true
+    } else if (replicaRemnants(dir).nonEmpty) {
+      // a crashed DROP's leftovers: finish the job; the table is already
+      // logically dropped, so report absent (DROP IF EXISTS passes silently)
+      io.delete(io.path(dir))
+      false
+    } else false
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

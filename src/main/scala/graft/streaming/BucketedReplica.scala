@@ -970,7 +970,14 @@ final class BucketedReplica(
       newFields.map(f => StructField(f.name, f.dataType, nullable = true)))
     headSnapshot() match {
       case None =>
-        io.writeString(io.path("_SCHEMA.json"), widened.json)
+        // pre-first-commit: the contract lives in the creation-time schema
+        // file (the _META-declared attempt file for catalog tables, bare
+        // _SCHEMA.json otherwise). overwriteSafe, not writeString: a crash
+        // mid-rewrite must leave the old complete contract readable, never
+        // a torn JSON that wedges every subsequent open()
+        io.overwriteSafe(
+          io.path(metaKv.getOrElse("schema", "_SCHEMA.json")),
+          widened.json + "\n")
       case Some((curV, tokens)) =>
         val newV = curV + 1
         val man = readManifest(curV, tokens)
@@ -1478,10 +1485,14 @@ object BucketedReplica {
       io.readString(io.path(manName)).linesIterator
         .find(_.startsWith("#n=")).map(_.stripPrefix("#n=").trim.toInt)
     }.orElse(kv.get("nBuckets").map(_.toInt)).getOrElse(32)
-    val schemaP = io.path("_SCHEMA.json")
+    // the catalog's CREATE TABLE names its attempt-unique schema payload in
+    // _META (`schema=`); bare `_SCHEMA.json` covers pre-r13 tables. Read
+    // via the safe pair: the pre-first-commit widenSchema maintains this
+    // file with overwriteSafe, whose flip window a plain read would race.
+    val schemaP = io.path(kv.getOrElse("schema", "_SCHEMA.json"))
     val fallbackSchema =
-      if (io.exists(schemaP))
-        org.apache.spark.sql.types.DataType.fromJson(io.readString(schemaP))
+      if (io.existsSafe(schemaP))
+        org.apache.spark.sql.types.DataType.fromJson(io.readSafe(schemaP))
           .asInstanceOf[StructType]
       else CdcStream.envelopeSchema
     new BucketedReplica(root, pk, n, fallbackSchema)
