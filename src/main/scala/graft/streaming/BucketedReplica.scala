@@ -1293,6 +1293,28 @@ final class BucketedReplica(
 
   private[graft] def unpin(pin: Option[Path]): Unit = pin.foreach(io.delete)
 
+  /** Control tokens for every version whose control files are still
+    * REACHABLE: the current pointer's cur+prev, plus every live `_PIN` —
+    * a crashed consumer's pins keep its fold-window versions' manifest/
+    * schema/tag files and bucket dirs readable until the TTL expires.
+    * This is the recovery index behind [[IncrementalAgg]]'s crash-gap
+    * self-heal: the crashed fold's own surviving pins are exactly the
+    * lease that keeps its lost delta reconstructible. */
+  private[graft] def reachableVersions(): Map[Long, Option[String]] =
+    livePins() ++ headSnapshot().map(_._2).getOrElse(Map.empty)
+
+  /** Tag of `v` resolved through a reachable token (None if untagged or
+    * the file is already gone — reachability is best-effort by design;
+    * callers fail loudly on an unreconstructible gap). */
+  private[graft] def tagAtReachable(v: Long, tok: Option[String]): Option[Long] =
+    try tagOf(v, Map(v -> tok)) catch { case _: java.io.IOException => None }
+
+  /** Manifest of `v` through a reachable token (None if gone). */
+  private[graft] def manifestAtReachable(
+      v: Long, tok: Option[String]): Option[Map[Int, String]] =
+    try Some(readManifest(v, Map(v -> tok)))
+    catch { case _: java.io.IOException => None }
+
   private val pinRe = "_PIN-(\\d+)-[0-9a-f]{8}".r
 
   /** Live pins as version → control token, deleting expired ones. A pin

@@ -133,9 +133,11 @@ object CdcStream {
     * reference's analyst query (main.tf:188-195) served fresh from a tiny
     * pre-aggregated table instead of re-scanned from the replica. Retry
     * safety composes from the parts: staging overwrites its batch_id
-    * partition, the replica commit is latest-wins, and the view update is a
-    * state diff around that commit, so a redelivered batch produces a zero
-    * delta (IncrementalAggSpec). */
+    * partition, the replica commit is latest-wins, and the view update is
+    * the EXACTLY-ONCE batch-id fold — a redelivered batch re-commits
+    * idempotently and either skips the view (already folded) or
+    * reconstructs the crashed fold's lost delta from its surviving GC
+    * pins (see [[IncrementalAgg.applyBatch(batch0:org\.apache\.spark\.sql\.DataFrame,batchId:Long)*]]). */
   def applyToReplicaWithAggView(changes: DataFrame, replicaDir: String,
                                 aggDir: String, stagingDir: String,
                                 dlqDir: String, checkpointDir: String): StreamingQuery =
@@ -145,7 +147,8 @@ object CdcStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val good = stageAndSplit(batch, batchId, stagingDir, dlqDir)
         val rep = new BucketedReplica(replicaDir)
-        new IncrementalAgg(rep, aggDir).applyBatch(good) // commits the replica
+        // commits the replica, tagged with the stream's monotone batch id
+        new IncrementalAgg(rep, aggDir).applyBatch(good, batchId)
       }
       .start()
 

@@ -73,23 +73,17 @@ final class IncrementalAgg(
           new java.util.ArrayList[org.apache.spark.sql.Row](), storeSchema)
     }
 
-  /** Version's data dir, from the pointer CONTENT (`dir=` line): data dirs
-    * are attempt-unique so a defeated concurrent writer can never have
-    * clobbered the winner's files (the replica's multi-writer discipline,
-    * applied to the view store). Legacy bare-number pointers map to the
-    * old plain `v<N>` name. */
-  private def dirOf(v: Long): String =
-    io.readString(io.path(s"_PTR-$v")).linesIterator
-      .find(_.startsWith("dir=")).map(_.stripPrefix("dir=").trim)
-      .getOrElse(s"v$v")
-
-  /** Pin the current view head as (version, data dir) — the dir MUST be
-    * captured together with the version, because a foreign maintainer's
-    * write GCs the pointer FILE immediately (while the dir itself is
-    * retained one version back for exactly these in-flight readers). The
-    * list+read retries when a concurrent flip deletes the listed pointer
-    * mid-read; each retry chases the newest head. */
-  private def pinView(): Option[(Long, String)] = {
+  /** Pin the current view head as (version, data dir, maxFoldedBatchId) —
+    * all from ONE pointer read: the dir MUST be captured together with the
+    * version, because a foreign maintainer's write GCs the pointer FILE
+    * immediately (while the dir itself is retained one version back for
+    * exactly these in-flight readers), and `maxb` is the exactly-once
+    * fence the batch-id fold path checks atomically with the head it folds
+    * into. Legacy pointers: bare-number content maps to the old plain
+    * `v<N>` dir name; a missing `maxb=` line reads as -1 (never fences).
+    * The list+read retries when a concurrent flip deletes the listed
+    * pointer mid-read; each retry chases the newest head. */
+  private def pinView(): Option[(Long, String, Long)] = {
     var tries = 0
     var lastErr: Throwable = null
     while (tries < 5) {
@@ -97,8 +91,14 @@ final class IncrementalAgg(
       currentVersion match {
         case None => return None
         case Some(v) =>
-          try return Some((v, dirOf(v)))
-          catch { case e: java.io.IOException => lastErr = e }
+          try {
+            val content = io.readString(io.path(s"_PTR-$v")).linesIterator.toSeq
+            val dir = content.find(_.startsWith("dir="))
+              .map(_.stripPrefix("dir=").trim).getOrElse(s"v$v")
+            val maxb = content.find(_.startsWith("maxb="))
+              .map(_.stripPrefix("maxb=").trim.toLong).getOrElse(-1L)
+            return Some((v, dir, maxb))
+          } catch { case e: java.io.IOException => lastErr = e }
       }
     }
     throw new IllegalStateException(
@@ -111,7 +111,37 @@ final class IncrementalAgg(
     // the batch feeds three actions (the shared bucket probe, the replica
     // commit's write, the view write) — cache it once
     val batch = batch0.persist()
-    try applyBatchCached(batch) finally { batch.unpersist(); () }
+    try applyBatchCached(batch, None) finally { batch.unpersist(); () }
+  }
+
+  /** [[applyBatch]] with the stream's micro-batch id — the EXACTLY-ONCE
+    * fold, which closes the one crash gap the plain overload can only
+    * audit (a death between the replica commit and the view write loses
+    * that batch's view delta, because the redelivery's idempotent
+    * re-commit diffs to zero). Three mechanisms, all riding existing
+    * protocol state:
+    *
+    *  1. the replica commit is TAGGED with `batchId`, so a committed-but-
+    *     unfolded batch is durably identifiable;
+    *  2. the view pointer carries `maxb`, the highest folded batch id — a
+    *     redelivery of an already-folded batch (crash AFTER the view
+    *     write) re-commits idempotently and skips the fold;
+    *  3. a redelivery that finds an EARLIER reachable version tagged with
+    *     its own batch id (crash BETWEEN commit and view write)
+    *     reconstructs the lost delta from that version's state diff — the
+    *     crashed fold's own surviving GC pins keep both sides readable
+    *     until the pin TTL, past which the repair fails LOUDLY with a
+    *     rebuild() instruction (never a silent lag).
+    *
+    * Contract (the OpLog maxSeen discipline): batch ids are MONOTONE from
+    * one logical writer (a checkpointed stream); this overload also owns
+    * the replica's commit-tag channel — a deployment tagging the same
+    * table's commits with unrelated ids would confuse both fences. The
+    * plain overload keeps today's semantics for concurrent ad-hoc
+    * maintainers (ConcurrentWritersSpec / IncrementalAggStressSpec). */
+  def applyBatch(batch0: DataFrame, batchId: Long): Unit = {
+    val batch = batch0.persist()
+    try applyBatchCached(batch, Some(batchId)) finally { batch.unpersist(); () }
   }
 
   /** Test seam: invoked between the pre-commit read's snapshot and the
@@ -119,7 +149,7 @@ final class IncrementalAgg(
     * production. */
   private[graft] var beforeReplicaCommit: () => Unit = () => ()
 
-  private def applyBatchCached(batch: DataFrame): Unit = {
+  private def applyBatchCached(batch: DataFrame, batchIdOpt: Option[Long]): Unit = {
     val spark = batch.sparkSession
     val keys = batch.filter(col(pk).isNotNull).select(col(pk)).distinct()
     // ONE bucket probe per micro-batch, shared by the before-read, the
@@ -148,12 +178,20 @@ final class IncrementalAgg(
     // snapPin) — slower, never wrong.
     val stored = rep.readBucketsAt(spark, touched, snap).persist()
     try {
+      // group/value projection of live rows (shared by the keyed diff and
+      // the crash-gap repair's unrestricted bucket diff)
+      def groupedOf(rows: DataFrame): DataFrame =
+        rows.filter(col(opCol) =!= "DELETE")
+          .select(col(groupCol), col(valueCol).cast(DecimalType(18, 2)).as("__v"))
       // live state of the batch's keys; keys ≤ batch size, bounded per
       // micro-batch → broadcast the semi-join probe, never shuffle the buckets
       def keyedOf(rows: DataFrame): DataFrame =
-        rows.filter(col(opCol) =!= "DELETE")
-          .join(broadcast(keys), Seq(pk), "left_semi")
-          .select(col(groupCol), col(valueCol).cast(DecimalType(18, 2)).as("__v"))
+        groupedOf(rows.join(broadcast(keys), Seq(pk), "left_semi"))
+      def asDelta(before: DataFrame, after: DataFrame): DataFrame =
+        before.select(col(groupCol), lit(-1L).as("__dn"),
+            (-col("__v")).as("__ds"))
+          .union(after.select(col(groupCol), lit(1L).as("__dn"),
+            col("__v").as("__ds")))
       val before = keyedOf(stored)
       beforeReplicaCommit()
       // the commit RETURNS the snapshot it published; the after-read reads
@@ -164,17 +202,29 @@ final class IncrementalAgg(
       // twin of the pre-commit seam `snapAt` closes)
       val published = metered("replica_commit")(
         rep.commit(batch, precomputedTouched = Some(touched), snapAt = Some(snap),
-          storedIn = Some(stored)))
+          storedIn = Some(stored), tag = batchIdOpt))
       val pubPin = rep.pinFiles(published) // same GC protection, after-read
       try {
         afterReplicaCommit()
-        val after = keyedOf(rep.readBucketsAt(spark, touched, published))
-        // contributions as (count-delta, sum-delta) pairs: −1/−v per old
-        // row, +1/+v per new row, n/s verbatim for the existing store
-        val delta = before.select(col(groupCol), lit(-1L).as("__dn"),
-            (-col("__v")).as("__ds"))
-          .union(after.select(col(groupCol), lit(1L).as("__dn"),
-            col("__v").as("__ds")))
+        // exactly-once fence (batch-id path): the view already reflects
+        // this batch — the crash was after its view write
+        if (batchIdOpt.exists(_ <= pinView().map(_._3).getOrElse(-1L))) return
+        // a committed-but-unfolded EARLIER version tagged with this very
+        // batch id = a fold that died between commit and view write; its
+        // delta is what this redelivery must fold (this re-commit's own
+        // before/after diff is zero by idempotence)
+        val pubV = published.map(_._1).getOrElse(0L)
+        val priorCrashed: Option[(Long, Option[String])] = batchIdOpt.flatMap {
+          bid =>
+            rep.reachableVersions().filter(_._1 < pubV).toSeq.sortBy(_._1)
+              .find { case (v, tok) => rep.tagAtReachable(v, tok).contains(bid) }
+        }
+        val delta = priorCrashed match {
+          case Some((v1, tok1)) =>
+            metered("gap_repair")(lostDelta(spark, v1, tok1, groupedOf, asDelta))
+          case None =>
+            asDelta(before, keyedOf(rep.readBucketsAt(spark, touched, published)))
+        }
         // pin the VIEW head this fold folds into, and publish as exactly
         // pinned+1: a foreign maintainer's view write landing inside the
         // fold collides at the write-once pointer (ConcurrentCommit)
@@ -191,6 +241,10 @@ final class IncrementalAgg(
         while (!done) {
           val viewPin = pinView()
           afterViewPin()
+          // the fence advances atomically with the fold (same pointer
+          // write); a retry re-reads it with the head it re-pins
+          val newMaxb = math.max(viewPin.map(_._3).getOrElse(-1L),
+            batchIdOpt.getOrElse(-1L))
           val next = readAtDir(spark, viewPin.map(_._2))
             .select(col(groupCol), col("n_live").as("__dn"),
               col("sum_value").as("__ds"))
@@ -205,7 +259,7 @@ final class IncrementalAgg(
           // task fails loudly, never silently). Both re-pin and re-fold
           // the same delta; a genuine persistent write fault exhausts the
           // 5 attempts and surfaces with the cause attached.
-          try { metered("view_fold")(write(next, viewPin)); done = true }
+          try { metered("view_fold")(write(next, viewPin, newMaxb)); done = true }
           catch { case e @ (_: StoreIO.ConcurrentCommit |
                             _: org.apache.spark.SparkException) =>
             attempts += 1
@@ -240,7 +294,8 @@ final class IncrementalAgg(
     r
   }
 
-  private def write(next: DataFrame, basedOn: Option[(Long, String)]): Unit = {
+  private def write(next: DataFrame, basedOn: Option[(Long, String, Long)],
+                    maxb: Long): Unit = {
     val newV = basedOn.map(_._1).getOrElse(0L) + 1
     // the RETAINED predecessor dir, resolved when `basedOn` was pinned
     // (its pointer file may already be GC'd by a racing winner)
@@ -253,7 +308,8 @@ final class IncrementalAgg(
     val dir = s"v$newV-$attempt"
     // the view is one row per group — a single right-sized file
     next.coalesce(1).write.mode("overwrite").parquet(s"$root/$dir")
-    try io.createExclusive(io.path(s"_PTR-$newV"), s"$newV\ndir=$dir\n")
+    try io.createExclusive(io.path(s"_PTR-$newV"),
+      s"$newV\ndir=$dir\nmaxb=$maxb\n")
     catch { case e: java.io.IOException =>
       throw new StoreIO.ConcurrentCommit(
         s"view version $newV was committed by another maintainer during " +
@@ -273,6 +329,40 @@ final class IncrementalAgg(
           d.stripPrefix("v").takeWhile(_.isDigit).toLongOption.exists(_ <= newV)
       }
       .foreach(d => io.delete(io.path(d)))
+  }
+
+  /** The delta a crashed fold lost: its commit (version `v1`, tagged with
+    * the redelivered batch's id) landed but its view write did not, and
+    * the redelivery's idempotent re-commit diffs to zero — so reconstruct
+    * the (v1−1 → v1) state diff instead. Buckets whose manifest entries
+    * are identical on both sides contributed nothing (same files → same
+    * rows → per-group cancellation), so only the crashed commit's touched
+    * buckets are read; no key set is needed because untouched keys inside
+    * a touched bucket cancel the same way. Both sides stay readable via
+    * the crashed fold's own surviving `_PIN` files until the pin TTL —
+    * past it this fails LOUDLY with the rebuild() instruction, never a
+    * silent lag. */
+  private def lostDelta(spark: SparkSession, v1: Long, tok1: Option[String],
+                        groupedOf: DataFrame => DataFrame,
+                        asDelta: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val v0 = v1 - 1
+    def gone(what: String): Nothing = throw new IllegalStateException(
+      s"crash-gap repair: $what of replica version $v1/$v0 is no longer " +
+        "reachable (pin TTL expired or retention rolled past) — the lost " +
+        "view delta cannot be reconstructed incrementally; rebuild() the " +
+        "view from the replica")
+    val m1 = rep.manifestAtReachable(v1, tok1).getOrElse(gone("manifest"))
+    val (snap0, m0): (rep.Snapshot, Map[Int, String]) =
+      if (v0 == 0L) (None, Map.empty[Int, String]) // v1 was the first commit
+      else {
+        val tok0 = rep.reachableVersions().getOrElse(v0, gone("control token"))
+        (Some((v0, Map(v0 -> tok0))),
+          rep.manifestAtReachable(v0, tok0).getOrElse(gone("manifest")))
+      }
+    val touched = (m0.keySet ++ m1.keySet)
+      .filter(b => m0.get(b) != m1.get(b)).toSeq.sorted
+    asDelta(groupedOf(rep.readBucketsAt(spark, touched, snap0)),
+      groupedOf(rep.readBucketsAt(spark, touched, Some((v1, Map(v1 -> tok1))))))
   }
 
   def destroy(): Unit = io.delete(io.root)
@@ -307,11 +397,18 @@ final class IncrementalAgg(
     * [[audit]]. */
   def rebuild(spark: SparkSession): Unit = {
     val viewPin = pinView()
+    // the rebuilt view reflects EVERY commit at its read snapshot, so the
+    // exactly-once fence must advance past every batch tag already
+    // committed — otherwise a later redelivery of one of them would
+    // "repair" a delta the rebuild already contains (double count)
+    val maxb = rep.reachableVersions().toSeq
+      .flatMap { case (v, tok) => rep.tagAtReachable(v, tok) }
+      .foldLeft(viewPin.map(_._3).getOrElse(-1L))(math.max)
     val next = rep.live(spark)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_live"),
         sum(col(valueCol).cast(DecimalType(18, 2)))
           .cast(DecimalType(18, 2)).as("sum_value"))
-    write(next, viewPin)
+    write(next, viewPin, maxb)
   }
 }

@@ -247,6 +247,32 @@ class CrashSweepSpec extends SparkSpecBase {
       }), torn = true)
   }
 
+  test("exactly-once fold (batch-id path): EVERY crash point self-heals " +
+    "via the plain redelivery — no audit, no rebuild") {
+    val parent = tmpDir("crash_agg_eo")
+    val repRoot = s"$parent/replica"; val viewRoot = s"$parent/view"
+    def agg() = new IncrementalAgg(
+      new BucketedReplica(repRoot, nBuckets = 4), viewRoot)
+    agg().applyBatch(env(batch1), 1L)
+    def state(): Seq[String] = {
+      val r = replicaRows(repRoot).map("R|" + _)
+      val v = agg().read(spark).collect().map("V|" + _.toString).sorted.toSeq
+      r ++ v
+    }
+    def part(s: Seq[String], p: String) = s.filter(_.startsWith(p))
+    val points = sweep("exactly-once agg fold", parent, parent,
+      () => agg().applyBatch(env(batch2), 2L),
+      () => state(), healthy = () => fsckOk(repRoot),
+      validAfterCrash = (s, pre, post) =>
+        s == pre || s == post ||
+          (part(s, "R|") == part(post, "R|") && part(s, "V|") == part(pre, "V|")),
+      // converge = the op itself: the redelivery must fence or repair,
+      // with no operator intervention — the round-13 self-heal contract
+      converge = None)
+    assert(points >= 8,
+      s"exactly-once fold sweep covered only $points mutation points")
+  }
+
   private def docs: DataFrame = Tables.load(spark, sfDir, "documents")
     .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
 
