@@ -121,6 +121,45 @@ class CrossJvmKillSpec extends SparkSpecBase {
     deadDirs.foreach(d => assert(referenced.contains(d),
       s"unreferenced wreckage dir survived the successor's GC: $d"))
   }
+
+  test("kill -9 against the exactly-once agg fold: the restarted stream's " +
+    "redelivery self-heals every wreckage state — no audit, no rebuild") {
+    val rnd = new scala.util.Random(7L)
+    val dir = tmpDir("xjvm_kill_agg")
+    val parent = s"$dir/store"
+    import graft.streaming.IncrementalAgg
+    def agg() = new IncrementalAgg(
+      new BucketedReplica(s"$parent/replica", nBuckets = 4), s"$parent/view")
+    agg().applyBatch(CrossJvmKillLoopMain.aggBatch(spark, 0L), 0L) // seed
+    val progress = Paths.get(dir, "progress")
+    var acked = 0L
+    (1 to 3).foreach { round =>
+      val child = launch("graft.CrossJvmKillAggMain",
+        Seq(parent, progress.toString, acked.toString), s"$dir/agg$round.log")
+      try {
+        def readAck(): Long =
+          try new String(Files.readAllBytes(progress)).trim.toLong
+          catch { case _: Exception => acked }
+        val deadline = System.currentTimeMillis() + 120000L
+        while (readAck() <= acked && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        Thread.sleep(rnd.nextInt(400).toLong)
+        child.destroyForcibly()
+        child.waitFor()
+        acked = readAck()
+      } finally { if (child.isAlive) { child.destroyForcibly(); () } }
+      assert(acked >= round, s"round $round: child acked nothing new")
+      // the restarted stream redelivers from its checkpoint: everything
+      // after the last ack, batches regenerated deterministically
+      agg().applyBatch(CrossJvmKillLoopMain.aggBatch(spark, acked + 1), acked + 1)
+      acked += 1
+      Files.write(progress, acked.toString.getBytes)
+      assert(agg().audit(spark).isEmpty,
+        s"round $round: the redelivery did not heal the kill's view gap")
+    }
+    info(s"3 kills + redeliveries; view consistent after each, " +
+      s"$acked batches folded")
+  }
 }
 
 /** Child: open the replica, loop commits forever, ack each durable commit
@@ -128,6 +167,22 @@ class CrossJvmKillSpec extends SparkSpecBase {
   * kills -9 at a random moment; everything this main does must therefore
   * be crash-safe at every instruction. */
 object CrossJvmKillLoopMain {
+
+  /** Deterministic envelope batch `i` — parent and child generate
+    * IDENTICAL content, which is exactly the redelivery contract of a
+    * checkpointed source (same batch id ⇒ same data). */
+  def aggBatch(spark: SparkSession, i: Long): org.apache.spark.sql.DataFrame = {
+    val rows = (0 until 5).map { j =>
+      val uid = (i * 5 + j) % 17
+      val op = if ((i + j) % 7 == 0) "DELETE"
+        else if (j % 2 == 0) "INSERT" else "UPDATE"
+      Row(op, "users", i * 10 + j, (i * 10 + j) * 1000L, uid,
+        (i + j) * 1.25, s"e${(i + j) % 3}")
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      CdcStream.envelopeSchema)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(root, progressS, startS) = args
     val start = startS.toLong
@@ -148,6 +203,31 @@ object CrossJvmKillLoopMain {
       rep.commit(batch)
       // ack AFTER the commit returned: the parent's loss check only counts
       // acked batches, the kill may legitimately eat an unacked one
+      java.nio.file.Files.write(java.nio.file.Paths.get(progressS),
+        i.toString.getBytes)
+      i += 1
+    }
+  }
+}
+
+/** Child for the exactly-once fold round: loop `applyBatch(batch(i), i)`
+  * with deterministic batches, acking after each complete fold. */
+object CrossJvmKillAggMain {
+  def main(args: Array[String]): Unit = {
+    val Array(parent, progressS, startS) = args
+    val start = startS.toLong
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val agg = new graft.streaming.IncrementalAgg(
+      new BucketedReplica(s"$parent/replica", nBuckets = 4), s"$parent/view")
+    var i = start + 1
+    while (true) {
+      agg.applyBatch(CrossJvmKillLoopMain.aggBatch(spark, i), i)
       java.nio.file.Files.write(java.nio.file.Paths.get(progressS),
         i.toString.getBytes)
       i += 1
