@@ -126,6 +126,38 @@ object CommitProbe {
       ch.unpersist()
     }
 
+    // --- exactly-once fold: the self-heal's measured cost (round 13) ----
+    // Three rows decompose the batch-id path: heal_fold_normal = the
+    // no-crash overhead over the plain fold (tag write + fence read +
+    // prior-version probe, all control-plane), heal_redelivery = a
+    // redelivery repairing a killed fold's lost delta (its gap_repair
+    // phase is the two pinned-bucket scans + manifest diff), and the
+    // crash itself is injected as a faithful process death so the pins
+    // survive exactly as they would a JVM kill.
+    if (new java.io.File(s"$sfDir/events.parquet").exists()) {
+      val r4 = s"$root/heal"
+      val repH = new BucketedReplica(s"$r4/replica", nBuckets = 8)
+      val aggH = new graft.streaming.IncrementalAgg(repH, s"$r4/agg")
+      val ch = Cdc.changelog(spark, sfDir).persist()
+      ch.count()
+      aggH.phaseMeter = (phase, sec) =>
+        println(f"""{"op":"heal_phase_$phase","sec":${math.rint(sec * 1000) / 1000}%s}""")
+      probe("heal_fold_seed")(
+        aggH.applyBatch(ch.filter(col("pos") % 3 === 0), 0L))
+      val aggCrash = new graft.streaming.IncrementalAgg(
+        new BucketedReplica(s"$r4/replica", nBuckets = 8), s"$r4/agg")
+      aggCrash.afterReplicaCommit =
+        () => graft.streaming.StoreIO.Faults.armAt(r4, 1)
+      try aggCrash.applyBatch(ch.filter(col("pos") % 3 === 1), 1L)
+      catch { case _: Throwable => () }
+      graft.streaming.StoreIO.Faults.disarm()
+      probe("heal_redelivery")(
+        aggH.applyBatch(ch.filter(col("pos") % 3 === 1), 1L))
+      probe("heal_fold_normal")(
+        aggH.applyBatch(ch.filter(col("pos") % 3 === 2), 2L))
+      ch.unpersist()
+    }
+
     // --- replica-size invariance of a fixed-size commit ------------------
     // The 100 TB contract is "per-batch cost ∝ touched buckets, not
     // replica" — which holds only when a deployment scales nBuckets with

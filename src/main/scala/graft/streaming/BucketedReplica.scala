@@ -1475,8 +1475,16 @@ object BucketedReplica {
 
   /** How long a [[BucketedReplica!.pinFiles]] GC pin protects its version
     * before publishers sweep it as a crashed consumer's leftover. Generous:
-    * a legitimate fold holds its pin for one micro-batch, not hours. */
-  private[graft] val PinTtlMs: Long = 6L * 60 * 60 * 1000
+    * a legitimate fold holds its pin for one micro-batch, not hours. This
+    * is also the CRASH-GAP SELF-HEAL WINDOW ([[IncrementalAgg]]): a stream
+    * restarting within it repairs a killed fold's lost view delta exactly;
+    * past it the evidence is swept and audit()/rebuild() is the recovery.
+    * Deployment knob `-Dgraft.replica.pinTtlMs=<millis>`: raise it when
+    * restarts can be slow (orchestrator backoff, manual ops), at the cost
+    * of retaining a crashed fold's two pinned versions' files longer. */
+  private[graft] val PinTtlMs: Long =
+    sys.props.get("graft.replica.pinTtlMs").flatMap(_.toLongOption)
+      .getOrElse(6L * 60 * 60 * 1000)
 
   /** Open an EXISTING replica knowing only its root — the catalog path
     * ([[graft.plans.GraftCatalog]]): a cold session resolves a table NAME to

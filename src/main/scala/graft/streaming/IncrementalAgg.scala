@@ -212,12 +212,23 @@ final class IncrementalAgg(
         // a committed-but-unfolded EARLIER version tagged with this very
         // batch id = a fold that died between commit and view write; its
         // delta is what this redelivery must fold (this re-commit's own
-        // before/after diff is zero by idempotence)
+        // before/after diff is zero by idempotence). Control-plane budget:
+        // maintenance commits CARRY their predecessor's tag forward, so
+        // the NEWEST tagged reachable version always names the latest data
+        // batch — one tag read decides the no-crash case; the full
+        // earliest-version search (the true delta lives at the FIRST
+        // commit of the id — later same-id versions diff to zero) runs
+        // only once a crash is confirmed.
         val pubV = published.map(_._1).getOrElse(0L)
         val priorCrashed: Option[(Long, Option[String])] = batchIdOpt.flatMap {
           bid =>
-            rep.reachableVersions().filter(_._1 < pubV).toSeq.sortBy(_._1)
-              .find { case (v, tok) => rep.tagAtReachable(v, tok).contains(bid) }
+            val reach = rep.reachableVersions().filter(_._1 < pubV).toSeq
+            val newestTag = reach.sortBy(-_._1).iterator
+              .map { case (v, tok) => rep.tagAtReachable(v, tok) }
+              .find(_.isDefined).flatten
+            if (!newestTag.contains(bid)) None
+            else reach.sortBy(_._1).find { case (v, tok) =>
+              rep.tagAtReachable(v, tok).contains(bid) }
         }
         val delta = priorCrashed match {
           case Some((v1, tok1)) =>
