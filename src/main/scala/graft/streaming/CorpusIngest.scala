@@ -65,8 +65,24 @@ final class CorpusIngest(root: String, nHp: Int = 16,
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType), StructField("batch_id", LongType)))
 
-  /** Accepted corpus so far (all batches). */
+  /** Accepted corpus so far (all batches). READ-UNCOMMITTED fast path: the
+    * corpus sinks have no log of their own (the data dir is the commit), so
+    * a crashed ingest's partial batch is visible here until its redelivery
+    * overwrites it — eventual consistency with zero control-plane reads,
+    * right for the monitoring/analytics queries this feeds.
+    * [[corpusCommitted]] is the exact twin for consumers that must not see
+    * in-flight batches (training-shard export). */
   def corpus(spark: SparkSession): DataFrame = dirReader(spark, "corpus", docSchema)
+
+  /** The corpus restricted to COMMITTED ingest batches. `ingestBatch`
+    * commits the delegated [[LshIndex]] LAST, so a batch id at or below
+    * the index log's `maxSeen` proves the whole ingest of that batch
+    * completed (ids are monotone — the stream's checkpoint contract);
+    * a crashed attempt's partial corpus partition always carries an id
+    * ABOVE it. One control-plane read (the cached log fold), the same
+    * partition-pruned scan otherwise. */
+  def corpusCommitted(spark: SparkSession): DataFrame =
+    corpus(spark).filter(col("batch_id") <= lsh.log.state.maxSeen)
 
   /** Quality-gate rejects (audit sink, not a dead letter — these are
     * well-formed rows the POLICY dropped, with the reason recorded). */

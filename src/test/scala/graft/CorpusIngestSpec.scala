@@ -190,4 +190,31 @@ class CorpusIngestSpec extends SparkSpecBase {
     assert(scan.metrics("numFiles").value < ing.seen(spark).inputFiles.length,
       "hp probe read the whole seen store — no pruning")
   }
+
+  test("corpusCommitted excludes a crashed ingest's partial batch; the " +
+    "read-uncommitted corpus sees it; redelivery reconciles both") {
+    import graft.streaming.StoreIO
+    val root = tmpDir("ci_committed") + "/s"
+    val ing = new CorpusIngest(root)
+    ing.ingestBatch(fixture.filter(col("doc_id") < 20), 0L)
+    val committed0 = ing.corpusCommitted(spark).count()
+    assert(committed0 === ing.corpus(spark).count())
+    // die at the ingest's FIRST control mutation — the delegated index
+    // commit's tmp write: every corpus/seen/rejects partition of batch 1
+    // is already on disk, but nothing committed it
+    StoreIO.Faults.armAt(root, 1)
+    intercept[StoreIO.Faults.InjectedCrash] {
+      ing.ingestBatch(fixture.filter(col("doc_id") >= 20 && col("doc_id") < 40), 1L)
+    }
+    val (fired, _) = StoreIO.Faults.disarm()
+    assert(fired)
+    val ing2 = new CorpusIngest(root) // fresh instance (caches die with the JVM)
+    assert(ing2.corpus(spark).count() > committed0,
+      "the read-uncommitted fast path should see the partial batch")
+    assert(ing2.corpusCommitted(spark).count() === committed0,
+      "corpusCommitted leaked a crashed ingest's partial batch")
+    ing2.ingestBatch(fixture.filter(col("doc_id") >= 20 && col("doc_id") < 40), 1L)
+    assert(ing2.corpusCommitted(spark).count() === ing2.corpus(spark).count(),
+      "redelivery did not reconcile the committed view with the corpus")
+  }
 }
