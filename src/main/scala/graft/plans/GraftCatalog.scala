@@ -383,6 +383,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else {
       require(cascade || io.listDirs(io.path(dir)).isEmpty,
         s"namespace ${namespace.mkString(".")} is not empty")
+      // depth-first, VISIBILITY-first: each table drops through dropTable
+      // (whose _META flip makes it atomically invisible), so a crash
+      // anywhere in the cascade leaves every table either fully visible or
+      // an invisible remnant — never a visible table whose data the bulk
+      // delete already swept. A retry re-enters here (the dir survives
+      // until the last step) and converges; remnant dirs fall to the final
+      // recursive delete.
+      if (cascade) {
+        listNamespaces(namespace).foreach(child => dropNamespace(child, cascade))
+        listTables(namespace).foreach(t => { dropTable(t); () })
+      }
       io.delete(io.path(dir)); true
     }
   }

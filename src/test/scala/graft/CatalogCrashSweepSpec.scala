@@ -222,6 +222,64 @@ class CatalogCrashSweepSpec extends SparkSpecBase {
       props("user_id")) // now clean
   }
 
+  test("DROP NAMESPACE CASCADE: every crash point leaves each table fully " +
+    "visible or an invisible remnant — never visible with swept data") {
+    val wh = tmpDir("ddl_dropns")
+    val cat = catalogOn(wh)
+    cat.createNamespace(Array("cdc"), java.util.Map.of())
+    val id2 = Identifier.of(Array("cdc"), "orders")
+    Seq(ident, id2).foreach { id =>
+      catalogOn(wh).createTable(id, declared,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        props("user_id"))
+      BucketedReplica.open(s"$wh/cdc/${id.name}").commit(env(batch1))
+    }
+    // state: per-table visibility + fsck of every VISIBLE table (the
+    // hazard under test: visible + data swept), plus the namespace itself
+    def nsState(): Seq[String] = {
+      val cat2 = catalogOn(wh)
+      val tables = Seq(ident, id2).map { id =>
+        if (cat2.tableExists(id)) {
+          val rep = BucketedReplica.open(s"$wh/cdc/${id.name}")
+          val bad = rep.fsck(spark).filter(!col("ok")).collect()
+          assert(bad.isEmpty,
+            s"visible table ${id.name} fails fsck mid-crash: ${bad.mkString(";")}")
+          s"T|${id.name}|rows=${rep.read(spark).count()}"
+        } else s"absent|${id.name}"
+      }
+      tables :+ s"ns=${new java.io.File(s"$wh/cdc").exists()}"
+    }
+    val rootPath = java.nio.file.Paths.get(wh)
+    val pre = nsState()
+    val snap = java.nio.file.Files.createTempDirectory("ns_snap")
+    copyTree(rootPath, snap)
+    catalogOn(wh).dropNamespace(Array("cdc"), true)
+    val post = nsState()
+    var k = 1; var done = false; var points = 0
+    while (!done) {
+      assert(k <= 100, "runaway namespace sweep")
+      deleteTree(rootPath); copyTree(snap, rootPath)
+      StoreIO.Faults.armAt(wh, k)
+      var err: Option[Throwable] = None
+      try catalogOn(wh).dropNamespace(Array("cdc"), true)
+      catch { case t: Throwable => err = Some(t) }
+      val (fired, _) = StoreIO.Faults.disarm()
+      err match {
+        case None => assert(!fired); done = true
+        case Some(t) =>
+          if (!fired) throw new AssertionError(s"real failure at $k", t)
+          points += 1
+          nsState() // asserts fsck of every still-visible table internally
+          catalogOn(wh).dropNamespace(Array("cdc"), true) // retry
+          assert(nsState() === post, s"drop-namespace retry at $k diverged")
+      }
+      k += 1
+    }
+    deleteTree(snap)
+    info(s"drop-namespace cascade: $points crash points swept")
+    assert(points >= 4, s"cascade sweep covered only $points points")
+  }
+
   test("ALTER TABLE ADD COLUMN survives every crash point before and after " +
     "the first commit") {
     val wh = tmpDir("ddl_alter")
