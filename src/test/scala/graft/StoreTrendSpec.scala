@@ -54,4 +54,44 @@ class StoreTrendSpec extends SparkSpecBase {
     // every batch's postings valid)
     assert(idx.sigs(spark).count() === 500L)
   }
+
+  test("the exactly-once agg fold's control plane stays FLAT over 50 " +
+    "batches (fence + prior-probe are O(1) with history)") {
+    import org.apache.spark.sql.Row
+    import graft.streaming.{BucketedReplica, CdcStream, IncrementalAgg}
+    val parent = tmpDir("agg_trend")
+    // FIXED key set per fold: the op counts under test must depend only on
+    // history depth, not on how many buckets a batch happens to touch
+    def batch(i: Long): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList((0 until 4).map { j =>
+        Row("INSERT", "users", i * 10 + j, (i * 10 + j) * 1000L,
+          j.toLong, (i + j) * 1.5, s"e${(i + j) % 3}")
+      }: _*), CdcStream.envelopeSchema)
+    // fresh instances per fold — the foreachBatch production shape, so
+    // nothing survives in caches between batches
+    def fold(i: Long): Unit = new IncrementalAgg(
+      new BucketedReplica(s"$parent/replica", nBuckets = 4), s"$parent/view")
+      .applyBatch(batch(i), i)
+    val perFold = (1 to 50).map { i =>
+      val s0 = StoreIO.Stats.snapshot()
+      fold(i.toLong)
+      StoreIO.Stats.diff(StoreIO.Stats.snapshot(), s0)
+    }
+    Seq("reads", "lists", "writes", "deletes").foreach { k =>
+      val vals = perFold.map(_.getOrElse(k, 0L)).drop(5)
+      assert(vals.max === vals.min,
+        s"per-fold $k drifted over 50 exactly-once folds — the batch-id " +
+          s"path is not O(1) with history: ${perFold.map(_.getOrElse(k, 0L))}")
+    }
+    // the flat read cost stays in the single-digit-plus-pins regime: the
+    // newest-tag probe is ONE read, not a scan of 50 versions' tags
+    val steadyReads = perFold.map(_.getOrElse("reads", 0L)).drop(5).max
+    assert(steadyReads < 30L,
+      s"steady-state reads/fold = $steadyReads — the prior-version probe " +
+        "is scanning history")
+    // no pin leak across 50 clean folds
+    val pins = Option(new java.io.File(s"$parent/replica").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("_PIN-"))
+    assert(pins === 0, s"$pins pins leaked by clean folds")
+  }
 }
