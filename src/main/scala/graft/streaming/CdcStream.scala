@@ -186,6 +186,50 @@ object CdcStream {
       }
       .start()
 
+  /** One micro-batch of the multi-table pipeline WITH a per-table
+    * reporting view — the testable core of
+    * [[applyToReplicasByTableWithAggViews]]. Each table folds through the
+    * EXACTLY-ONCE batch-id path, which is what makes the cross-table loop
+    * crash-safe without any coordination: a death after table A's fold but
+    * before table B's leaves A fenced (its view pointer records the batch
+    * id) and B un-begun, so the redelivery skips A idempotently and folds
+    * B normally — and a death inside B's own fold self-heals per the
+    * single-table contract. [[markApplied]] stays LAST: the consistent
+    * frontier only advances once every table's replica AND view reflect
+    * the batch. */
+  def applyTablesWithAggViews(batch: DataFrame, batchId: Long,
+                              replicaRoot: String, aggRoot: String,
+                              stagingDir: String, dlqDir: String): Unit = {
+    val good = stageAndSplit(batch, batchId, stagingDir, dlqDir,
+      requireTbl = true)
+    val tbls = good.select("tbl").distinct()
+      .collect().map(_.getString(0)).sorted
+    tbls.foreach { t =>
+      val sub = good.filter(col("tbl") === t)
+      val rep = new BucketedReplica(s"$replicaRoot/$t")
+      new IncrementalAgg(rep, s"$aggRoot/$t").applyBatch(sub, batchId)
+    }
+    markApplied(replicaRoot, batchId)
+  }
+
+  /** D8 multi-table + reporting: [[applyToReplicasByTable]] with each
+    * table's pre-aggregated view ([[IncrementalAgg]]) maintained in the
+    * same micro-batch through the exactly-once fold — the full shape of
+    * the reference's merge job (per-table replicas, README.md:195-206)
+    * plus its analyst query (main.tf:188-195) served fresh per table. */
+  def applyToReplicasByTableWithAggViews(changes: DataFrame,
+                                         replicaRoot: String, aggRoot: String,
+                                         stagingDir: String, dlqDir: String,
+                                         checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTablesWithAggViews(batch, batchId, replicaRoot, aggRoot,
+          stagingDir, dlqDir)
+      }
+      .start()
+
   /** Read one table's replica from a multi-table root. */
   def liveReplicaFor(spark: SparkSession, replicaRoot: String,
                      tbl: String): DataFrame =

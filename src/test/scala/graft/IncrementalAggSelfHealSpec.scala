@@ -139,6 +139,69 @@ class IncrementalAggSelfHealSpec extends SparkSpecBase {
     assert(f.auditRows.isEmpty)
   }
 
+  test("multi-table folds compose crash-free without coordination: a death " +
+    "anywhere in the per-table loop redelivers to consistent tables, " +
+    "views, and frontier") {
+    def env2(rows: Seq[(String, String, Long, Long, Double, String)]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (o, t, pos, uid, v, e) =>
+          Row(o, t, pos, pos * 1000L, uid, v, e) }: _*),
+        CdcStream.envelopeSchema)
+    val b1m = Seq(("INSERT", "events", 1L, 10L, 5.0, "a"),
+      ("INSERT", "pets", 2L, 20L, 7.0, "x"))
+    val b2m = Seq(("UPDATE", "events", 3L, 10L, 6.0, "a"),
+      ("INSERT", "events", 4L, 11L, 2.5, "b"),
+      ("INSERT", "pets", 5L, 21L, 1.0, "y"),
+      ("DELETE", "pets", 6L, 20L, 0.0, "x"))
+    def deliver(parent: String, b: Seq[(String, String, Long, Long, Double, String)],
+                id: Long): Unit =
+      CdcStream.applyTablesWithAggViews(env2(b), id, s"$parent/replicas",
+        s"$parent/aggs", s"$parent/staging", s"$parent/dlq")
+    def stateOf(parent: String): Seq[String] =
+      Seq("events", "pets").flatMap { t =>
+        val rep = new BucketedReplica(s"$parent/replicas/$t")
+        val agg = new IncrementalAgg(rep, s"$parent/aggs/$t")
+        assert(agg.audit(spark).isEmpty, s"$t view lags")
+        rep.live(spark).collect().map(r => s"$t|R|$r").toSeq ++
+          agg.read(spark).collect().map(r => s"$t|V|$r").toSeq
+      }.sorted :+
+        s"frontier=${CdcStream.appliedFrontier(s"$parent/replicas")}"
+    // control: never-crashed
+    val ctl = tmpDir("mtbl_ctl")
+    deliver(ctl, b1m, 0L); deliver(ctl, b2m, 1L)
+    val want = stateOf(ctl)
+    // crash at strided mutation points across BOTH tables' folds and the
+    // frontier marker, redeliver, and require exact convergence each time
+    var k = 1
+    var sweeping = true
+    var points = 0
+    while (sweeping && k <= 60) {
+      val p = tmpDir(s"mtbl_k$k")
+      deliver(p, b1m, 0L)
+      StoreIO.Faults.armAt(p, k)
+      var crashed = false
+      try deliver(p, b2m, 1L)
+      catch { case _: Throwable => crashed = true }
+      val (fired, _) = StoreIO.Faults.disarm()
+      if (!crashed) { assert(!fired); sweeping = false }
+      else {
+        assert(fired, s"real failure at k=$k")
+        points += 1
+        // the frontier may only claim the batch once EVERY table's replica
+        // and view reflect it (markApplied is last; a crash inside it
+        // after the marker create is a fully-applied state)
+        if (CdcStream.appliedFrontier(s"$p/replicas").getOrElse(-1L) >= 1L)
+          assert(stateOf(p) === want,
+            s"k=$k: frontier claims applied but a table lags")
+        deliver(p, b2m, 1L) // the redelivery
+        assert(stateOf(p) === want, s"k=$k: redelivery diverged")
+      }
+      k += 3 // stride: per-table fold internals are already swept exhaustively
+    }
+    assert(points >= 8, s"multi-table sweep covered only $points points")
+    info(s"multi-table loop: $points strided crash points, all converged")
+  }
+
   test("the streaming wiring passes the micro-batch id end-to-end " +
     "(applyToReplicaWithAggView is the exactly-once fold)") {
     val parent = tmpDir("selfheal_stream")
