@@ -660,7 +660,10 @@ object Cdc {
       val agg = new graft.streaming.IncrementalAgg(rep, s"$root/agg")
       agg.destroy()
       val ch = changelog(s, d)
-      (0 until 3).foreach(i => agg.applyBatch(ch.filter(col("pos") % 3 === i)))
+      // the EXACTLY-ONCE overload (batch-id fence + crash-gap self-heal)
+      // is the production streaming path — the scored query exercises it
+      (0 until 3).foreach(i =>
+        agg.applyBatch(ch.filter(col("pos") % 3 === i), i.toLong))
       agg.read(s)
         .select(col("event_type"), col("n_live"),
           col("sum_value").cast(DoubleType).as("sum_value"))
