@@ -1461,9 +1461,17 @@ final class BucketedReplica(
       rel = s"data/${vDir.getName}/${bDir.getName}"
       if !keep.contains(rel)
     } io.delete(bDir)
-    // drop version dirs left empty (only non-dir bookkeeping files remain)
+    // drop version dirs with no bucket= payload left. NOT `listDirs.isEmpty`:
+    // a kill -9 mid-parquet-write leaves Spark's `_temporary/` staging as the
+    // dir's only child, and the empty-check left exactly that wreckage
+    // leaking forever (found by CrossJvmKillSpec under suite load). A
+    // committed dir always carries its referenced bucket= dirs (job commit
+    // removed _temporary); a bucket-less dir at or below the ceiling is
+    // wreckage of a crashed/defeated attempt — same deletability argument
+    // as its bucket dirs above.
     io.listDirs(dataDir)
-      .filter(v => versionOf(v.getName) <= ceiling && io.listDirs(v).isEmpty)
+      .filter(v => versionOf(v.getName) <= ceiling &&
+        !io.listDirs(v).exists(_.getName.startsWith("bucket=")))
       .foreach(io.delete)
   }
 

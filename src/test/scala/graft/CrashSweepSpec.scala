@@ -350,11 +350,21 @@ class CrashSweepSpec extends SparkSpecBase {
       java.nio.file.Paths.get(s"$root/._PTR-9.tmp-deadbeef"), "v9 junk")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/_META.next"), "pk=user_id") // no \n
+    // what a kill -9 mid-parquet-write leaves: a version dir whose ONLY
+    // child is Spark's _temporary staging (no bucket= payload at all) —
+    // the CrossJvmKillSpec find, pinned deterministically here
+    val tmpOnly = new java.io.File(s"$root/data/v2-cafebabe/_temporary/0")
+    tmpOnly.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${tmpOnly.getPath}/task-attempt.parquet"),
+      "half a parquet")
     assert(replicaRows(root) === before, "garbage changed what readers see")
     fsckOk(root)
     rep.commit(env(batch2))
     fsckOk(root)
     assert(!new java.io.File(s"$root/data/v2-deadbeef").exists(),
       "next commit's GC must sweep the crashed attempt dir at its version")
+    assert(!new java.io.File(s"$root/data/v2-cafebabe").exists(),
+      "a _temporary-only wreckage dir must not leak past the GC")
   }
 }
