@@ -37,6 +37,16 @@ import org.apache.spark.sql.types._
   * The store itself follows the replica's pointer-commit pattern: versioned
   * directory + write-once `_PTR-<v>` pointer file (creation is atomic;
   * readers resolve the max), so readers never see a partial view.
+  *
+  * TWO fold entry points: the plain `applyBatch(batch)` (ad-hoc and
+  * concurrent maintainers — Σ-deltas semantics, crash gap detectable by
+  * [[audit]]/repairable by [[rebuild]]) and the EXACTLY-ONCE
+  * `applyBatch(batch, batchId)` for checkpointed streams, which fences
+  * redeliveries on the view pointer's `maxb` and SELF-HEALS a fold killed
+  * between its replica commit and its view write by reconstructing the
+  * lost delta from the crashed fold's own surviving GC pins (window =
+  * [[BucketedReplica.PinTtlMs]]; past it, loud, with [[rebuild]] as the
+  * recovery). See the overload's scaladoc for the full contract.
   */
 final class IncrementalAgg(
     rep: BucketedReplica,
