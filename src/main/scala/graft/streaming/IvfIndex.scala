@@ -69,6 +69,18 @@ final class IvfIndex(root: String) {
   private def idFilter(ids: Seq[Long]): Column =
     if (ids.isEmpty) lit(false) else col("batch_id").isin(ids: _*)
 
+  /** The store's own partition naming, or None for a stray entry (manual
+    * copy, backup suffix — the post-incident states [[audit]] exists for).
+    * Strays are nobody's to parse, delete, or collide with — see
+    * [[LshIndex]]'s twin. */
+  private def parseBatchId(name: String): Option[Long] =
+    if (name.startsWith("batch_id=")) name.stripPrefix("batch_id=").toLongOption
+    else None
+
+  private def listedIds: Seq[Long] =
+    io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+      .flatMap(p => parseBatchId(p.getName))
+
   /** Pin the initial centroid set (once, at creation). `cents`: (cid, cemb). */
   def create(cents: DataFrame): Unit = {
     require(!io.exists(io.path("centroids")),
@@ -118,6 +130,7 @@ final class IvfIndex(root: String) {
     * — see the class doc's commit protocol. */
   def addBatch(vecs: DataFrame, batchId: Long): Unit = {
     val spark = vecs.sparkSession
+    log.assertNoLiveVacuum("IvfIndex.addBatch") // BEFORE the state read
     val st = log.state
     if (batchId <= st.maxSeen) return // committed replay (checkpoint re-run)
     assignTo(vecs, spark.read.parquet(s"$root/${centroidDirOf(st)}"))
@@ -143,10 +156,11 @@ final class IvfIndex(root: String) {
     * contract every versioned store here shares. */
   def recenter(spark: SparkSession, newCents: DataFrame): Unit = {
     log.migrate("recenter") { st =>
+      // in-body (not just pre-loop): a retry body after a lost race could
+      // otherwise reuse a consol id a concurrent vacuum is mid-deleting
+      log.assertNoLiveVacuum("IvfIndex.recenter")
       // below every id ever used (crashed attempts' garbage included)
-      val listed = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-        .map(_.getName.stripPrefix("batch_id=").toLong)
-      val consol = ((listed ++ st.validIds) :+ 0L).min - 1L
+      val consol = ((listedIds ++ st.validIds) :+ 0L).min - 1L
       // distinct: a vector double-stored by a crash-retry window collapses here
       val vecs = spark.read.schema(indexReadSchema)
         .option("basePath", indexDir).parquet(indexDir)
@@ -163,10 +177,8 @@ final class IvfIndex(root: String) {
       // so deleting it races the retry's fresh write (see
       // LshIndex.gcSnapshot, the IndexStoreStressSpec find)
       val dead = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-        .filter { p =>
-          val id = p.getName.stripPrefix("batch_id=").toLong
-          id != consol && id <= st.maxSeen
-        }
+        .filter(p => parseBatchId(p.getName)
+          .exists(id => id != consol && id <= st.maxSeen))
       (Map("type" -> "migrate", "dir" -> genDir,
         "consol" -> consol.toString, "maxseen" -> st.maxSeen.toString),
         () => dead.foreach(io.delete))
@@ -184,9 +196,8 @@ final class IvfIndex(root: String) {
     val pre = log.state
     if (pre.validIds.size <= 1) return // nothing to fold
     log.migrate("compact") { st =>
-      val listed = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-        .map(_.getName.stripPrefix("batch_id=").toLong)
-      val consol = ((listed ++ st.validIds) :+ 0L).min - 1L
+      log.assertNoLiveVacuum("IvfIndex.compact") // see recenter
+      val consol = ((listedIds ++ st.validIds) :+ 0L).min - 1L
       spark.read.schema(indexReadSchema)
         .option("basePath", indexDir).parquet(indexDir)
         .filter(idFilter(st.validIds))
@@ -196,10 +207,8 @@ final class IvfIndex(root: String) {
       // same maxSeen cut as recenter: in-flight append dirs are the
       // retry's to overwrite, never this GC's to delete
       val dead = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-        .filter { p =>
-          val id = p.getName.stripPrefix("batch_id=").toLong
-          id != consol && id <= st.maxSeen
-        }
+        .filter(p => parseBatchId(p.getName)
+          .exists(id => id != consol && id <= st.maxSeen))
       (Map("type" -> "compact", "dir" -> centroidDirOf(st),
         "consol" -> consol.toString, "auxconsol" -> consol.toString,
         "maxseen" -> st.maxSeen.toString),
@@ -248,8 +257,7 @@ final class IvfIndex(root: String) {
         rows += Row("log_parse", true, s"v${st.version}",
           s"${st.validIds.size} valid partitions, " +
             s"generation dir ${centroidDirOf(st)}")
-        val have = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-          .map(_.getName.stripPrefix("batch_id=").toLong).toSet
+        val have = listedIds.toSet
         val missing = st.validIds.filterNot(have)
         rows += Row("committed_dirs_present", missing.isEmpty,
           s"${st.validIds.size} expected",
@@ -273,6 +281,14 @@ final class IvfIndex(root: String) {
           if (orphans.isEmpty) "none"
           else "invisible to readers; vacuum() reclaims: " +
             orphans.sorted.mkString(","))
+        val strays = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+          .filter(p => parseBatchId(p.getName).isEmpty)
+          .map(p => s"index/${p.getName}")
+        rows += Row("unrecognized_entries", true, s"${strays.size}",
+          if (strays.isEmpty) "none"
+          else "not the store's naming (manual copy or backup suffix); " +
+            "invisible to readers, skipped by vacuum — operator's to " +
+            s"remove: ${strays.sorted.mkString(",")}")
     }
     spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
   }
@@ -289,16 +305,29 @@ final class IvfIndex(root: String) {
 
   /** Reclaim partitions no committed log entry references — crashed
     * appends that never retried, dead consolidations whose GC thunk died,
-    * stale centroid generations, leaked write-once tmps. QUIESCED-ONLY,
-    * same contract and reasoning as [[LshIndex.vacuum]]. */
+    * stale centroid generations, leaked write-once tmps. The quiesced-only
+    * contract is ENFORCED via the `_VACUUM` lease + `vacuum` log entry —
+    * same protocol and no-silent-loss argument as [[LshIndex.vacuum]]. */
   def vacuum(): Seq[String] = {
-    val st = log.state
-    val dead = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
-      .filter(p => !st.validIds.contains(
-        p.getName.stripPrefix("batch_id=").toLong))
-    val tmps = io.listFiles(io.root)
-      .filter(_.getName.matches("\\._LOG-\\d+\\.tmp-[0-9a-f]{8}"))
-    (dead ++ staleGenDirs(st) ++ tmps).map { p => io.delete(p); p.toString }
+    log.acquireVacuumLease()
+    try {
+      val tmps = io.listFiles(io.root)
+        .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM)\\.tmp-[0-9a-f]{8}"))
+        .map { p => io.delete(p); p.toString }
+      def deadAt(st: OpLog.State): Seq[org.apache.hadoop.fs.Path] =
+        io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
+          .filter(p => parseBatchId(p.getName)
+            .exists(id => !st.validIds.contains(id))) ++ staleGenDirs(st)
+      // no log fence needed when nothing is dead: tmps are invisible to all
+      if (deadAt(log.state).isEmpty) return tmps
+      var deleted = Seq.empty[String]
+      log.migrate("vacuum") { st =>
+        val dead = deadAt(st)
+        (Map("type" -> "vacuum"),
+          () => deleted = dead.map { p => io.delete(p); p.toString })
+      }
+      tmps ++ deleted
+    } finally log.releaseVacuumLease()
   }
 
   def destroy(): Unit = { indexDirKnown = false; log.reset(); io.delete(io.root) }

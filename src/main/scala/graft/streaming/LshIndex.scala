@@ -134,6 +134,7 @@ final class LshIndex(root: String, nBp: Int = 16) {
     * propagates so the stream's retry recomputes under the new banding. */
   def addBatch(docs: DataFrame, batchId: Long): Unit = {
     val spark = docs.sparkSession
+    log.assertNoLiveVacuum("LshIndex.addBatch") // BEFORE the state read
     val st = log.state
     if (batchId <= st.maxSeen) return // committed replay (checkpoint re-run)
     val (r, b) = bandingOf(st)
@@ -260,6 +261,9 @@ final class LshIndex(root: String, nBp: Int = 16) {
   def reband(spark: SparkSession, r: Int, b: Int): Unit = {
     require(r > 0 && b > 0 && r * b <= 8, s"reband r=$r b=$b needs r*b <= 8")
     log.migrate("reband") { st =>
+      // in-body (not just pre-loop): a retry body after a lost race could
+      // otherwise reuse a consol id a concurrent vacuum is mid-deleting
+      log.assertNoLiveVacuum("LshIndex.reband")
       val sig = readDir(spark, "sigs", sigsDir, sigsReadSchema)
         .filter(idFilter(st.auxIds)).drop("batch_id").distinct()
       val bands = graft.Extensions.bandsFromSigs(sig, r, b)
@@ -301,6 +305,7 @@ final class LshIndex(root: String, nBp: Int = 16) {
     val pre = log.state
     if (pre.validIds.size <= 1 && pre.auxIds.size <= 1) return // nothing to fold
     log.migrate("compact") { st =>
+      log.assertNoLiveVacuum("LshIndex.compact") // see reband
       val (r, b) = bandingOf(st)
       val consol = freshNegativeId(st)
       def consolidate(dir: String, df: DataFrame, partBy: Option[String]): Unit = {
@@ -323,12 +328,21 @@ final class LshIndex(root: String, nBp: Int = 16) {
     }
   }
 
+  /** The store's own partition naming, or None for a stray entry (manual
+    * copy, `batch_id=3.bak` backup suffix — exactly the post-incident
+    * states [[audit]] is documented for). Strays are nobody's to parse,
+    * delete, or collide with: maintenance skips them, [[audit]] reports
+    * them in `unrecognized_entries` instead of crashing the check. */
+  private def parseBatchId(name: String): Option[Long] =
+    if (name.startsWith("batch_id=")) name.stripPrefix("batch_id=").toLongOption
+    else None
+
   /** An id strictly below every id any dir has EVER used (crashed attempts'
     * garbage included) — consolidated output can never collide. */
   private def freshNegativeId(st: OpLog.State): Long = {
     val listed = Seq(postingsDir, pairsDir, sigsDir)
       .flatMap(d => io.listDirs(new org.apache.hadoop.fs.Path(d)))
-      .map(_.getName.stripPrefix("batch_id=").toLong)
+      .flatMap(p => parseBatchId(p.getName))
     ((listed ++ st.validIds ++ st.auxIds) :+ 0L).min - 1L
   }
 
@@ -355,10 +369,8 @@ final class LshIndex(root: String, nBp: Int = 16) {
                          maxSeen: Long): Seq[org.apache.hadoop.fs.Path] =
     keep.toSeq.flatMap { case (dir, ids) =>
       io.listDirs(new org.apache.hadoop.fs.Path(dir))
-        .filter { p =>
-          val id = p.getName.stripPrefix("batch_id=").toLong
-          !ids.contains(id) && id <= maxSeen
-        }
+        .filter(p => parseBatchId(p.getName)
+          .exists(id => !ids.contains(id) && id <= maxSeen))
     }
 
   /** Structural integrity audit — the index-store twin of the replica's
@@ -393,7 +405,7 @@ final class LshIndex(root: String, nBp: Int = 16) {
             s"banding ${bandingOf(st)._1}x${bandingOf(st)._2}")
         def listedIds(dir: String): Set[Long] =
           io.listDirs(new org.apache.hadoop.fs.Path(dir))
-            .map(_.getName.stripPrefix("batch_id=").toLong).toSet
+            .flatMap(p => parseBatchId(p.getName)).toSet
         val (havePost, havePairs, haveSigs) =
           (listedIds(postingsDir), listedIds(pairsDir), listedIds(sigsDir))
         val missing =
@@ -432,6 +444,17 @@ final class LshIndex(root: String, nBp: Int = 16) {
           if (orphans.isEmpty) "none"
           else s"invisible to readers; vacuum() reclaims: " +
             orphans.toSeq.sorted.mkString(","))
+        val strays = Seq("postings" -> postingsDir, "pairs" -> pairsDir,
+          "sigs" -> sigsDir).flatMap { case (rel, d) =>
+          io.listDirs(new org.apache.hadoop.fs.Path(d))
+            .filter(p => parseBatchId(p.getName).isEmpty)
+            .map(p => s"$rel/${p.getName}")
+        }
+        rows += Row("unrecognized_entries", true, s"${strays.size}",
+          if (strays.isEmpty) "none"
+          else "not the store's naming (manual copy or backup suffix); " +
+            "invisible to readers, skipped by vacuum — operator's to " +
+            s"remove: ${strays.sorted.mkString(",")}")
     }
     spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
   }
@@ -439,20 +462,39 @@ final class LshIndex(root: String, nBp: Int = 16) {
   /** Reclaim partitions no committed log entry references — crashed
     * appends that never retried (ids above maxSeen, exactly the dirs the
     * online GCs must NOT touch) and dead consolidations whose post-commit
-    * GC thunk died — plus leaked write-once tmp files. QUIESCED-ONLY
-    * contract: the online GCs leave these dirs alone because an in-flight
-    * append's dir is its retry's to overwrite, so vacuum must only run
-    * with no writer active (stream stopped / maintenance window). Safe
-    * even if the stream later resumes: a retried batch rewrites its dir
-    * from scratch before committing. Returns the deleted paths. */
+    * GC thunk died — plus leaked write-once tmp files. The quiesced-only
+    * contract is ENFORCED, not advisory: vacuum takes the store's
+    * exclusive `_VACUUM` lease (every writer probes it before reading log
+    * state and refuses loudly while it is live), then commits a `vacuum`
+    * log entry that defeats any writer already in flight (its commit
+    * loses the write-once version race, cleans up, and its RETRY is
+    * refused at the lease — the retry-rewrites-while-vacuum-deletes
+    * interleave cannot happen) — so no commit can ever land naming a path
+    * this delete pass removed. A writer mid-parquet-write when its dir is
+    * swept fails its write job loudly (raw task failure, not the
+    * ConcurrentCommit class) and the stream's retry recomputes from
+    * scratch once the lease lifts — loud and convergent, never silent
+    * loss. Returns the deleted paths. */
   def vacuum(): Seq[String] = {
-    val st = log.state
-    val dead = gcSnapshot(Map(postingsDir -> st.validIds.toSet,
-      pairsDir -> st.validIds.toSet, sigsDir -> st.auxIds.toSet),
-      maxSeen = Long.MaxValue) // quiesced: no in-flight append to protect
-    val tmps = io.listFiles(io.root)
-      .filter(_.getName.matches("\\._LOG-\\d+\\.tmp-[0-9a-f]{8}"))
-    (dead ++ tmps).map { p => io.delete(p); p.toString }
+    log.acquireVacuumLease()
+    try {
+      val tmps = io.listFiles(io.root)
+        .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM)\\.tmp-[0-9a-f]{8}"))
+        .map { p => io.delete(p); p.toString }
+      def deadAt(st: OpLog.State): Seq[org.apache.hadoop.fs.Path] =
+        gcSnapshot(Map(postingsDir -> st.validIds.toSet,
+          pairsDir -> st.validIds.toSet, sigsDir -> st.auxIds.toSet),
+          maxSeen = Long.MaxValue) // lease-held: no in-flight retry to protect
+      // no log fence needed when nothing is dead: tmps are invisible to all
+      if (deadAt(log.state).isEmpty) return tmps
+      var deleted = Seq.empty[String]
+      log.migrate("vacuum") { st =>
+        val dead = deadAt(st)
+        (Map("type" -> "vacuum"),
+          () => deleted = dead.map { p => io.delete(p); p.toString })
+      }
+      tmps ++ deleted
+    } finally log.releaseVacuumLease()
   }
 
   def destroy(): Unit = { knownDirs.clear(); log.reset(); io.delete(io.root) }

@@ -339,6 +339,71 @@ final class OpLog(io: StoreIO) {
 
   private val prefix = "_LOG-"
 
+  // ---- vacuum lease -------------------------------------------------------
+  // The ENFORCED form of the index stores' quiesced-only vacuum contract.
+  // Vacuum deletes dirs the online GCs must never touch (ids above maxSeen
+  // — exactly the dirs a defeated append's retry reuses), so it needs
+  // pessimistic exclusion, not just the optimistic log race: the log entry
+  // alone defeats IN-FLIGHT writers (their commit loses the version race
+  // and they clean up), but a defeated writer's RETRY could rewrite its
+  // same-named dir while vacuum's delete pass is still running — a window
+  // where a later commit references deleted data. The lease closes it:
+  // every writer probes the lease BEFORE reading log state, so any writer
+  // able to commit AFTER vacuum's entry must have started AFTER the lease
+  // landed — and was refused loudly instead. Order matters on both sides:
+  // vacuum takes the lease FIRST, then commits its entry, then deletes;
+  // writers probe FIRST, then read state, so a writer that slipped past
+  // the probe pre-lease is necessarily on a pre-entry read version and
+  // loses the log race before naming any deleted path.
+  //
+  // A crashed vacuum leaves a stale lease; writers sweep it once it ages
+  // past the TTL (`-Dgraft.index.vacuumTtlMs`, default 1h — deletes take
+  // seconds, and hour-scale TTL dwarfs any realistic clock skew).
+
+  private val leaseName = "_VACUUM"
+
+  private[graft] def vacuumTtlMs: Long =
+    sys.props.get("graft.index.vacuumTtlMs").flatMap(_.toLongOption)
+      .getOrElse(60L * 60 * 1000)
+
+  /** Millis since the lease was taken, if a lease file exists. */
+  private def leaseAge(): Option[Long] =
+    try io.readString(io.path(leaseName)).linesIterator.nextOption()
+      .flatMap(_.trim.toLongOption)
+      .map(t => System.currentTimeMillis() - t)
+      .orElse(Some(0L)) // unparseable lease: treat as fresh, fail loudly
+    catch { case _: java.io.IOException => None }
+
+  /** Writer-side guard — called by every mutating store operation BEFORE
+    * it reads log state. Fails loudly while a live vacuum holds the store;
+    * sweeps a stale lease (crashed vacuum past its TTL) and proceeds. */
+  private[graft] def assertNoLiveVacuum(what: String): Unit =
+    leaseAge().foreach { age =>
+      if (age < vacuumTtlMs) throw new IllegalStateException(
+        s"$what refused: a vacuum holds ${io.path(leaseName)} " +
+          s"(age ${age}ms < ttl ${vacuumTtlMs}ms) — retry after it " +
+          "finishes or, if it crashed, after the lease expires")
+      io.delete(io.path(leaseName))
+    }
+
+  /** Take the exclusive vacuum lease (write-once create — two vacuums
+    * racing lose loudly, never both sweep). */
+  private[graft] def acquireVacuumLease(): Unit = {
+    leaseAge().foreach { age =>
+      if (age < vacuumTtlMs) throw new IllegalStateException(
+        s"another vacuum holds ${io.path(leaseName)} (age ${age}ms)")
+      io.delete(io.path(leaseName)) // crashed predecessor past its TTL
+    }
+    try io.createExclusive(io.path(leaseName),
+      s"${System.currentTimeMillis()}\n${java.util.UUID.randomUUID()}\n")
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"lost the vacuum lease race at ${io.path(leaseName)}: ${e.getMessage}")
+    }
+  }
+
+  private[graft] def releaseVacuumLease(): Unit = io.delete(io.path(leaseName))
+
   /** Test seams for deterministic race interleavings: invoked after an
     * operation's data is fully written, immediately before its commit
     * attempt — the exact window a concurrent committer can win. No-ops in
