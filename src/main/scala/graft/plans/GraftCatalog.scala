@@ -76,6 +76,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tableDir(ident: Identifier): String =
     rel(ident.namespace.toSeq :+ ident.name)
 
+  private def parts(ident: Identifier): String =
+    (ident.namespace.toSeq :+ ident.name).mkString(".")
+
   private def isTable(dir: String): Boolean =
     io.exists(io.path(s"$dir/_META"))
 
@@ -135,12 +138,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // refuse a dropped table's remnant dir: a DROP that crashed mid-delete
     // leaves an invisible dir that may still hold replica state (pointers,
     // data); silently creating over it would RESURRECT the dropped rows
-    // under the new table. Re-running DROP TABLE sweeps it.
+    // under the new table. finish_drop (or a direct-API dropTable) sweeps it.
     val remnants = replicaRemnants(dir)
+    // the referenced recovery must be SQL-reachable: Spark's DropTableExec
+    // probes tableExists (which reports only VISIBLE tables) before calling
+    // dropTable, so `DROP TABLE IF EXISTS` from SQL silently no-ops on a
+    // remnant dir and never reaches the sweep arm — the finish_drop
+    // procedure is the cold-session door to it (direct-API callers may
+    // equivalently re-run catalog.dropTable)
     require(remnants.isEmpty,
       s"dropped-table remnants at $root/$dir (${remnants.mkString(", ")}); " +
-        "re-run DROP TABLE IF EXISTS to finish the interrupted drop, then " +
-        "re-create")
+        s"run CALL $catalogName.system.finish_drop('${parts(ident)}') to " +
+        "finish the interrupted drop, then re-create")
     val pk = Option(properties.get("pk")).getOrElse("user_id")
     val n = Option(properties.get("nBuckets")).map(_.toInt).getOrElse(32)
     require(schema.fieldNames.contains(pk),
@@ -170,12 +179,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * carry dropped ROWS (the resurrection hazard), while an orphan
     * `_SCHEMA-<attempt>.json` is just a crashed CREATE's uncommitted
     * payload — harmless to overwrite, so a CREATE retry must not be
-    * refused over it. Namespace dirs never match: they hold table
-    * subdirs, not pointer/manifest/data entries of their own. */
+    * refused over it. A child dir NAMED `data` counts only when it holds
+    * the replica's own `v<N>…` version dirs: a namespace can legitimately
+    * contain a TABLE (or nested namespace) literally called `data`, and
+    * matching on the name alone would make [[dropTable]]'s remnant arm
+    * recursively delete that whole namespace, visible tables included. */
   private def replicaRemnants(dir: String): Seq[String] =
     io.listFiles(io.path(dir)).map(_.getName)
       .filter(n => n.startsWith("_PTR-") || n.startsWith("manifest-")) ++
-      (if (io.exists(io.path(s"$dir/data"))) Seq("data") else Nil)
+      (if (!isTable(s"$dir/data") &&
+           io.listDirs(io.path(s"$dir/data"))
+             .exists(_.getName.matches("v\\d+(-.+)?"))) Seq("data") else Nil)
 
   /** `ALTER TABLE … ADD COLUMN(S)` — maps to the replica's monotone schema
     * evolution ([[BucketedReplica.widenSchema]]): a metadata-only version
@@ -325,6 +339,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "drop a declared FOREIGN KEY constraint by name",
         Array(P("table", StringType), P("name", StringType)),
         in => repOf(tbl(in)).dropForeignKey(in.getUTF8String(1).toString)),
+      GraftProcedure("index_vacuum",
+        "reclaim an LSH/IVF index store's unreferenced partitions (crashed " +
+          "appends that never retried, dead consolidations, stale centroid " +
+          "generations, leaked tmps) under the store's enforced vacuum " +
+          "lease; accepts an absolute path or a catalog-root-relative " +
+          "dotted name, sniffing the store kind from its layout",
+        Array(P("store", StringType)),
+        in => {
+          val arg = tbl(in)
+          val storeRoot =
+            if (arg.contains("/") || arg.contains(":")) arg
+            else s"$root/${rel(arg.split('.').toSeq)}"
+          GraftTvf.openIndexStore(storeRoot).fold(_.vacuum(), _.vacuum())
+          ()
+        }),
+      GraftProcedure("finish_drop",
+        "sweep the invisible remnants of a DROP TABLE that crashed " +
+          "mid-delete (SQL DROP TABLE IF EXISTS cannot reach them: Spark " +
+          "probes tableExists, which reports visible tables only, before " +
+          "calling dropTable); refuses a VISIBLE table, no-ops when " +
+          "nothing is left to sweep",
+        Array(P("table", StringType)),
+        in => {
+          val dir = rel(tbl(in).split('.').toSeq)
+          require(!isTable(dir),
+            s"${tbl(in)} is a visible table — use DROP TABLE, not finish_drop")
+          // remnants-gated, never a bare rmdir: an arbitrary non-table dir
+          // is a NAMESPACE, and sweeping one here would delete its visible
+          // tables through a maintenance verb that promises the opposite
+          if (replicaRemnants(dir).nonEmpty) io.delete(io.path(dir))
+        }),
       GraftProcedure("detach_clone",
         "lift GC protection for a clone after it is destroyed or fully " +
           "materialized (externalRefs = 0); a detached live clone fails " +

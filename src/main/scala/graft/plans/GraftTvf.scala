@@ -54,7 +54,10 @@ object GraftTvf {
       (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_fsck", exprs)),
     (new FunctionIdentifier("graft_constraints"),
       new ExpressionInfo(classOf[UnresolvedGraftTvf].getName, "graft_constraints"),
-      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_constraints", exprs)))
+      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_constraints", exprs)),
+    (new FunctionIdentifier("graft_index_audit"),
+      new ExpressionInfo(classOf[UnresolvedGraftTvf].getName, "graft_index_audit"),
+      (exprs: Seq[Expression]) => UnresolvedGraftTvf("graft_index_audit", exprs)))
 
   private def stringArg(fn: String, args: Seq[Expression], i: Int): String =
     args(i) match {
@@ -81,6 +84,44 @@ object GraftTvf {
       p.nonEmpty && !p.contains("/") && !p.contains("..")),
       s"illegal table name '$name'")
     BucketedReplica.open((root +: parts.toSeq).mkString("/"))
+  }
+
+  /** Resolve an index-store argument: an absolute path/URI is used as-is;
+    * a dotted name resolves under the catalog root like any table name
+    * (index stores commonly live BESIDE the warehouse, hence both forms). */
+  private[graft] def indexRoot(spark: SparkSession, arg: String): String =
+    if (arg.contains("/") || arg.contains(":")) arg
+    else {
+      val root = spark.conf.getOption("spark.sql.catalog.graft.root").getOrElse(
+        throw new IllegalArgumentException(
+          s"'$arg' is a relative store name; set spark.sql.catalog.graft.root " +
+            "or pass an absolute path"))
+      val parts = arg.split('.').toSeq
+      require(parts.nonEmpty && parts.forall(p =>
+        p.nonEmpty && !p.contains("..")), s"illegal store name '$arg'")
+      (root +: parts).mkString("/")
+    }
+
+  /** Open the index store at `root`, sniffing which kind lives there from
+    * its own durable layout (sigs/postings/pairs ⇒ LSH; index/centroids ⇒
+    * IVF) — the cold-SQL-session twin of holding the typed handle. Loud on
+    * an empty or ambiguous root: auditing the WRONG store kind would
+    * report vacuous health. */
+  private[graft] def openIndexStore(root: String)
+      : Either[graft.streaming.LshIndex, graft.streaming.IvfIndex] = {
+    val io = new graft.streaming.StoreIO(root, graft.streaming.StoreIO.sessionConf())
+    val lsh = Seq("sigs", "postings", "pairs").exists(d => io.exists(io.path(d)))
+    val ivf = Seq("index", "centroids").exists(d => io.exists(io.path(d))) ||
+      io.listDirs(io.root).exists(_.getName.startsWith("centroids_gen="))
+    (lsh, ivf) match {
+      case (true, false) => Left(new graft.streaming.LshIndex(root))
+      case (false, true) => Right(new graft.streaming.IvfIndex(root))
+      case (true, true) => throw new IllegalArgumentException(
+        s"$root holds BOTH LSH and IVF layout dirs — not a single store")
+      case _ => throw new IllegalArgumentException(
+        s"no index store at $root (neither LSH sigs/postings/pairs nor " +
+          "IVF index/centroids present)")
+    }
   }
 
   private val constraintsSchema = StructType(Seq(
@@ -136,6 +177,14 @@ object GraftTvf {
         // manifest/file presence) — one table scan + control-plane reads
         openByName(spark, stringArg("graft_fsck", args, 0))
           .fsck(spark).queryExecution.analyzed
+      case UnresolvedGraftTvf("graft_index_audit", args) =>
+        require(args.length == 1, "graft_index_audit(store_path_or_name)")
+        // the LSH/IVF stores' structural integrity report from a cold SQL
+        // session — the index twin of graft_fsck (audit() docs: bounded
+        // two-column scans, control-plane log checks)
+        val root = indexRoot(spark, stringArg("graft_index_audit", args, 0))
+        openIndexStore(root).fold(_.audit(spark), _.audit(spark))
+          .queryExecution.analyzed
       case u: UnresolvedGraftTvf => throw new IllegalStateException(
         s"unknown graft table function ${u.fn}")
     }

@@ -224,6 +224,92 @@ class DdlEvolutionSpec extends SparkSpecBase {
     assert(new BucketedReplica(root, nBuckets = 4).registeredClones.isEmpty)
   }
 
+  test("a crashed DROP's remnants are recoverable from a COLD SQL session: " +
+    "finish_drop sweeps what DROP TABLE IF EXISTS cannot reach") {
+    val wh = tmpDir("ddl_finish_drop")
+    val rep = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)
+    rep.destroy(); rep.commit(seed)
+    // the crashed-DROP state: visibility flipped (_META gone), committed
+    // rows still on disk — the resurrection hazard CREATE must refuse
+    assert(new java.io.File(s"$wh/cdc/users/_META").delete())
+    val cold = coldSession(wh)
+
+    // SQL DROP TABLE IF EXISTS no-ops: DropTableExec probes tableExists
+    // (visible tables only) before dropTable, so the sweep arm is
+    // unreachable from here — exactly the wedge finish_drop exists for
+    cold.sql("DROP TABLE IF EXISTS graft.cdc.users")
+    assert(new java.io.File(s"$wh/cdc/users/data").exists(),
+      "IF EXISTS on a remnant must be a no-op (nothing visible to drop)")
+
+    // CREATE over the remnants refuses loudly and names the recovery verb
+    val e = intercept[Exception](cold.sql(
+      """CREATE TABLE graft.cdc.users (
+        |  op STRING, tbl STRING, pos BIGINT, ts_ns BIGINT,
+        |  user_id BIGINT, value DOUBLE, event_type STRING)
+        |TBLPROPERTIES ('pk' = 'user_id', 'nBuckets' = '4')""".stripMargin))
+    assert(e.getMessage.contains("finish_drop"),
+      s"the refusal must point at the SQL-reachable sweep, got: ${e.getMessage}")
+
+    // the named recovery works from the same cold session, and CREATE
+    // then provisions a FRESH table — zero resurrected rows
+    cold.sql("CALL graft.system.finish_drop('cdc.users')")
+    assert(!new java.io.File(s"$wh/cdc/users").exists(), "remnants not swept")
+    cold.sql(
+      """CREATE TABLE graft.cdc.users (
+        |  op STRING, tbl STRING, pos BIGINT, ts_ns BIGINT,
+        |  user_id BIGINT, value DOUBLE, event_type STRING)
+        |TBLPROPERTIES ('pk' = 'user_id', 'nBuckets' = '4')""".stripMargin)
+    assert(cold.sql("SELECT * FROM graft.cdc.users").count() === 0,
+      "a re-created table must not resurrect the dropped rows")
+
+    // guard rails: finish_drop refuses a VISIBLE table outright
+    val e2 = intercept[Exception](
+      cold.sql("CALL graft.system.finish_drop('cdc.users')"))
+    assert(e2.getMessage.contains("visible table"),
+      s"finish_drop on a live table must refuse, got: ${e2.getMessage}")
+  }
+
+  test("a table (or namespace) literally named 'data' is not a drop remnant: " +
+    "neither dropTable nor finish_drop may sweep the namespace holding it") {
+    val wh = tmpDir("ddl_data_name")
+    // cdc/data is a VISIBLE table whose name collides with the replica's
+    // internal data dir; cdc/deep/data/users nests a namespace named data
+    val repData = new BucketedReplica(s"$wh/cdc/data", nBuckets = 4)
+    repData.destroy(); repData.commit(seed)
+    val repDeep = new BucketedReplica(s"$wh/cdc/deep/data/users", nBuckets = 4)
+    repDeep.destroy(); repDeep.commit(seed)
+    val cold = coldSession(wh)
+    val cat = new graft.plans.GraftCatalog()
+    cat.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", wh)))
+    import org.apache.spark.sql.connector.catalog.Identifier
+
+    // direct-API dropTable on the NAMESPACE ident: the 'data' child is a
+    // table, not remnant state — must report absent and delete NOTHING
+    assert(!cat.dropTable(Identifier.of(Array.empty, "cdc")),
+      "a namespace is not a table, visible or remnant")
+    assert(!cat.dropTable(Identifier.of(Array("cdc"), "deep")),
+      "a namespace whose grandchild dirs are tables is not a remnant")
+    assert(cold.sql("SELECT * FROM graft.cdc.data").count() === seed.count(),
+      "dropTable on the namespace ident swept a visible table named data")
+    assert(cold.sql("SELECT * FROM graft.cdc.deep.data.users").count()
+      === seed.count(), "nested namespace named data swept")
+
+    // finish_drop on the same idents: remnant-gated, so a no-op
+    cold.sql("CALL graft.system.finish_drop('cdc')")
+    cold.sql("CALL graft.system.finish_drop('cdc.deep')")
+    assert(cold.sql("SELECT * FROM graft.cdc.data").count() === seed.count(),
+      "finish_drop swept a namespace holding a table named data")
+
+    // and a REAL remnant whose data dir holds v<N> version dirs still
+    // sweeps (the narrowing must not lose the genuine crashed-DROP case)
+    assert(new java.io.File(s"$wh/cdc/data/_META").delete())
+    assert(!cat.dropTable(Identifier.of(Array("cdc"), "data")),
+      "remnant is not a visible table")
+    assert(!new java.io.File(s"$wh/cdc/data").exists(),
+      "genuine crashed-DROP remnants must still be swept")
+  }
+
   test("SHOW TABLES and DESCRIBE resolve through the catalog") {
     val wh = tmpDir("ddl_show")
     val rep = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)

@@ -134,6 +134,196 @@ class IndexAuditSpec extends SparkSpecBase {
       "vacuum touched the committed index")
   }
 
+  test("stray dirs that don't parse as batch_id=<n> (manual copy, backup " +
+    "suffix) are reported, skipped by vacuum, and never crash the audit") {
+    val root = tmpDir("audit_strays") + "/idx"
+    val idx = new LshIndex(root)
+    idx.addBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+    val before = lshDigest(root)
+    // the post-incident states audit is documented for: a backup-suffixed
+    // copy of a partition and a hand-dropped dir that isn't ours at all
+    def plant(p: String): Unit =
+      assert(new java.io.File(p).mkdirs(), s"fixture mkdir failed: $p")
+    plant(s"$root/postings/batch_id=0.bak")
+    plant(s"$root/sigs/manual_restore")
+    val rep = report(new LshIndex(root).audit(spark)) // must not throw
+    allOk(rep)
+    assert(rep("unrecognized_entries")._2 === "2",
+      s"both strays must be reported: $rep")
+    assert(new LshIndex(root).vacuum().isEmpty,
+      "vacuum must skip entries it cannot claim as the store's own")
+    assert(new java.io.File(s"$root/postings/batch_id=0.bak").exists &&
+      new java.io.File(s"$root/sigs/manual_restore").exists,
+      "strays are the operator's to remove, not vacuum's")
+    // maintenance keeps working around them (no NumberFormatException in
+    // freshNegativeId / gcSnapshot), and readers never saw them
+    new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+    new LshIndex(root).compact(spark)
+    allOk(report(new LshIndex(root).audit(spark)))
+    assert(lshDigest(root).size > before.size)
+
+    val ivfRoot = tmpDir("audit_strays_ivf") + "/idx"
+    val ivf = new IvfIndex(ivfRoot)
+    ivf.create(emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    ivf.addBatch(emb.filter(col("vec_id") % 2 === 0), 0L)
+    plant(s"$ivfRoot/index/batch_id=0.bak")
+    val irep = report(new IvfIndex(ivfRoot).audit(spark))
+    allOk(irep)
+    assert(irep("unrecognized_entries")._2 === "1", s"stray not reported: $irep")
+    assert(new IvfIndex(ivfRoot).vacuum().isEmpty)
+    assert(new java.io.File(s"$ivfRoot/index/batch_id=0.bak").exists)
+  }
+
+  test("vacuum's quiesced-only contract is ENFORCED: the lease refuses " +
+    "writers, and a writer already in flight loses at the log — the " +
+    "deleted-then-committed interleave is impossible") {
+    val root = tmpDir("vacuum_lease") + "/idx"
+    val idx = new LshIndex(root)
+    idx.addBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+    idx.addBatch(docs.filter(col("doc_id") % 3 === 1), 1L)
+    // a crashed append's orphans give vacuum something to fence
+    StoreIO.Faults.armAt(root, 1)
+    intercept[StoreIO.Faults.InjectedCrash] {
+      new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 2L)
+    }
+    StoreIO.Faults.disarm()
+
+    // (a) a live lease refuses every mutating verb loudly, BEFORE any write
+    idx.log.acquireVacuumLease()
+    try {
+      val filesBefore = Option(new java.io.File(root).list()).get.sorted.toSeq
+      def refused(what: String)(op: => Unit): Unit = {
+        val e = intercept[IllegalStateException](op)
+        assert(e.getMessage.contains("vacuum"), s"$what: ${e.getMessage}")
+      }
+      refused("addBatch")(
+        new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 2L))
+      refused("reband")(new LshIndex(root).reband(spark, 4, 2))
+      refused("compact")(new LshIndex(root).compact(spark))
+      assert(Option(new java.io.File(root).list()).get.sorted.toSeq
+        === filesBefore, "a refused writer mutated the store")
+      // a second vacuum cannot share the lease
+      intercept[IllegalStateException](idx.log.acquireVacuumLease())
+    } finally idx.log.releaseVacuumLease()
+
+    // (b) deterministic seam: an append fully written and paused at its
+    // commit; vacuum runs to completion in between (lease + log entry +
+    // sweep of the paused append's own dirs); the resumed commit MUST
+    // lose — it can never publish the paths vacuum just deleted
+    val victim = new LshIndex(root)
+    victim.log.beforeAppendCommit = () => {
+      val v = new LshIndex(root).vacuum()
+      assert(v.nonEmpty, "vacuum found nothing to fence against")
+      victim.log.beforeAppendCommit = () => ()
+    }
+    intercept[StoreIO.ConcurrentCommit] {
+      victim.addBatch(docs.filter(col("doc_id") % 2 === 1), 2L)
+    }
+    // nothing dead remains, nothing committed names a swept path
+    val repB = report(new LshIndex(root).audit(spark))
+    allOk(repB)
+    assert(repB("orphan_partitions")._2 === "0",
+      s"the fenced append's dirs must be gone: $repB")
+    // (c) the defeated batch's retry converges to the never-crashed control
+    new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 2L)
+    val control = tmpDir("vacuum_lease_ctl") + "/idx"
+    val ctl = new LshIndex(control)
+    ctl.addBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+    ctl.addBatch(docs.filter(col("doc_id") % 3 === 1), 1L)
+    ctl.addBatch(docs.filter(col("doc_id") % 2 === 1), 2L)
+    assert(lshDigest(root) === lshDigest(control),
+      "retry after a fenced vacuum diverged from the never-crashed build")
+
+    // (d) reverse seam: vacuum pauses before ITS entry; an append (a
+    // pre-lease straggler — modeled by briefly lifting the lease, the
+    // window a probe that ran before acquisition occupies) commits first;
+    // vacuum must lose that round and re-derive — the now-committed
+    // batch's partitions survive the sweep
+    StoreIO.Faults.armAt(root, 1)
+    intercept[StoreIO.Faults.InjectedCrash] {
+      new LshIndex(root).addBatch(docs.filter(col("doc_id") < 10), 3L)
+    }
+    StoreIO.Faults.disarm()
+    val vac = new LshIndex(root)
+    var raced = false
+    vac.log.beforeMigrateCommit = () => {
+      if (!raced) { raced = true
+        vac.log.releaseVacuumLease()
+        new LshIndex(root).addBatch(docs.filter(col("doc_id") < 10), 3L)
+        vac.log.acquireVacuumLease()
+      }
+    }
+    val deleted = vac.vacuum()
+    vac.log.beforeMigrateCommit = () => ()
+    assert(raced, "the race seam never fired")
+    assert(!deleted.exists(_.contains("batch_id=3")),
+      s"vacuum swept a committed batch after losing the race: $deleted")
+    val repD = report(new LshIndex(root).audit(spark))
+    allOk(repD)
+    assert(new LshIndex(root).sigs(spark)
+      .filter(col("batch_id") === 3L).count() > 0,
+      "the race-winning batch's committed partitions must survive")
+  }
+
+  test("cold SQL surface: graft_index_audit and CALL graft.system." +
+    "index_vacuum reach both store kinds by path or by catalog name") {
+    val wh = tmpDir("sql_index_audit")
+    // LSH under the warehouse (name-addressable) with a crashed append
+    val lshRoot = s"$wh/idx/docs_lsh"
+    new LshIndex(lshRoot).addBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+    StoreIO.Faults.armAt(lshRoot, 1)
+    intercept[StoreIO.Faults.InjectedCrash] {
+      new LshIndex(lshRoot).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+    }
+    StoreIO.Faults.disarm()
+    // IVF OUTSIDE the warehouse (path-addressable) with a stale generation
+    val ivfRoot = tmpDir("sql_index_ivf") + "/emb_ivf"
+    val ivf = new IvfIndex(ivfRoot)
+    ivf.create(emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    ivf.addBatch(emb.filter(col("vec_id") % 2 === 0), 0L)
+    ivf.log.beforeMigrateGc = () => throw new RuntimeException("gc died")
+    intercept[RuntimeException] { ivf.recenter(spark, emb
+      .filter(col("vec_id") < 6)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))) }
+    ivf.log.beforeMigrateGc = () => ()
+
+    // a session knowing ONLY the catalog confs — the operator's cold shell
+    val cold = spark.newSession()
+    cold.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    cold.conf.set("spark.sql.catalog.graft.root", wh)
+    def audit(arg: String): Map[String, (Boolean, String)] =
+      cold.sql(s"SELECT * FROM graft_index_audit('$arg')").collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+
+    val byName = audit("idx.docs_lsh") // catalog-root-relative dotted name
+    allOk(byName)
+    assert(byName("orphan_partitions")._2 === "3",
+      s"the crashed append's 3 dirs must be visible from SQL: $byName")
+    assert(audit(lshRoot) === byName, "path and name forms must agree")
+    val ivfRep = audit(ivfRoot) // absolute path, store kind sniffed as IVF
+    allOk(ivfRep)
+    assert(ivfRep("orphan_partitions")._2 === "2",
+      s"dead batch dir + stale generation expected: $ivfRep")
+    assert(ivfRep.contains("centroids_present"), "IVF sniffing failed")
+
+    // reclaim both from SQL, then the audits read clean
+    cold.sql("CALL graft.system.index_vacuum('idx.docs_lsh')")
+    cold.sql(s"CALL graft.system.index_vacuum('$ivfRoot')")
+    assert(audit("idx.docs_lsh")("orphan_partitions")._2 === "0")
+    assert(audit(ivfRoot)("orphan_partitions")._2 === "0")
+    // committed state untouched: the stores still read and extend
+    new LshIndex(lshRoot).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+    assert(new LshIndex(lshRoot).sigs(spark).count() > 0)
+    assert(new IvfIndex(ivfRoot).index(spark).count() > 0)
+
+    // loud on nonsense: no store, and a name with no catalog root conf
+    val e = intercept[Exception](audit(tmpDir("sql_index_empty")))
+    assert(e.getMessage.contains("no index store"),
+      s"empty root must refuse loudly: ${e.getMessage}")
+  }
+
   test("IVF detector teeth: a partition committed under a dead generation's " +
     "cids fails cids_in_generation") {
     val root = tmpDir("audit_ivf_teeth") + "/idx"
