@@ -1466,12 +1466,25 @@ final class BucketedReplica(
     // dir's only child, and the empty-check left exactly that wreckage
     // leaking forever (found by CrossJvmKillSpec under suite load). A
     // committed dir always carries its referenced bucket= dirs (job commit
-    // removed _temporary); a bucket-less dir at or below the ceiling is
-    // wreckage of a crashed/defeated attempt — same deletability argument
-    // as its bucket dirs above.
+    // removed _temporary); a bucket-less dir below the ceiling is wreckage
+    // of a crashed/defeated attempt — same deletability argument as its
+    // bucket dirs above. AT the ceiling, though, a dir still holding
+    // children (Spark's _temporary staging) may be a CONCURRENT (not
+    // crashed) same-version racer mid-parquet-write: sweeping its staging
+    // would fail its write job with a raw SparkException instead of the
+    // clean write-once pointer defeat its retry logic keys on — so
+    // same-version staging ages one commit cycle (the next publish's
+    // ceiling clears it). A fully EMPTY dir at the ceiling carries no such
+    // risk (a racer between mkdir and staging re-mkdirs its tree) and is
+    // swept immediately — e.g. the husk left right above once this GC
+    // removes a defeated attempt's bucket dirs.
     io.listDirs(dataDir)
-      .filter(v => versionOf(v.getName) <= ceiling &&
-        !io.listDirs(v).exists(_.getName.startsWith("bucket=")))
+      .filter { v =>
+        val ver = versionOf(v.getName)
+        lazy val children = io.listDirs(v)
+        ver <= ceiling && !children.exists(_.getName.startsWith("bucket=")) &&
+          (ver < ceiling || children.isEmpty)
+      }
       .foreach(io.delete)
   }
 

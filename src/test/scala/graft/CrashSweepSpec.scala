@@ -364,7 +364,18 @@ class CrashSweepSpec extends SparkSpecBase {
     fsckOk(root)
     assert(!new java.io.File(s"$root/data/v2-deadbeef").exists(),
       "next commit's GC must sweep the crashed attempt dir at its version")
+    // the _temporary-only dir at the JUST-published version ages one cycle:
+    // an identical-looking dir could be a LIVE same-version racer mid-
+    // parquet-write (not a crash), and sweeping its staging would fail its
+    // write job with a raw SparkException instead of the clean write-once
+    // pointer defeat — so same-version bucket-less dirs are the NEXT
+    // commit's to judge (strictly-below-ceiling cut)
+    assert(new java.io.File(s"$root/data/v2-cafebabe").exists(),
+      "same-version _temporary wreckage must age one cycle (live-racer guard)")
+    assert(replicaRows(root).nonEmpty)
+    fsckOk(root)
+    rep.commit(env(batch1))
     assert(!new java.io.File(s"$root/data/v2-cafebabe").exists(),
-      "a _temporary-only wreckage dir must not leak past the GC")
+      "a _temporary-only wreckage dir must not leak past the second GC")
   }
 }
