@@ -173,6 +173,47 @@ object CommitProbe {
         rep.commit(batchDf(spark, 7 until 8, 2)))
     }
 
+    // --- crash-repair cost vs replica size (round 14) --------------------
+    // The killed fold's (v-1 → v) manifest-diff reconstruction
+    // (IncrementalAgg.lostDelta) resolves the crashed commit's pins and
+    // manifests driver-side, then scans only its TOUCHED buckets at the
+    // two pinned versions — so repair wall must track the crashed BATCH,
+    // not the replica. Same design as the commit-invariance table above:
+    // the replica (and its bucket layout) grows 16× while the killed
+    // fold's batch stays one key (~2.5k-row touched bucket at every
+    // scale); the repair row and the adjacent no-crash fold row must
+    // both stay ~flat. The crash is a faithful injected process death
+    // between the replica commit and the view write — the exact gap the
+    // self-heal exists for.
+    def envDf(ids: Range, pos0: Long): DataFrame = {
+      import spark.implicits._
+      ids.map(i => ("UPSERT", "t", pos0 * 1000000L + i,
+          (pos0 * 1000000L + i) * 1000L, i.toLong, (i % 97) * 1.5, s"e${i % 5}"))
+        .toDF("op", "tbl", "pos", "ts_ns", "user_id", "value", "event_type")
+    }
+    Seq((1, 8), (4, 32), (16, 128)).foreach { case (scale, nb) =>
+      val base = s"$root/repair$scale"
+      val seedAgg = new graft.streaming.IncrementalAgg(
+        new BucketedReplica(s"$base/replica", nBuckets = nb), s"$base/agg")
+      seedAgg.applyBatch(envDf(0 until 20000 * scale, 0), 0L)
+      val crashed = new graft.streaming.IncrementalAgg(
+        new BucketedReplica(s"$base/replica", nBuckets = nb), s"$base/agg")
+      crashed.afterReplicaCommit =
+        () => graft.streaming.StoreIO.Faults.armAt(base, 1)
+      try crashed.applyBatch(envDf(7 until 8, 1), 1L)
+      catch { case _: Throwable => () }
+      graft.streaming.StoreIO.Faults.disarm()
+      // the restarted stream's redelivery: cold instance, same batch id
+      probe(s"heal_repair_1key_replica_${scale}x_nb$nb")(
+        new graft.streaming.IncrementalAgg(
+          new BucketedReplica(s"$base/replica", nBuckets = nb), s"$base/agg")
+          .applyBatch(envDf(7 until 8, 1), 1L))
+      probe(s"heal_fold_1key_replica_${scale}x_nb$nb")(
+        new graft.streaming.IncrementalAgg(
+          new BucketedReplica(s"$base/replica", nBuckets = nb), s"$base/agg")
+          .applyBatch(envDf(7 until 8, 2), 2L))
+    }
+
     // --- JDBC sink promote path ----------------------------------------
     val db = s"jdbc:derby:$root/wh;create=true"
     val sink = new JdbcSink(db, "probe_t")

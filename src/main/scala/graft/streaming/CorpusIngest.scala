@@ -207,15 +207,21 @@ final class CorpusIngest(root: String, nHp: Int = 16,
     * ONLINE-safe under its OpLog and needs no pause. */
   def compact(spark: SparkSession): Unit = {
     val dir = s"$root/seen"
-    val sources = io.listDirs(io.path("seen"))
+    // strays (manual copy, backup suffix) are nobody's to parse, fold, or
+    // delete — the same tolerance as LshIndex.parseBatchId
+    val sources = io.listDirs(io.path("seen")).flatMap { p =>
+      val n = p.getName
+      if (n.startsWith("batch_id=")) n.stripPrefix("batch_id=").toLongOption
+        .map(id => p -> id)
+      else None
+    }
     if (sources.size > 1) {
-      val ids = sources.map(_.getName.stripPrefix("batch_id=").toLong)
-      val nextId = math.min(ids.min, 0L) - 1L
+      val nextId = math.min(sources.map(_._2).min, 0L) - 1L
       seen(spark).drop("batch_id").distinct()
         .repartition(math.max(1, nHp / 4))
         .write.mode("overwrite").partitionBy("hp")
         .parquet(s"$dir/batch_id=$nextId")
-      sources.foreach(io.delete)
+      sources.foreach(s => io.delete(s._1))
     }
     lsh.compact(spark)
   }
