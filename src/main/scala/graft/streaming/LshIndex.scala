@@ -178,20 +178,27 @@ final class LshIndex(root: String, nBp: Int = 16) {
     * `stored=false` partners are SMALLER-id docs of the same probe batch.
     * Verification is signature agreement: n_sig_match of the 8 MinHash
     * components equal — the estimator the banding exists to serve, so no
-    * document text is ever re-read. For minSigMatch >= 6 the 2x4 banding
-    * is LOSSLESS as a candidate filter (2 mismatching components can break
-    * at most 2 of the 4 bands, leaving a fully-matching band), so the
-    * bucket join misses nothing the verifier would pass. Bounded read:
-    * stored postings are bp-partition-pruned to the batch's buckets, and
-    * stored signatures are joined only for surfaced candidates. */
+    * document text is ever re-read. The banding is a LOSSLESS candidate
+    * filter for the verifier iff `minSigMatch >= 9 - b` under the CURRENT
+    * generation's b bands: a pair with m agreeing components has 8-m
+    * mismatches, each breaking at most one band, so some band fully
+    * matches whenever 8-m < b (2x4: m>=5; 1x8: m>=1; 4x2: m>=7). The
+    * guard is banding-AWARE, not a constant: a store rebanded to 4x2
+    * refuses a minSigMatch=6 probe loudly instead of silently losing
+    * recall (found by the composed chaos soak's exact-verdict-set
+    * comparison under interleaved rebands). Bounded read: stored postings
+    * are bp-partition-pruned to the batch's buckets, and stored
+    * signatures are joined only for surfaced candidates. */
   def probeNearDups(docs: DataFrame, minSigMatch: Int = 6,
                     excludeBatchId: Option[Long] = None): DataFrame = {
-    require(minSigMatch >= 6 && minSigMatch <= 8,
-      s"minSigMatch=$minSigMatch: below 6 the 2x4 banding is no longer " +
-        "a lossless candidate filter for the signature-agreement verifier")
     val spark = docs.sparkSession
     val st = log.state
     val (r, b) = bandingOf(st)
+    require(minSigMatch >= 9 - b && minSigMatch <= 8,
+      s"minSigMatch=$minSigMatch: under the current ${r}x$b banding the " +
+        s"bucket join is a lossless candidate filter only for >= ${9 - b} " +
+        "agreeing components (8-m mismatches break at most 8-m of the " +
+        s"$b bands) — probe higher, or reband to more, narrower bands")
     // retry fence: a foreachBatch replay of an ALREADY-COMMITTED batch
     // must not see that batch's own postings as "stored" (every doc would
     // be its own 8/8 partner and the whole batch would self-reject) — the

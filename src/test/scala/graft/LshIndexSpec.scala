@@ -205,4 +205,33 @@ class LshIndexSpec extends SparkSpecBase {
     assert(got.size === got.toSet.size)
     assert(got.toSet === oneShot(docs))
   }
+
+  test("probeNearDups' lossless guard follows the banding: a 4x2 store " +
+    "refuses minSigMatch=6 loudly instead of silently losing recall") {
+    val idx = new LshIndex(tmpDir("lsh_probe_guard") + "/idx")
+    idx.addBatch(docs.filter(col("doc_id") < 30), 0L)
+    val probeDocs = docs.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+    // default 2x4: b=4 bands, so the true lossless floor is 9-4=5 —
+    // minSigMatch=5 now verifies pairs the old constant-6 guard refused
+    val at5 = idx.probeNearDups(probeDocs, minSigMatch = 5).collect()
+    assert(at5.forall(_.getInt(2) >= 5))
+    intercept[IllegalArgumentException] {
+      idx.probeNearDups(probeDocs, minSigMatch = 4) // 4 < 9-b: lossy
+    }
+    // reband to 4x2 (the precision end): 2 bands, floor 9-2=7 — a probe
+    // at the old default 6 could miss a 6/8 pair whose two mismatching
+    // components break both bands, so it must refuse with the bound
+    idx.reband(spark, 4, 2)
+    val e = intercept[IllegalArgumentException] {
+      idx.probeNearDups(probeDocs, minSigMatch = 6)
+    }
+    assert(e.getMessage.contains(">= 7"), s"bound not named: ${e.getMessage}")
+    assert(idx.probeNearDups(probeDocs, minSigMatch = 7).collect()
+      .forall(_.getInt(2) >= 7))
+    // reband to 1x8 (the recall end): 8 single-component bands, floor 1 —
+    // every verified pair a wider banding can ever surface is reachable
+    idx.reband(spark, 1, 8)
+    val at2 = idx.probeNearDups(probeDocs, minSigMatch = 2).collect()
+    assert(at2.forall(_.getInt(2) >= 2))
+  }
 }
