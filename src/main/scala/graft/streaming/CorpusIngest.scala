@@ -208,13 +208,11 @@ final class CorpusIngest(root: String, nHp: Int = 16,
   def compact(spark: SparkSession): Unit = {
     val dir = s"$root/seen"
     // strays (manual copy, backup suffix) are nobody's to parse, fold, or
-    // delete — the same tolerance as LshIndex.parseBatchId
-    val sources = io.listDirs(io.path("seen")).flatMap { p =>
-      val n = p.getName
-      if (n.startsWith("batch_id=")) n.stripPrefix("batch_id=").toLongOption
-        .map(id => p -> id)
-      else None
-    }
+    // delete — the shared OpLog.batchIdOf rule (incl. its caveat: a
+    // CONTENT-bearing stray still breaks the seen read's partition
+    // discovery; the LSH audit flags that class)
+    val sources = io.listDirs(io.path("seen"))
+      .flatMap(p => OpLog.batchIdOf(p.getName).map(id => p -> id))
     if (sources.size > 1) {
       val nextId = math.min(sources.map(_._2).min, 0L) - 1L
       seen(spark).drop("batch_id").distinct()

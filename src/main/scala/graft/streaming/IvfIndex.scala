@@ -69,13 +69,8 @@ final class IvfIndex(root: String) {
   private def idFilter(ids: Seq[Long]): Column =
     if (ids.isEmpty) lit(false) else col("batch_id").isin(ids: _*)
 
-  /** The store's own partition naming, or None for a stray entry (manual
-    * copy, backup suffix — the post-incident states [[audit]] exists for).
-    * Strays are nobody's to parse, delete, or collide with — see
-    * [[LshIndex]]'s twin. */
-  private def parseBatchId(name: String): Option[Long] =
-    if (name.startsWith("batch_id=")) name.stripPrefix("batch_id=").toLongOption
-    else None
+  // the shared partition-naming rule + stray semantics: OpLog.batchIdOf
+  private def parseBatchId(name: String): Option[Long] = OpLog.batchIdOf(name)
 
   private def listedIds: Seq[Long] =
     io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
@@ -130,8 +125,10 @@ final class IvfIndex(root: String) {
     * — see the class doc's commit protocol. */
   def addBatch(vecs: DataFrame, batchId: Long): Unit = {
     val spark = vecs.sparkSession
-    log.assertNoLiveVacuum("IvfIndex.addBatch") // BEFORE the state read
     val st = log.state
+    // AFTER the state read, BEFORE any write — see the OpLog lease
+    // section's order argument (the LshIndex.addBatch twin)
+    log.assertNoLiveVacuum("IvfIndex.addBatch")
     if (batchId <= st.maxSeen) return // committed replay (checkpoint re-run)
     assignTo(vecs, spark.read.parquet(s"$root/${centroidDirOf(st)}"))
       .write.mode("overwrite").partitionBy("cid")
@@ -267,13 +264,24 @@ final class IvfIndex(root: String) {
         rows += Row("centroids_present", centsOk, centroidDirOf(st),
           "the current generation's centroid set must exist")
         if (centsOk) {
-          val badCid = index(spark).select(col("cid")).distinct()
-            .join(centroids(spark).select(col("cid")).distinct(),
-              Seq("cid"), "left_anti").count()
-          rows += Row("cids_in_generation", badCid == 0L,
-            s"$badCid unknown cids",
-            "a vector under a dead generation's cid is unsearchable " +
-              "(probes prune to current-generation partitions only)")
+          // Try-wrapped: a scan that cannot run (file-bearing stray
+          // poisoning partition discovery) becomes a failing ROW, never
+          // an aborted audit — the LshIndex.audit discipline
+          rows += (scala.util.Try {
+            index(spark).select(col("cid")).distinct()
+              .join(centroids(spark).select(col("cid")).distinct(),
+                Seq("cid"), "left_anti").count()
+          } match {
+            case scala.util.Success(badCid) =>
+              Row("cids_in_generation", badCid == 0L,
+                s"$badCid unknown cids",
+                "a vector under a dead generation's cid is unsearchable " +
+                  "(probes prune to current-generation partitions only)")
+            case scala.util.Failure(e) =>
+              Row("cids_in_generation", false, "scan failed",
+                s"scan threw ${e.getClass.getSimpleName}: " +
+                  s"${String.valueOf(e.getMessage).take(200)}")
+          })
         }
         val orphans = (have -- st.validIds).map(i => s"index/$i").toSeq ++
           staleGenDirs(st).map(_.getName)
@@ -281,14 +289,24 @@ final class IvfIndex(root: String) {
           if (orphans.isEmpty) "none"
           else "invisible to readers; vacuum() reclaims: " +
             orphans.sorted.mkString(","))
+        // empty strays are inert (ok); content-bearing ones break every
+        // reader's partition discovery — flagged as the cause, ok=false
         val strays = io.listDirs(new org.apache.hadoop.fs.Path(indexDir))
           .filter(p => parseBatchId(p.getName).isEmpty)
-          .map(p => s"index/${p.getName}")
-        rows += Row("unrecognized_entries", true, s"${strays.size}",
+          .map { p =>
+            val bearing = io.listFiles(p).nonEmpty || io.listDirs(p).nonEmpty
+            (s"index/${p.getName}", bearing)
+          }
+        val bearing = strays.collect { case (n, true) => n }
+        rows += Row("unrecognized_entries", bearing.isEmpty, s"${strays.size}",
           if (strays.isEmpty) "none"
-          else "not the store's naming (manual copy or backup suffix); " +
-            "invisible to readers, skipped by vacuum — operator's to " +
-            s"remove: ${strays.sorted.mkString(",")}")
+          else if (bearing.isEmpty)
+            "empty dirs outside the store's naming; inert, skipped by " +
+              "vacuum — operator's to remove: " +
+              strays.map(_._1).sorted.mkString(",")
+          else "CONTENT-BEARING dirs outside the store's naming break " +
+            "partition discovery for every reader — move them out of the " +
+            s"dataset dir: ${bearing.sorted.mkString(",")}")
     }
     spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
   }
@@ -309,7 +327,7 @@ final class IvfIndex(root: String) {
     * contract is ENFORCED via the `_VACUUM` lease + `vacuum` log entry —
     * same protocol and no-silent-loss argument as [[LshIndex.vacuum]]. */
   def vacuum(): Seq[String] = {
-    log.acquireVacuumLease()
+    val token = log.acquireVacuumLease()
     try {
       val tmps = io.listFiles(io.root)
         .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM)\\.tmp-[0-9a-f]{8}"))
@@ -327,7 +345,7 @@ final class IvfIndex(root: String) {
           () => deleted = dead.map { p => io.delete(p); p.toString })
       }
       tmps ++ deleted
-    } finally log.releaseVacuumLease()
+    } finally log.releaseVacuumLease(token)
   }
 
   def destroy(): Unit = { indexDirKnown = false; log.reset(); io.delete(io.root) }

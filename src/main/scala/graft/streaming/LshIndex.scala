@@ -134,8 +134,12 @@ final class LshIndex(root: String, nBp: Int = 16) {
     * propagates so the stream's retry recomputes under the new banding. */
   def addBatch(docs: DataFrame, batchId: Long): Unit = {
     val spark = docs.sparkSession
-    log.assertNoLiveVacuum("LshIndex.addBatch") // BEFORE the state read
     val st = log.state
+    // AFTER the state read, BEFORE any write — the order that makes the
+    // vacuum lease sound (see the OpLog lease section): a commit landing
+    // after a vacuum entry without a version conflict read state after
+    // the entry, hence after the lease, hence this probe refused it
+    log.assertNoLiveVacuum("LshIndex.addBatch")
     if (batchId <= st.maxSeen) return // committed replay (checkpoint re-run)
     val (r, b) = bandingOf(st)
     // persisted: the signatures feed five actions (bp probe, both sides of
@@ -335,14 +339,8 @@ final class LshIndex(root: String, nBp: Int = 16) {
     }
   }
 
-  /** The store's own partition naming, or None for a stray entry (manual
-    * copy, `batch_id=3.bak` backup suffix — exactly the post-incident
-    * states [[audit]] is documented for). Strays are nobody's to parse,
-    * delete, or collide with: maintenance skips them, [[audit]] reports
-    * them in `unrecognized_entries` instead of crashing the check. */
-  private def parseBatchId(name: String): Option[Long] =
-    if (name.startsWith("batch_id=")) name.stripPrefix("batch_id=").toLongOption
-    else None
+  // the shared partition-naming rule + stray semantics: OpLog.batchIdOf
+  private def parseBatchId(name: String): Option[Long] = OpLog.batchIdOf(name)
 
   /** An id strictly below every id any dir has EVER used (crashed attempts'
     * garbage included) — consolidated output can never collide. */
@@ -423,26 +421,35 @@ final class LshIndex(root: String, nBp: Int = 16) {
           s"${st.validIds.size * 2 + st.auxIds.size} expected",
           if (missing.isEmpty) "every committed partition dir exists"
           else s"MISSING: ${missing.mkString(",")}")
-        // containment invariants, one bounded scan each
-        val sigDocs = sigs(spark).select(col("doc_id"))
-        val postDocs = postings(spark).select(col("doc_id"))
-        val uncoveredPost = postDocs.distinct()
-          .join(sigDocs.distinct(), Seq("doc_id"), "left_anti").count()
-        rows += Row("postings_docs_in_sigs", uncoveredPost == 0L,
-          s"$uncoveredPost uncovered",
-          "every posted doc must carry a stored signature (reband reads sigs)")
-        val uncoveredPair = pairs(spark)
-          .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-          .join(postDocs.distinct(), Seq("doc_id"), "left_anti").count()
-        rows += Row("pair_endpoints_in_postings", uncoveredPair == 0L,
-          s"$uncoveredPair uncovered",
-          "every emitted candidate endpoint must be a posted doc")
+        // containment invariants, one bounded scan each. Try-wrapped: the
+        // audit's JOB is to report a broken store, so a scan that cannot
+        // even run (e.g. a file-bearing stray dir poisoning partition
+        // discovery) must become a failing ROW, not an aborted audit.
+        def scanRow(check: String, detail: String)(cnt: => Long): Unit =
+          rows += (scala.util.Try(cnt) match {
+            case scala.util.Success(n) => Row(check, n == 0L, s"$n", detail)
+            case scala.util.Failure(e) => Row(check, false, "scan failed",
+              s"$detail — scan threw ${e.getClass.getSimpleName}: " +
+                s"${String.valueOf(e.getMessage).take(200)}")
+          })
+        scanRow("postings_docs_in_sigs",
+          "every posted doc must carry a stored signature (reband reads sigs)") {
+          postings(spark).select(col("doc_id")).distinct()
+            .join(sigs(spark).select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti").count()
+        }
+        scanRow("pair_endpoints_in_postings",
+          "every emitted candidate endpoint must be a posted doc") {
+          pairs(spark)
+            .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+            .join(postings(spark).select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti").count()
+        }
         val (_, b) = bandingOf(st)
-        val outOfBand = postings(spark)
-          .filter(col("band") < 0 || col("band") >= b).count()
-        rows += Row("bands_in_layout", outOfBand == 0L,
-          s"$outOfBand out of [0,$b)",
-          "postings must conform to the current banding generation")
+        scanRow("bands_in_layout",
+          s"postings must conform to the current banding generation [0,$b)") {
+          postings(spark).filter(col("band") < 0 || col("band") >= b).count()
+        }
         val orphans =
           (havePost -- st.validIds).map(i => s"postings/$i") ++
             (havePairs -- st.validIds).map(i => s"pairs/$i") ++
@@ -451,17 +458,30 @@ final class LshIndex(root: String, nBp: Int = 16) {
           if (orphans.isEmpty) "none"
           else s"invisible to readers; vacuum() reclaims: " +
             orphans.toSeq.sorted.mkString(","))
+        // strays: an EMPTY unrecognized dir is inert (skipped by every
+        // read and every maintenance pass — ok), but one holding content
+        // poisons the dataset dir's Hive partition discovery (Spark casts
+        // the dir name as the batch_id partition value), which is what
+        // fails the scan rows above — flag it as the cause, ok=false
         val strays = Seq("postings" -> postingsDir, "pairs" -> pairsDir,
           "sigs" -> sigsDir).flatMap { case (rel, d) =>
           io.listDirs(new org.apache.hadoop.fs.Path(d))
             .filter(p => parseBatchId(p.getName).isEmpty)
-            .map(p => s"$rel/${p.getName}")
+            .map { p =>
+              val bearing = io.listFiles(p).nonEmpty || io.listDirs(p).nonEmpty
+              (s"$rel/${p.getName}", bearing)
+            }
         }
-        rows += Row("unrecognized_entries", true, s"${strays.size}",
+        val bearing = strays.collect { case (n, true) => n }
+        rows += Row("unrecognized_entries", bearing.isEmpty, s"${strays.size}",
           if (strays.isEmpty) "none"
-          else "not the store's naming (manual copy or backup suffix); " +
-            "invisible to readers, skipped by vacuum — operator's to " +
-            s"remove: ${strays.sorted.mkString(",")}")
+          else if (bearing.isEmpty)
+            "empty dirs outside the store's naming (manual copy or backup " +
+              "suffix); inert, skipped by vacuum — operator's to remove: " +
+              strays.map(_._1).sorted.mkString(",")
+          else "CONTENT-BEARING dirs outside the store's naming break " +
+            "partition discovery for every reader — move them out of the " +
+            s"dataset dirs: ${bearing.sorted.mkString(",")}")
     }
     spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
   }
@@ -483,7 +503,7 @@ final class LshIndex(root: String, nBp: Int = 16) {
     * scratch once the lease lifts — loud and convergent, never silent
     * loss. Returns the deleted paths. */
   def vacuum(): Seq[String] = {
-    log.acquireVacuumLease()
+    val token = log.acquireVacuumLease()
     try {
       val tmps = io.listFiles(io.root)
         .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM)\\.tmp-[0-9a-f]{8}"))
@@ -501,7 +521,7 @@ final class LshIndex(root: String, nBp: Int = 16) {
           () => deleted = dead.map { p => io.delete(p); p.toString })
       }
       tmps ++ deleted
-    } finally log.releaseVacuumLease()
+    } finally log.releaseVacuumLease(token)
   }
 
   def destroy(): Unit = { knownDirs.clear(); log.reset(); io.delete(io.root) }

@@ -185,6 +185,12 @@ final class StoreIO(rootStr: String, conf: Configuration) {
     try { StoreIO.Stats.lists.increment()
       fc.util.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath) }
     catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  /** Modification time of `p` (epoch millis), if it exists. */
+  def mtime(p: Path): Option[Long] =
+    try { StoreIO.Stats.exists.increment()
+      Some(fc.getFileStatus(p).getModificationTime) }
+    catch { case _: java.io.FileNotFoundException => None }
 }
 
 object StoreIO {
@@ -347,18 +353,25 @@ final class OpLog(io: StoreIO) {
   // alone defeats IN-FLIGHT writers (their commit loses the version race
   // and they clean up), but a defeated writer's RETRY could rewrite its
   // same-named dir while vacuum's delete pass is still running — a window
-  // where a later commit references deleted data. The lease closes it:
-  // every writer probes the lease BEFORE reading log state, so any writer
-  // able to commit AFTER vacuum's entry must have started AFTER the lease
-  // landed — and was refused loudly instead. Order matters on both sides:
-  // vacuum takes the lease FIRST, then commits its entry, then deletes;
-  // writers probe FIRST, then read state, so a writer that slipped past
-  // the probe pre-lease is necessarily on a pre-entry read version and
-  // loses the log race before naming any deleted path.
+  // where a later commit references deleted data. The lease closes it,
+  // and ORDER is the whole argument. Vacuum: lease, THEN log entry, THEN
+  // deletes, THEN release. Writers: read log state, THEN probe the lease,
+  // THEN write data. A writer that commits after vacuum's entry without a
+  // version conflict must have READ state at-or-after that entry — which
+  // happened after the lease landed — so its post-read probe saw the
+  // lease and refused before writing anything. (Probing BEFORE the state
+  // read would not close this: the probe-to-read gap is an unbounded
+  // descheduling window — the review's find.) A writer whose state read
+  // predates the entry loses the write-once version race instead, cleans
+  // up, and its retry hits the probe. Either way no commit ever lands
+  // naming a path the delete pass removed.
   //
   // A crashed vacuum leaves a stale lease; writers sweep it once it ages
   // past the TTL (`-Dgraft.index.vacuumTtlMs`, default 1h — deletes take
-  // seconds, and hour-scale TTL dwarfs any realistic clock skew).
+  // seconds, and hour-scale TTL dwarfs any realistic clock skew). The
+  // lease carries an owner token so a holder that stalls PAST its TTL
+  // (and is lapped by a successor vacuum) cannot release the successor's
+  // lease on its way out.
 
   private val leaseName = "_VACUUM"
 
@@ -366,19 +379,29 @@ final class OpLog(io: StoreIO) {
     sys.props.get("graft.index.vacuumTtlMs").flatMap(_.toLongOption)
       .getOrElse(60L * 60 * 1000)
 
-  /** Millis since the lease was taken, if a lease file exists. */
-  private def leaseAge(): Option[Long] =
-    try io.readString(io.path(leaseName)).linesIterator.nextOption()
-      .flatMap(_.trim.toLongOption)
-      .map(t => System.currentTimeMillis() - t)
-      .orElse(Some(0L)) // unparseable lease: treat as fresh, fail loudly
-    catch { case _: java.io.IOException => None }
+  /** (age millis, owner token) of the lease, if a lease file exists. An
+    * unparseable timestamp (manual edit — a crash cannot tear the file,
+    * createExclusive is content-atomic) falls back to the FILE's mtime so
+    * the TTL still applies: a garbled lease must wedge writers for at
+    * most one TTL, not forever. */
+  private def leaseState(): Option[(Long, String)] =
+    try {
+      val lines = io.readString(io.path(leaseName)).linesIterator.toSeq
+      val token = lines.drop(1).headOption.map(_.trim).getOrElse("")
+      val now = System.currentTimeMillis()
+      val age = lines.headOption.flatMap(_.trim.toLongOption)
+        .map(t => now - t)
+        .orElse(io.mtime(io.path(leaseName)).map(m => now - m))
+        .getOrElse(0L)
+      Some((age, token))
+    } catch { case _: java.io.IOException => None }
 
-  /** Writer-side guard — called by every mutating store operation BEFORE
-    * it reads log state. Fails loudly while a live vacuum holds the store;
+  /** Writer-side guard — called by every mutating store operation AFTER
+    * it reads log state and BEFORE it writes any data (see the order
+    * argument above). Fails loudly while a live vacuum holds the store;
     * sweeps a stale lease (crashed vacuum past its TTL) and proceeds. */
   private[graft] def assertNoLiveVacuum(what: String): Unit =
-    leaseAge().foreach { age =>
+    leaseState().foreach { case (age, _) =>
       if (age < vacuumTtlMs) throw new IllegalStateException(
         s"$what refused: a vacuum holds ${io.path(leaseName)} " +
           s"(age ${age}ms < ttl ${vacuumTtlMs}ms) — retry after it " +
@@ -387,22 +410,31 @@ final class OpLog(io: StoreIO) {
     }
 
   /** Take the exclusive vacuum lease (write-once create — two vacuums
-    * racing lose loudly, never both sweep). */
-  private[graft] def acquireVacuumLease(): Unit = {
-    leaseAge().foreach { age =>
+    * racing lose loudly, never both sweep). Returns the owner token to
+    * pass back to [[releaseVacuumLease]]. */
+  private[graft] def acquireVacuumLease(): String = {
+    leaseState().foreach { case (age, _) =>
       if (age < vacuumTtlMs) throw new IllegalStateException(
         s"another vacuum holds ${io.path(leaseName)} (age ${age}ms)")
       io.delete(io.path(leaseName)) // crashed predecessor past its TTL
     }
+    val token = java.util.UUID.randomUUID().toString
     try io.createExclusive(io.path(leaseName),
-      s"${System.currentTimeMillis()}\n${java.util.UUID.randomUUID()}\n")
+      s"${System.currentTimeMillis()}\n$token\n")
     catch { case e: java.io.IOException =>
       throw new IllegalStateException(
         s"lost the vacuum lease race at ${io.path(leaseName)}: ${e.getMessage}")
     }
+    token
   }
 
-  private[graft] def releaseVacuumLease(): Unit = io.delete(io.path(leaseName))
+  /** Release the lease IFF still owned: a holder lapped past its TTL by a
+    * successor (which swept the stale lease and took its own) must not
+    * delete the successor's lease on its way out. */
+  private[graft] def releaseVacuumLease(token: String): Unit =
+    leaseState().foreach { case (_, owner) =>
+      if (owner == token) io.delete(io.path(leaseName))
+    }
 
   /** Test seams for deterministic race interleavings: invoked after an
     * operation's data is fully written, immediately before its commit
@@ -603,4 +635,17 @@ object OpLog {
   final case class State(validIds: Seq[Long], auxIds: Seq[Long],
                          migration: Option[Map[String, String]],
                          migrationVersion: Long, maxSeen: Long, version: Long)
+
+  /** The partition-store naming rule, in ONE place (LSH postings/pairs/
+    * sigs, IVF index, the ingest's seen store): `batch_id=<long>` parses
+    * to its id; anything else — a manual copy, a `batch_id=3.bak` backup
+    * suffix, exactly the post-incident states audits exist for — is a
+    * STRAY that is nobody's to parse, fold, delete, or collide with.
+    * Maintenance skips strays; audits report them instead of crashing.
+    * Caveat the audits surface: a stray holding FILES still breaks the
+    * dataset dir's Hive partition discovery (Spark casts the dir's
+    * partition value), so file-bearing strays are flagged ok=false. */
+  def batchIdOf(name: String): Option[Long] =
+    if (name.startsWith("batch_id=")) name.stripPrefix("batch_id=").toLongOption
+    else None
 }

@@ -173,6 +173,22 @@ class IndexAuditSpec extends SparkSpecBase {
     assert(irep("unrecognized_entries")._2 === "1", s"stray not reported: $irep")
     assert(new IvfIndex(ivfRoot).vacuum().isEmpty)
     assert(new java.io.File(s"$ivfRoot/index/batch_id=0.bak").exists)
+
+    // a CONTENT-BEARING stray (cp -r of a partition) is a different
+    // class: it poisons the dataset dir's partition discovery for every
+    // reader. The audit must still COMPLETE — flagging the stray as the
+    // cause (ok=false) and failing the scans as rows — never abort.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"$root/postings/batch_id=0.bak/junk.txt"), "not parquet")
+    val rep2 = report(new LshIndex(root).audit(spark))
+    assert(!rep2("unrecognized_entries")._1,
+      s"a content-bearing stray must flag the audit: $rep2")
+    assert(rep2("unrecognized_entries")._2 === "2")
+    assert(new LshIndex(root).vacuum().isEmpty,
+      "vacuum must still refuse to touch strays, content-bearing or not")
+    // removing it restores a clean audit
+    assert(new java.io.File(s"$root/postings/batch_id=0.bak/junk.txt").delete())
+    allOk(report(new LshIndex(root).audit(spark)))
   }
 
   test("vacuum's quiesced-only contract is ENFORCED: the lease refuses " +
@@ -190,7 +206,7 @@ class IndexAuditSpec extends SparkSpecBase {
     StoreIO.Faults.disarm()
 
     // (a) a live lease refuses every mutating verb loudly, BEFORE any write
-    idx.log.acquireVacuumLease()
+    val leaseTok = idx.log.acquireVacuumLease()
     try {
       val filesBefore = Option(new java.io.File(root).list()).get.sorted.toSeq
       def refused(what: String)(op: => Unit): Unit = {
@@ -205,7 +221,12 @@ class IndexAuditSpec extends SparkSpecBase {
         === filesBefore, "a refused writer mutated the store")
       // a second vacuum cannot share the lease
       intercept[IllegalStateException](idx.log.acquireVacuumLease())
-    } finally idx.log.releaseVacuumLease()
+      // and a WRONG token cannot release it (a holder lapped past its
+      // TTL must not delete a successor's lease on its way out)
+      idx.log.releaseVacuumLease("not-the-owner")
+      assert(new java.io.File(s"$root/_VACUUM").exists,
+        "a non-owner release deleted the lease")
+    } finally idx.log.releaseVacuumLease(leaseTok)
 
     // (b) deterministic seam: an append fully written and paused at its
     // commit; vacuum runs to completion in between (lease + log entry +
@@ -236,10 +257,10 @@ class IndexAuditSpec extends SparkSpecBase {
       "retry after a fenced vacuum diverged from the never-crashed build")
 
     // (d) reverse seam: vacuum pauses before ITS entry; an append (a
-    // pre-lease straggler — modeled by briefly lifting the lease, the
-    // window a probe that ran before acquisition occupies) commits first;
-    // vacuum must lose that round and re-derive — the now-committed
-    // batch's partitions survive the sweep
+    // pre-lease straggler — its state read AND post-read probe both ran
+    // before the lease landed, modeled by lifting the lease file for the
+    // straggler's window) commits first; vacuum must lose that round and
+    // re-derive — the now-committed batch's partitions survive the sweep
     StoreIO.Faults.armAt(root, 1)
     intercept[StoreIO.Faults.InjectedCrash] {
       new LshIndex(root).addBatch(docs.filter(col("doc_id") < 10), 3L)
@@ -249,14 +270,20 @@ class IndexAuditSpec extends SparkSpecBase {
     var raced = false
     vac.log.beforeMigrateCommit = () => {
       if (!raced) { raced = true
-        vac.log.releaseVacuumLease()
+        assert(new java.io.File(s"$root/_VACUUM").delete())
         new LshIndex(root).addBatch(docs.filter(col("doc_id") < 10), 3L)
-        vac.log.acquireVacuumLease()
+        // a stand-in lease for the remainder of the vacuum (its own
+        // release is token-checked, so the stand-in outlives it)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$root/_VACUUM"),
+          s"${System.currentTimeMillis()}\nstand-in\n")
       }
     }
     val deleted = vac.vacuum()
     vac.log.beforeMigrateCommit = () => ()
     assert(raced, "the race seam never fired")
+    assert(new java.io.File(s"$root/_VACUUM").delete(),
+      "the token check must have left the stand-in lease for us to sweep")
     assert(!deleted.exists(_.contains("batch_id=3")),
       s"vacuum swept a committed batch after losing the race: $deleted")
     val repD = report(new LshIndex(root).audit(spark))
@@ -322,6 +349,84 @@ class IndexAuditSpec extends SparkSpecBase {
     val e = intercept[Exception](audit(tmpDir("sql_index_empty")))
     assert(e.getMessage.contains("no index store"),
       s"empty root must refuse loudly: ${e.getMessage}")
+  }
+
+  test("a vacuum that CRASHES mid-delete leaves its lease blocking writers " +
+    "until the TTL, after which writers sweep it and converge") {
+    val root = tmpDir("vacuum_crash") + "/idx"
+    val idx = new LshIndex(root)
+    idx.addBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+    // orphans for the vacuum to be mid-deleting when it dies
+    StoreIO.Faults.armAt(root, 1)
+    intercept[StoreIO.Faults.InjectedCrash] {
+      new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+    }
+    StoreIO.Faults.disarm()
+    // kill the vacuum at its FIRST delete after lease + log entry: the
+    // lease file is on disk, the sweep is incomplete — the crashed-holder
+    // state the TTL exists for. (Every vacuum mutation routes through
+    // StoreIO, so the injector reaches all of them; the lease write is
+    // ops 1-2, the entry commit 3-4, deletes follow.)
+    StoreIO.Faults.armAt(root, 5)
+    intercept[StoreIO.Faults.InjectedCrash] { new LshIndex(root).vacuum() }
+    StoreIO.Faults.disarm()
+    assert(new java.io.File(s"$root/_VACUUM").exists,
+      "the crash must have happened with the lease held")
+
+    // within the TTL every writer refuses loudly — the crashed vacuum
+    // may still be alive as far as any other process can prove
+    val e = intercept[IllegalStateException] {
+      new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+
+    // past the TTL the lease is provably stale: the next writer sweeps it
+    // and proceeds; a re-run vacuum converges and the store audits clean
+    val prev = sys.props.put("graft.index.vacuumTtlMs", "1")
+    try {
+      Thread.sleep(5)
+      new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+      assert(!new java.io.File(s"$root/_VACUUM").exists,
+        "the stale lease must be swept by the writer that outlived it")
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.index.vacuumTtlMs", v)
+        case None => sys.props.remove("graft.index.vacuumTtlMs")
+      }
+      ()
+    }
+    new LshIndex(root).vacuum()
+    val rep = report(new LshIndex(root).audit(spark))
+    allOk(rep)
+    assert(rep("orphan_partitions")._2 === "0",
+      s"the re-run vacuum must finish the crashed one's sweep: $rep")
+  }
+
+  test("a garbled _VACUUM lease (manual edit — a crash cannot tear it) " +
+    "wedges writers for at most one TTL via the mtime fallback, not forever") {
+    val root = tmpDir("vacuum_garbled") + "/idx"
+    val idx = new LshIndex(root)
+    idx.addBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_VACUUM"), "no timestamp here")
+    // fresh by mtime: refused, with the expiry remedy actually reachable
+    val e = intercept[IllegalStateException] {
+      new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+    }
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    val prev = sys.props.put("graft.index.vacuumTtlMs", "1")
+    try {
+      Thread.sleep(10)
+      new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+      assert(!new java.io.File(s"$root/_VACUUM").exists,
+        "the expired garbled lease must be swept, not re-aged to zero")
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.index.vacuumTtlMs", v)
+        case None => sys.props.remove("graft.index.vacuumTtlMs")
+      }
+      ()
+    }
   }
 
   test("IVF detector teeth: a partition committed under a dead generation's " +
