@@ -180,16 +180,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `_SCHEMA-<attempt>.json` is just a crashed CREATE's uncommitted
     * payload — harmless to overwrite, so a CREATE retry must not be
     * refused over it. A child dir NAMED `data` counts only when it holds
-    * the replica's own `v<N>…` version dirs: a namespace can legitimately
-    * contain a TABLE (or nested namespace) literally called `data`, and
-    * matching on the name alone would make [[dropTable]]'s remnant arm
-    * recursively delete that whole namespace, visible tables included. */
+    * the replica's own version-dir SHAPE — a `v<N>…` dir that is not
+    * itself a table and that contains `bucket=` payload dirs: a namespace
+    * can legitimately contain a TABLE (or nested namespace) literally
+    * called `data`, and even one whose child is named `v2` (a
+    * version-suffixed table name), and matching shallower than the
+    * bucket layer would make [[dropTable]]'s remnant arm recursively
+    * delete that whole namespace, visible tables included. A version dir
+    * holding only `_temporary` wreckage (no bucket= payload) carries no
+    * committed rows — not a resurrection hazard, so not a remnant. */
   private def replicaRemnants(dir: String): Seq[String] =
     io.listFiles(io.path(dir)).map(_.getName)
       .filter(n => n.startsWith("_PTR-") || n.startsWith("manifest-")) ++
       (if (!isTable(s"$dir/data") &&
-           io.listDirs(io.path(s"$dir/data"))
-             .exists(_.getName.matches("v\\d+(-.+)?"))) Seq("data") else Nil)
+           io.listDirs(io.path(s"$dir/data")).exists { v =>
+             v.getName.matches("v\\d+(-.+)?") &&
+               !isTable(s"$dir/data/${v.getName}") &&
+               io.listDirs(v).exists(_.getName.startsWith("bucket="))
+           }) Seq("data") else Nil)
 
   /** `ALTER TABLE … ADD COLUMN(S)` — maps to the replica's monotone schema
     * evolution ([[BucketedReplica.widenSchema]]): a metadata-only version
@@ -347,11 +355,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "dotted name, sniffing the store kind from its layout",
         Array(P("store", StringType)),
         in => {
-          val arg = tbl(in)
-          val storeRoot =
-            if (arg.contains("/") || arg.contains(":")) arg
-            else s"$root/${rel(arg.split('.').toSeq)}"
-          GraftTvf.openIndexStore(storeRoot).fold(_.vacuum(), _.vacuum())
+          GraftTvf.openIndexStore(GraftTvf.storeRoot(tbl(in), root))
+            .fold(_.vacuum(), _.vacuum())
           ()
         }),
       GraftProcedure("finish_drop",

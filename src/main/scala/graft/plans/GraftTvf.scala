@@ -87,20 +87,26 @@ object GraftTvf {
   }
 
   /** Resolve an index-store argument: an absolute path/URI is used as-is;
-    * a dotted name resolves under the catalog root like any table name
-    * (index stores commonly live BESIDE the warehouse, hence both forms). */
-  private[graft] def indexRoot(spark: SparkSession, arg: String): String =
+    * a dotted name resolves under `catalogRoot` like any table name
+    * (index stores commonly live BESIDE the warehouse, hence both forms).
+    * Shared by the TVF (root from the session conf) and the catalog's
+    * `index_vacuum` procedure (root from its own init options) — one
+    * resolution rule, two doors. */
+  private[graft] def storeRoot(arg: String, catalogRoot: => String): String =
     if (arg.contains("/") || arg.contains(":")) arg
     else {
-      val root = spark.conf.getOption("spark.sql.catalog.graft.root").getOrElse(
-        throw new IllegalArgumentException(
-          s"'$arg' is a relative store name; set spark.sql.catalog.graft.root " +
-            "or pass an absolute path"))
       val parts = arg.split('.').toSeq
       require(parts.nonEmpty && parts.forall(p =>
         p.nonEmpty && !p.contains("..")), s"illegal store name '$arg'")
-      (root +: parts).mkString("/")
+      (catalogRoot +: parts).mkString("/")
     }
+
+  private[graft] def indexRoot(spark: SparkSession, arg: String): String =
+    storeRoot(arg,
+      spark.conf.getOption("spark.sql.catalog.graft.root").getOrElse(
+        throw new IllegalArgumentException(
+          s"'$arg' is a relative store name; set spark.sql.catalog.graft.root " +
+            "or pass an absolute path")))
 
   /** Open the index store at `root`, sniffing which kind lives there from
     * its own durable layout (sigs/postings/pairs ⇒ LSH; index/centroids ⇒

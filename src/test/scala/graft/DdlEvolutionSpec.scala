@@ -284,12 +284,26 @@ class DdlEvolutionSpec extends SparkSpecBase {
       java.util.Map.of("root", wh)))
     import org.apache.spark.sql.connector.catalog.Identifier
 
+    // the adversarial shape from review: a nested NAMESPACE named 'data'
+    // whose child is a visible table named like a version dir ('v2') —
+    // shallower matching would classify cdc2 as a remnant and sweep it
+    val repV2 = new BucketedReplica(s"$wh/cdc2/data/v2", nBuckets = 4)
+    repV2.destroy(); repV2.commit(seed)
+
     // direct-API dropTable on the NAMESPACE ident: the 'data' child is a
     // table, not remnant state — must report absent and delete NOTHING
     assert(!cat.dropTable(Identifier.of(Array.empty, "cdc")),
       "a namespace is not a table, visible or remnant")
     assert(!cat.dropTable(Identifier.of(Array("cdc"), "deep")),
       "a namespace whose grandchild dirs are tables is not a remnant")
+    assert(!cat.dropTable(Identifier.of(Array.empty, "cdc2")),
+      "a namespace with a table literally named v2 under a data dir " +
+        "is not a remnant (the bucket-layer check)")
+    assert(cold.sql("SELECT * FROM graft.cdc2.data.v2").count() === seed.count(),
+      "dropTable swept a visible table named v2 under a data namespace")
+    cold.sql("CALL graft.system.finish_drop('cdc2')")
+    assert(cold.sql("SELECT * FROM graft.cdc2.data.v2").count() === seed.count(),
+      "finish_drop swept the v2-named table")
     assert(cold.sql("SELECT * FROM graft.cdc.data").count() === seed.count(),
       "dropTable on the namespace ident swept a visible table named data")
     assert(cold.sql("SELECT * FROM graft.cdc.deep.data.users").count()
