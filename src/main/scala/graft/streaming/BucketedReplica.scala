@@ -303,10 +303,15 @@ final class BucketedReplica(
   private def bucketExpr(n: Int): Column =
     pmod(xxhash64(col(pk)), lit(n.toLong))
 
-  /** Committed versions, by their write-once `_PTR-<v>` pointer files. */
+  /** Committed versions, by their write-once `_PTR-<v>` pointer files.
+    * Name-parse is stray-tolerant (a `_PTR-3.bak` manual copy is not a
+    * pointer the protocol wrote — skipping it keeps the replica readable
+    * through post-incident surgery); pointer CONTENT stays strict, since
+    * createExclusive makes a torn pointer impossible from a crash. */
   private def pointerVersions: Seq[Long] =
     io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_PTR-")).map(_.stripPrefix("_PTR-").toLong)
+      .filter(_.startsWith("_PTR-"))
+      .flatMap(_.stripPrefix("_PTR-").toLongOption)
 
   /** Highest committed version, if the replica exists. */
   def currentVersion: Option[Long] = pointerVersions.sorted.lastOption
@@ -1477,7 +1482,14 @@ final class BucketedReplica(
     // ceiling clears it). A fully EMPTY dir at the ceiling carries no such
     // risk (a racer between mkdir and staging re-mkdirs its tree) and is
     // swept immediately — e.g. the husk left right above once this GC
-    // removes a defeated attempt's bucket dirs.
+    // removes a defeated attempt's bucket dirs. Residual, accepted and
+    // bounded: a still-writing racer LAPPED BY TWO commits (two full
+    // commits complete inside its single data write) has staging BELOW
+    // the ceiling and is swept mid-write — it fails loudly with a raw
+    // task error instead of the pointer defeat, and its wholesale retry
+    // converges; it never committed, so no durable state is at risk.
+    // One aging cycle covers the common race; unbounded aging would turn
+    // every genuinely crashed attempt into a permanent leak.
     io.listDirs(dataDir)
       .filter { v =>
         val ver = versionOf(v.getName)
@@ -1524,7 +1536,8 @@ object BucketedReplica {
       .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }.toMap
     val pk = kv.getOrElse("pk", "user_id")
     val curV = io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_PTR-")).map(_.stripPrefix("_PTR-").toLong)
+      .filter(_.startsWith("_PTR-"))
+      .flatMap(_.stripPrefix("_PTR-").toLongOption) // stray-tolerant names
       .sorted.lastOption
     val n = curV.flatMap { v =>
       // the pointer content names the winning attempt (bare-version

@@ -243,9 +243,11 @@ object CdcStream {
     val io = new StoreIO(replicaRoot, StoreIO.sessionConf())
     val p = io.path(s"_APPLIED-$batchId")
     if (!io.exists(p)) io.createExclusive(p, batchId.toString)
-    // keep the frontier bounded: older markers carry no information
+    // keep the frontier bounded: older markers carry no information.
+    // Name-parse is stray-tolerant (an `_APPLIED-3.bak` manual copy is
+    // not a marker this protocol wrote — never ours to read or delete)
     io.listFiles(io.root).map(_.getName).filter(_.startsWith("_APPLIED-"))
-      .map(_.stripPrefix("_APPLIED-").toLong).filter(_ < batchId)
+      .flatMap(_.stripPrefix("_APPLIED-").toLongOption).filter(_ < batchId)
       .foreach(o => io.delete(io.path(s"_APPLIED-$o")))
   }
 
@@ -253,7 +255,8 @@ object CdcStream {
   def appliedFrontier(replicaRoot: String): Option[Long] = {
     val io = new StoreIO(replicaRoot, StoreIO.sessionConf())
     val ms = io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_APPLIED-")).map(_.stripPrefix("_APPLIED-").toLong)
+      .filter(_.startsWith("_APPLIED-"))
+      .flatMap(_.stripPrefix("_APPLIED-").toLongOption) // stray-tolerant
     if (ms.isEmpty) None else Some(ms.max)
   }
 

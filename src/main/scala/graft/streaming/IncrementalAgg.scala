@@ -67,7 +67,8 @@ final class IncrementalAgg(
 
   private def pointerVersions: Seq[Long] =
     io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_PTR-")).map(_.stripPrefix("_PTR-").toLong)
+      .filter(_.startsWith("_PTR-"))
+      .flatMap(_.stripPrefix("_PTR-").toLongOption) // stray-tolerant names
 
   private def currentVersion: Option[Long] = pointerVersions.sorted.lastOption
 

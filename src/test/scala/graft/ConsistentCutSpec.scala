@@ -36,6 +36,10 @@ class ConsistentCutSpec extends SparkSpecBase {
     val root = tmpDir("ccut") + "/reps"
     applyBatch(root, 1L, Seq(row("even", 1, 2, 1.0), row("odd", 2, 3, 2.0)))
     applyBatch(root, 2L, Seq(row("even", 3, 4, 3.0), row("odd", 4, 5, 4.0)))
+    // a manual backup copy of a marker (post-incident surgery): not a
+    // name the protocol wrote — the frontier must ignore it, not parse it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_APPLIED-9.bak"), "manual copy")
     // batch 3 crashes after committing odd, before the marker
     applyBatch(root, 3L, Seq(row("odd", 5, 7, 5.0)), mark = false)
 

@@ -348,6 +348,10 @@ class CrashSweepSpec extends SparkSpecBase {
       "not parquet")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/._PTR-9.tmp-deadbeef"), "v9 junk")
+    // a manual backup copy of a pointer (post-incident surgery): not a
+    // name the protocol wrote — must be ignored, not parsed as a version
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_PTR-1.bak"), "manual copy")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/_META.next"), "pk=user_id") // no \n
     // what a kill -9 mid-parquet-write leaves: a version dir whose ONLY
