@@ -179,25 +179,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * carry dropped ROWS (the resurrection hazard), while an orphan
     * `_SCHEMA-<attempt>.json` is just a crashed CREATE's uncommitted
     * payload — harmless to overwrite, so a CREATE retry must not be
-    * refused over it. A child dir NAMED `data` counts only when it holds
-    * the replica's own version-dir SHAPE — a `v<N>…` dir that is not
-    * itself a table and that contains `bucket=` payload dirs: a namespace
-    * can legitimately contain a TABLE (or nested namespace) literally
-    * called `data`, and even one whose child is named `v2` (a
-    * version-suffixed table name), and matching shallower than the
-    * bucket layer would make [[dropTable]]'s remnant arm recursively
-    * delete that whole namespace, visible tables included. A version dir
-    * holding only `_temporary` wreckage (no bucket= payload) carries no
-    * committed rows — not a resurrection hazard, so not a remnant. */
-  private def replicaRemnants(dir: String): Seq[String] =
+    * refused over it. Only CANONICAL control names count (`_PTR-<v>`,
+    * `manifest-<v>[-attempt].tsv`): a `_PTR-3.bak` manual backup is a
+    * stray the whole store layer defines as nobody's — counting it here
+    * would refuse CREATE over, and let finish_drop delete, a file that
+    * carries nothing. A child dir NAMED `data` counts only when it holds
+    * the replica's own version-dir SHAPE (`v<N>…` with `bucket=` payload)
+    * AND no visible table exists ANYWHERE under it: a namespace can
+    * legitimately contain a table/namespace literally called `data`, one
+    * whose child is named `v2` (version-suffixed table names), or even a
+    * table named `bucket=b` another level down — any name-shape match
+    * shallower than "subtree holds a visible table" would make
+    * [[dropTable]]'s remnant arm recursively delete live tables. A
+    * version dir holding only `_temporary` wreckage (no bucket= payload)
+    * carries no committed rows — not a resurrection hazard, so not a
+    * remnant. */
+  private def replicaRemnants(dir: String): Seq[String] = {
+    def subtreeHasTable(rel: String): Boolean =
+      isTable(rel) || io.listDirs(io.path(rel))
+        .exists(d => subtreeHasTable(s"$rel/${d.getName}"))
     io.listFiles(io.path(dir)).map(_.getName)
-      .filter(n => n.startsWith("_PTR-") || n.startsWith("manifest-")) ++
-      (if (!isTable(s"$dir/data") &&
-           io.listDirs(io.path(s"$dir/data")).exists { v =>
+      .filter(n =>
+        (n.startsWith("_PTR-") &&
+          n.stripPrefix("_PTR-").toLongOption.isDefined) ||
+        n.matches("manifest-\\d+(-[^.]+)?\\.tsv")) ++
+      (if (io.listDirs(io.path(s"$dir/data")).exists { v =>
              v.getName.matches("v\\d+(-.+)?") &&
-               !isTable(s"$dir/data/${v.getName}") &&
                io.listDirs(v).exists(_.getName.startsWith("bucket="))
-           }) Seq("data") else Nil)
+           } && !subtreeHasTable(s"$dir/data")) Seq("data") else Nil)
+  }
 
   /** `ALTER TABLE … ADD COLUMN(S)` — maps to the replica's monotone schema
     * evolution ([[BucketedReplica.widenSchema]]): a metadata-only version

@@ -303,15 +303,10 @@ final class BucketedReplica(
   private def bucketExpr(n: Int): Column =
     pmod(xxhash64(col(pk)), lit(n.toLong))
 
-  /** Committed versions, by their write-once `_PTR-<v>` pointer files.
-    * Name-parse is stray-tolerant (a `_PTR-3.bak` manual copy is not a
-    * pointer the protocol wrote — skipping it keeps the replica readable
-    * through post-incident surgery); pointer CONTENT stays strict, since
-    * createExclusive makes a torn pointer impossible from a crash. */
-  private def pointerVersions: Seq[Long] =
-    io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_PTR-"))
-      .flatMap(_.stripPrefix("_PTR-").toLongOption)
+  /** Committed versions, by their write-once `_PTR-<v>` pointer files
+    * (stray-tolerant name rule: [[StoreIO.numberedFiles]]; [[fsck]]'s
+    * `control_strays` row reports what the skip hides). */
+  private def pointerVersions: Seq[Long] = io.numberedFiles("_PTR-")
 
   /** Highest committed version, if the replica exists. */
   def currentVersion: Option[Long] = pointerVersions.sorted.lastOption
@@ -805,6 +800,31 @@ final class BucketedReplica(
           }
         }
     }
+    // control-file strays: names in the _PTR-/manifest- namespaces the
+    // protocol did not write (manual copies/renames — post-incident
+    // surgery). Normal reads SKIP them (stray-tolerant name parse, so a
+    // backup beside the store never wedges readers); the audit is where
+    // they must surface. ok=false when a stray _PTR's digits exceed the
+    // committed head: that is evidence the canonical pointer of a NEWER
+    // version was renamed away — a silently rolled-back head, the one
+    // stray state reads alone cannot distinguish from a fresh store.
+    val head = currentVersion.getOrElse(-1L)
+    val strays = io.listFiles(io.root).map(_.getName).filter { nm =>
+      (nm.startsWith("_PTR-") &&
+        nm.stripPrefix("_PTR-").toLongOption.isEmpty) ||
+      (nm.startsWith("manifest-") &&
+        !nm.matches("manifest-\\d+(-[^.]+)?\\.tsv"))
+    }
+    val rolledBack = strays.filter(nm =>
+      nm.stripPrefix("_PTR-").takeWhile(_.isDigit).toLongOption.exists(_ > head))
+    rows += Row("control_strays", rolledBack.isEmpty, s"${strays.size}",
+      if (strays.isEmpty) "none"
+      else if (rolledBack.isEmpty)
+        "names outside the protocol's (manual copies); readers skip " +
+          s"them — operator's to remove: ${strays.sorted.mkString(",")}"
+      else s"stray pointer names ABOVE the committed head v$head — a " +
+        "newer version's canonical pointer may have been renamed away " +
+        s"(rolled-back head): ${rolledBack.sorted.mkString(",")}")
     spark.createDataFrame(
       java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
   }
@@ -1535,10 +1555,7 @@ object BucketedReplica {
     val kv = io.readSafe(metaP).linesIterator.filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }.toMap
     val pk = kv.getOrElse("pk", "user_id")
-    val curV = io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_PTR-"))
-      .flatMap(_.stripPrefix("_PTR-").toLongOption) // stray-tolerant names
-      .sorted.lastOption
+    val curV = io.numberedFiles("_PTR-").sorted.lastOption
     val n = curV.flatMap { v =>
       // the pointer content names the winning attempt (bare-version
       // content = legacy unsuffixed manifest)

@@ -243,20 +243,17 @@ object CdcStream {
     val io = new StoreIO(replicaRoot, StoreIO.sessionConf())
     val p = io.path(s"_APPLIED-$batchId")
     if (!io.exists(p)) io.createExclusive(p, batchId.toString)
-    // keep the frontier bounded: older markers carry no information.
-    // Name-parse is stray-tolerant (an `_APPLIED-3.bak` manual copy is
-    // not a marker this protocol wrote — never ours to read or delete)
-    io.listFiles(io.root).map(_.getName).filter(_.startsWith("_APPLIED-"))
-      .flatMap(_.stripPrefix("_APPLIED-").toLongOption).filter(_ < batchId)
+    // keep the frontier bounded: older markers carry no information
+    // (stray-tolerant name rule: StoreIO.numberedFiles — an
+    // `_APPLIED-3.bak` manual copy is never ours to read or delete)
+    io.numberedFiles("_APPLIED-").filter(_ < batchId)
       .foreach(o => io.delete(io.path(s"_APPLIED-$o")))
   }
 
   /** Highest fully-applied source batch (the consistent frontier), if any. */
   def appliedFrontier(replicaRoot: String): Option[Long] = {
     val io = new StoreIO(replicaRoot, StoreIO.sessionConf())
-    val ms = io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_APPLIED-"))
-      .flatMap(_.stripPrefix("_APPLIED-").toLongOption) // stray-tolerant
+    val ms = io.numberedFiles("_APPLIED-")
     if (ms.isEmpty) None else Some(ms.max)
   }
 

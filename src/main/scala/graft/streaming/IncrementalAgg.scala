@@ -65,10 +65,7 @@ final class IncrementalAgg(
     * [[StoreIO]]): the view store works on any Hadoop-reachable URI. */
   private val io = new StoreIO(root, StoreIO.sessionConf())
 
-  private def pointerVersions: Seq[Long] =
-    io.listFiles(io.root).map(_.getName)
-      .filter(_.startsWith("_PTR-"))
-      .flatMap(_.stripPrefix("_PTR-").toLongOption) // stray-tolerant names
+  private def pointerVersions: Seq[Long] = io.numberedFiles("_PTR-")
 
   private def currentVersion: Option[Long] = pointerVersions.sorted.lastOption
 

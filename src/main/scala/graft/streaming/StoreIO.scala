@@ -191,6 +191,19 @@ final class StoreIO(rootStr: String, conf: Configuration) {
     try { StoreIO.Stats.exists.increment()
       Some(fc.getFileStatus(p).getModificationTime) }
     catch { case _: java.io.FileNotFoundException => None }
+
+  /** The ids of the root's `<prefix><long>` child files — the ONE
+    * stray-tolerant name rule for write-once control files (`_PTR-`,
+    * `_APPLIED-`): a name whose suffix is not a long (a `_PTR-3.bak`
+    * manual copy — post-incident surgery) was never written by a
+    * protocol here and is skipped, never parsed; the stores' audits are
+    * where such names surface (e.g. the replica fsck's `control_strays`
+    * row, which also flags the rolled-back-head case a skip alone would
+    * hide). Content parses stay STRICT everywhere — the write-once and
+    * side-file primitives make torn content impossible from a crash. */
+  def numberedFiles(prefix: String): Seq[Long] =
+    listFiles(root).map(_.getName).filter(_.startsWith(prefix))
+      .flatMap(_.stripPrefix(prefix).toLongOption)
 }
 
 object StoreIO {

@@ -381,5 +381,21 @@ class CrashSweepSpec extends SparkSpecBase {
     rep.commit(env(batch1))
     assert(!new java.io.File(s"$root/data/v2-cafebabe").exists(),
       "a _temporary-only wreckage dir must not leak past the second GC")
+
+    // the one stray the tolerant name-parse alone would HIDE: a pointer
+    // name whose digits exceed the committed head is evidence that a
+    // newer version's canonical pointer was renamed away (rolled-back
+    // head) — fsck must flag it, and only it, as a failure
+    def strayRow() = rep.fsck(spark)
+      .filter(col("check") === "control_strays").collect()(0)
+    assert(strayRow().getBoolean(1) && strayRow().getString(2) === "1",
+      "the benign _PTR-1.bak stray must be reported ok") // planted above
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_PTR-99.bak"), "renamed head?")
+    val flagged = strayRow()
+    assert(!flagged.getBoolean(1) && flagged.getString(3).contains("rolled"),
+      s"a stray pointer above the head must flag fsck: $flagged")
+    assert(new java.io.File(s"$root/_PTR-99.bak").delete())
+    fsckOk(root)
   }
 }

@@ -284,11 +284,15 @@ class DdlEvolutionSpec extends SparkSpecBase {
       java.util.Map.of("root", wh)))
     import org.apache.spark.sql.connector.catalog.Identifier
 
-    // the adversarial shape from review: a nested NAMESPACE named 'data'
+    // the adversarial shapes from review: a nested NAMESPACE named 'data'
     // whose child is a visible table named like a version dir ('v2') —
-    // shallower matching would classify cdc2 as a remnant and sweep it
+    // and one deeper still, a visible table named 'bucket=b' under a
+    // v-named namespace. Any name-shape match shallower than "subtree
+    // holds a visible table" classifies these as remnants and sweeps them.
     val repV2 = new BucketedReplica(s"$wh/cdc2/data/v2", nBuckets = 4)
     repV2.destroy(); repV2.commit(seed)
+    val repBk = new BucketedReplica(s"$wh/cdc3/data/v1/bucket=b", nBuckets = 4)
+    repBk.destroy(); repBk.commit(seed)
 
     // direct-API dropTable on the NAMESPACE ident: the 'data' child is a
     // table, not remnant state — must report absent and delete NOTHING
@@ -304,6 +308,28 @@ class DdlEvolutionSpec extends SparkSpecBase {
     cold.sql("CALL graft.system.finish_drop('cdc2')")
     assert(cold.sql("SELECT * FROM graft.cdc2.data.v2").count() === seed.count(),
       "finish_drop swept the v2-named table")
+    assert(!cat.dropTable(Identifier.of(Array.empty, "cdc3")),
+      "a visible table named bucket=b below a v-dir is not remnant payload")
+    cold.sql("CALL graft.system.finish_drop('cdc3')")
+    assert(BucketedReplica.open(s"$wh/cdc3/data/v1/bucket=b")
+      .live(spark).count() > 0, "the bucket=-named table was swept")
+
+    // and a stray _PTR backup is NOT remnant state: the store layer
+    // defines it as nobody's, so CREATE proceeds over it and finish_drop
+    // leaves it alone (it carries nothing to resurrect or to sweep)
+    val strayDir = new java.io.File(s"$wh/stray_t"); strayDir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wh/stray_t/_PTR-3.bak"), "manual copy")
+    cold.sql("CALL graft.system.finish_drop('stray_t')") // no-op, keeps it
+    assert(new java.io.File(s"$wh/stray_t/_PTR-3.bak").exists,
+      "finish_drop deleted an operator's backup file")
+    cold.sql(
+      """CREATE TABLE graft.stray_t (
+        |  op STRING, tbl STRING, pos BIGINT, ts_ns BIGINT,
+        |  user_id BIGINT, value DOUBLE, event_type STRING)
+        |TBLPROPERTIES ('pk' = 'user_id', 'nBuckets' = '4')""".stripMargin)
+    assert(cold.sql("SELECT * FROM graft.stray_t").count() === 0,
+      "CREATE over a stray backup must provision a fresh empty table")
     assert(cold.sql("SELECT * FROM graft.cdc.data").count() === seed.count(),
       "dropTable on the namespace ident swept a visible table named data")
     assert(cold.sql("SELECT * FROM graft.cdc.deep.data.users").count()

@@ -24,12 +24,13 @@ class FsckSpec extends SparkSpecBase {
     val root = tmpDir("fsck") + "/rep"
     val rep = new BucketedReplica(root, nBuckets = 4)
     assert(report(rep) === Map(
-      "pointer" -> ((true, "no committed version — an empty table is consistent"))))
+      "pointer" -> ((true, "no committed version — an empty table is consistent")),
+      "control_strays" -> ((true, "none"))))
     rep.addCheck(spark, "value_nonneg", "value >= 0")
     rep.commit(mkBatch((1L to 20L).map(k => row(k, k, k * 1.0))))
     val rpt = report(rep)
     val expected = Set("pointer", "bucket_ids", "files_present", "schema",
-      "pk_unique", "bucket_placement", "check_value_nonneg")
+      "pk_unique", "bucket_placement", "check_value_nonneg", "control_strays")
     assert(rpt.keySet === expected)
     assert(rpt.forall(_._2._1), s"healthy table failed: ${rpt.filterNot(_._2._1)}")
   }
