@@ -30,13 +30,16 @@ import graft.streaming.{BucketedReplica, CdcStream, CorpusIngest, IncrementalAgg
   * statement than equality with an N-step crash-free control, and O(1)
   * oracle cost instead of O(N).
   *
-  * Step count: `-Dgraft.soak.steps=N` (default sized to keep `sbt test`
-  * inside its wall budget; raise to 200 for the full soak — the loop is
-  * linear in N and nothing else changes). */
+  * Step count: `GRAFT_SOAK_STEPS=N sbt "testOnly graft.ComposedChaosSoakSpec"`
+  * (env var — sbt forks the test JVM, so a `-D` on the sbt launcher
+  * would not reach it; the environment does). Default sized to keep
+  * `sbt test` inside its wall budget; 200 is the full soak — the loop
+  * is linear in N and nothing else changes. */
 class ComposedChaosSoakSpec extends SparkSpecBase {
 
-  private val steps =
-    sys.props.get("graft.soak.steps").flatMap(_.toIntOption).getOrElse(48)
+  private val steps = sys.env.get("GRAFT_SOAK_STEPS")
+    .orElse(sys.props.get("graft.soak.steps"))
+    .flatMap(_.toIntOption).getOrElse(48)
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
