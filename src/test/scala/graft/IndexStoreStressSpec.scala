@@ -18,24 +18,29 @@ import graft.streaming.{IvfIndex, LshIndex, StoreIO}
   * equality. Seeds fixed — failures reproduce. */
 class IndexStoreStressSpec extends SparkSpecBase {
 
-  private def retrying(what: => Unit, label: String): Unit = {
+  private def retrying(what: => Unit, label: String,
+                       backoffMs: Long = 0): Unit = {
     var tries = 0
     var done = false
     while (!done) {
       try { what; done = true }
       catch {
         // ConcurrentCommit: defeated at the write-once log. IOException /
-        // IllegalStateException: a reader outpaced mid-migration or a
-        // starved migrate. SparkException: a racer's sweep deleted this
-        // writer's in-flight files mid-job (loud by design). All transient
-        // for a caller that re-reads state on retry; a real fault still
-        // surfaces as starvation with cause.
+        // IllegalStateException: a reader outpaced mid-migration, a
+        // starved migrate, or a live vacuum lease refusing the verb.
+        // SparkException: a racer's sweep deleted this writer's in-flight
+        // files mid-job (loud by design). All transient for a caller that
+        // re-reads state on retry; a real fault still surfaces as
+        // starvation with cause. `backoffMs` matters when the conflict is
+        // a HELD LEASE rather than a lost race: spinning would burn the
+        // retry budget inside one vacuum pass.
         case e @ (_: StoreIO.ConcurrentCommit | _: java.io.IOException |
                   _: IllegalStateException |
                   _: org.apache.spark.SparkException) =>
           tries += 1
           if (tries > 40) throw new IllegalStateException(
             s"$label starved after $tries conflict retries", e)
+          if (backoffMs > 0) Thread.sleep(backoffMs)
       }
     }
   }
@@ -106,6 +111,70 @@ class IndexStoreStressSpec extends SparkSpecBase {
         s"seed $seed: stressed index != fresh index at $finalBanding")
       assert(idx.sigs(spark).count() === docs.count(),
         s"seed $seed: a batch's signatures were silently dropped")
+    }
+  }
+
+  test("LSH: vacuum firing mid-stream under the enforced lease loses no " +
+    "committed batch and never lets a commit name a swept path") {
+    for (seed <- Seq(7L, 41L)) {
+      val rnd = new scala.util.Random(seed)
+      val root = tmpDir(s"lsh_vac_stress$seed") + "/idx"
+      new LshIndex(root).destroy()
+      val vacSleeps = (1 to 4).map(_ => rnd.nextInt(400).toLong)
+      val rebandAt = rnd.nextInt(600).toLong
+      val slices = (0 until 8).map(i => docs.filter(col("doc_id") % 8 === i))
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val appender = new Thread(() => {
+        try {
+          val idx = new LshIndex(root)
+          slices.zipWithIndex.foreach { case (b, i) =>
+            // lease refusals and mid-write sweeps both surface here as
+            // the protocol's loud classes; backoff outlives a vacuum pass
+            retrying(idx.addBatch(b, i.toLong), s"append$i", backoffMs = 50)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      }, "lsh-vac-appender")
+      val vacuumer = new Thread(() => {
+        try {
+          val idx = new LshIndex(root)
+          vacSleeps.foreach { ms =>
+            Thread.sleep(ms)
+            retrying({ idx.vacuum(); () }, "vacuum", backoffMs = 50)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      }, "lsh-vacuumer")
+      val migrator = new Thread(() => {
+        try {
+          Thread.sleep(rebandAt)
+          // same-banding reband: a full migration in the mix without
+          // changing the final layout the oracle compares against
+          retrying(new LshIndex(root).reband(spark, 2, 4), "reband",
+            backoffMs = 50)
+        } catch { case t: Throwable => failures.add(t) }
+      }, "lsh-vac-migrator")
+      appender.start(); vacuumer.start(); migrator.start()
+      appender.join(180000); vacuumer.join(180000); migrator.join(180000)
+      assert(failures.isEmpty, s"seed $seed: ${failures.peek()}")
+      val idx = new LshIndex(root)
+      // the lease protocol's core claim, empirically: nothing committed
+      // was lost to a concurrent sweep — every batch's signatures stored,
+      // every pair exactly once, equal to the never-raced build
+      assert(idx.sigs(spark).count() === docs.count(),
+        s"seed $seed: a committed batch's signatures were swept")
+      val got = idx.pairs(spark).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got.size === got.toSet.size,
+        s"seed $seed: a pair was emitted twice under the vacuum race")
+      assert(got.toSet === oneShotAt(docs, 2, 4),
+        s"seed $seed: stressed index != fresh index after vacuum races")
+      // at rest: one final quiesced vacuum reclaims whatever the races
+      // leaked, and the store audits green with zero orphans
+      idx.vacuum()
+      val rep = idx.audit(spark).collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+      rep.foreach { case (c, (ok, obs)) =>
+        assert(ok, s"seed $seed: audit $c failed: $obs") }
+      assert(rep("orphan_partitions")._2 === "0", s"seed $seed: $rep")
     }
   }
 
