@@ -194,10 +194,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * version dir holding only `_temporary` wreckage (no bucket= payload)
     * carries no committed rows — not a resurrection hazard, so not a
     * remnant. */
+  private def subtreeHasTable(rel: String): Boolean =
+    isTable(rel) || io.listDirs(io.path(rel))
+      .exists(d => subtreeHasTable(s"$rel/${d.getName}"))
+
   private def replicaRemnants(dir: String): Seq[String] = {
-    def subtreeHasTable(rel: String): Boolean =
-      isTable(rel) || io.listDirs(io.path(rel))
-        .exists(d => subtreeHasTable(s"$rel/${d.getName}"))
     io.listFiles(io.path(dir)).map(_.getName)
       .filter(n =>
         (n.startsWith("_PTR-") &&
@@ -255,13 +256,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       io.delete(io.path(s"$dir/_META"))
       io.delete(io.path(dir))
       true
-    } else if (replicaRemnants(dir).nonEmpty) {
-      // a crashed DROP's leftovers: finish the job; the table is already
-      // logically dropped, so report absent (DROP IF EXISTS passes silently)
-      io.delete(io.path(dir))
+    } else {
+      val remnants = replicaRemnants(dir)
+      if (remnants.nonEmpty) {
+        // a crashed DROP's leftovers: finish the job; the table is already
+        // logically dropped, so report absent (DROP IF EXISTS passes silently)
+        sweepRemnants(dir, remnants)
+      }
       false
-    } else false
+    }
   }
+
+  /** Finish a crashed DROP's delete pass. When the remnant dir's subtree
+    * holds NO visible table, the whole dir goes — the complete sweep the
+    * interrupted DROP would have done. When it DOES (a crashed-DROP dir
+    * later reused as a NAMESPACE holds both remnant pointer/manifest
+    * files and live child tables — createNamespace does no remnant
+    * check), only the named remnant entries are deleted: a maintenance
+    * verb that promises to sweep a dead table's leftovers must never
+    * recursively delete a live one. */
+  private def sweepRemnants(dir: String, remnants: Seq[String]): Unit =
+    if (!subtreeHasTable(dir)) io.delete(io.path(dir))
+    else remnants.foreach(n => io.delete(io.path(s"$dir/$n")))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -382,8 +398,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"${tbl(in)} is a visible table — use DROP TABLE, not finish_drop")
           // remnants-gated, never a bare rmdir: an arbitrary non-table dir
           // is a NAMESPACE, and sweeping one here would delete its visible
-          // tables through a maintenance verb that promises the opposite
-          if (replicaRemnants(dir).nonEmpty) io.delete(io.path(dir))
+          // tables through a maintenance verb that promises the opposite.
+          // And remnant-BEARING dirs get the subtree guard too (see
+          // sweepRemnants): a crashed-DROP dir reused as a namespace holds
+          // both remnant files and live child tables — only the remnant
+          // entries go, never the children.
+          val remnants = replicaRemnants(dir)
+          if (remnants.nonEmpty) sweepRemnants(dir, remnants)
         }),
       GraftProcedure("detach_clone",
         "lift GC protection for a clone after it is destroyed or fully " +

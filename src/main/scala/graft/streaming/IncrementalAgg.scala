@@ -255,37 +255,59 @@ final class IncrementalAgg(
         // fold order — whereas re-running the whole applyBatch would diff
         // an idempotent re-commit (zero delta) and lose this batch's
         // contribution forever.
+        // NOTHING retryable may escape this loop: the replica commit is
+        // already published, so an exception reaching a caller that
+        // retries the whole applyBatch would re-commit idempotently,
+        // diff to ZERO, and lose this batch's view delta forever (the
+        // r14 stress-run lost-delta race — IncrementalAggSpec's
+        // "TWO foreign view flips" test pins the interleaving). Lost-race
+        // signals, every one re-pinned and re-folded with the SAME delta:
+        //  - ConcurrentCommit: lost the write-once pointer;
+        //  - SparkException: a racing WINNER's post-flip sweep deleted
+        //    this fold's attempt dir (or the pinned base dir) MID-WRITE —
+        //    the task fails loudly, never silently;
+        //  - AnalysisException(PATH_NOT_FOUND): TWO foreign flips landed
+        //    between pinView and the read, rolling cur+prev retention
+        //    past the pinned base dir;
+        //  - IOException / IllegalStateException: pointer files churning
+        //    under pinView faster than its list+read rounds.
+        // All of these can only arise BEFORE the pointer lands — write()
+        // keeps everything after createExclusive non-throwing — so a
+        // retry can never fold the delta twice. A genuine persistent
+        // fault exhausts the attempts and surfaces with the cause.
         var attempts = 0
         var done = false
         while (!done) {
-          val viewPin = pinView()
-          afterViewPin()
-          // the fence advances atomically with the fold (same pointer
-          // write); a retry re-reads it with the head it re-pins
-          val newMaxb = math.max(viewPin.map(_._3).getOrElse(-1L),
-            batchIdOpt.getOrElse(-1L))
-          val next = readAtDir(spark, viewPin.map(_._2))
-            .select(col(groupCol), col("n_live").as("__dn"),
-              col("sum_value").as("__ds"))
-            .union(delta)
-            .groupBy(col(groupCol))
-            .agg(sum(col("__dn")).as("n_live"),
-              sum(col("__ds")).cast(DecimalType(18, 2)).as("sum_value"))
-            .filter(col("n_live") =!= 0L)
-          // lost-race signals: ConcurrentCommit (the pointer), and a
-          // Spark write failure (a racing WINNER's post-flip sweep may
-          // delete this fold's same-version attempt dir MID-WRITE — the
-          // task fails loudly, never silently). Both re-pin and re-fold
-          // the same delta; a genuine persistent write fault exhausts the
-          // 5 attempts and surfaces with the cause attached.
-          try { metered("view_fold")(write(next, viewPin, newMaxb)); done = true }
-          catch { case e @ (_: StoreIO.ConcurrentCommit |
-                            _: org.apache.spark.SparkException) =>
+          try {
+            val viewPin = pinView()
+            afterViewPin()
+            // the fence advances atomically with the fold (same pointer
+            // write); a retry re-reads it with the head it re-pins
+            val newMaxb = math.max(viewPin.map(_._3).getOrElse(-1L),
+              batchIdOpt.getOrElse(-1L))
+            val next = readAtDir(spark, viewPin.map(_._2))
+              .select(col(groupCol), col("n_live").as("__dn"),
+                col("sum_value").as("__ds"))
+              .union(delta)
+              .groupBy(col(groupCol))
+              .agg(sum(col("__dn")).as("n_live"),
+                sum(col("__ds")).cast(DecimalType(18, 2)).as("sum_value"))
+              .filter(col("n_live") =!= 0L)
+            metered("view_fold")(write(next, viewPin, newMaxb))
+            done = true
+          } catch { case e @ (_: StoreIO.ConcurrentCommit |
+                              _: org.apache.spark.SparkException |
+                              _: org.apache.spark.sql.AnalysisException |
+                              _: java.io.IOException |
+                              _: IllegalStateException) =>
             attempts += 1
-            if (attempts >= 5) throw new IllegalStateException(
-              "view fold lost the write-once pointer race 5 times in a " +
-                "row; the replica commit is published but this batch's " +
-                "view delta is NOT — rebuild the view from the replica", e)
+            if (attempts >= 20) throw new IllegalStateException(
+              "view fold lost the race 20 times in a row; the replica " +
+                "commit is published but this batch's view delta is NOT " +
+                "— rebuild the view from the replica", e)
+            // jittered backoff: under a storm of racers, pure spinning
+            // keeps every maintainer chasing the same flip window
+            Thread.sleep(5L + scala.util.Random.nextInt(45).toLong)
           }
         }
       } finally rep.unpin(pubPin)
@@ -334,20 +356,28 @@ final class IncrementalAgg(
         s"view version $newV was committed by another maintainer during " +
           s"this fold — re-read and retry (${e.getMessage})")
     }
-    pointerVersions.filter(_ < newV)
-      .foreach(o => io.delete(io.path(s"_PTR-$o")))
-    // keep current + previous version DIRS (readers may hold the old
-    // version); sweep everything else at or below THIS version —
-    // defeated/crashed attempts included. Higher-version dirs belong to
-    // in-flight writers that already saw this pointer (theirs to manage;
-    // a crashed one's orphan is swept once the version number is passed).
-    val keep = Set(dir) ++ prevDir
-    io.listDirs(io.root).map(_.getName)
-      .filter { d =>
-        d.startsWith("v") && !keep.contains(d) &&
-          d.stripPrefix("v").takeWhile(_.isDigit).toLongOption.exists(_ <= newV)
-      }
-      .foreach(d => io.delete(io.path(d)))
+    // everything after the pointer flip is BEST-EFFORT housekeeping: the
+    // fold-retry loop's soundness rests on "a caught exception implies
+    // the pointer did NOT land" (else a retry would fold the same delta
+    // twice), so GC faults here are swallowed — stale pointers are
+    // harmless (readers resolve the max) and orphan dirs are re-swept by
+    // the next successful write.
+    try {
+      pointerVersions.filter(_ < newV)
+        .foreach(o => io.delete(io.path(s"_PTR-$o")))
+      // keep current + previous version DIRS (readers may hold the old
+      // version); sweep everything else at or below THIS version —
+      // defeated/crashed attempts included. Higher-version dirs belong to
+      // in-flight writers that already saw this pointer (theirs to manage;
+      // a crashed one's orphan is swept once the version number is passed).
+      val keep = Set(dir) ++ prevDir
+      io.listDirs(io.root).map(_.getName)
+        .filter { d =>
+          d.startsWith("v") && !keep.contains(d) &&
+            d.stripPrefix("v").takeWhile(_.isDigit).toLongOption.exists(_ <= newV)
+        }
+        .foreach(d => io.delete(io.path(d)))
+    } catch { case _: java.io.IOException => () }
   }
 
   /** The delta a crashed fold lost: its commit (version `v1`, tagged with

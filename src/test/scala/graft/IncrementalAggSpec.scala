@@ -300,4 +300,42 @@ class IncrementalAggSpec extends SparkSpecBase {
     assert(view(agg).map(r => (r.getString(0), r.getDecimal(2).doubleValue)) ===
       Seq(("a", 42.0), ("b", 100.0)))
   }
+
+  test("TWO foreign view flips inside the fold GC the pinned base dir — " +
+    "the fold re-pins and still lands its delta (the r14 lost-delta race)") {
+    val root = tmpDir("ia_dirgc")
+    val rep = new BucketedReplica(s"$root/replica", nBuckets = 8)
+    val agg = new IncrementalAgg(rep, s"$root/agg")
+    agg.applyBatch(envBatch(spark, Seq(
+      ("INSERT", 1L, 1L, 1L, 10.0, "a"),
+      ("INSERT", 2L, 2L, 2L, 5.0, "b"))))
+    // the victim pins view version v (dir Dv); a foreign maintainer lands
+    // TWO folds before the victim's read executes — the second winner's
+    // cur+prev retention no longer covers Dv, so the sweep deletes it.
+    // Pre-fix, the victim's view read then threw AnalysisException
+    // (PATH_NOT_FOUND), which ESCAPED the fold loop AFTER the replica
+    // commit had published: a stress-harness-style wholesale retry
+    // re-commits idempotently, diffs to zero, and the batch's view delta
+    // is lost forever — the exact interleaving class behind the r14
+    // IncrementalAggStressSpec lost-delta failure. The fold must instead
+    // treat the GC'd base dir as one more lost race: re-pin the (newer)
+    // head and fold the SAME delta.
+    var fired = false
+    agg.afterViewPin = () => {
+      if (!fired) {
+        fired = true
+        val rep2 = new BucketedReplica(s"$root/replica", nBuckets = 8)
+        val agg2 = new IncrementalAgg(rep2, s"$root/agg")
+        agg2.applyBatch(envBatch(spark, Seq(("UPDATE", 10L, 10L, 2L, 100.0, "b"))))
+        agg2.applyBatch(envBatch(spark, Seq(("UPDATE", 11L, 11L, 3L, 7.0, "b"))))
+      }
+    }
+    agg.applyBatch(envBatch(spark, Seq(("UPDATE", 5L, 5L, 1L, 42.0, "a"))))
+    assert(fired)
+    assert(view(agg) === recompute(rep),
+      "a fold whose pinned view dir was GC'd by two racing flips must " +
+        "re-pin and fold its delta, never escape post-commit")
+    assert(view(agg).map(r => (r.getString(0), r.getDecimal(2).doubleValue)) ===
+      Seq(("a", 42.0), ("b", 107.0)))
+  }
 }
