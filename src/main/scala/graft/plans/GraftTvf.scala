@@ -93,8 +93,19 @@ object GraftTvf {
     * `index_vacuum` procedure (root from its own init options) — one
     * resolution rule, two doors. */
   private[graft] def storeRoot(arg: String, catalogRoot: => String): String =
-    if (arg.contains("/") || arg.contains(":")) arg
-    else {
+    if (arg.contains("/") || arg.contains(":")) {
+      // path form: must be genuinely absolute or a scheme-qualified URI,
+      // with no '..' segments — a RELATIVE path with separators
+      // ('../other', 'a/../../x') would bypass the dotted-name branch's
+      // '..' check and reach index_vacuum's delete pass (and the audit)
+      // at paths outside the warehouse root from plain SQL
+      require(arg.startsWith("/") || arg.matches("[A-Za-z][A-Za-z0-9+.-]*:.*"),
+        s"illegal store path '$arg': must be an absolute path or a " +
+          "scheme-qualified URI (relative paths resolve nothing safely)")
+      require(!arg.split('/').contains(".."),
+        s"illegal store path '$arg': '..' segments are not allowed")
+      arg
+    } else {
       val parts = arg.split('.').toSeq
       require(parts.nonEmpty && parts.forall(p =>
         p.nonEmpty && !p.contains("..")), s"illegal store name '$arg'")

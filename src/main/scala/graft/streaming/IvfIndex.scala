@@ -296,7 +296,10 @@ final class IvfIndex(root: String) {
           .map { p =>
             val bearing = io.listFiles(p).nonEmpty || io.listDirs(p).nonEmpty
             (s"index/${p.getName}", bearing)
-          }
+          } ++
+          // _LOG-prefixed strays (a `_LOG-3.bak` manual copy) that
+          // versions() skips — reported here so the skip never hides them
+          log.strayLogNames.map(n => (n, false))
         val bearing = strays.collect { case (n, true) => n }
         rows += Row("unrecognized_entries", bearing.isEmpty, s"${strays.size}",
           if (strays.isEmpty) "none"
@@ -330,7 +333,7 @@ final class IvfIndex(root: String) {
     val token = log.acquireVacuumLease()
     try {
       val tmps = io.listFiles(io.root)
-        .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM)\\.tmp-[0-9a-f]{8}"))
+        .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM(-\\d+)?)\\.tmp-[0-9a-f]{8}"))
         .map { p => io.delete(p); p.toString }
       def deadAt(st: OpLog.State): Seq[org.apache.hadoop.fs.Path] =
         io.listDirs(new org.apache.hadoop.fs.Path(indexDir))

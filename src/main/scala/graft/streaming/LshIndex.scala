@@ -471,7 +471,10 @@ final class LshIndex(root: String, nBp: Int = 16) {
               val bearing = io.listFiles(p).nonEmpty || io.listDirs(p).nonEmpty
               (s"$rel/${p.getName}", bearing)
             }
-        }
+        } ++
+          // _LOG-prefixed strays (a `_LOG-3.bak` manual copy) that
+          // versions() skips — reported here so the skip never hides them
+          log.strayLogNames.map(n => (n, false))
         val bearing = strays.collect { case (n, true) => n }
         rows += Row("unrecognized_entries", bearing.isEmpty, s"${strays.size}",
           if (strays.isEmpty) "none"
@@ -506,7 +509,7 @@ final class LshIndex(root: String, nBp: Int = 16) {
     val token = log.acquireVacuumLease()
     try {
       val tmps = io.listFiles(io.root)
-        .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM)\\.tmp-[0-9a-f]{8}"))
+        .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM(-\\d+)?)\\.tmp-[0-9a-f]{8}"))
         .map { p => io.delete(p); p.toString }
       def deadAt(st: OpLog.State): Seq[org.apache.hadoop.fs.Path] =
         gcSnapshot(Map(postingsDir -> st.validIds.toSet,

@@ -379,61 +379,103 @@ final class OpLog(io: StoreIO) {
   // up, and its retry hits the probe. Either way no commit ever lands
   // naming a path the delete pass removed.
   //
-  // A crashed vacuum leaves a stale lease; writers sweep it once it ages
-  // past the TTL (`-Dgraft.index.vacuumTtlMs`, default 1h — deletes take
+  // A crashed vacuum leaves a stale lease; it EXPIRES once it ages past
+  // the TTL (`-Dgraft.index.vacuumTtlMs`, default 1h — deletes take
   // seconds, and hour-scale TTL dwarfs any realistic clock skew). The
   // lease carries an owner token so a holder that stalls PAST its TTL
   // (and is lapped by a successor vacuum) cannot release the successor's
   // lease on its way out.
+  //
+  // The lease is a VERSIONED write-once log (`_VACUUM-<n>`), not one
+  // mutable name: the highest n is the head; a `held` head younger than
+  // the TTL means a vacuum owns the store, anything else (released head,
+  // expired head, no entries) means it is free. Acquire creates the NEXT
+  // version `held`; release creates the next version `released` — every
+  // transition is fused with an atomic createExclusive, so there is NO
+  // blind delete anywhere in the protocol. The earlier single-file form
+  // had a sweep TOCTOU (the review's find): between a writer reading a
+  // past-TTL lease and deleting it, a successor vacuum could sweep that
+  // same stale lease and create a FRESH one — the writer's delete then
+  // removed the LIVE lease and let a writer (or a second vacuum) run
+  // concurrently with the live vacuum's delete pass. Here an expired
+  // head is simply IGNORED (never deleted), and a late actor that based
+  // a decision on a stale head loses the write-once race at the next
+  // version name. Entries strictly below a released head are GC'd
+  // best-effort after the release lands — decisions only ever read the
+  // max, so deleting older names races nothing. A legacy bare `_VACUUM`
+  // file (pre-versioning layout) reads as version 0, held.
 
   private val leaseName = "_VACUUM"
+
+  private def leaseVersions(): Seq[Long] =
+    io.listFiles(io.root).map(_.getName).flatMap {
+      case n if n.startsWith(leaseName + "-") =>
+        n.stripPrefix(leaseName + "-").toLongOption
+      case n if n == leaseName => Some(0L) // legacy single-file lease
+      case _ => None
+    }.sorted
+
+  private def leasePath(v: Long): Path =
+    if (v == 0L) io.path(leaseName) else io.path(s"$leaseName-$v")
 
   private[graft] def vacuumTtlMs: Long =
     sys.props.get("graft.index.vacuumTtlMs").flatMap(_.toLongOption)
       .getOrElse(60L * 60 * 1000)
 
-  /** (age millis, owner token) of the lease, if a lease file exists. An
-    * unparseable timestamp (manual edit — a crash cannot tear the file,
-    * createExclusive is content-atomic) falls back to the FILE's mtime so
-    * the TTL still applies: a garbled lease must wedge writers for at
-    * most one TTL, not forever. */
-  private def leaseState(): Option[(Long, String)] =
-    try {
-      val lines = io.readString(io.path(leaseName)).linesIterator.toSeq
-      val token = lines.drop(1).headOption.map(_.trim).getOrElse("")
-      val now = System.currentTimeMillis()
-      val age = lines.headOption.flatMap(_.trim.toLongOption)
-        .map(t => now - t)
-        .orElse(io.mtime(io.path(leaseName)).map(m => now - m))
-        .getOrElse(0L)
-      Some((age, token))
-    } catch { case _: java.io.IOException => None }
+  /** (version, age millis, owner token, held?) of the lease HEAD, if any
+    * lease entry exists. An unparseable timestamp (manual edit — a crash
+    * cannot tear the file, createExclusive is content-atomic) falls back
+    * to the FILE's mtime so the TTL still applies: a garbled lease must
+    * wedge writers for at most one TTL, not forever. */
+  private def leaseHead(): Option[(Long, Long, String, Boolean)] =
+    leaseVersions().lastOption.flatMap { v =>
+      try {
+        val lines = io.readString(leasePath(v)).linesIterator.toSeq
+        val token = lines.drop(1).headOption.map(_.trim).getOrElse("")
+        val held = !lines.drop(2).headOption.map(_.trim).contains("released")
+        val now = System.currentTimeMillis()
+        val age = lines.headOption.flatMap(_.trim.toLongOption)
+          .map(t => now - t)
+          .orElse(io.mtime(leasePath(v)).map(m => now - m))
+          .getOrElse(0L)
+        Some((v, age, token, held))
+      } catch { case _: java.io.IOException => None }
+    }
+
+  /** The head iff it is a live (held, unexpired) lease. */
+  private def liveLease(): Option[(Long, Long, String)] =
+    leaseHead().collect {
+      case (v, age, tok, true) if age < vacuumTtlMs => (v, age, tok)
+    }
 
   /** Writer-side guard — called by every mutating store operation AFTER
     * it reads log state and BEFORE it writes any data (see the order
     * argument above). Fails loudly while a live vacuum holds the store;
-    * sweeps a stale lease (crashed vacuum past its TTL) and proceeds. */
+    * an expired head (crashed vacuum past its TTL) is simply ignored —
+    * never deleted — so there is nothing here for a successor's fresh
+    * lease to race with. */
   private[graft] def assertNoLiveVacuum(what: String): Unit =
-    leaseState().foreach { case (age, _) =>
-      if (age < vacuumTtlMs) throw new IllegalStateException(
+    liveLease().foreach { case (_, age, _) =>
+      throw new IllegalStateException(
         s"$what refused: a vacuum holds ${io.path(leaseName)} " +
           s"(age ${age}ms < ttl ${vacuumTtlMs}ms) — retry after it " +
           "finishes or, if it crashed, after the lease expires")
-      io.delete(io.path(leaseName))
     }
 
-  /** Take the exclusive vacuum lease (write-once create — two vacuums
-    * racing lose loudly, never both sweep). Returns the owner token to
-    * pass back to [[releaseVacuumLease]]. */
+  /** Take the exclusive vacuum lease: createExclusive of the next lease
+    * version, `held` (two vacuums racing collide at the same name — one
+    * loses loudly, never both sweep; a late acquirer working from a stale
+    * head loses the same way). Returns the owner token to pass back to
+    * [[releaseVacuumLease]]. */
   private[graft] def acquireVacuumLease(): String = {
-    leaseState().foreach { case (age, _) =>
-      if (age < vacuumTtlMs) throw new IllegalStateException(
+    liveLease().foreach { case (_, age, _) =>
+      throw new IllegalStateException(
         s"another vacuum holds ${io.path(leaseName)} (age ${age}ms)")
-      io.delete(io.path(leaseName)) // crashed predecessor past its TTL
     }
+    val next = leaseVersions().lastOption.getOrElse(0L) + 1
     val token = java.util.UUID.randomUUID().toString
-    try io.createExclusive(io.path(leaseName),
-      s"${System.currentTimeMillis()}\n$token\n")
+    try io.createExclusive(leasePath(next),
+      s"${System.currentTimeMillis()}\n$token\nheld\n")
     catch { case e: java.io.IOException =>
       throw new IllegalStateException(
         s"lost the vacuum lease race at ${io.path(leaseName)}: ${e.getMessage}")
@@ -441,12 +483,22 @@ final class OpLog(io: StoreIO) {
     token
   }
 
-  /** Release the lease IFF still owned: a holder lapped past its TTL by a
-    * successor (which swept the stale lease and took its own) must not
-    * delete the successor's lease on its way out. */
+  /** Release the lease IFF still owned: the `released` entry only lands
+    * when the head is still this holder's own `held` entry — a holder
+    * lapped past its TTL by a successor (whose acquire already took the
+    * next version name) no-ops on its way out instead of disturbing the
+    * successor's lease. */
   private[graft] def releaseVacuumLease(token: String): Unit =
-    leaseState().foreach { case (_, owner) =>
-      if (owner == token) io.delete(io.path(leaseName))
+    leaseHead().foreach { case (v, _, owner, held) =>
+      if (held && owner == token) {
+        try io.createExclusive(leasePath(v + 1),
+          s"${System.currentTimeMillis()}\n$token\nreleased\n")
+        catch { case _: java.io.IOException => return } // lapped — successor owns the next name
+        // best-effort GC strictly below the released head: decisions only
+        // ever read the max, so deleting older names races nothing
+        try leaseVersions().filter(_ <= v).foreach(k => io.delete(leasePath(k)))
+        catch { case _: java.io.IOException => () }
+      }
     }
 
   /** Test seams for deterministic race interleavings: invoked after an
@@ -476,8 +528,20 @@ final class OpLog(io: StoreIO) {
       s"store at ${io.root} carries pre-OpLog generation commits " +
         s"(${legacy.mkString(", ")}); this build reads only _LOG- entries — " +
         s"rebuild the index from its source corpus")
-    names.filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).sorted
+    // the ONE stray-tolerant name rule (numberedFiles): a `_LOG-3.bak`
+    // manual copy was never written by a protocol here — skip it instead
+    // of wedging every state()/versions() caller on a NumberFormatException;
+    // the stores' audits surface skipped strays via [[strayLogNames]]
+    names.filter(_.startsWith(prefix)).flatMap(_.stripPrefix(prefix).toLongOption).sorted
   }
+
+  /** Log-prefixed names whose suffix is not a number — strays (a
+    * `_LOG-3.bak` manual copy, post-incident surgery) [[versions]] skips;
+    * the stores' audits report these so the skip never hides them. */
+  def strayLogNames: Seq[String] =
+    io.listFiles(io.root).map(_.getName)
+      .filter(n => n.startsWith(prefix) &&
+        n.stripPrefix(prefix).toLongOption.isEmpty).sorted
 
   // Log entries are WRITE-ONCE (createExclusive; only truncateBefore ever
   // deletes one, and only after a subsuming compact), so parsed content

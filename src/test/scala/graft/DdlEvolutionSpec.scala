@@ -350,6 +350,53 @@ class DdlEvolutionSpec extends SparkSpecBase {
       "genuine crashed-DROP remnants must still be swept")
   }
 
+  test("a crashed-DROP dir REUSED AS A NAMESPACE: finish_drop (and " +
+    "dropTable's remnant arm) deletes only the remnant entries, never " +
+    "the live child tables") {
+    val wh = tmpDir("ddl_reused_ns")
+    val rep = new BucketedReplica(s"$wh/cdc", nBuckets = 4)
+    rep.destroy(); rep.commit(seed)
+    // the crashed-DROP state: visibility flipped, replica state remains
+    assert(new java.io.File(s"$wh/cdc/_META").delete())
+    // …and the dir is later reused as a NAMESPACE holding a LIVE table
+    // (createNamespace does no remnant check; createTable only checks
+    // its own dir) — the dir now holds BOTH canonical remnant files and
+    // a visible child table
+    val child = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)
+    child.destroy(); child.commit(seed)
+    val cold = coldSession(wh)
+    assert(cold.sql("SELECT * FROM graft.cdc.users").count() === seed.count())
+
+    cold.sql("CALL graft.system.finish_drop('cdc')")
+    assert(cold.sql("SELECT * FROM graft.cdc.users").count() === seed.count(),
+      "finish_drop recursively deleted a live table inside the reused dir")
+    // the remnant entries themselves ARE gone: the dropped table's rows
+    // can no longer resurrect, and the dir now reads as a plain namespace
+    val left = Option(new java.io.File(s"$wh/cdc").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(!left.exists(n => n.startsWith("_PTR-") ||
+        n.matches("manifest-\\d+(-[^.]+)?\\.tsv")) && !left.contains("data"),
+      s"remnant entries survived the surgical sweep: $left")
+
+    // dropTable's remnant arm takes the same guard: rebuild the remnant
+    // state around the still-live child and drive the direct-API path
+    val rep2 = new BucketedReplica(s"$wh/cdc2", nBuckets = 4)
+    rep2.destroy(); rep2.commit(seed)
+    assert(new java.io.File(s"$wh/cdc2/_META").delete())
+    val child2 = new BucketedReplica(s"$wh/cdc2/users", nBuckets = 4)
+    child2.destroy(); child2.commit(seed)
+    val cat = new graft.plans.GraftCatalog()
+    cat.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", wh)))
+    import org.apache.spark.sql.connector.catalog.Identifier
+    assert(!cat.dropTable(Identifier.of(Array.empty, "cdc2")),
+      "a remnant dir is not a visible table")
+    assert(cold.sql("SELECT * FROM graft.cdc2.users").count() === seed.count(),
+      "dropTable's remnant arm recursively deleted a live child table")
+    assert(!new java.io.File(s"$wh/cdc2/data").exists(),
+      "dropTable's remnant arm must still sweep the remnant entries")
+  }
+
   test("SHOW TABLES and DESCRIBE resolve through the catalog") {
     val wh = tmpDir("ddl_show")
     val rep = new BucketedReplica(s"$wh/cdc/users", nBuckets = 4)

@@ -22,6 +22,22 @@ class IndexAuditSpec extends SparkSpecBase {
   private def emb: DataFrame = Tables.load(spark, sfDir, "embeddings")
     .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 48)
 
+  /** The store's lease entries (versioned `_VACUUM-<n>` plus the legacy
+    * bare `_VACUUM` form), name-sorted. */
+  private def leaseFiles(root: String): Seq[java.io.File] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == "_VACUUM" || f.getName.matches("_VACUUM-\\d+"))
+      .sortBy(_.getName).toSeq
+
+  /** Lease entries whose head state is `held` (the live-or-crashed-holder
+    * form — content line 3 is `held`, or absent in the legacy layout). */
+  private def heldLease(root: String): Option[java.io.File] =
+    leaseFiles(root).sortBy(f =>
+      f.getName.stripPrefix("_VACUUM").stripPrefix("-").toLongOption
+        .getOrElse(0L)).lastOption
+      .filter(f => !java.nio.file.Files.readString(f.toPath)
+        .linesIterator.toSeq.drop(2).headOption.map(_.trim).contains("released"))
+
   private def report(df: DataFrame): Map[String, (Boolean, String)] =
     df.collect().map(r =>
       r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
@@ -162,6 +178,26 @@ class IndexAuditSpec extends SparkSpecBase {
     allOk(report(new LshIndex(root).audit(spark)))
     assert(lshDigest(root).size > before.size)
 
+    // a stray LOG name (`_LOG-3.bak` manual copy — the same post-incident
+    // surgery class) must not wedge the store: versions()/state() skip it
+    // (toLongOption, the ONE stray-tolerant name rule), every verb keeps
+    // working, and the audit surfaces the skipped name instead of hiding it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_LOG-3.bak"), "manual copy")
+    val repLog = report(new LshIndex(root).audit(spark)) // must not throw
+    allOk(repLog)
+    assert(repLog("unrecognized_entries")._2 === "3",
+      s"the skipped stray log name must surface in the audit: $repLog")
+    assert(lshDigest(root).size > before.size, "reads wedged by a stray log name")
+    new LshIndex(root).addBatch(docs.filter(col("doc_id") < 5), 2L)
+    assert(new LshIndex(root).vacuum().isEmpty,
+      "vacuum must skip a stray log name, not claim it")
+    assert(new java.io.File(s"$root/_LOG-3.bak").exists,
+      "the stray log copy is the operator's to remove")
+    // remove it (operator surgery) so the content-bearing section below
+    // keeps its exact stray counts
+    assert(new java.io.File(s"$root/_LOG-3.bak").delete())
+
     val ivfRoot = tmpDir("audit_strays_ivf") + "/idx"
     val ivf = new IvfIndex(ivfRoot)
     ivf.create(emb.filter(col("vec_id") < 4)
@@ -222,10 +258,10 @@ class IndexAuditSpec extends SparkSpecBase {
       // a second vacuum cannot share the lease
       intercept[IllegalStateException](idx.log.acquireVacuumLease())
       // and a WRONG token cannot release it (a holder lapped past its
-      // TTL must not delete a successor's lease on its way out)
+      // TTL must not disturb a successor's lease on its way out)
       idx.log.releaseVacuumLease("not-the-owner")
-      assert(new java.io.File(s"$root/_VACUUM").exists,
-        "a non-owner release deleted the lease")
+      assert(heldLease(root).isDefined,
+        "a non-owner release un-held the lease")
     } finally idx.log.releaseVacuumLease(leaseTok)
 
     // (b) deterministic seam: an append fully written and paused at its
@@ -270,10 +306,11 @@ class IndexAuditSpec extends SparkSpecBase {
     var raced = false
     vac.log.beforeMigrateCommit = () => {
       if (!raced) { raced = true
-        assert(new java.io.File(s"$root/_VACUUM").delete())
+        leaseFiles(root).foreach(f => assert(f.delete()))
         new LshIndex(root).addBatch(docs.filter(col("doc_id") < 10), 3L)
         // a stand-in lease for the remainder of the vacuum (its own
-        // release is token-checked, so the stand-in outlives it)
+        // release is token-checked, so the stand-in outlives it; the
+        // legacy bare name reads as lease version 0, held)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$root/_VACUUM"),
           s"${System.currentTimeMillis()}\nstand-in\n")
@@ -282,7 +319,7 @@ class IndexAuditSpec extends SparkSpecBase {
     val deleted = vac.vacuum()
     vac.log.beforeMigrateCommit = () => ()
     assert(raced, "the race seam never fired")
-    assert(new java.io.File(s"$root/_VACUUM").delete(),
+    assert(heldLease(root).exists(_.delete()),
       "the token check must have left the stand-in lease for us to sweep")
     assert(!deleted.exists(_.contains("batch_id=3")),
       s"vacuum swept a committed batch after losing the race: $deleted")
@@ -349,10 +386,23 @@ class IndexAuditSpec extends SparkSpecBase {
     val e = intercept[Exception](audit(tmpDir("sql_index_empty")))
     assert(e.getMessage.contains("no index store"),
       s"empty root must refuse loudly: ${e.getMessage}")
+
+    // path-traversal refusals: a RELATIVE path with separators would
+    // bypass the dotted-name branch's '..' check and reach the vacuum's
+    // delete pass outside the warehouse root — both doors must refuse
+    for (bad <- Seq("../outside", "a/../../x", s"$wh/idx/../../etc")) {
+      val et = intercept[Exception](audit(bad))
+      assert(et.getMessage.contains("illegal store path"),
+        s"traversal arg '$bad' must refuse: ${et.getMessage}")
+      val ev = intercept[Exception](
+        cold.sql(s"CALL graft.system.index_vacuum('$bad')"))
+      assert(ev.getMessage.contains("illegal store path"),
+        s"traversal arg '$bad' must refuse at the procedure: ${ev.getMessage}")
+    }
   }
 
   test("a vacuum that CRASHES mid-delete leaves its lease blocking writers " +
-    "until the TTL, after which writers sweep it and converge") {
+    "until the TTL, past which writers proceed and a successor retires it") {
     val root = tmpDir("vacuum_crash") + "/idx"
     val idx = new LshIndex(root)
     idx.addBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
@@ -370,7 +420,7 @@ class IndexAuditSpec extends SparkSpecBase {
     StoreIO.Faults.armAt(root, 5)
     intercept[StoreIO.Faults.InjectedCrash] { new LshIndex(root).vacuum() }
     StoreIO.Faults.disarm()
-    assert(new java.io.File(s"$root/_VACUUM").exists,
+    assert(heldLease(root).isDefined,
       "the crash must have happened with the lease held")
 
     // within the TTL every writer refuses loudly — the crashed vacuum
@@ -380,14 +430,24 @@ class IndexAuditSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("vacuum"), e.getMessage)
 
-    // past the TTL the lease is provably stale: the next writer sweeps it
-    // and proceeds; a re-run vacuum converges and the store audits clean
+    // past the TTL the lease is provably stale: the next writer IGNORES
+    // it and proceeds — writers never delete lease state (the
+    // sweep-TOCTOU fix: a blind delete could remove a successor vacuum's
+    // FRESH lease); the expired entry stays until a later vacuum's
+    // release GCs it. A re-run vacuum converges and the store audits clean
     val prev = sys.props.put("graft.index.vacuumTtlMs", "1")
     try {
       Thread.sleep(5)
       new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
-      assert(!new java.io.File(s"$root/_VACUUM").exists,
-        "the stale lease must be swept by the writer that outlived it")
+      assert(heldLease(root).isDefined,
+        "the expired lease is ignored, never swept, by writers")
+      // a successor vacuum acquires OVER the expired entry (next lease
+      // version) and its release GCs everything below — the one actor
+      // that ever deletes lease state, and only behind its own
+      // write-once claim
+      new LshIndex(root).vacuum()
+      assert(heldLease(root).isEmpty,
+        "the successor vacuum's release must retire the crashed lease")
     } finally {
       prev match {
         case Some(v) => sys.props.put("graft.index.vacuumTtlMs", v)
@@ -395,7 +455,6 @@ class IndexAuditSpec extends SparkSpecBase {
       }
       ()
     }
-    new LshIndex(root).vacuum()
     val rep = report(new LshIndex(root).audit(spark))
     allOk(rep)
     assert(rep("orphan_partitions")._2 === "0",
@@ -418,8 +477,12 @@ class IndexAuditSpec extends SparkSpecBase {
     try {
       Thread.sleep(10)
       new LshIndex(root).addBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
-      assert(!new java.io.File(s"$root/_VACUUM").exists,
-        "the expired garbled lease must be swept, not re-aged to zero")
+      // the expired garbled entry is IGNORED (not re-aged to zero, not
+      // swept — writers never delete lease state); a vacuum acquires
+      // right over it and its release retires it
+      new LshIndex(root).vacuum()
+      assert(heldLease(root).isEmpty,
+        "the successor vacuum's release must retire the garbled lease")
     } finally {
       prev match {
         case Some(v) => sys.props.put("graft.index.vacuumTtlMs", v)
