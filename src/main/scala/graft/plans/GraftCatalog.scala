@@ -374,15 +374,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Array(P("table", StringType), P("name", StringType)),
         in => repOf(tbl(in)).dropForeignKey(in.getUTF8String(1).toString)),
       GraftProcedure("index_vacuum",
-        "reclaim an LSH/IVF index store's unreferenced partitions (crashed " +
-          "appends that never retried, dead consolidations, stale centroid " +
-          "generations, leaked tmps) under the store's enforced vacuum " +
-          "lease; accepts an absolute path or a catalog-root-relative " +
+        "reclaim a maintainable store's unreferenced wreckage (LSH/IVF: " +
+          "crashed appends that never retried, dead consolidations, stale " +
+          "centroid generations, leaked tmps, under the enforced vacuum " +
+          "lease; corpus-ingest: side dirs above the committed frontier, " +
+          "same lease; image-hash: write-job staging only — the store is " +
+          "logless); accepts an absolute path or a catalog-root-relative " +
           "dotted name, sniffing the store kind from its layout",
         Array(P("store", StringType)),
         in => {
-          GraftTvf.openIndexStore(GraftTvf.storeRoot(tbl(in), root))
-            .fold(_.vacuum(), _.vacuum())
+          GraftTvf.openIndexStore(GraftTvf.storeRoot(tbl(in), root)).vacuum()
           ()
         }),
       GraftProcedure("finish_drop",

@@ -119,25 +119,43 @@ object GraftTvf {
           s"'$arg' is a relative store name; set spark.sql.catalog.graft.root " +
             "or pass an absolute path")))
 
-  /** Open the index store at `root`, sniffing which kind lives there from
-    * its own durable layout (sigs/postings/pairs ⇒ LSH; index/centroids ⇒
-    * IVF) — the cold-SQL-session twin of holding the typed handle. Loud on
-    * an empty or ambiguous root: auditing the WRONG store kind would
-    * report vacuous health. */
+  /** Open the maintainable store at `root`, sniffing which kind lives
+    * there from its own durable layout — the cold-SQL-session twin of
+    * holding the typed handle:
+    *   - `sigs`/`postings`/`pairs`          ⇒ [[graft.streaming.LshIndex]]
+    *   - `index`/`centroids`(`_gen=<v>`)    ⇒ [[graft.streaming.IvfIndex]]
+    *   - `seen`/`corpus`                    ⇒ [[graft.streaming.CorpusIngest]]
+    *     (the composed ingest store; its `lsh/` SUBDIR is an LshIndex of
+    *     its own and stays separately addressable by path)
+    *   - `hashes`/`accepted`                ⇒ [[graft.streaming.ImageHashStore]]
+    * Loud on an empty or ambiguous root: auditing the WRONG store kind
+    * would report vacuous health. */
   private[graft] def openIndexStore(root: String)
-      : Either[graft.streaming.LshIndex, graft.streaming.IvfIndex] = {
+      : graft.streaming.MaintainableStore = {
     val io = new graft.streaming.StoreIO(root, graft.streaming.StoreIO.sessionConf())
-    val lsh = Seq("sigs", "postings", "pairs").exists(d => io.exists(io.path(d)))
-    val ivf = Seq("index", "centroids").exists(d => io.exists(io.path(d))) ||
-      io.listDirs(io.root).exists(_.getName.startsWith("centroids_gen="))
-    (lsh, ivf) match {
-      case (true, false) => Left(new graft.streaming.LshIndex(root))
-      case (false, true) => Right(new graft.streaming.IvfIndex(root))
-      case (true, true) => throw new IllegalArgumentException(
-        s"$root holds BOTH LSH and IVF layout dirs — not a single store")
-      case _ => throw new IllegalArgumentException(
-        s"no index store at $root (neither LSH sigs/postings/pairs nor " +
-          "IVF index/centroids present)")
+    val kinds = Seq[(String, Seq[String], () => graft.streaming.MaintainableStore)](
+      ("LSH", Seq("sigs", "postings", "pairs"),
+        () => new graft.streaming.LshIndex(root)),
+      ("IVF", Seq("index", "centroids"),
+        () => new graft.streaming.IvfIndex(root)),
+      ("corpus-ingest", Seq("seen", "corpus"),
+        () => new graft.streaming.CorpusIngest(root)),
+      ("image-hash", Seq("hashes", "accepted"),
+        () => new graft.streaming.ImageHashStore(root)))
+    val matched = kinds.filter { case (kind, dirs, _) =>
+      dirs.exists(d => io.exists(io.path(d))) ||
+        (kind == "IVF" &&
+          io.listDirs(io.root).exists(_.getName.startsWith("centroids_gen=")))
+    }
+    matched match {
+      case Seq((_, _, open)) => open()
+      case Seq() => throw new IllegalArgumentException(
+        s"no index store at $root (expected one of: LSH sigs/postings/" +
+          "pairs, IVF index/centroids, corpus-ingest seen/corpus, " +
+          "image-hash hashes/accepted)")
+      case many => throw new IllegalArgumentException(
+        s"$root holds layout dirs of MULTIPLE store kinds " +
+          s"(${many.map(_._1).mkString(", ")}) — not a single store")
     }
   }
 
@@ -196,12 +214,13 @@ object GraftTvf {
           .fsck(spark).queryExecution.analyzed
       case UnresolvedGraftTvf("graft_index_audit", args) =>
         require(args.length == 1, "graft_index_audit(store_path_or_name)")
-        // the LSH/IVF stores' structural integrity report from a cold SQL
-        // session — the index twin of graft_fsck (audit() docs: bounded
-        // two-column scans, control-plane log checks)
+        // the maintainable stores' structural integrity report from a cold
+        // SQL session — the store-family twin of graft_fsck (audit() docs:
+        // bounded two-column scans, control-plane log checks); the store
+        // kind (LSH / IVF / corpus-ingest / image-hash) is sniffed from
+        // the root's durable layout
         val root = indexRoot(spark, stringArg("graft_index_audit", args, 0))
-        openIndexStore(root).fold(_.audit(spark), _.audit(spark))
-          .queryExecution.analyzed
+        openIndexStore(root).audit(spark).queryExecution.analyzed
       case u: UnresolvedGraftTvf => throw new IllegalStateException(
         s"unknown graft table function ${u.fn}")
     }

@@ -39,10 +39,47 @@ import org.apache.spark.sql.types._
   */
 final class CorpusIngest(root: String, nHp: Int = 16,
                          cleanInput: Boolean = false,
-                         nearDupMinSig: Option[Int] = None) {
+                         nearDupMinSig: Option[Int] = None)
+    extends MaintainableStore {
 
   private val io = new StoreIO(root, StoreIO.sessionConf())
   val lsh = new LshIndex(s"$root/lsh")
+
+  // ---- durable layout contract -------------------------------------------
+  // The hp partition count is LAYOUT, like the replica's bucket count and
+  // the LSH banding: a probe run under a different nHp than the store's
+  // writer prunes to the WRONG hp partitions and silently admits stored
+  // duplicates. One tiny `_INGEST` meta file (written once, first batch)
+  // makes the contract durable: later opens — including the cold SQL
+  // audit door, which knows only the root — read the true layout instead
+  // of trusting the constructor default.
+  private val metaPath = io.path("_INGEST")
+  @volatile private var metaChecked = false
+
+  /** The store's durable hp count, if the meta file exists. */
+  private[graft] def storedNHp: Option[Int] =
+    if (!io.existsSafe(metaPath)) None
+    else io.readSafe(metaPath).linesIterator
+      .collectFirst { case l if l.startsWith("nhp=") =>
+        l.stripPrefix("nhp=").trim.toInt }
+
+  /** Verify (or first-write) the layout contract; loud on a mismatched
+    * open — the dedup-probe-prunes-wrong hazard above. */
+  private def ensureMeta(): Unit = if (!metaChecked) {
+    storedNHp match {
+      case Some(stored) => require(stored == nHp,
+        s"$root was written with nHp=$stored but opened with nHp=$nHp — " +
+          "the exact-dedup probe would prune the wrong hp partitions and " +
+          "silently admit stored duplicates; reopen with the stored value")
+      case None => io.overwriteSafe(metaPath, s"nhp=$nHp\n")
+    }
+    metaChecked = true
+  }
+
+  /** Test seam: invoked between the batch's side-dir writes (rejects/
+    * corpus/seen/neardup) and the delegated [[LshIndex.addBatch]] commit —
+    * the window the composed vacuum fence exists for. No-op in production. */
+  private[graft] var beforeDelegatedCommit: () => Unit = () => ()
 
   private val seenReadSchema = StructType(Seq(
     StructField("content_hash", StringType), StructField("doc_id", LongType),
@@ -111,6 +148,15 @@ final class CorpusIngest(root: String, nHp: Int = 16,
     * retries of the same (docs, batchId). */
   def ingestBatch(rawDocs: DataFrame, batchId: Long): Unit = {
     val spark = rawDocs.sparkSession
+    ensureMeta()
+    // Composed vacuum fence, captured BEFORE any side-dir write: the dirs
+    // this method writes below live OUTSIDE the LSH log's visibility, so
+    // without it a vacuum sweeping between the corpus write and the
+    // delegated commit would let the commit land with the batch's corpus
+    // already deleted (see LshIndex.sideWriteFence). The fenced commit
+    // throws ConcurrentCommit instead, and the stream's retry re-runs this
+    // whole method — every side dir is rewritten.
+    val fence = lsh.sideWriteFence("CorpusIngest.ingestBatch")
     // ---- canonicalization (opt-in; the e77/e78 stages, per-row form) ---
     // Cleaning MUST precede dedup: a markup-wrapped or NFC-decomposed
     // duplicate of a stored doc hashes differently raw and identically
@@ -188,7 +234,9 @@ final class CorpusIngest(root: String, nHp: Int = 16,
           // ---- near-dup candidates, incrementally -----------------------
           // the index ingests ALL exact-dedup survivors (the SEEN graph);
           // the corpus holds only the accepted ones (the curated output)
-          lsh.addBatch(fresh.select(col("doc_id"), col("text")), batchId)
+          beforeDelegatedCommit()
+          lsh.addBatch(fresh.select(col("doc_id"), col("text")), batchId,
+            sideFence = Some(fence))
         } finally { fresh.unpersist(); () }
       } finally { firstInBatch.unpersist(); () }
     } finally { gated.unpersist(); () }
@@ -206,6 +254,7 @@ final class CorpusIngest(root: String, nHp: Int = 16,
     * collapse on the next fold). The delegated [[LshIndex.compact]] is
     * ONLINE-safe under its OpLog and needs no pause. */
   def compact(spark: SparkSession): Unit = {
+    ensureMeta() // the fold rewrites the hp layout — same mismatch hazard
     val dir = s"$root/seen"
     // strays (manual copy, backup suffix) are nobody's to parse, fold, or
     // delete — the shared OpLog.batchIdOf rule (incl. its caveat: a
@@ -235,9 +284,160 @@ final class CorpusIngest(root: String, nHp: Int = 16,
       }
       .start()
 
+  private val dataDirs = Seq("corpus", "seen", "rejects", "neardup")
+
+  /** Structural integrity audit — the ingest-store twin of
+    * [[LshIndex.audit]] (same report schema, same cost contract: driver-
+    * side control-plane checks plus bounded two-column containment scans).
+    * The committed frontier is the delegated LSH log's `maxSeen` —
+    * `ingestBatch` commits the index LAST, so a batch id at or below it
+    * proves the whole composed ingest of that batch completed; side dirs
+    * above it are crashed-or-in-flight attempts, invisible to
+    * [[corpusCommitted]] and [[vacuum]]'s to reclaim. The delegated LSH
+    * substore's own audit folds in as one summary row, so this report is a
+    * one-stop health check for the whole composed store. */
+  def audit(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    val reportSchema = StructType(Seq(
+      StructField("check", StringType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("observed", StringType, nullable = false),
+      StructField("details", StringType, nullable = false)))
+    val rows = scala.collection.mutable.Buffer[Row]()
+    scala.util.Try(lsh.log.state) match {
+      case scala.util.Failure(e) =>
+        rows += Row("frontier", false, "unreadable",
+          s"the delegated LSH log (the ingest's commit witness) cannot be " +
+            s"read: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      case scala.util.Success(st) =>
+        rows += Row("frontier", true, s"${st.maxSeen}",
+          "committed ingest frontier (batch ids at or below it completed " +
+            "the whole clean->gate->dedup->index fold)")
+        val metaN = storedNHp
+        rows += Row("hp_layout", metaN.forall(_ > 0),
+          metaN.map(n => s"nhp=$n").getOrElse("no _INGEST meta"),
+          metaN.map(_ => "durable hp layout contract present").getOrElse(
+            "store predates the _INGEST meta (pre-r15); placement is " +
+              "checked against this handle's nHp"))
+        val effN = metaN.getOrElse(nHp)
+        // committed views for the containment scans
+        def committedSeen = seen(spark).filter(col("batch_id") <= st.maxSeen)
+        def scanRow(check: String, detail: String)(cnt: => Long): Unit =
+          rows += (scala.util.Try(cnt) match {
+            case scala.util.Success(n) => Row(check, n == 0L, s"$n", detail)
+            case scala.util.Failure(e) => Row(check, false, "scan failed",
+              s"$detail — scan threw ${e.getClass.getSimpleName}: " +
+                s"${String.valueOf(e.getMessage).take(200)}")
+          })
+        scanRow("corpus_docs_in_seen",
+          "every committed accepted doc must carry a stored content hash " +
+            "(or later duplicates of it would be re-admitted)") {
+          corpusCommitted(spark).select(col("doc_id")).distinct()
+            .join(committedSeen.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti").count()
+        }
+        scanRow("seen_docs_in_sigs",
+          "every exact-dedup survivor must be signature-indexed (the " +
+            "near-dup probe reads the index, accepted or rejected)") {
+          committedSeen.select(col("doc_id")).distinct()
+            .join(lsh.sigs(spark).select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti").count()
+        }
+        scanRow("seen_hash_unique",
+          "first-arrival-wins: one doc per stored content hash, ever") {
+          committedSeen.groupBy(col("content_hash"))
+            .agg(countDistinct(col("doc_id")).as("n"))
+            .filter(col("n") > 1).count()
+        }
+        scanRow("hp_placement",
+          s"every stored hash must sit in pmod(xxhash64(hash), $effN) — " +
+            "a misplaced row is invisible to the pruned dedup probe") {
+          committedSeen.filter(col("hp") =!=
+            pmod(xxhash64(col("content_hash")), lit(effN.toLong))
+              .cast(IntegerType)).count()
+        }
+        // side dirs above the frontier: crashed (or in-flight) composed
+        // batches — invisible to committed readers, vacuum's to reclaim
+        val orphans = dataDirs.flatMap { d =>
+          io.listDirs(io.path(d))
+            .filter(p => OpLog.batchIdOf(p.getName).exists(_ > st.maxSeen))
+            .map(p => s"$d/${p.getName}")
+        }
+        rows += Row("orphan_partitions", true, s"${orphans.size}",
+          if (orphans.isEmpty) "none"
+          else "above the committed frontier (crashed or in-flight); " +
+            s"vacuum() reclaims: ${orphans.sorted.mkString(",")}")
+        val strays = dataDirs.flatMap { d =>
+          io.listDirs(io.path(d))
+            .filter(p => OpLog.batchIdOf(p.getName).isEmpty)
+            .map { p =>
+              val bearing = io.listFiles(p).nonEmpty || io.listDirs(p).nonEmpty
+              (s"$d/${p.getName}", bearing)
+            }
+        }
+        val bearing = strays.collect { case (n, true) => n }
+        rows += Row("unrecognized_entries", bearing.isEmpty, s"${strays.size}",
+          if (strays.isEmpty) "none"
+          else if (bearing.isEmpty)
+            "empty dirs outside the store's naming; inert, skipped by " +
+              "vacuum — operator's to remove: " +
+              strays.map(_._1).sorted.mkString(",")
+          else "CONTENT-BEARING dirs outside the store's naming break " +
+            "partition discovery for every reader — move them out of the " +
+            s"dataset dirs: ${bearing.sorted.mkString(",")}")
+        // the delegated substore, summarized (full detail: audit the
+        // <root>/lsh path directly — it is a store of its own)
+        val sub = lsh.audit(spark).collect()
+        val subBad = sub.filter(!_.getBoolean(1)).map(_.getString(0))
+        rows += Row("lsh_substore", subBad.isEmpty, s"${subBad.length} failing",
+          if (subBad.isEmpty) s"all ${sub.length} delegated checks ok"
+          else s"failing checks: ${subBad.sorted.mkString(",")} — audit " +
+            s"$root/lsh directly for detail")
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
+  }
+
+  /** Reclaim side dirs above the committed frontier — crashed composed
+    * batches that never redelivered — then vacuum the delegated LSH
+    * substore. Enforced exclusion rides the SAME lease + log-entry
+    * protocol as [[LshIndex.vacuum]] (the lease lives in the LSH log,
+    * which is the composed store's single commit point): while the lease
+    * is held no ingest can commit (`addBatch` probes it after its state
+    * read), and the `vacuum` log entry this pass commits defeats BOTH
+    * racing commit classes — an in-flight batch whose state read predates
+    * the entry loses the write-once version race, and one whose side dirs
+    * predate the entry is refused by the composed fence
+    * ([[LshIndex.sideWriteFence]]) even though its commit would not
+    * conflict. Either way the batch redelivers wholesale and rewrites
+    * every dir this pass deleted. */
+  def vacuum(): Seq[String] = {
+    val ingestSwept = {
+      val token = lsh.log.acquireVacuumLease()
+      try {
+        def deadAt(st: OpLog.State): Seq[org.apache.hadoop.fs.Path] =
+          dataDirs.flatMap(d => io.listDirs(io.path(d))
+            .filter(p => OpLog.batchIdOf(p.getName).exists(_ > st.maxSeen)))
+        if (deadAt(lsh.log.state).isEmpty) Seq.empty[String]
+        else {
+          var deleted = Seq.empty[String]
+          lsh.log.migrate("ingest-vacuum") { st =>
+            val dead = deadAt(st)
+            (Map("type" -> "vacuum"),
+              () => deleted = dead.map { p => io.delete(p); p.toString })
+          }
+          deleted
+        }
+      } finally lsh.log.releaseVacuumLease(token)
+    }
+    // the delegated substore's own pass (it re-takes the lease itself)
+    ingestSwept ++ lsh.vacuum()
+  }
+
   // the delegated LshIndex's own destroy() clears ITS OpLog entry cache
   // (same version-number-reuse hazard as a directly-destroyed index)
-  def destroy(): Unit = { knownDirs.clear(); lsh.destroy(); io.delete(io.root) }
+  def destroy(): Unit = {
+    knownDirs.clear(); metaChecked = false; lsh.destroy(); io.delete(io.root)
+  }
 }
 
 object CorpusIngest {

@@ -144,3 +144,135 @@ object ImageDedup {
     h.join(rej, Seq("doc_id"), "left_anti")
   }
 }
+
+/** The operability handle for an [[ImageDedup]] hash store — audit/vacuum
+  * over the `hashes/` + `accepted/` layout, reachable from the cold SQL
+  * doors like any index store (`graft_index_audit('<root>')`, `CALL
+  * graft.system.index_vacuum('<root>')`).
+  *
+  * The store is deliberately LOGLESS (the data dirs are the commit;
+  * `ImageDedup.ingestBatch` writes `hashes/batch_id=N` then
+  * `accepted/batch_id=N`, and a foreachBatch replay overwrites both), so:
+  *  - the accepted partition is each batch's commit witness — a hashes dir
+  *    with no accepted twin is a crashed-or-in-flight attempt whose
+  *    redelivery overwrites it (foreachBatch is sequential, so at most ONE
+  *    such frontier dir exists in normal operation; more means the
+  *    checkpoint was discarded — reported, operator's call);
+  *  - [[vacuum]] reclaims only write-job staging wreckage (`_temporary`
+  *    dirs and hidden temp files a killed Spark write job leaves INSIDE a
+  *    batch dir — Spark never reads them back, so they are provably not
+  *    part of any committed batch). Unpaired hashes dirs are NOT swept:
+  *    with no log there is no fence distinguishing a crashed attempt from
+  *    a live one, and the redelivery overwrite already heals the crashed
+  *    case. Quiesced-only is therefore advisory here, not enforced — the
+  *    worst a racing writer suffers is a loud task failure when its own
+  *    `_temporary` dir vanishes, healed by the same redelivery. */
+final class ImageHashStore(root: String) extends MaintainableStore {
+
+  private val io = new StoreIO(root, StoreIO.sessionConf())
+  private val dataDirs = Seq("hashes", "accepted")
+
+  private def batchIds(d: String): Set[Long] =
+    io.listDirs(io.path(d)).flatMap(p => OpLog.batchIdOf(p.getName)).toSet
+
+  /** All rows of one dataset dir with their batch_id (the
+    * [[ImageDedup.readStore]] shape, no batch filter). */
+  private def readAll(spark: SparkSession, d: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$d")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("hi", LongType), StructField("lo", LongType),
+          StructField("batch_id", LongType))))
+    else spark.read.option("basePath", s"$root/$d").parquet(s"$root/$d")
+      .select(col("doc_id"), col("hi"), col("lo"), col("batch_id"))
+  }
+
+  /** Leaked Spark write-job staging inside the batch dirs: `_temporary`
+    * children — a killed write job's wreckage. ONLY that name: committed
+    * output legitimately holds `_SUCCESS` markers and hidden `.crc`
+    * checksum sidecars, which are nobody's to sweep. */
+  private def stagingWreckage: Seq[org.apache.hadoop.fs.Path] =
+    dataDirs.flatMap { d =>
+      io.listDirs(io.path(d)).flatMap(b =>
+        io.listDirs(b).filter(_.getName == "_temporary"))
+    }
+
+  def audit(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    val reportSchema = StructType(Seq(
+      StructField("check", StringType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("observed", StringType, nullable = false),
+      StructField("details", StringType, nullable = false)))
+    val rows = scala.collection.mutable.Buffer[Row]()
+    val (hIds, aIds) = (batchIds("hashes"), batchIds("accepted"))
+    rows += Row("layout", hIds.nonEmpty || aIds.nonEmpty,
+      s"${hIds.size} hash batches / ${aIds.size} accepted",
+      "hashes/ holds every probed perceptual hash; accepted/ is each " +
+        "batch's commit witness")
+    // an accepted dir with no hashes twin cannot come from the protocol
+    // (hashes are written FIRST) — manual surgery or a partial restore
+    val unbacked = (aIds -- hIds).toSeq.sorted
+    rows += Row("accepted_ids_in_hashes", unbacked.isEmpty,
+      s"${unbacked.size}",
+      if (unbacked.isEmpty) "every accepted batch has its hash partition"
+      else s"accepted batch(es) with NO hash partition — the dedup probe " +
+        s"cannot see their images: ${unbacked.mkString(",")}")
+    def scanRow(check: String, detail: String)(cnt: => Long): Unit =
+      rows += (scala.util.Try(cnt) match {
+        case scala.util.Success(n) => Row(check, n == 0L, s"$n", detail)
+        case scala.util.Failure(e) => Row(check, false, "scan failed",
+          s"$detail — scan threw ${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(200)}")
+      })
+    scanRow("accepted_rows_in_hashes",
+      "every accepted row must be a stored probe hash, bit-identical " +
+        "(accepted is a SUBSET of hashes by construction)") {
+      readAll(spark, "accepted")
+        .join(readAll(spark, "hashes"),
+          Seq("doc_id", "hi", "lo", "batch_id"), "left_anti").count()
+    }
+    // the crashed-or-in-flight frontier: hashes landed, accepted did not
+    val unpaired = (hIds -- aIds).toSeq.sorted
+    rows += Row("unpaired_hash_batches", true, s"${unpaired.size}",
+      if (unpaired.isEmpty) "none"
+      else if (unpaired.size == 1)
+        s"batch ${unpaired.head} is mid-ingest or crashed; its redelivery " +
+          "overwrites both partitions (foreachBatch contract)"
+      else "MULTIPLE unpaired batches — sequential foreachBatch leaves at " +
+        s"most one; a discarded checkpoint likely orphaned: " +
+        unpaired.mkString(","))
+    val wreck = stagingWreckage
+    rows += Row("staging_wreckage", true, s"${wreck.size}",
+      if (wreck.isEmpty) "none"
+      else "killed write jobs' _temporary staging; vacuum() reclaims: " +
+        wreck.map(_.getName).sorted.mkString(","))
+    val strays = dataDirs.flatMap { d =>
+      io.listDirs(io.path(d))
+        .filter(p => OpLog.batchIdOf(p.getName).isEmpty &&
+          p.getName != "_temporary")
+        .map { p =>
+          val bearing = io.listFiles(p).nonEmpty || io.listDirs(p).nonEmpty
+          (s"$d/${p.getName}", bearing)
+        }
+    }
+    val bearing = strays.collect { case (n, true) => n }
+    rows += Row("unrecognized_entries", bearing.isEmpty, s"${strays.size}",
+      if (strays.isEmpty) "none"
+      else if (bearing.isEmpty)
+        "empty dirs outside the store's naming; inert — operator's to " +
+          s"remove: ${strays.map(_._1).sorted.mkString(",")}"
+      else "CONTENT-BEARING dirs outside the store's naming break " +
+        "partition discovery for every reader — move them out: " +
+        bearing.sorted.mkString(","))
+    spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), reportSchema)
+  }
+
+  /** See the class doc: reclaims ONLY write-job staging wreckage — the one
+    * class provably outside every committed batch in a logless store. */
+  def vacuum(): Seq[String] =
+    stagingWreckage.map { p => io.delete(p); p.toString }
+}

@@ -50,7 +50,7 @@ import org.apache.spark.sql.types._
   *    stored vectors (broadcast argmax, no shuffle) + one partitioned
   *    rewrite — paid per migration, not per batch.
   */
-final class IvfIndex(root: String) {
+final class IvfIndex(root: String) extends MaintainableStore {
 
   private val io = new StoreIO(root, StoreIO.sessionConf())
   private[graft] val log = new OpLog(io)

@@ -53,7 +53,7 @@ import org.apache.spark.sql.types._
   *  - the log is control-plane (one tiny file per micro-batch, folded and
   *    truncated by [[compact]]), never a data-plane cost.
   */
-final class LshIndex(root: String, nBp: Int = 16) {
+final class LshIndex(root: String, nBp: Int = 16) extends MaintainableStore {
 
   private def sigsDir = s"$root/sigs"
   private def postingsDir = s"$root/postings"
@@ -132,7 +132,35 @@ final class LshIndex(root: String, nBp: Int = 16) {
     * read and its own commit, the commit loses the write-once race, the
     * dead-banding output is deleted, and [[StoreIO.ConcurrentCommit]]
     * propagates so the stream's retry recomputes under the new banding. */
-  def addBatch(docs: DataFrame, batchId: Long): Unit = {
+  def addBatch(docs: DataFrame, batchId: Long): Unit =
+    addBatch(docs, batchId, sideFence = None)
+
+  /** The composed-store fence, captured BEFORE a caller writes any side
+    * dirs of its own (the ingest's corpus/seen/rejects partitions): the
+    * current log version, with the live-vacuum probe already taken. Passed
+    * back as [[addBatch]]'s `sideFence` it extends the vacuum-lease order
+    * argument to data the LOG cannot see: this store's own dirs are written
+    * after the state read (so a vacuum entry forces a version conflict or
+    * the post-read probe refuses), but a composed caller's side dirs go to
+    * disk before its delegated commit — a vacuum sweeping between those two
+    * instants would otherwise let the commit land while the batch's side
+    * dirs are already deleted (durable loss with no conflict anywhere). */
+  private[graft] def sideWriteFence(what: String): Long = {
+    val st = log.state
+    log.assertNoLiveVacuum(what)
+    st.version
+  }
+
+  /** [[addBatch]] with the composed-store fence: refuse to commit if any
+    * log entry in `(sideFence, readVersion]` is a `vacuum` (or is already
+    * truncated — then it cannot be ruled one), because the caller's side
+    * dirs written under the fence version may have been swept; the thrown
+    * [[StoreIO.ConcurrentCommit]] makes the stream's retry re-run the WHOLE
+    * composed batch, rewriting every side dir. A vacuum landing after this
+    * check still cannot slip through: its entry takes the next log version,
+    * so this batch's commit loses the write-once race instead. */
+  private[graft] def addBatch(docs: DataFrame, batchId: Long,
+                              sideFence: Option[Long]): Unit = {
     val spark = docs.sparkSession
     val st = log.state
     // AFTER the state read, BEFORE any write — the order that makes the
@@ -141,6 +169,18 @@ final class LshIndex(root: String, nBp: Int = 16) {
     // the entry, hence after the lease, hence this probe refused it
     log.assertNoLiveVacuum("LshIndex.addBatch")
     if (batchId <= st.maxSeen) return // committed replay (checkpoint re-run)
+    // (a committed replay's side dirs sit at ids <= maxSeen, which no
+    // vacuum ever sweeps — the fence only matters for uncommitted batches)
+    sideFence.foreach { v0 =>
+      val swept = ((v0 + 1) to st.version).exists { v =>
+        scala.util.Try(log.read(v))
+          .map(_.getOrElse("type", "") == "vacuum").getOrElse(true)
+      }
+      if (swept) throw new StoreIO.ConcurrentCommit(
+        s"a vacuum entry landed after the composed fence v$v0; the " +
+          s"caller's side dirs for batch $batchId may have been swept — " +
+          "re-run the composed batch against current state")
+    }
     val (r, b) = bandingOf(st)
     // persisted: the signatures feed five actions (bp probe, both sides of
     // the pair join, the postings write, the sigs write)

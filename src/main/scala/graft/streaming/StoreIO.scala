@@ -206,6 +206,20 @@ final class StoreIO(rootStr: String, conf: Configuration) {
       .flatMap(_.stripPrefix(prefix).toLongOption)
 }
 
+/** The operability contract every durable graft store exposes to the SQL
+  * maintenance doors (`graft_index_audit` / `CALL graft.system.index_vacuum`
+  * — see [[graft.plans.GraftTvf.openIndexStore]], which sniffs the concrete
+  * kind from the root's layout): a structural integrity report with one row
+  * per protocol invariant — (check, ok, observed, details) — and a
+  * wreckage-reclaim pass returning the deleted paths. How much `vacuum` may
+  * safely reclaim is each store's own protocol argument (the OpLog-fenced
+  * stores sweep unreferenced partitions under the enforced lease; the
+  * logless [[ImageHashStore]] reclaims only write-job staging wreckage). */
+trait MaintainableStore {
+  def audit(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame
+  def vacuum(): Seq[String]
+}
+
 object StoreIO {
   /** Process-wide control-plane op counters — the round-trip meter behind
     * the CommitProbe cost breakdown (every pointer/manifest/meta access in
