@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.streaming.{BucketedReplica, CdcStream, IncrementalAgg, IvfIndex, LshIndex}
+import graft.streaming.{BucketedReplica, CdcStream, CorpusIngest, IncrementalAgg, IvfIndex, LshIndex}
 
 /** TRUE process-death chaos for the stores CrossJvmKillSpec does not
   * reach: the LSH/IVF index stores (append + online reband/recenter),
@@ -32,44 +32,10 @@ class CrossJvmKillStoresSpec extends SparkSpecBase {
 
   private val rnd = new scala.util.Random(20260814L)
 
-  private def launch(cls: String, args: Seq[String], log: String): Process = {
-    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx1g", "-Dspark.ui.enabled=false",
-      "-cp", sys.props("java.class.path"), cls) ++ args
-    new ProcessBuilder(cmd: _*)
-      .redirectOutput(new java.io.File(log))
-      .redirectErrorStream(true)
-      .start()
-  }
-
-  /** Run one kill round: launch the child, wait until it acks something
-    * NEW, kill -9 a random instant later, return the new ack floor. */
   private def killRound(cls: String, args: Seq[String], log: String,
-                        progress: java.nio.file.Path, acked: Long): Long = {
-    val child = launch(cls, args, log)
-    try {
-      def readAck(): Long =
-        try new String(Files.readAllBytes(progress)).trim.toLong
-        catch { case _: Exception => acked }
-      val deadline = System.currentTimeMillis() + 180000L
-      while (readAck() <= acked && System.currentTimeMillis() < deadline)
-        Thread.sleep(20)
-      Thread.sleep(rnd.nextInt(400).toLong)
-      child.destroyForcibly()
-      child.waitFor()
-      readAck()
-    } finally { if (child.isAlive) { child.destroyForcibly(); () } }
-  }
+                        progress: java.nio.file.Path, acked: Long): Long =
+    KillStoreSteps.killRound(cls, args, log, progress, acked,
+      rnd.nextInt(400).toLong)
 
   private def lshDigest(root: String): Seq[String] = {
     val idx = new LshIndex(root)
@@ -313,6 +279,48 @@ class CrossJvmKillStoresSpec extends SparkSpecBase {
   * same maintenance decision). */
 object KillStoreSteps {
 
+  /** Launch a child JVM on the test classpath (the cross-JVM kill
+    * harness's process factory — shared by every true-process-death spec). */
+  def launch(cls: String, args: Seq[String], log: String): Process = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx1g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"), cls) ++ args
+    new ProcessBuilder(cmd: _*)
+      .redirectOutput(new java.io.File(log))
+      .redirectErrorStream(true)
+      .start()
+  }
+
+  /** Run one kill round: launch the child, wait until it acks something
+    * NEW, kill -9 `sleepMs` later, return the new ack floor. */
+  def killRound(cls: String, args: Seq[String], log: String,
+                progress: java.nio.file.Path, acked: Long,
+                sleepMs: Long): Long = {
+    val child = launch(cls, args, log)
+    try {
+      def readAck(): Long =
+        try new String(Files.readAllBytes(progress)).trim.toLong
+        catch { case _: Exception => acked }
+      val deadline = System.currentTimeMillis() + 180000L
+      while (readAck() <= acked && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(sleepMs)
+      child.destroyForcibly()
+      child.waitFor()
+      readAck()
+    } finally { if (child.isAlive) { child.destroyForcibly(); () } }
+  }
+
   def catalogOn(wh: String): graft.plans.GraftCatalog = {
     val c = new graft.plans.GraftCatalog()
     c.initialize("graft_kill",
@@ -427,6 +435,57 @@ object KillStoreSteps {
     }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*),
       CdcStream.envelopeSchema)
+  }
+
+  /** The composed-pipeline document schedule (the ComposedChaosSoakSpec
+    * family): 8 docs per batch with exact-dup, near-dup, markup-noise and
+    * quality-reject lanes, engineered so every reject path fires. */
+  def composedDocs(spark: SparkSession, i: Long): DataFrame = {
+    val pools = Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+      "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen",
+      "red orange yellow green blue indigo violet crimson amber teal " +
+        "magenta cyan maroon olive navy silver golden copper bronze",
+      "north south east west up down left right forward backward " +
+        "inward outward clockwise widdershins sunwise leftward rightward")
+    val rows = (0 until 8).map { j =>
+      val id = i * 8 + j
+      val base =
+        if (j == 7) "" // quality reject: empty after cleaning
+        else {
+          val t = s"${pools((id % 4).toInt)} tail${id % 7}"
+          if (id % 3 == 0) s"<p>  <b>$t</b> </p>" else t
+        }
+      Row(id, base, "en", s"src${id % 3}", base.length.toLong)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType))))
+  }
+
+  /** One composed-pipeline step: the ingest fold (clean → gate → exact
+    * dedup → near-dup reject → LSH), an IVF append, every 3rd step the
+    * multi-table fan-out lane, and a deterministic maintenance pass every
+    * 4th (reband alternating the two minSig=6-lossless layouts; the
+    * ingest's quiesced seen-store fold every 8th). Deterministic per id —
+    * the redelivery contract. */
+  def composedStep(spark: SparkSession, root: String, ingest: CorpusIngest,
+                   ivf: IvfIndex, i: Long): Unit = {
+    ingest.ingestBatch(composedDocs(spark, i), i)
+    ivf.addBatch(ivfVecs(spark, i), i)
+    if (i % 3 == 2) {
+      val fi = i / 3
+      CdcStream.applyTablesWithAggViews(fanBatch(spark, fi), fi,
+        s"$root/reps", s"$root/aggs", s"$root/staging", s"$root/dlq")
+    }
+    if (i % 4 == 3) {
+      val (r, b) = if ((i / 4) % 2 == 0) (2, 4) else (1, 8)
+      ingest.lsh.reband(spark, r, b)
+    }
+    if (i % 8 == 5) ingest.compact(spark)
   }
 
   def childSession(): SparkSession = {
