@@ -97,7 +97,34 @@ object Bench {
         }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
 
+  /** Quiet-host gate (r15, closing the r14 artifact-noise finding: the
+    * official record ran at loadavg 4.37 and read 17% above the same-tree
+    * quiet run). Before any work, wait — bounded — for the 1-min load to
+    * drop under the threshold; the record carries the gate's outcome so a
+    * contended run is labeled at the source instead of adjudicated next
+    * round. Knobs: SPARK_GRAFT_QUIET_LOAD (default 1.5, 0 disables),
+    * SPARK_GRAFT_QUIET_WAIT_SEC (default 300). Co-tenant load we cannot
+    * end, only outwait — on timeout the run proceeds and says so. */
+  private def quietGate(): String = {
+    val threshold = sys.env.get("SPARK_GRAFT_QUIET_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse(1.5)
+    val budgetSec = sys.env.get("SPARK_GRAFT_QUIET_WAIT_SEC")
+      .flatMap(_.toIntOption).getOrElse(300)
+    def load1: Double =
+      loadAvg.split(" ").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+    if (threshold <= 0) return "disabled"
+    if (load1 < threshold) return "ok"
+    val deadline = System.currentTimeMillis() + budgetSec * 1000L
+    var waited = 0L
+    while (load1 >= threshold && System.currentTimeMillis() < deadline) {
+      Thread.sleep(10000)
+      waited += 10
+    }
+    if (load1 < threshold) s"waited_${waited}s" else s"timeout_at_${load1}"
+  }
+
   def main(args: Array[String]): Unit = {
+    val quiet = quietGate()
     // host load BEFORE any of this JVM's own work — loadavg_before is read
     // after the warm-up pass, whose Spark jobs inflate the 1-min figure,
     // so it conflates co-tenant load with self-load; this one doesn't
@@ -282,7 +309,7 @@ object Bench {
     val quietTotal = r3(results.map { case (k, v) =>
       math.min(v, isolatedAll.getOrElse(k, v)) }.sum)
     val envJson =
-      s""""loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_worst3":${qJson(isolated)},"isolated_outliers":${qJson(isolatedOutliers)},"quiet_total":$quietTotal,"gc_sec_total":${r3(gcByQuery.map(_._2).sum)},"median_ratio_vs_prev":$medianRatio,"n_compared_vs_prev":${ratios.size},"outliers_vs_prev":${qJson(outliers)}"""
+      s""""quiet_gate":"$quiet","loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_worst3":${qJson(isolated)},"isolated_outliers":${qJson(isolatedOutliers)},"quiet_total":$quietTotal,"gc_sec_total":${r3(gcByQuery.map(_._2).sum)},"median_ratio_vs_prev":$medianRatio,"n_compared_vs_prev":${ratios.size},"outliers_vs_prev":${qJson(outliers)}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"gc_sec":${qJson(gcByQuery)},$envJson,"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir","notes":"$notes"}"""
     val short =
