@@ -94,15 +94,28 @@ object GraftTvf {
     * resolution rule, two doors. */
   private[graft] def storeRoot(arg: String, catalogRoot: => String): String =
     if (arg.contains("/") || arg.contains(":")) {
-      // path form: must be genuinely absolute or a scheme-qualified URI,
-      // with no '..' segments — a RELATIVE path with separators
-      // ('../other', 'a/../../x') would bypass the dotted-name branch's
-      // '..' check and reach index_vacuum's delete pass (and the audit)
-      // at paths outside the warehouse root from plain SQL
-      require(arg.startsWith("/") || arg.matches("[A-Za-z][A-Za-z0-9+.-]*:.*"),
-        s"illegal store path '$arg': must be an absolute path or a " +
-          "scheme-qualified URI (relative paths resolve nothing safely)")
-      require(!arg.split('/').contains(".."),
+      // path form: must be genuinely absolute or a scheme-qualified URI
+      // whose PATH component is absolute, with no '..' segments anywhere
+      // in that path — a relative path with separators ('../other',
+      // 'a/../../x') or a scheme-glued relative ('file:../x', which a
+      // bare split-on-'/' check misses because the '..' rides in the
+      // 'file:..' segment) would reach index_vacuum's delete pass (and
+      // the audit) at paths outside the warehouse root from plain SQL
+      val path =
+        if (arg.startsWith("/")) arg
+        else {
+          require(arg.matches("[A-Za-z][A-Za-z0-9+.-]*:.*"),
+            s"illegal store path '$arg': must be an absolute path or a " +
+              "scheme-qualified URI (relative paths resolve nothing safely)")
+          val p = try new java.net.URI(arg).getPath
+            catch { case _: java.net.URISyntaxException => null }
+          require(p != null && p.startsWith("/"),
+            s"illegal store path '$arg': a scheme-qualified store URI " +
+              "must carry an absolute path (opaque or scheme-relative " +
+              "forms resolve against the process cwd)")
+          p
+        }
+      require(!path.split('/').contains(".."),
         s"illegal store path '$arg': '..' segments are not allowed")
       arg
     } else {

@@ -56,22 +56,57 @@ final class CorpusIngest(root: String, nHp: Int = 16,
   private val metaPath = io.path("_INGEST")
   @volatile private var metaChecked = false
 
-  /** The store's durable hp count, if the meta file exists. */
-  private[graft] def storedNHp: Option[Int] =
+  /** The store's durable hp count, if the meta file exists and parses.
+    * `Some(Left(raw))` = meta present but GARBLED (manual edit) — callers
+    * must refuse/report, never guess a layout from it. */
+  private[graft] def storedNHpState: Option[Either[String, Int]] =
     if (!io.existsSafe(metaPath)) None
-    else io.readSafe(metaPath).linesIterator
-      .collectFirst { case l if l.startsWith("nhp=") =>
-        l.stripPrefix("nhp=").trim.toInt }
+    else Some {
+      val raw = io.readSafe(metaPath)
+      raw.linesIterator
+        .collectFirst { case l if l.startsWith("nhp=") =>
+          l.stripPrefix("nhp=").trim }
+        .flatMap(_.toIntOption).filter(_ > 0)
+        .toRight(raw.take(80))
+    }
 
-  /** Verify (or first-write) the layout contract; loud on a mismatched
-    * open — the dedup-probe-prunes-wrong hazard above. */
+  private[graft] def storedNHp: Option[Int] =
+    storedNHpState.flatMap(_.toOption)
+
+  /** Verify (or first-write) the layout contract; loud on a mismatched or
+    * garbled open — the dedup-probe-prunes-wrong hazard above. The
+    * first-write is createExclusive (two processes racing a fresh store
+    * with DIFFERENT nHp must not both pass — the loser re-reads and hits
+    * the mismatch refusal) and only happens while the seen store is still
+    * EMPTY: a pre-meta store that already holds data keeps its layout
+    * unknown rather than having this handle's possibly-wrong value
+    * stamped as durable truth. */
   private def ensureMeta(): Unit = if (!metaChecked) {
-    storedNHp match {
-      case Some(stored) => require(stored == nHp,
+    def verify(state: Either[String, Int]): Unit = state match {
+      case Right(stored) => require(stored == nHp,
         s"$root was written with nHp=$stored but opened with nHp=$nHp — " +
           "the exact-dedup probe would prune the wrong hp partitions and " +
           "silently admit stored duplicates; reopen with the stored value")
-      case None => io.overwriteSafe(metaPath, s"nhp=$nHp\n")
+      case Left(raw) => throw new IllegalStateException(
+        s"$root's _INGEST layout meta is garbled ('$raw') — restore it " +
+          "(nhp=<n>) before ingesting; guessing a layout would silently " +
+          "admit stored duplicates")
+    }
+    storedNHpState match {
+      case Some(state) => verify(state)
+      case None =>
+        val legacyData = io.listDirs(io.path("seen"))
+          .exists(p => OpLog.batchIdOf(p.getName).isDefined)
+        if (!legacyData) {
+          try io.createExclusive(metaPath, s"nhp=$nHp\n")
+          catch { case _: java.io.IOException =>
+            // lost the first-write race — the winner's value is the truth
+            verify(storedNHpState.getOrElse(Left("missing after race")))
+          }
+        }
+        // pre-meta store with data: leave the layout unknown (pre-r15
+        // behavior) instead of stamping this handle's value as truth —
+        // the audit's hp_layout/hp_placement rows surface the gap
     }
     metaChecked = true
   }
@@ -313,14 +348,27 @@ final class CorpusIngest(root: String, nHp: Int = 16,
         rows += Row("frontier", true, s"${st.maxSeen}",
           "committed ingest frontier (batch ids at or below it completed " +
             "the whole clean->gate->dedup->index fold)")
-        val metaN = storedNHp
-        rows += Row("hp_layout", metaN.forall(_ > 0),
-          metaN.map(n => s"nhp=$n").getOrElse("no _INGEST meta"),
-          metaN.map(_ => "durable hp layout contract present").getOrElse(
-            "store predates the _INGEST meta (pre-r15); placement is " +
-              "checked against this handle's nHp"))
-        val effN = metaN.getOrElse(nHp)
-        // committed views for the containment scans
+        val metaState = storedNHpState
+        rows += Row("hp_layout", metaState.forall(_.isRight),
+          metaState match {
+            case Some(Right(n)) => s"nhp=$n"
+            case Some(Left(raw)) => s"garbled: $raw"
+            case None => "no _INGEST meta"
+          },
+          metaState match {
+            case Some(Right(_)) => "durable hp layout contract present"
+            case Some(Left(_)) => "the _INGEST meta does not parse " +
+              "(manual edit?) — ingest refuses until restored (nhp=<n>)"
+            case None => "store predates the _INGEST meta (pre-r15); " +
+              "placement is checked against this handle's nHp"
+          })
+        val effN = storedNHp.getOrElse(nHp)
+        // committed views for the containment scans — ALL cut at the one
+        // maxSeen captured above: corpusCommitted re-reads the log at scan
+        // time, so a batch committing mid-audit would make the corpus
+        // side include docs the seen side's earlier cut excludes, and a
+        // healthy store would report corruption
+        def committedCorpus = corpus(spark).filter(col("batch_id") <= st.maxSeen)
         def committedSeen = seen(spark).filter(col("batch_id") <= st.maxSeen)
         def scanRow(check: String, detail: String)(cnt: => Long): Unit =
           rows += (scala.util.Try(cnt) match {
@@ -332,7 +380,7 @@ final class CorpusIngest(root: String, nHp: Int = 16,
         scanRow("corpus_docs_in_seen",
           "every committed accepted doc must carry a stored content hash " +
             "(or later duplicates of it would be re-admitted)") {
-          corpusCommitted(spark).select(col("doc_id")).distinct()
+          committedCorpus.select(col("doc_id")).distinct()
             .join(committedSeen.select(col("doc_id")).distinct(),
               Seq("doc_id"), "left_anti").count()
         }
@@ -414,6 +462,8 @@ final class CorpusIngest(root: String, nHp: Int = 16,
     val ingestSwept = {
       val token = lsh.log.acquireVacuumLease()
       try {
+        // the frontier this sweep cuts on is folded from the same log
+        lsh.log.assertNoStrayLogNames("CorpusIngest.vacuum")
         def deadAt(st: OpLog.State): Seq[org.apache.hadoop.fs.Path] =
           dataDirs.flatMap(d => io.listDirs(io.path(d))
             .filter(p => OpLog.batchIdOf(p.getName).exists(_ > st.maxSeen)))

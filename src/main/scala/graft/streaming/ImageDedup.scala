@@ -236,14 +236,19 @@ final class ImageHashStore(root: String) extends MaintainableStore {
           Seq("doc_id", "hi", "lo", "batch_id"), "left_anti").count()
     }
     // the crashed-or-in-flight frontier: hashes landed, accepted did not
+    // sequential foreachBatch leaves at most ONE unpaired frontier batch
+    // (mid-ingest or crashed, redelivery's to heal — ok); more than one
+    // means the checkpoint was discarded and the extras are PERMANENTLY
+    // orphaned, a real failure an ok-filtering consumer must see
     val unpaired = (hIds -- aIds).toSeq.sorted
-    rows += Row("unpaired_hash_batches", true, s"${unpaired.size}",
+    rows += Row("unpaired_hash_batches", unpaired.size <= 1,
+      s"${unpaired.size}",
       if (unpaired.isEmpty) "none"
       else if (unpaired.size == 1)
         s"batch ${unpaired.head} is mid-ingest or crashed; its redelivery " +
           "overwrites both partitions (foreachBatch contract)"
       else "MULTIPLE unpaired batches — sequential foreachBatch leaves at " +
-        s"most one; a discarded checkpoint likely orphaned: " +
+        "most one; a discarded checkpoint orphaned these permanently: " +
         unpaired.mkString(","))
     val wreck = stagingWreckage
     rows += Row("staging_wreckage", true, s"${wreck.size}",

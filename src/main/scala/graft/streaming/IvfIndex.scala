@@ -332,6 +332,7 @@ final class IvfIndex(root: String) extends MaintainableStore {
   def vacuum(): Seq[String] = {
     val token = log.acquireVacuumLease()
     try {
+      log.assertNoStrayLogNames("IvfIndex.vacuum") // deletes fold on the log
       val tmps = io.listFiles(io.root)
         .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM(-\\d+)?)\\.tmp-[0-9a-f]{8}"))
         .map { p => io.delete(p); p.toString }

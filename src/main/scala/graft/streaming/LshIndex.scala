@@ -548,6 +548,7 @@ final class LshIndex(root: String, nBp: Int = 16) extends MaintainableStore {
   def vacuum(): Seq[String] = {
     val token = log.acquireVacuumLease()
     try {
+      log.assertNoStrayLogNames("LshIndex.vacuum") // deletes fold on the log
       val tmps = io.listFiles(io.root)
         .filter(_.getName.matches("\\.(_LOG-\\d+|_VACUUM(-\\d+)?)\\.tmp-[0-9a-f]{8}"))
         .map { p => io.delete(p); p.toString }

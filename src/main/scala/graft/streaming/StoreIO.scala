@@ -557,6 +557,22 @@ final class OpLog(io: StoreIO) {
       .filter(n => n.startsWith(prefix) &&
         n.stripPrefix(prefix).toLongOption.isEmpty).sorted
 
+  /** Irreversible-pass gate: READS tolerate stray `_LOG-` names (skip +
+    * audit), but a pass that DELETES based on the folded state must not —
+    * a `_LOG-5.bak` may be an operator's displaced copy of the only entry
+    * referencing batch 5's partitions, and sweeping "unreferenced" dirs
+    * under that skip would destroy committed data. Vacuum callers invoke
+    * this after taking the lease. */
+  private[graft] def assertNoStrayLogNames(what: String): Unit = {
+    val strays = strayLogNames
+    if (strays.nonEmpty) throw new IllegalStateException(
+      s"$what refused: the log at ${io.root} carries stray entry names " +
+        s"(${strays.mkString(", ")}) that reads skip — a displaced log " +
+        "entry could make committed partitions fold as unreferenced, and " +
+        "this pass deletes; restore or remove the strays first (the " +
+        "audit's unrecognized_entries row lists them)")
+  }
+
   // Log entries are WRITE-ONCE (createExclusive; only truncateBefore ever
   // deletes one, and only after a subsuming compact), so parsed content
   // caches safely per instance: state() costs one list plus one read per

@@ -190,13 +190,25 @@ class IndexAuditSpec extends SparkSpecBase {
       s"the skipped stray log name must surface in the audit: $repLog")
     assert(lshDigest(root).size > before.size, "reads wedged by a stray log name")
     new LshIndex(root).addBatch(docs.filter(col("doc_id") < 5), 2L)
-    assert(new LshIndex(root).vacuum().isEmpty,
-      "vacuum must skip a stray log name, not claim it")
+    // vacuum is the one verb that must NOT tolerate a stray log name:
+    // reads skip it, but a `_LOG-5.bak` may be an operator's displaced
+    // copy of the only entry referencing batch 5 — sweeping "unreferenced"
+    // dirs under that skip would destroy committed data, so the
+    // irreversible pass refuses until the stray is restored or removed
+    val eStray = intercept[IllegalStateException](new LshIndex(root).vacuum())
+    assert(eStray.getMessage.contains("stray entry names") &&
+      eStray.getMessage.contains("_LOG-3.bak"),
+      s"vacuum must refuse over a stray log name: ${eStray.getMessage}")
     assert(new java.io.File(s"$root/_LOG-3.bak").exists,
       "the stray log copy is the operator's to remove")
-    // remove it (operator surgery) so the content-bearing section below
-    // keeps its exact stray counts
+    // and the refusal must not wedge the store: the lease was released,
+    // so writers proceed immediately
+    new LshIndex(root).addBatch(docs.filter(col("doc_id") >= 5 &&
+      col("doc_id") < 8), 3L)
+    // operator surgery removes the stray; vacuum works again (and the
+    // content-bearing section below keeps its exact stray counts)
     assert(new java.io.File(s"$root/_LOG-3.bak").delete())
+    assert(new LshIndex(root).vacuum().isEmpty)
 
     val ivfRoot = tmpDir("audit_strays_ivf") + "/idx"
     val ivf = new IvfIndex(ivfRoot)
@@ -390,7 +402,10 @@ class IndexAuditSpec extends SparkSpecBase {
     // path-traversal refusals: a RELATIVE path with separators would
     // bypass the dotted-name branch's '..' check and reach the vacuum's
     // delete pass outside the warehouse root — both doors must refuse
-    for (bad <- Seq("../outside", "a/../../x", s"$wh/idx/../../etc")) {
+    // incl. the scheme-glued relative forms ('file:../x'): the '..' rides
+    // inside the 'file:..' split segment, so only a URI-path check sees it
+    for (bad <- Seq("../outside", "a/../../x", s"$wh/idx/../../etc",
+        "file:../outside", "file:relative/store", s"file:$wh/idx/../../etc")) {
       val et = intercept[Exception](audit(bad))
       assert(et.getMessage.contains("illegal store path"),
         s"traversal arg '$bad' must refuse: ${et.getMessage}")

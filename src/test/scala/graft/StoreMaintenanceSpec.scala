@@ -150,6 +150,59 @@ class StoreMaintenanceSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("nHp"))
   }
 
+  test("the _INGEST meta's edge contract: a garbled meta refuses ingest " +
+    "and fails its audit row; a pre-meta store with data is never stamped " +
+    "with the opening handle's value") {
+    val root = tmpDir("ing_meta") + "/ing"
+    val ing = new CorpusIngest(root)
+    ing.ingestBatch(docs(0), 0L)
+    // manual edit garbles the meta: ingest must refuse loudly (guessing a
+    // layout silently re-admits duplicates), the audit must COMPLETE with
+    // hp_layout failing, not crash on the parse
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/_INGEST"),
+      "nhp=16 # widened\n".getBytes)
+    val fresh = new CorpusIngest(root)
+    val e = intercept[IllegalStateException] { fresh.ingestBatch(docs(1), 1L) }
+    assert(e.getMessage.contains("garbled"), e.getMessage)
+    val rep = report(new CorpusIngest(root).audit(spark))
+    assert(!rep("hp_layout")._1, s"garbled meta must fail its row: $rep")
+    // restore; everything proceeds
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/_INGEST"),
+      "nhp=16\n".getBytes)
+    new CorpusIngest(root).ingestBatch(docs(1), 1L)
+    allOk(report(new CorpusIngest(root).audit(spark)))
+
+    // a pre-meta store that already holds data: opening it must NOT stamp
+    // this handle's value as durable truth (it may be wrong — the data is
+    // the truth); the audit reports the unknown layout, ok=true
+    val legacy = tmpDir("ing_meta_legacy") + "/ing"
+    new CorpusIngest(legacy).ingestBatch(docs(0), 0L)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$legacy/_INGEST"))
+    new CorpusIngest(legacy).ingestBatch(docs(1), 1L)
+    assert(!new java.io.File(s"$legacy/_INGEST").exists(),
+      "a data-bearing pre-meta store must keep its layout unknown, not " +
+        "get the opening handle's value stamped as truth")
+    val lrep = report(new CorpusIngest(legacy).audit(spark))
+    allOk(lrep)
+    assert(lrep("hp_layout")._2 === "no _INGEST meta", s"$lrep")
+  }
+
+  test("vacuum refuses over a stray _LOG name (a displaced entry could " +
+    "make committed partitions fold as unreferenced) — ingest door") {
+    val root = tmpDir("ing_straylog") + "/ing"
+    val ing = new CorpusIngest(root)
+    ing.ingestBatch(docs(0), 0L)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/lsh/_LOG-1.bak"), "manual".getBytes)
+    val e = intercept[IllegalStateException] { ing.vacuum() }
+    assert(e.getMessage.contains("stray entry names"), e.getMessage)
+    // audit still completes and surfaces the stray via the substore row
+    val rep = report(ing.audit(spark))
+    assert(rep.contains("lsh_substore"), s"$rep")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/lsh/_LOG-1.bak"))
+    assert(ing.vacuum().isEmpty)
+  }
+
   test("corpus-ingest detector teeth: a deleted committed seen partition, " +
     "a duplicate stored hash, and a content-bearing stray each fail their " +
     "row") {
@@ -223,6 +276,14 @@ class StoreMaintenanceSpec extends SparkSpecBase {
     val rep3 = report(store.audit(spark))
     allOk(rep3) // in-flight-or-crashed is ok=true — redelivery's to heal
     assert(rep3("unpaired_hash_batches")._2 === "1")
+    // a SECOND unpaired batch is a different class: sequential
+    // foreachBatch leaves at most one frontier, so two means a discarded
+    // checkpoint permanently orphaned them — ok=false
+    h.write.parquet(s"$root/hashes/batch_id=3")
+    val rep3b = report(store.audit(spark))
+    assert(!rep3b("unpaired_hash_batches")._1,
+      s"multiple unpaired batches must fail the row: $rep3b")
+    assert(rep3b("unpaired_hash_batches")._2 === "2")
     // teeth: an accepted partition with no hashes twin is protocol-impossible
     h.withColumn("doc_id", col("doc_id") + 50)
       .write.parquet(s"$root/accepted/batch_id=7")
