@@ -1023,9 +1023,11 @@ final class BucketedReplica(
         }
         commitPointer(newV, attempt, prevToken)
         // same cur+prev metadata retention as publish (pins honored); no
-        // data GC — every bucket file stays referenced by both manifests
-        sweepControlFiles(livePins() ++
+        // data GC — every bucket file stays referenced by both manifests.
+        // Best-effort post-pointer, same invariant as publish.
+        try sweepControlFiles(livePins() ++
           Map(newV -> Some(attempt), curV -> prevToken))
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -1274,15 +1276,28 @@ final class BucketedReplica(
         s"${System.currentTimeMillis()}\n")
     }
     commitPointer(newV, attempt, prevToken)
-    beforeDataGc()
-    val (pins, pinnedRels) = pinProtection()
-    gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet
-      ++ cloneProtectedRels ++ pinnedRels, ceiling = newV)
-    // keep cur+prev control files (the winning attempts only) plus any
-    // pinned versions'; sweep everything older plus any defeated/crashed
-    // attempt's leftovers
-    sweepControlFiles(pins ++ Map(newV -> Some(attempt)) ++
-      curV.map(v => v -> prevToken))
+    // everything after the pointer flip is BEST-EFFORT housekeeping — the
+    // same no-pointer-on-throw invariant as the view store's write()
+    // (IncrementalAgg): every retrying caller (the view fold, the stream's
+    // foreachBatch, the stress harness) treats "commit threw" as "the
+    // version did NOT land" and re-commits — for a read-diff-fold caller
+    // the idempotent re-commit diffs to ZERO, so a post-pointer throw
+    // would silently lose that batch's view delta forever. GC faults are
+    // swallowed: stale pointers/control files are harmless (readers
+    // resolve the max; retention keeps refs) and orphan dirs are re-swept
+    // by the next successful publish. NonFatal only — an InjectedCrash
+    // (Error) still models process death for the crash sweeps.
+    try {
+      beforeDataGc()
+      val (pins, pinnedRels) = pinProtection()
+      gcUnreferenced(keep = newMan.values.toSet ++ man.values.toSet
+        ++ cloneProtectedRels ++ pinnedRels, ceiling = newV)
+      // keep cur+prev control files (the winning attempts only) plus any
+      // pinned versions'; sweep everything older plus any defeated/crashed
+      // attempt's leftovers
+      sweepControlFiles(pins ++ Map(newV -> Some(attempt)) ++
+        curV.map(v => v -> prevToken))
+    } catch { case scala.util.control.NonFatal(_) => () }
     // the snapshot this commit created — exactly what parsePointer would
     // reconstruct from the _PTR-<newV> content written above
     Some((newV, Map[Long, Option[String]](newV -> Some(attempt)) ++
@@ -1453,9 +1468,57 @@ final class BucketedReplica(
   private def commitPointer(v: Long, attempt: String,
                             prev: Option[String]): Unit = {
     beforePointerCommit()
-    io.createExclusive(io.path(s"_PTR-$v"),
+    try io.createExclusive(io.path(s"_PTR-$v"),
       s"$v\nattempt=$attempt\nprev=${prev.getOrElse("-")}\n")
-    pointerVersions.filter(_ < v).foreach(o => io.delete(io.path(s"_PTR-$o")))
+    catch { case e: java.io.IOException if pointerVersions.exists(_ >= v) =>
+      // the name is TAKEN: a concurrent committer won this version (the
+      // age gate keeps won names on disk for the whole grace) — the
+      // standard loud defeat, not an I/O fault
+      throw new StoreIO.ConcurrentCommit(
+        s"version $v was committed by another writer during this " +
+          s"commit's data write — re-read and retry ($e)")
+    }
+    // FREED-NAME laggard validation (the r16 stress over-count): pointer
+    // names are GC'd, so a committer descheduled across ≥2 foreign
+    // commits can find its target name FREE again and land a
+    // "successful" create BELOW the committed head — an invisible commit
+    // whose batch the replica never keeps but whose caller proceeds as
+    // committed (and folds a view delta for it). The age gate below
+    // makes that impossible within the grace; past it, the successor
+    // pointer convicts: _PTR-(v+1)'s `prev=` names the attempt of the v
+    // it was built on — if that is NOT ours, version v was committed by
+    // someone else long ago and our create reused its freed name.
+    // Revocation is gated on PROVEN non-ancestry (never on the mere
+    // existence of higher versions — those may be built ON this commit,
+    // and revoking a built-on pointer would double-apply downstream).
+    val successorPrev: Option[String] =
+      try {
+        if (!io.exists(io.path(s"_PTR-${v + 1}"))) None
+        else io.readString(io.path(s"_PTR-${v + 1}")).linesIterator
+          .find(_.startsWith("prev=")).map(_.stripPrefix("prev=").trim)
+      } catch { case _: java.io.IOException => None } // gone/unreadable: no proof
+    if (successorPrev.exists(p => p != attempt)) {
+      try io.delete(io.path(s"_PTR-$v"))
+      catch { case scala.util.control.NonFatal(_) => () } // below head: harmless
+      throw new StoreIO.ConcurrentCommit(
+        s"version $v was already committed by attempt ${successorPrev.get}'s " +
+          s"predecessor — this committer's snapshot went stale past the " +
+          s"pointer grace and its create landed at a freed name; revoked, " +
+          "re-read and retry")
+    }
+    // post-flip: the commit IS durable — old-pointer GC is best-effort
+    // (no-pointer-on-throw invariant; a stale lower pointer is harmless,
+    // readers resolve the max and the next commit re-sweeps). AGE-GATED:
+    // deleting a name frees it for re-creation, so only names older than
+    // the grace — provably beyond any live committer's snapshot window —
+    // are swept (see StoreIO.ptrGraceMs).
+    try {
+      val now = System.currentTimeMillis()
+      pointerVersions.filter(_ < v)
+        .map(o => io.path(s"_PTR-$o"))
+        .filter(p => io.mtime(p).exists(m => now - m > StoreIO.ptrGraceMs))
+        .foreach(io.delete)
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Delete bucket dirs referenced by neither the new nor the previous

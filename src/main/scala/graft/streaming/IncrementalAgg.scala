@@ -323,6 +323,12 @@ final class IncrementalAgg(
     * in. No-op in production. */
   private[graft] var afterViewPin: () => Unit = () => ()
 
+  /** Test seam: invoked after a fold's view data is fully written,
+    * immediately before its pointer create — the descheduled-laggard
+    * window of the freed-name validation (PointerReuseSpec). No-op in
+    * production. */
+  private[graft] var beforeViewPointerCommit: () => Unit = () => ()
+
   /** Dev metering hook (CommitProbe's b13 phase table): invoked with
     * (phase, wallSeconds) after each internal phase of a fold. No-op in
     * production. */
@@ -349,12 +355,42 @@ final class IncrementalAgg(
     val dir = s"v$newV-$attempt"
     // the view is one row per group — a single right-sized file
     next.coalesce(1).write.mode("overwrite").parquet(s"$root/$dir")
+    beforeViewPointerCommit()
+    // `prev=` names the base DIR this fold was built on — the successor-
+    // ancestry witness the freed-name validation below reads (the same
+    // protocol as the replica's commitPointer; legacy pointers without it
+    // simply provide no proof)
     try io.createExclusive(io.path(s"_PTR-$newV"),
-      s"$newV\ndir=$dir\nmaxb=$maxb\n")
+      s"$newV\ndir=$dir\nmaxb=$maxb\nprev=${prevDir.getOrElse("-")}\n")
     catch { case e: java.io.IOException =>
       throw new StoreIO.ConcurrentCommit(
         s"view version $newV was committed by another maintainer during " +
           s"this fold — re-read and retry (${e.getMessage})")
+    }
+    // FREED-NAME laggard validation (see BucketedReplica.commitPointer —
+    // identical argument): a fold descheduled across TWO foreign view
+    // flips finds its target pointer name GC'd and re-creates it BELOW
+    // the head — readers resolve the max, so the fold's delta would be
+    // silently lost (the r16 stress under-count direction). The age gate
+    // below closes the window within the grace; past it, the successor
+    // pointer's `prev=` convicts: if _PTR-(newV+1) was built on a dir
+    // other than ours, newV was committed by someone else and our create
+    // reused its freed name. Revoke (nobody can have built on a below-
+    // head pointer) and lose loudly — the fold-retry re-pins the real
+    // head and folds the SAME delta.
+    val successorPrev: Option[String] =
+      try {
+        if (!io.exists(io.path(s"_PTR-${newV + 1}"))) None
+        else io.readString(io.path(s"_PTR-${newV + 1}")).linesIterator
+          .find(_.startsWith("prev=")).map(_.stripPrefix("prev=").trim)
+      } catch { case _: java.io.IOException => None }
+    if (successorPrev.exists(p => p != dir)) {
+      try io.delete(io.path(s"_PTR-$newV"))
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw new StoreIO.ConcurrentCommit(
+        s"view version $newV was already committed long ago (successor " +
+          s"built on ${successorPrev.get}, not $dir) — this fold's create " +
+          "landed at a freed pointer name; revoked, re-pin and retry")
     }
     // everything after the pointer flip is BEST-EFFORT housekeeping: the
     // fold-retry loop's soundness rests on "a caught exception implies
@@ -363,8 +399,14 @@ final class IncrementalAgg(
     // harmless (readers resolve the max) and orphan dirs are re-swept by
     // the next successful write.
     try {
+      // AGE-GATED (StoreIO.ptrGraceMs): a deleted pointer name can be
+      // re-created by a laggard fold — never free a name a live fold
+      // could still attempt
+      val now = System.currentTimeMillis()
       pointerVersions.filter(_ < newV)
-        .foreach(o => io.delete(io.path(s"_PTR-$o")))
+        .map(o => io.path(s"_PTR-$o"))
+        .filter(p => io.mtime(p).exists(m => now - m > StoreIO.ptrGraceMs))
+        .foreach(io.delete)
       // keep current + previous version DIRS (readers may hold the old
       // version); sweep everything else at or below THIS version —
       // defeated/crashed attempts included. Higher-version dirs belong to
@@ -377,7 +419,10 @@ final class IncrementalAgg(
             d.stripPrefix("v").takeWhile(_.isDigit).toLongOption.exists(_ <= newV)
         }
         .foreach(d => io.delete(io.path(d)))
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () } // see publish: the
+    // no-pointer-on-throw invariant must hold against ANY housekeeping
+    // fault class, not just IOException (an InjectedCrash Error still
+    // models process death)
   }
 
   /** The delta a crashed fold lost: its commit (version `v1`, tagged with

@@ -23,14 +23,24 @@ import java.util.EnumSet
   * FileContext emulates it as delete-then-rename on the local FS, a
   * reader-visible gap — and the one mutable singleton ([[overwriteSafe]])
   * pairs its overwriting flip with a completeness-witnessed side file so
-  * readers never see a prefix. Caveat: the local FS implements the
-  * no-OVERWRITE rename as an exists-check + rename (check-then-act), so
-  * two same-version committers racing within that microsecond window
-  * could in theory both "win" locally — comparable to the old
-  * create-based window, and bounded to same-version racers, whom the
-  * stores already treat as equivalent outcomes (each pointer resolves a
-  * complete attempt-suffixed payload). HDFS and object stores resolve
-  * the rename/PUT atomically server-side, closing even that window.
+  * readers never see a prefix.
+  *
+  * On the LOCAL FS the visibility flip is a hard LINK, not a rename:
+  * Hadoop's no-OVERWRITE rename enforces exclusivity as a userspace
+  * exists-check before a POSIX `rename(2)` that silently replaces its
+  * destination — check-then-act, so two same-version committers
+  * descheduled inside that window BOTH "win" and the clobbered one
+  * proceeds as if it committed. That is NOT an equivalent outcome for the
+  * stores: a replica maintainer whose pointer was silently replaced folds
+  * a view delta for a commit the replica never kept (the r15 stress
+  * over-count — every group +1-2, one batch's delta with no surviving
+  * commit), and a view maintainer clobbered the same way loses its fold.
+  * `link(2)` fails with EEXIST atomically IN THE KERNEL, so exactly one
+  * same-name committer can ever win (measured: 8 barrier-aligned racers ×
+  * 2000 rounds dual-win 10 rounds via rename, 0 via link). HDFS and
+  * object stores resolve the rename/PUT atomically server-side, so the
+  * rename path remains correct — and is kept — for every non-local
+  * scheme.
   *
   * Deliberately NOT `FileSystem`: on local disk `FileSystem` is the
   * checksummed `LocalFileSystem`, whose `.crc` sidecars would desync under
@@ -39,6 +49,13 @@ import java.util.EnumSet
 final class StoreIO(rootStr: String, conf: Configuration) {
 
   private val fc = FileContext.getFileContext(new Path(rootStr).toUri, conf)
+
+  // the kernel-atomic flip is a local-FS concern (see the class doc); any
+  // remote scheme keeps the server-side-atomic rename
+  private val localFlip: Boolean = {
+    val scheme = new Path(rootStr).toUri.getScheme
+    scheme == null || scheme == "file"
+  }
 
   val root: Path = new Path(rootStr)
 
@@ -78,20 +95,37 @@ final class StoreIO(rootStr: String, conf: Configuration) {
     * writer racing on the same version fails loudly instead of silently
     * clobbering (single-writer contract).
     *
-    * Content-ATOMIC: the bytes land in a hidden temp file first, then a
-    * no-OVERWRITE rename flips them onto `p`. A direct create-then-write
-    * exposed a torn-read window — a reader opening the pointer between
-    * its create and its content write parsed empty/prefix content as a
-    * LEGACY pointer and resolved control names that never existed. The
-    * rename makes the name and its full content visible in one step. */
+    * Content-ATOMIC: the bytes land in a hidden temp file first, then the
+    * flip makes name and full content visible in one step. A direct
+    * create-then-write exposed a torn-read window — a reader opening the
+    * pointer between its create and its content write parsed empty/prefix
+    * content as a LEGACY pointer and resolved control names that never
+    * existed.
+    *
+    * Exclusion-ATOMIC: the local flip is `link(2)` — EEXIST in the kernel,
+    * never check-then-act — because the no-OVERWRITE rename's userspace
+    * exists-check let two same-version committers both "win" (the r15
+    * stress over-count; see the class doc). Non-local schemes flip by
+    * rename, which their servers make atomic. */
   def createExclusive(p: Path, s: String): Unit = {
     val tmp = new Path(p.getParent,
       s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     writeString(tmp, s)
     StoreIO.Faults.step(p) // crash between tmp write and the visibility flip
     StoreIO.Stats.renames.increment()
-    try fc.rename(tmp, p) // no OVERWRITE: an existing `p` fails the race loudly
-    catch { case t: Throwable =>
+    try {
+      if (localFlip) {
+        // FileAlreadyExistsException IS an IOException — callers' race
+        // mapping (→ ConcurrentCommit) sees the same failure class the
+        // rename path threw
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        // the link consumed nothing: drop the now-redundant tmp name
+        // (best-effort — a leaked hidden tmp is invisible to readers)
+        try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
+      } else fc.rename(tmp, p) // no OVERWRITE: an existing `p` loses loudly
+    } catch { case t: Throwable =>
       // compensation, not crash-safety: a real crash here leaks the hidden
       // tmp (readers ignore non-control names; CrashSweepSpec plants one)
       try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
@@ -221,6 +255,29 @@ trait MaintainableStore {
 }
 
 object StoreIO {
+  /** Age gate for GC of SUPERSEDED write-once version names (replica/view
+    * `_PTR-`, OpLog `_LOG-` truncation, `_VACUUM-` lease entries): a name
+    * may be deleted only once it is older than this grace, because a
+    * deleted name can be RE-CREATED — and a committer that pinned its
+    * snapshot before the name was first taken can land a "successful"
+    * createExclusive at the freed name, below the committed head, where
+    * readers (who resolve the max) never see it. That is a SILENT lost
+    * commit: the r16 stress reproduced it as the view over-count (a
+    * maintainer descheduled across two replica commits folded a view
+    * delta for a batch the replica never kept). Within the grace no name
+    * is ever reused, so a same-version laggard fails loudly at the still-
+    * present name; a laggard stalled PAST the grace is caught by the
+    * commit-time ancestry validation (see BucketedReplica.commitPointer),
+    * and past-grace-with-successor-also-swept remains as the documented
+    * residual (the Delta-log retention argument: bounded by grace, not by
+    * generation count). Deployment knob `-Dgraft.store.ptrGraceMs`; the
+    * default comfortably exceeds any fold's snapshot-to-commit latency
+    * while keeping the superseded-name backlog bounded by grace × commit
+    * rate. */
+  private[graft] def ptrGraceMs: Long =
+    sys.props.get("graft.store.ptrGraceMs").flatMap(_.toLongOption)
+      .getOrElse(30L * 60 * 1000)
+
   /** Process-wide control-plane op counters — the round-trip meter behind
     * the CommitProbe cost breakdown (every pointer/manifest/meta access in
     * the process funnels through these primitives; LongAdder increments
@@ -494,6 +551,19 @@ final class OpLog(io: StoreIO) {
       throw new IllegalStateException(
         s"lost the vacuum lease race at ${io.path(leaseName)}: ${e.getMessage}")
     }
+    // freed-name validation (see StoreIO.ptrGraceMs): released lease
+    // entries are GC'd, so an acquirer working from a stale listing can
+    // land at a freed LOWER name — not the head, so writers and successor
+    // vacuums never see it, and two vacuums could sweep concurrently.
+    // Unlike the replica pointer there is no built-on-ours case to
+    // protect (nothing chains onto a lease entry): any higher name means
+    // this lease is not the head — fail. The sub-head entry needs no
+    // cleanup: every decision reads only the max, and the next release's
+    // age-gated GC sweeps it.
+    if (leaseVersions().lastOption.exists(_ > next))
+      throw new IllegalStateException(
+        s"vacuum lease acquire at ${io.path(leaseName)} landed at freed " +
+          s"version $next below the head — stale listing; retry")
     token
   }
 
@@ -509,9 +579,16 @@ final class OpLog(io: StoreIO) {
           s"${System.currentTimeMillis()}\n$token\nreleased\n")
         catch { case _: java.io.IOException => return } // lapped — successor owns the next name
         // best-effort GC strictly below the released head: decisions only
-        // ever read the max, so deleting older names races nothing
-        try leaseVersions().filter(_ <= v).foreach(k => io.delete(leasePath(k)))
-        catch { case _: java.io.IOException => () }
+        // ever read the max, so deleting older names races nothing.
+        // AGE-GATED (StoreIO.ptrGraceMs): a freed lease name can be
+        // re-created by a stale acquirer — never free one a live acquire
+        // could still land on.
+        try {
+          val now = System.currentTimeMillis()
+          leaseVersions().filter(_ <= v).map(leasePath)
+            .filter(p => io.mtime(p).exists(m => now - m > StoreIO.ptrGraceMs))
+            .foreach(io.delete)
+        } catch { case _: java.io.IOException => () }
       }
     }
 
@@ -670,9 +747,20 @@ final class OpLog(io: StoreIO) {
 
   /** GC every entry strictly before `v` — safe only when entry `v` is a
     * compact whose `consol`/`auxconsol`/`maxseen` subsume the prefix
-    * (a migrate does NOT subsume aux history and must keep the prefix). */
-  def truncateBefore(v: Long): Unit =
-    versions.filter(_ < v).foreach(o => io.delete(io.path(s"$prefix$o")))
+    * (a migrate does NOT subsume aux history and must keep the prefix).
+    * AGE-GATED ([[StoreIO.ptrGraceMs]]): a deleted `_LOG-` name can be
+    * re-created, so a laggard appender descheduled past a compact could
+    * land its entry at a freed name BELOW the compact — folded before the
+    * compact's replacement, i.e. silently discarded. Only names older
+    * than the grace (beyond any live appender's read-to-commit window)
+    * are freed; the leftover prefix is re-swept by the next compaction. */
+  def truncateBefore(v: Long): Unit = {
+    val now = System.currentTimeMillis()
+    versions.filter(_ < v)
+      .map(o => io.path(s"$prefix$o"))
+      .filter(p => io.mtime(p).exists(m => now - m > StoreIO.ptrGraceMs))
+      .foreach(io.delete)
+  }
 
   /** Append-commit with the race protocol (data for `batchId` must be fully
     * on disk before calling — the write-before-commit invariant). If a

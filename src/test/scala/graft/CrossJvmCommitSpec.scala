@@ -156,11 +156,15 @@ class CrossJvmCommitSpec extends SparkSpecBase {
         s"A's recovery commit must land v3, got: $doneA")
     } finally { a.destroyForcibly(); () }
 
-    // exactly one surviving pointer; the final state is the sequential
-    // merge seed + B + A (the loser's doomed first attempt leaked nothing)
+    // the head pointer is v3 and nothing above it; superseded names stay
+    // on disk for the r16 reuse grace (StoreIO.ptrGraceMs) — readers
+    // resolve the max, and freeing a name early is what let a laggard
+    // re-create it below the head. The loser's doomed first attempt still
+    // leaked nothing: no pointer past the head, no fourth version.
     val ptrs = new java.io.File(root).listFiles()
-      .map(_.getName).filter(_.startsWith("_PTR-")).toSeq
-    assert(ptrs === Seq("_PTR-3"), s"pointers: $ptrs")
+      .map(_.getName).filter(_.startsWith("_PTR-")).toSeq.sorted
+    assert(ptrs.flatMap(_.stripPrefix("_PTR-").toLongOption).max === 3L,
+      s"pointers: $ptrs")
     val reopened = BucketedReplica.open(root)
     val live = reopened.live(spark)
       .select("user_id", "value").collect()

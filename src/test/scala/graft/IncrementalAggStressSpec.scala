@@ -41,11 +41,15 @@ class IncrementalAggStressSpec extends SparkSpecBase {
 
   // Loop knob for soak runs (the r14 verdict's bar: the race fix must hold
   // under a 50-iteration loop, not one green run): GRAFT_AGG_STRESS_ITERS=50
-  // runs the scenario over that many DIFFERENT seeds in one JVM. Default 1
-  // (the fixed r14-reproducing seed) to stay inside the suite wall.
+  // runs the scenario over that many DIFFERENT seeds in one JVM. Default 12
+  // (seeds 20260815..20260826, the first being the r14/r15-reproducing
+  // one): the r15 dual-win regression shipped precisely because a single
+  // default iteration could come up green against a ~50%-per-12-iteration
+  // window — the standing multi-seed loop (~60 s) makes one lucky run
+  // unable to hide a probabilistic race again.
   private val iters = sys.env.get("GRAFT_AGG_STRESS_ITERS")
     .orElse(sys.props.get("graft.agg.stress.iters"))
-    .flatMap(_.toIntOption).getOrElse(1)
+    .flatMap(_.toIntOption).getOrElse(12)
 
   test("three racing view maintainers plus a racing compactor converge " +
     "to the from-scratch aggregate — no double count, no lost delta") {
