@@ -56,6 +56,54 @@ object Bench {
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
+  /** Host-calibration probe (r16, closing the cross-session comparability
+    * gap: r15 burned a manual unchanged-tree A/B rebuild to prove a +29%
+    * total was the host, not the code). A FIXED, deterministic, CPU-bound
+    * workload on in-memory ranges — no file I/O, no fixtures, pinned
+    * parallelism 8 — run once untimed (JIT/codegen warm-up) and then
+    * twice timed, min taken. Its wall time moves with host speed and
+    * co-tenant pressure exactly like the query suite does, so the ratio
+    * of two records' `host_probe_sec` is the environmental factor between
+    * their sessions, readable from the records alone. The probe body is
+    * VERSION-PINNED: changing it breaks cross-record comparability, so it
+    * must never be edited casually (add a new field instead). */
+  private def hostProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      // hash + shuffle + aggregate kernel
+      materialize(spark.range(0L, 20000000L, 1L, 8)
+        .select(pmod(xxhash64(col("id")), lit(1024L)).as("k"))
+        .groupBy(col("k")).count())
+      // sort kernel on a derived pseudo-random key
+      materialize(spark.range(0L, 8000000L, 1L, 8)
+        .select(xxhash64(col("id")).as("k")).orderBy(col("k")))
+      // string/regexp kernel
+      materialize(spark.range(0L, 2000000L, 1L, 8)
+        .select(md5(concat_ws("-", col("id").cast("string"), lit("graft"))).as("h"))
+        .filter(col("h").rlike("^[0-9a-f]"))
+        .groupBy(substring(col("h"), 1, 2)).count())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // discarded: first-execution codegen/JIT is setup, not host speed
+    math.min(pass(), pass())
+  }
+
+  /** `host_probe_sec` of the previous full same-SF record, for the
+    * host-normalized drift ratio. */
+  private def prevProbeSec(sfDir: String): Option[Double] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(sys.props("user.dir"), "bench_history.jsonl")
+      val nQ = "\"n_queries\":(\\d+)".r
+      val probeRe = "\"host_probe_sec\":(-?[0-9.]+)".r
+      val sfTag = "\"sf\":\"" + sfDir + "\""
+      java.nio.file.Files.readAllLines(p).asScala.reverseIterator
+        .find(l => l.contains(sfTag) &&
+          nQ.findFirstMatchIn(l).exists(_.group(1).toInt >= 50))
+        .flatMap(l => probeRe.findFirstMatchIn(l).map(_.group(1).toDouble))
+    } catch { case _: Throwable => None }
+
   /** Host load (1/5/15-min) — recorded before and after the timed pass so
     * a contended record is self-diagnosing instead of needing forensic
     * reconstruction (r5's 205 s and r6's 436.9 s official records were
@@ -155,6 +203,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.LogicalRDD",
       org.apache.logging.log4j.Level.ERROR)
+    // Host calibration BEFORE the warm-up (the probe is self-warming):
+    // recorded as host_probe_sec; host_factor is this session's probe
+    // over the r16 calibration constant (2.0 s, measured twice at ±1% on
+    // the quiet round-16 build host) — >1 means a slower/noisier session
+    // than the calibration one. Cross-record reads should use the RATIO
+    // of two records' host_probe_sec, which needs no constant at all.
+    val probeSec = try r3(hostProbe(spark)) catch { case _: Throwable => -1.0 }
+    val hostFactor = if (probeSec > 0) r3(probeSec / 2.0) else -1.0
     // Untimed warm-up: first-execution costs (executor start, Janino codegen,
     // JIT compilation of generated loops, Jackson/parquet reader init) are
     // setup, not engine throughput — measured first runs are 5-10× steady
@@ -308,8 +364,17 @@ object Bench {
     val isolatedAll = (isolated ++ isolatedOutliers).toMap
     val quietTotal = r3(results.map { case (k, v) =>
       math.min(v, isolatedAll.getOrElse(k, v)) }.sum)
+    // host-normalized drift: the median ratio with the two sessions' host
+    // speed difference (probe ratio) divided out — what is left is the
+    // CODE's drift. 1.3 raw with 1.0 hostnorm reads "slower host, same
+    // code" mechanically, with no manual A/B rebuild.
+    val hostNormMedian = prevProbeSec(sfDir) match {
+      case Some(pp) if pp > 0 && probeSec > 0 =>
+        r3(medianRatio / (probeSec / pp))
+      case _ => -1.0
+    }
     val envJson =
-      s""""quiet_gate":"$quiet","loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_worst3":${qJson(isolated)},"isolated_outliers":${qJson(isolatedOutliers)},"quiet_total":$quietTotal,"gc_sec_total":${r3(gcByQuery.map(_._2).sum)},"median_ratio_vs_prev":$medianRatio,"n_compared_vs_prev":${ratios.size},"outliers_vs_prev":${qJson(outliers)}"""
+      s""""quiet_gate":"$quiet","host_probe_sec":$probeSec,"host_factor":$hostFactor,"loadavg_start":"$loadStart","loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","isolated_worst3":${qJson(isolated)},"isolated_outliers":${qJson(isolatedOutliers)},"quiet_total":$quietTotal,"gc_sec_total":${r3(gcByQuery.map(_._2).sum)},"median_ratio_vs_prev":$medianRatio,"median_ratio_vs_prev_hostnorm":$hostNormMedian,"n_compared_vs_prev":${ratios.size},"outliers_vs_prev":${qJson(outliers)}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)},"gc_sec":${qJson(gcByQuery)},$envJson,"n_queries":${results.size},"n_failures":${failures.size},"failures":$failJson,"sf":"$sfDir","notes":"$notes"}"""
     val short =

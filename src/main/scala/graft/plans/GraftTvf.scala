@@ -101,6 +101,16 @@ object GraftTvf {
       // bare split-on-'/' check misses because the '..' rides in the
       // 'file:..' segment) would reach index_vacuum's delete pass (and
       // the audit) at paths outside the warehouse root from plain SQL
+      // '#'/'?' end the java.net.URI path component but ride INTO the
+      // path Hadoop's Path hands the filesystem ('file:///x#/../..'
+      // URI-validates as '/x' while Hadoop resolves '/x#/../..') — so a
+      // guard that validated only the URI path would pass a string whose
+      // filesystem meaning it never saw. No legitimate store path
+      // carries either character; reject them outright.
+      require(!arg.contains("#") && !arg.contains("?"),
+        s"illegal store path '$arg': '#' and '?' are not allowed (the " +
+          "URI fragment/query would be handed to the filesystem as " +
+          "literal path characters)")
       val path =
         if (arg.startsWith("/")) arg
         else {
@@ -115,8 +125,15 @@ object GraftTvf {
               "forms resolve against the process cwd)")
           p
         }
-      require(!path.split('/').contains(".."),
-        s"illegal store path '$arg': '..' segments are not allowed")
+      // belt-and-braces: validate the path component HADOOP will use,
+      // not just the java.net.URI parse the check above worked from
+      val hadoopPath =
+        try new org.apache.hadoop.fs.Path(arg).toUri.getPath
+        catch { case _: IllegalArgumentException => path }
+      (path.split('/') ++ hadoopPath.split('/')).find(_ == "..").foreach { _ =>
+        throw new IllegalArgumentException(
+          s"illegal store path '$arg': '..' segments are not allowed")
+      }
       arg
     } else {
       val parts = arg.split('.').toSeq

@@ -397,12 +397,39 @@ final class CorpusIngest(root: String, nHp: Int = 16,
             .agg(countDistinct(col("doc_id")).as("n"))
             .filter(col("n") > 1).count()
         }
-        scanRow("hp_placement",
-          s"every stored hash must sit in pmod(xxhash64(hash), $effN) — " +
-            "a misplaced row is invisible to the pruned dedup probe") {
-          committedSeen.filter(col("hp") =!=
+        if (metaState.exists(_.isRight))
+          scanRow("hp_placement",
+            s"every stored hash must sit in pmod(xxhash64(hash), $effN) — " +
+              "a misplaced row is invisible to the pruned dedup probe") {
+            committedSeen.filter(col("hp") =!=
+              pmod(xxhash64(col("content_hash")), lit(effN.toLong))
+                .cast(IntegerType)).count()
+          }
+        else {
+          // pre-meta store (no _INGEST): the true layout is unknowable
+          // from here — via the cold SQL door this handle's nHp is just
+          // the default, so asserting against it would flag a healthy
+          // legacy store as placement-corrupt when it is merely
+          // layout-unknown. Report what CAN be said: consistent with
+          // this handle's layout (a genuine pass), or indeterminate.
+          val mism = scala.util.Try(committedSeen.filter(col("hp") =!=
             pmod(xxhash64(col("content_hash")), lit(effN.toLong))
-              .cast(IntegerType)).count()
+              .cast(IntegerType)).count())
+          rows += (mism match {
+            case scala.util.Success(0L) => Row("hp_placement", true, "0",
+              s"consistent with this handle's nhp=$effN (no durable meta " +
+                "to check against — first post-upgrade ingest writes it)")
+            case scala.util.Success(n) => Row("hp_placement", true,
+              "indeterminate",
+              s"layout unknown (store predates the _INGEST meta) and $n " +
+                s"rows do not match this handle's nhp=$effN — open the " +
+                "store with its original nHp (which writes the meta) " +
+                "before treating placement as verified")
+            case scala.util.Failure(e) => Row("hp_placement", false,
+              "scan failed", s"placement scan threw " +
+                s"${e.getClass.getSimpleName}: " +
+                s"${String.valueOf(e.getMessage).take(200)}")
+          })
         }
         // side dirs above the frontier: crashed (or in-flight) composed
         // batches — invisible to committed readers, vacuum's to reclaim

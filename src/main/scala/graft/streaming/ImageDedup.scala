@@ -277,7 +277,22 @@ final class ImageHashStore(root: String) extends MaintainableStore {
   }
 
   /** See the class doc: reclaims ONLY write-job staging wreckage — the one
-    * class provably outside every committed batch in a logless store. */
-  def vacuum(): Seq[String] =
-    stagingWreckage.map { p => io.delete(p); p.toString }
+    * class provably outside every committed batch in a logless store.
+    * AGE-GATED: a `_temporary` younger than the gate may belong to a LIVE
+    * write job (the store is logless, so there is no lease to check) — a
+    * routine SQL-door vacuum deleting it would fail the in-flight batch
+    * (loudly, and redelivery heals it, but a maintenance command should
+    * not induce avoidable failures). Real crash wreckage is, by
+    * definition, old by the time an operator vacuums; anything younger
+    * is reported by audit() and reclaimed on the next pass. Knob:
+    * `-Dgraft.image.stagingGraceMs` (default 10 min — longer than any
+    * healthy micro-batch write, far shorter than an operator's cadence). */
+  def vacuum(): Seq[String] = {
+    val grace = sys.props.get("graft.image.stagingGraceMs")
+      .flatMap(_.toLongOption).getOrElse(10L * 60 * 1000)
+    val now = System.currentTimeMillis()
+    stagingWreckage
+      .filter(p => io.mtime(p).exists(m => now - m > grace))
+      .map { p => io.delete(p); p.toString }
+  }
 }

@@ -172,6 +172,16 @@ final class LshIndex(root: String, nBp: Int = 16) extends MaintainableStore {
     // (a committed replay's side dirs sit at ids <= maxSeen, which no
     // vacuum ever sweeps — the fence only matters for uncommitted batches)
     sideFence.foreach { v0 =>
+      // Conservatism note (r15 advice): an unreadable entry inside the
+      // window is treated as a vacuum because it cannot be ruled one.
+      // Since r16 this is near-unreachable rather than merely rare: log
+      // truncation is AGE-GATED (StoreIO.ptrGraceMs via
+      // OpLog.truncateBefore), so entries younger than the grace — which
+      // the (fence, readVersion] window's entries always are, the window
+      // spans one in-flight composed batch — stay readable; an online
+      // compact inside the ingest window no longer forces a spurious
+      // wholesale re-run. The Try stays as the honest fallback for a
+      // genuinely unreadable entry (I/O fault, manual surgery).
       val swept = ((v0 + 1) to st.version).exists { v =>
         scala.util.Try(log.read(v))
           .map(_.getOrElse("type", "") == "vacuum").getOrElse(true)

@@ -264,6 +264,14 @@ class StoreMaintenanceSpec extends SparkSpecBase {
     val rep2 = report(store.audit(spark))
     allOk(rep2)
     assert(rep2("staging_wreckage")._2 === "1")
+    // YOUNG staging is a possibly-LIVE write job's (logless store, no
+    // lease to consult): the age-gated vacuum must leave it alone
+    assert(store.vacuum().isEmpty,
+      "vacuum swept staging younger than the grace — it could be a live " +
+        "writer's")
+    // once it ages past the grace it is provably wreckage and is swept
+    assert(new java.io.File(s"$root/hashes/batch_id=0/_temporary")
+      .setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
     val swept = store.vacuum()
     assert(swept.size === 1 && swept.head.contains("_temporary"), s"$swept")
     assert(!new java.io.File(s"$root/hashes/batch_id=0/_temporary").exists())
