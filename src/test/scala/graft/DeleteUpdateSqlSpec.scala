@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.GraftMergeInto
-import graft.streaming.BucketedReplica
+import graft.streaming.{BucketedReplica, StoreIO}
 
 /** ANSI `DELETE FROM` / `UPDATE` over replica targets
   * (graft.plans.GraftDeleteUpdate): the last two analyst DML verbs. Pins
@@ -161,7 +161,10 @@ class DeleteUpdateSqlSpec extends SparkSpecBase {
         rep.beforePointerCommit = () => ()
         new BucketedReplica(root, nBuckets = 4).commit(racing)
       }
-      intercept[java.io.IOException] {
+      // r16: the defeated pointer create surfaces as the protocol's clean
+      // ConcurrentCommit (commitPointer maps the taken-name IOException),
+      // not the raw filesystem exception
+      intercept[StoreIO.ConcurrentCommit] {
         spark.sql("DELETE FROM dml_race_view WHERE value >= 100")
       }
       // no partial delete: store = seed ⊎ racing commit, nothing tombstoned

@@ -242,7 +242,10 @@ class StoreProtocolSpec extends SparkSpecBase {
       rep.beforePointerCommit = () => ()
       rep.rebucket(spark, 8)
     }
-    intercept[java.io.IOException] { rep.commit(late) }
+    // r16: the taken-name defeat surfaces as the protocol's clean
+    // ConcurrentCommit (a RuntimeException), no longer the raw
+    // filesystem IOException
+    intercept[graft.streaming.StoreIO.ConcurrentCommit] { rep.commit(late) }
 
     // the loser's orphan is invisible; the store is the rebucketed first half
     assert(rep.read(spark).select("user_id").collect().map(_.getLong(0)).toSet
