@@ -189,7 +189,11 @@ object Extensions {
     val t1 = needed.select(col("doc_id").as("a"), col("g").as("g1"))
     val t2 = needed.select(col("doc_id").as("b"), col("g").as("g2"))
     cand.join(t1, "a").join(t2, "b")
-      .withColumn("nc", size(array_intersect(col("g1"), col("g2"))))
+      // sealed: one intersect per candidate in a post-join Project — the
+      // optimizer otherwise folds the ≥0.5 filter (and so the intersect,
+      // twice) into the verify join's condition; see SealedEval
+      .withColumn("nc", functions.SealedEval.seal(
+        size(array_intersect(col("g1"), col("g2")))))
       .filter(col("nc").cast(DoubleType)
         / (size(col("g1")) + size(col("g2")) - col("nc")) >= 0.5)
       .select(col("a"), col("b"))
@@ -530,7 +534,10 @@ object Extensions {
       val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
       val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
       a.join(b, col("d1") < col("d2"))
-        .withColumn("nc", size(array_intersect(col("tk1"), col("tk2"))))
+        // sealed: the ≥0.1 filter must not fold into the nested-loop join
+        // condition (intersect twice per ordered pair); see SealedEval
+        .withColumn("nc", functions.SealedEval.seal(
+          size(array_intersect(col("tk1"), col("tk2")))))
         .filter(col("nc").cast(DoubleType)
           / (size(col("tk1")) + size(col("tk2")) - col("nc")) >= 0.1)
         .select("d1", "d2")
@@ -801,7 +808,10 @@ object Extensions {
       val t1 = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
       val t2 = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
       cand.join(t1, "d1").join(t2, "d2")
-        .withColumn("n_common", size(array_intersect(col("tk1"), col("tk2"))))
+        // sealed: evaluate the intersect once (CollapseProject would inline
+        // it into numerator AND denominator); see SealedEval
+        .withColumn("n_common", graft.functions.SealedEval.seal(
+          size(array_intersect(col("tk1"), col("tk2")))))
         .select(col("d1"), col("d2"), col("n_shared_bands"),
           (col("n_common").cast(DoubleType)
             / (size(col("tk1")) + size(col("tk2")) - col("n_common"))).as("jaccard"))
@@ -830,7 +840,8 @@ object Extensions {
         .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
       cand.join(sets.select(col("doc_id").as("d1"), col("tk").as("tk1")), "d1")
         .join(sets.select(col("doc_id").as("d2"), col("tk").as("tk2")), "d2")
-        .select(size(array_intersect(col("tk1"), col("tk2"))).as("nc"),
+        .select(graft.functions.SealedEval.seal(
+            size(array_intersect(col("tk1"), col("tk2")))).as("nc"),
           size(col("tk1")).as("n1"), size(col("tk2")).as("n2"))
         .select(least(expr("(10 * nc) div (n1 + n2 - nc)"), lit(9))
           .cast(LongType).as("bin"))
@@ -845,7 +856,10 @@ object Extensions {
       val t1 = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"))
       val t2 = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"))
       val joined = cand.join(t1, "d1").join(t2, "d2")
-        .withColumn("n_common", size(array_intersect(col("tk1"), col("tk2"))))
+        // sealed: keeps the containment filter out of the join condition
+        // in BOTH union branches; see SealedEval
+        .withColumn("n_common", graft.functions.SealedEval.seal(
+          size(array_intersect(col("tk1"), col("tk2")))))
       val fwd = joined.select(col("d1").as("a"), col("d2").as("b"),
         (col("n_common").cast(DoubleType) / size(col("tk1"))).as("containment"))
       val rev = joined.select(col("d2").as("a"), col("d1").as("b"),
@@ -883,7 +897,11 @@ object Extensions {
         col("bg").as("bg2"), col("nb").as("nb2"))
       a.join(b, col("lang") === col("lang2") && col("d1") < col("d2") &&
           col("nb1") * 10 >= col("nb2") && col("nb2") * 10 >= col("nb1"))
-        .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
+        // sealed: keeps the intersect OUT of the join condition (where the
+        // optimizer would run it before the cheap prefilters, twice per
+        // pair) — one evaluation per surviving pair, see SealedEval
+        .withColumn("n_common", graft.functions.SealedEval.seal(
+          size(array_intersect(col("bg1"), col("bg2")))))
         .withColumn("jaccard", col("n_common").cast(DoubleType)
           / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
         .filter(col("jaccard") >= 0.1)
@@ -929,7 +947,9 @@ object Extensions {
           col("a_row") === col("b_row") && col("a_col") === col("b_col") &&
           col("d1") < col("d2") &&
           col("nb1") * 10 >= col("nb2") && col("nb2") * 10 >= col("nb1"))
-        .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
+        // sealed: same plan discipline as e04; see SealedEval
+        .withColumn("n_common", graft.functions.SealedEval.seal(
+          size(array_intersect(col("bg1"), col("bg2")))))
         .withColumn("jaccard", col("n_common").cast(DoubleType)
           / (size(col("bg1")) + size(col("bg2")) - col("n_common")))
         .filter(col("jaccard") >= 0.1)
@@ -3369,7 +3389,9 @@ object Extensions {
       lshCandidates(s, d)
         .join(sets.select(col("doc_id").as("d1"), col("tk").as("tk1")), "d1")
         .join(sets.select(col("doc_id").as("d2"), col("tk").as("tk2")), "d2")
-        .withColumn("n_common", size(array_intersect(col("tk1"), col("tk2"))))
+        // sealed: one intersect per candidate, post-join; see SealedEval
+        .withColumn("n_common", graft.functions.SealedEval.seal(
+          size(array_intersect(col("tk1"), col("tk2")))))
         .filter(col("n_common").cast(DoubleType)
           / (size(col("tk1")) + size(col("tk2")) - col("n_common")) >= 0.5)
         .select(least(splitOf(col("d1")), splitOf(col("d2"))).as("split_a"),
@@ -3746,7 +3768,10 @@ object Extensions {
       val s1 = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
       val s2 = base.select(col("doc_id").as("d2"), col("bg").as("bg2"))
       candF.join(s1, "d1").join(s2, "d2")
-        .withColumn("n_common", size(array_intersect(col("bg1"), col("bg2"))))
+        // sealed: the ≥0.5 filter otherwise folds into the array-attach
+        // join's condition (intersect twice per candidate); see SealedEval
+        .withColumn("n_common", graft.functions.SealedEval.seal(
+          size(array_intersect(col("bg1"), col("bg2")))))
         .withColumn("jaccard", col("n_common").cast(DoubleType)
           / (col("n1") + col("n2") - col("n_common")))
         .filter(col("jaccard") >= 0.5)
