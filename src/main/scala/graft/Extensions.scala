@@ -28,9 +28,12 @@ object Extensions {
   private val A = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
   private val B = Seq(3L, 5L, 59L, 61L, 67L, 71L, 73L, 79L)
 
-  /** Shared cross-engine token hash (see module doc). */
-  def tokenHash(t: Column): Column =
-    conv(substring(md5(t), 1, 8), 16, 10).cast(LongType)
+  /** Shared cross-engine token hash (see module doc) — first 32 md5 bits,
+    * unsigned. Direct-from-digest expression, bit-identical to the previous
+    * composed `conv(substring(md5(t),1,8),16,10)` form (and to the DuckDB
+    * twins, which still spell it that way) at ~2-3× the throughput; see
+    * [[graft.functions.TokenHash64]]. */
+  def tokenHash(t: Column): Column = graft.functions.TokenHash64(t)
 
   /** MinHash-LSH banding of a (doc_id, text) corpus: k=8 permutation
     * hashes over the distinct unigram set, banded 4×2 → one (doc_id,

@@ -72,15 +72,19 @@ object ConnectedComponents {
     // deep lineage that stalls the optimizer long before execution starts.
     // Pass checkpointDir (or set graft.checkpoint.dir) on cluster runs —
     // executor-local blocks die with their executor, durable ones don't.
-    var e = ck.truncate(edges
+    // Lazy truncation: every round's checkpoint materializes inside the
+    // checksum action that follows it anyway — one scheduler round-trip
+    // per iteration instead of two, and the checksum's own count doubles
+    // as the emptiness test (no separate isEmpty job).
+    var e = ck.truncateLazy(edges
       .select(col("a").cast(LongType).as("a"), col("b").cast(LongType).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
     var sig = checksum(e)
     var rounds = 0
-    var done = e.isEmpty
+    var done = sig._1 == 0L
     while (!done && rounds < maxRounds) {
-      val next = ck.truncate(smallStar(largeStar(e)))
+      val next = ck.truncateLazy(smallStar(largeStar(e)))
       val nsig = checksum(next)
       e = next
       rounds += 1

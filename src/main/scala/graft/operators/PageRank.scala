@@ -37,19 +37,26 @@ object PageRank {
     // both caches AND truncates lineage — in local mode the blocks are
     // released by the ContextCleaner when the DataFrame goes out of
     // scope, so there is no session-lifetime cache residue.
-    val und = ck.truncate(edges)
-    val deg = ck.truncate(und.groupBy(col("a")).agg(count(lit(1)).as("outdeg")))
+    // Lazy truncation throughout: each truncate still cuts the plan to a
+    // scan at call time (constant planning depth per round — the point of
+    // the checkpoint), but block materialization is deferred. deg.count()
+    // materializes und+deg in one job; the fixed-iteration rank chain then
+    // materializes as one cascade inside the caller's action instead of
+    // one dedicated job per iteration. Blocks persist on first compute,
+    // so und/deg are still computed exactly once across all rounds.
+    val und = ck.truncateLazy(edges)
+    val deg = ck.truncateLazy(und.groupBy(col("a")).agg(count(lit(1)).as("outdeg")))
     val n = deg.count()
     require(n > 0, "PageRank over an empty graph")
     val base = 15L * scale / (100L * n) // (1−d)/N, scaled, exact floor
-    var pr = ck.truncate(
+    var pr = ck.truncateLazy(
       deg.select(col("a").as("node"), lit(scale / n).as("pr")))
     (1 to iterations).foreach { _ =>
       val contrib = und.join(deg, "a")
         .join(pr, col("a") === col("node"))
         .select(col("b"), expr("pr div outdeg").as("c"))
         .groupBy(col("b")).agg(sum(col("c")).as("sc"))
-      pr = ck.truncate( // truncate: next round plans from a scan
+      pr = ck.truncateLazy( // truncate: next round plans from a scan
         deg.select(col("a").as("node"))
           .join(contrib, col("node") === col("b"), "left")
           .select(col("node"),

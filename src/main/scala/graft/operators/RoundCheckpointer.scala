@@ -42,6 +42,27 @@ final class RoundCheckpointer private (dir: Option[String]) {
     case None => df.localCheckpoint()
   }
 
+  /** Truncate lineage WITHOUT forcing a materialization job: planning
+    * still happens now (the plan is cut to a scan, same as [[truncate]]),
+    * but the blocks persist inside the NEXT action that touches the frame.
+    * For a fixpoint round that is immediately followed by its convergence
+    * check (ConnectedComponents' checksum) — or consumed by the next
+    * round's join (PageRank's fixed-iteration rank vector) — this folds
+    * the round's dedicated materialization job into an action that runs
+    * anyway: half the scheduler round-trips per iteration, identical
+    * results and identical post-checkpoint lineage. Use [[truncate]] when
+    * nothing downstream is guaranteed to materialize the frame before its
+    * inputs are unpersisted. */
+  def truncateLazy(df: DataFrame): DataFrame = dir match {
+    case Some(d) =>
+      if (!dirApplied) {
+        df.sparkSession.sparkContext.setCheckpointDir(d)
+        dirApplied = true
+      }
+      df.checkpoint(eager = false)
+    case None => df.localCheckpoint(eager = false)
+  }
+
   /** True when rounds checkpoint to durable storage. */
   def reliable: Boolean = dir.isDefined
 }
