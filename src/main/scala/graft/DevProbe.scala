@@ -12,6 +12,30 @@ object DevProbe {
     println(f"[probe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     r
   }
+
+  /** Counts Spark jobs/stages/tasks launched inside a block — tells a
+    * many-tiny-jobs overhead profile apart from a genuinely expensive one. */
+  private final class Counter extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks); ()
+    }
+  }
+  private def counted[A](spark: SparkSession, name: String)(f: => A): A = {
+    val c = new Counter
+    spark.sparkContext.addSparkListener(c)
+    val r = t(name)(f)
+    // listener bus is async; give it a beat to drain before reading
+    Thread.sleep(300)
+    spark.sparkContext.removeSparkListener(c)
+    println(s"[probe]   jobs=${c.jobs.get} stages=${c.stages.get} tasks=${c.tasks.get}")
+    r
+  }
   private def mat(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -20,6 +44,8 @@ object DevProbe {
     val what = if (args.length > 1) args(1) else "e113"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_MIN_PART_SIZE", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -70,6 +96,63 @@ object DevProbe {
           spark.catalog.clearCache()
           System.gc()
         }
+      case "e55x" =>
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        mat(SparkEntry.queries("e55_jaccard_prefix")(spark, warm))
+        spark.catalog.clearCache()
+        (1 to 2).foreach { i =>
+          println(s"--- pass $i ---")
+          val base = t("base+ckpt") {
+            Tables.load(spark, d, "documents")
+              .filter(col("doc_id") % 2 === 0)
+              .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+              .filter(size(col("tk")) >= 2)
+              .select(col("doc_id"), col("lang"),
+                array_distinct(transform(sequence(lit(0), size(col("tk")) - 2),
+                  j => (Extensions.tokenHash(concat(element_at(col("tk"), j + 1), lit(" "),
+                    element_at(col("tk"), j + 2))) - lit(2147483648L))
+                    .cast(IntegerType))).as("bg"))
+              .localCheckpoint()
+          }
+          val post = base.select(col("doc_id"), col("lang"), explode(col("bg")).as("h"))
+          val dfc = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          val pre = post.join(dfc, "h")
+            .groupBy(col("doc_id"), col("lang"))
+            .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("srt"))
+            .select(col("doc_id"), col("lang"),
+              explode(expr("slice(transform(srt, x -> x.h), 1," +
+                " size(srt) - cast(ceil(0.5 * size(srt)) as int) + 1)")).as("h"))
+          val cand = t("cand+ckpt") {
+            pre.as("x").join(pre.as("y"),
+                col("x.lang") === col("y.lang") && col("x.h") === col("y.h") &&
+                  col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+              .localCheckpoint()
+          }
+          println(s"[probe]   cand=${cand.count()}")
+          val sizes = base.select(col("doc_id"), size(col("bg")).as("n"))
+          val candF = t("candF+ckpt") {
+            cand
+              .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+              .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+              .filter(col("n1") * 2 >= col("n2") && col("n2") * 2 >= col("n1"))
+              .localCheckpoint()
+          }
+          val s1 = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
+          val s2 = base.select(col("doc_id").as("d2"), col("bg").as("bg2"))
+          t("verify") {
+            mat(candF.join(s1, "d1").repartition(32, col("d2")).join(s2, "d2")
+              .withColumn("n_common", functions.SealedEval.seal(
+                size(array_intersect(col("bg1"), col("bg2")))))
+              .withColumn("jaccard", col("n_common").cast("double")
+                / (col("n1") + col("n2") - col("n_common")))
+              .filter(col("jaccard") >= 0.5)
+              .select("lang", "d1", "d2", "jaccard")
+              .orderBy("lang", "d1", "d2"))
+          }
+          spark.catalog.clearCache()
+          System.gc()
+        }
       case "hash" =>
         // md5-hex-conv chain vs raw xxhash64 on the same token stream:
         // how much of the shingle builds is the cross-engine hash itself
@@ -90,7 +173,7 @@ object DevProbe {
         mat(SparkEntry.queries(q)(spark, warm))
         spark.catalog.clearCache()
         (1 to 2).foreach { i =>
-          t(s"full $q pass$i") { mat(SparkEntry.queries(q)(spark, d)) }
+          counted(spark, s"full $q pass$i") { mat(SparkEntry.queries(q)(spark, d)) }
           spark.catalog.clearCache()
           System.gc()
         }

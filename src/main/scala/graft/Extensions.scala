@@ -3756,7 +3756,17 @@ object Extensions {
         .select(col("doc_id"), col("lang"),
           explode(expr("slice(transform(srt, x -> x.h), 1," +
             " size(srt) - cast(ceil(0.5 * size(srt)) as int) + 1)")).as("h"))
-      val cand = pre.as("x").join(pre.as("y"),
+      // Explicit width on the pair-generation stage too (same AQE
+      // serialization as the verify below): one exchange, REUSED by both
+      // self-join sides, so the bucket-local pair expansion and the
+      // distinct's partial agg run wide. Sized with kVerify (defined
+      // below, shared).
+      val totBg = base.agg(coalesce(sum(size(col("bg"))), lit(0L))
+        .cast(LongType)).head().getLong(0)
+      val kVerify = math.max(s.sessionState.conf.numShufflePartitions,
+        (totBg / 400000L).toInt)
+      val preR = pre.repartition(kVerify, col("lang"), col("h"))
+      val cand = preR.as("x").join(preR.as("y"),
           col("x.lang") === col("y.lang") && col("x.h") === col("y.h") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
@@ -3770,7 +3780,15 @@ object Extensions {
         .filter(col("n1") * 2 >= col("n2") && col("n2") * 2 >= col("n1"))
       val s1 = base.select(col("doc_id").as("d1"), col("lang"), col("bg").as("bg1"))
       val s2 = base.select(col("doc_id").as("d2"), col("bg").as("bg2"))
-      candF.join(s1, "d1").join(s2, "d2")
+      // Explicit verify-stage width (the exactShinglePairs recipe): the
+      // intersect runs in the stage fed by the d2 exchange, whose BYTES are
+      // tiny while its per-row cost is the whole query — AQE's byte-based
+      // coalescing folds it to one partition and serializes the verify
+      // (measured 2× on the bench host). kVerify (above) is sized from
+      // Σ|bg| via one 1-row agg over the checkpointed base, floored at the
+      // session's shuffle parallelism — scale-adaptive in both directions,
+      // never a constant.
+      candF.join(s1, "d1").repartition(kVerify, col("d2")).join(s2, "d2")
         // sealed: the ≥0.5 filter otherwise folds into the array-attach
         // join's condition (intersect twice per candidate); see SealedEval
         .withColumn("n_common", graft.functions.SealedEval.seal(
