@@ -153,6 +153,27 @@ object DevProbe {
           spark.catalog.clearCache()
           System.gc()
         }
+      case "e113bx" =>
+        mat(SparkEntry.queries("e113b_leakage_split_lsh")(spark, warm))
+        spark.catalog.clearCache()
+        (1 to 2).foreach { i =>
+          println(s"--- pass $i ---")
+          val sets = counted(spark, "sets+ckpt") {
+            Extensions.shingleSets3(spark, d).localCheckpoint()
+          }
+          val verified = counted(spark, "lshVerifiedPairs+ckpt") {
+            Extensions.lshVerifiedPairs(sets).localCheckpoint()
+          }
+          counted(spark, "CC+report") {
+            val (comp, rounds) = operators.ConnectedComponents.run(
+              Tables.load(spark, d, "documents")
+                .select(col("doc_id").as("node")), verified)
+            mat(comp)
+            println(s"[probe]   rounds=$rounds")
+          }
+          spark.catalog.clearCache()
+          System.gc()
+        }
       case "hash" =>
         // md5-hex-conv chain vs raw xxhash64 on the same token stream:
         // how much of the shingle builds is the cross-engine hash itself

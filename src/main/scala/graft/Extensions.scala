@@ -3439,12 +3439,15 @@ object Extensions {
     // partial-aggregates map-side, so shuffle volume is |docs|·|alphabet|
     // rows, not total characters — one corpus pass at any size.
     "e46_char_entropy" -> { (s, d) =>
+      // Histogram via the graft_char_counts kernel: one byte-walk per doc
+      // instead of |chars| rows through Generate+HashAggregate — counts
+      // bit-identical to the explode+groupBy form (see CharCounts's
+      // segmentation contract); everything downstream is unchanged.
       val ch = load(s, d, "documents")
         .filter(length(col("text")) >= 1) // empty doc: sequence(1,0) counts down
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), length(col("text"))),
-            i => col("text").substr(i, lit(1)))).as("ch"))
-      ch.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+          explode(graft.functions.CharCounts(col("text"))).as("e"))
+      ch.select(col("doc_id"), col("e.c").as("c"))
         .select(col("doc_id"), col("c"),
           // (28,12): per-term scale 6 digits below the round-6 output so
           // ulp-level ln drift can't reach the entropy hash (see e41)
