@@ -174,6 +174,33 @@ object DevProbe {
           spark.catalog.clearCache()
           System.gc()
         }
+      case "e113cAB" =>
+        // Alternating same-JVM A/B: sequential vs overlapped (two driver
+        // threads) materialization of e113c's independent pair stages —
+        // eliminates host drift between variants.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        mat(SparkEntry.queries("e113c_lsh_recall")(spark, warm))
+        spark.catalog.clearCache()
+        (1 to 3).foreach { i =>
+          t(s"seq pass$i") {
+            val sets = Extensions.shingleSets3(spark, d).localCheckpoint()
+            val e1 = Extensions.exactShinglePairs(spark, sets).localCheckpoint()
+            val e2 = Extensions.lshVerifiedPairs(sets).localCheckpoint()
+            println(s"[probe]   n=${e1.count()}/${e2.count()}")
+          }
+          spark.catalog.clearCache(); System.gc()
+          t(s"par pass$i") {
+            val sets = Extensions.shingleSets3(spark, d).localCheckpoint()
+            val f1 = Future(Extensions.exactShinglePairs(spark, sets).localCheckpoint())
+            val f2 = Future(Extensions.lshVerifiedPairs(sets).localCheckpoint())
+            val e1 = Await.result(f1, Duration.Inf)
+            val e2 = Await.result(f2, Duration.Inf)
+            println(s"[probe]   n=${e1.count()}/${e2.count()}")
+          }
+          spark.catalog.clearCache(); System.gc()
+        }
       case "hash" =>
         // md5-hex-conv chain vs raw xxhash64 on the same token stream:
         // how much of the shingle builds is the cross-engine hash itself
