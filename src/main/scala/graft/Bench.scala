@@ -52,7 +52,13 @@ object Bench {
     "e41_bigram_lm", "e42_dup_coverage", "c47_band_join",
     "b16_consistent_cut", "e47_fuzzy_pairs", "e48_semantic_dedup",
     "e50_tfidf_cosine", "c52_dpp_join", "e54_dq_audit", "e55_jaccard_prefix",
-    "e56_pagerank", "e57_triangle_count", "e58_lsh_recall", "c55_basket_lift")
+    "e56_pagerank", "e57_triangle_count", "e58_lsh_recall", "c55_basket_lift",
+    // r16 additions (never remove/rename above): the optimization round's
+    // targets, so the record tracks them per-query from here on
+    "e04c_jaccard_blocked", "e46_char_entropy", "e63_lsh_sweep",
+    "e80_span_scrub", "e113_leakage_safe_split", "e113b_leakage_split_lsh",
+    "e113c_lsh_recall", "b13_incremental_agg", "b20_merge_into_sql",
+    "b21_catalog_table", "e45_split_leakage")
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 

@@ -319,11 +319,17 @@ object StoreIO {
     * [[StoreIO.writeString]]: half the bytes land before the crash — the
     * case the overwriteSafe terminator and pointer tmp-rename exist for.
     *
-    * [[InjectedCrash]] extends Error deliberately: the protocols'
-    * IOException / ConcurrentCommit handling must not mistake an injected
-    * death for a retryable race. */
+    * [[InjectedCrash]] extends VirtualMachineError deliberately, for TWO
+    * exclusions: the protocols' IOException / ConcurrentCommit handling
+    * must not mistake an injected death for a retryable race, and the
+    * post-pointer best-effort `catch NonFatal` blocks must not swallow it
+    * — `scala.util.control.NonFatal` matches ordinary `Error` subclasses
+    * (it only excludes VirtualMachineError, ThreadDeath, Interrupted,
+    * LinkageError, ControlThrowable), which is exactly the bug the r16
+    * compact crash sweep caught when this class still extended `Error`:
+    * a "dead process" kept executing the rest of the commit. */
   private[graft] object Faults {
-    final class InjectedCrash(msg: String) extends Error(msg)
+    final class InjectedCrash(msg: String) extends VirtualMachineError(msg)
 
     private final class Arm(val prefix: String, k: Int, val torn: Boolean) {
       var remaining: Int = k     // ops allowed before the crash, incl. op k

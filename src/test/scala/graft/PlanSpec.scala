@@ -269,12 +269,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("e46 char entropy: per-char explode partial-aggregates before the exchange") {
+  test("e46 char entropy: histogram kernel feeds the per-doc aggregate") {
     val p = finalPlan(q("e46_char_entropy"))
-    // shuffle volume must be docs×alphabet, not total characters: the
-    // (doc_id, ch) aggregate partial-combines map-side under the explode
+    // r16: the per-character explode (one row per CHARACTER through
+    // Generate + a (doc_id, ch) count) was replaced by the
+    // graft_char_counts kernel — one byte-walk per doc emitting
+    // |alphabet| rows, with the per-doc DECIMAL sums partial-combining
+    // map-side under the explode. Shuffle volume stays docs×alphabet.
+    assert(p.contains("graft_char_counts"), p.take(2000))
     assert(p.contains("Generate"), p.take(2000))
-    assert(p.contains("partial_count"), p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
